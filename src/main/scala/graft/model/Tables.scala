@@ -1,0 +1,59 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry over the driver-generated star schema (TESTDATA.md).
+  *
+  * The reference engine's data model (SURVEY.md §1; reference
+  * `pipeline/ETL/extract.py:86-109`) is a denormalized fact table plus two
+  * tiny dimensions. Here the stand-ins are:
+  *   - `lineitem` (+`orders`)  → `transactions` fact
+  *   - `supplier`              → `dim_trucks`-like broadcast dimension
+  *   - `nation`/`region`       → `dim_payment_methods`-like tiny dimension
+  *   - `events`                → incremental / streaming-shaped table
+  *   - `documents`/`embeddings`→ LLM-pipeline extension tables
+  *
+  * Every reader is a plain parquet scan: Catalyst handles column pruning,
+  * predicate pushdown, and (for partitioned layouts written by
+  * [[graft.etl.PartitionedLake]]) partition pruning. At 100 TB the same
+  * code path works unchanged — `dir` becomes an object-store prefix and the
+  * scan parallelism follows `spark.sql.files.maxPartitionBytes`.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
+    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds
+    * — exactly what DuckDB does when it reads the same file, so oracle
+    * comparisons stay bit-identical. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql` queries (the
+    * reference's Athena surface, SURVEY.md §2 "honorable mention") run
+    * verbatim through the full parse→analyze→optimize Catalyst path. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+}

@@ -1,0 +1,510 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Tables
+
+/** The relational parity inventory — every operator class from SURVEY.md §2
+  * (reference: `pipeline/athena_queries.sql`, `pipeline/dashboard.py`,
+  * `pipeline/report-lambda/generate_report.py`), re-expressed as lazy
+  * Catalyst plans over the star schema in /root/testdata.
+  *
+  * Semantic mapping (SURVEY.md §7.1 / FIXTURES.md §5):
+  * `lineitem` plays the `transactions` fact (`l_extendedprice*(1-l_discount)`
+  * → `total`, `l_shipdate` → `at`), `supplier` plays `dim_trucks`
+  * (broadcast-joined), `events` plays the incremental source, `orders`
+  * supplies the string-predicate column (`o_orderpriority` stands in for
+  * `payment_method` in the fee model, reference
+  * `generate_report.py:124-142`).
+  *
+  * Scale notes (the 100 TB contract):
+  *   - dimension joins are explicit `broadcast()` — no shuffle of the fact;
+  *   - aggregations are plain `groupBy` → hash aggregate with map-side
+  *     partial aggregation; one shuffle on the grouping key, no more;
+  *   - global "share of total" uses an aggregate-then-window plan: the
+  *     window runs over the *aggregated* (tiny) relation, never the fact;
+  *   - top-k is `orderBy(...).limit(k)` which Spark plans as
+  *     `TakeOrderedAndProject` (per-partition heap + driver merge, no
+  *     global sort);
+  *   - final `orderBy` on small aggregated outputs exists for oracle
+  *     determinism and costs nothing at scale (input is already tiny).
+  */
+object Relational {
+
+  /** Net revenue per line — the `total` column of the reference fact. */
+  private def rev: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+  private val revSql = "l_extendedprice * (1 - l_discount)"
+
+  /** Money math in exact integer cents — the same normalization the
+    * reference's DB schema uses (pence, `transform.py:21`). Summing longs is
+    * exact and order-independent, so distributed partial aggregation yields
+    * bit-identical results to any single-node oracle regardless of partition
+    * count or merge order; double sums would drift with summation order and
+    * `round(x, 2)` implementations differ across engines. The final
+    * `/ 100.0` and integer `round(x)` are single deterministic IEEE ops
+    * identical across engines. Headroom: cents sums overflow long only past
+    * ~9e16 dollars — far beyond 100 TB of fact data. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  /** SUM(money) at 2dp, exact/order-independent. */
+  private def moneySum(c: Column): Column = sum(cents(c)) / 100.0
+  /** AVG(money) rounded to 2dp, exact/order-independent. */
+  private def moneyAvg(c: Column): Column = round(sum(cents(c)) / count(lit(1))) / 100.0
+  /** Percentage a/b at 2dp from two exact long aggregates. */
+  private def pct2(a: Column, b: Column): Column = round(lit(10000.0) * a / b) / 100.0
+  /** Round an already-deterministic double to 2dp identically in both engines. */
+  private def round2(c: Column): Column = round(c * 100) / 100.0
+
+  private def centsSql(e: String)    = s"CAST(round(($e) * 100) AS BIGINT)"
+  private def centsSumSql(e: String) = s"CAST(sum(${centsSql(e)}) AS BIGINT)"
+  private def moneySumSql(e: String) = s"${centsSumSql(e)} / 100.0"
+  private def moneyAvgSql(e: String) = s"round(${centsSumSql(e)} / count(*)) / 100.0"
+  private def pct2Sql(a: String, b: String) = s"round(10000.0 * ($a) / ($b)) / 100.0"
+  private def round2Sql(e: String)   = s"round(($e) * 100) / 100.0"
+
+  private def li(s: SparkSession, d: String)  = Tables.lineitem(s, d)
+  private def sup(s: SparkSession, d: String) = Tables.supplier(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def ev(s: SparkSession, d: String)  = Tables.events(s, d)
+
+  val defs: Vector[Q] = Vector(
+
+    // ── A1: global SUM/COUNT/AVG KPIs (athena_queries.sql:18-23,
+    //        dashboard.py:117-123, generate_report.py:87-89)
+    Q("q01_global_kpis",
+      s"""SELECT ${moneySumSql(revSql)} AS total_revenue,
+         |       count(*) AS n_tx,
+         |       ${moneyAvgSql(revSql)} AS avg_tx
+         |FROM lineitem""".stripMargin) { (s, d) =>
+      li(s, d).agg(
+        moneySum(rev).as("total_revenue"),
+        count(lit(1)).as("n_tx"),
+        moneyAvg(rev).as("avg_tx"))
+    },
+
+    // ── A3: group-by single key, single+multi agg (dashboard.py:177-209)
+    Q("q02_revenue_by_flag",
+      s"""SELECT l_returnflag,
+         |       ${moneySumSql(revSql)} AS revenue,
+         |       count(*) AS n_tx
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      li(s, d).groupBy("l_returnflag")
+        .agg(moneySum(rev).as("revenue"), count(lit(1)).as("n_tx"))
+        .orderBy("l_returnflag")
+    },
+
+    // ── A4: revenue share of total (athena_queries.sql:31). Aggregate
+    //    first, then an unpartitioned window over the 3-row result — the
+    //    single-partition window never sees the fact table.
+    Q("q03_revenue_share",
+      s"""SELECT l_returnflag,
+         |       ${pct2Sql(centsSumSql(revSql), s"sum(${centsSumSql(revSql)}) OVER ()")}
+         |         AS revenue_share_pct
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      li(s, d).groupBy("l_returnflag").agg(sum(cents(rev)).as("r"))
+        .withColumn("revenue_share_pct",
+          pct2(col("r"), sum("r").over(Window.partitionBy())))
+        .select("l_returnflag", "revenue_share_pct")
+        .orderBy("l_returnflag")
+    },
+
+    // ── A5+F4: composite-key daily trend (athena_queries.sql:50-59);
+    //    year/month/day derivation mirrors load.py:45-47.
+    Q("q04_daily_trend",
+      s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS "year",
+         |       CAST(month(l_shipdate) AS INTEGER) AS "month",
+         |       CAST(day(l_shipdate) AS INTEGER) AS "day",
+         |       ${moneySumSql(revSql)} AS daily_revenue,
+         |       count(*) AS n_tx
+         |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      li(s, d)
+        .groupBy(
+          year(col("l_shipdate")).as("year"),
+          month(col("l_shipdate")).as("month"),
+          dayofmonth(col("l_shipdate")).as("day"))
+        .agg(moneySum(rev).as("daily_revenue"), count(lit(1)).as("n_tx"))
+        .orderBy("year", "month", "day")
+    },
+
+    // ── F1+A3: hourly histogram (athena_queries.sql:63-68, dashboard.py:156)
+    Q("q05_hourly_histogram",
+      s"""SELECT CAST(hour(ts) AS INTEGER) AS hour,
+         |       count(*) AS n_events,
+         |       ${moneySumSql("value")} AS total_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      ev(s, d).groupBy(hour(col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"))
+        .orderBy("hour")
+    },
+
+    // ── F3+O3: weekday revenue in calendar order Mon..Sun
+    //    (athena_queries.sql:72-77, dashboard.py:279-282). Spark has no
+    //    isodow; ((dayofweek+5)%7)+1 maps Sun=1..Sat=7 onto Mon=1..Sun=7.
+    Q("q06_weekday_revenue",
+      s"""SELECT CAST(isodow(l_shipdate) AS INTEGER) AS weekday_num,
+         |       dayname(l_shipdate) AS day_name,
+         |       ${moneySumSql(revSql)} AS revenue
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+      li(s, d)
+        .groupBy(
+          (((dayofweek(col("l_shipdate")) + 5) % 7) + 1).as("weekday_num"),
+          date_format(col("l_shipdate"), "EEEE").as("day_name"))
+        .agg(moneySum(rev).as("revenue"))
+        .orderBy("weekday_num")
+    },
+
+    // ── Flagship (README.md:240-249): daily revenue by dimension —
+    //    partitioned scan ⋈ broadcast dim → composite group → ordered.
+    Q("q07_daily_revenue_by_supplier",
+      s"""SELECT CAST(l_shipdate AS DATE) AS ship_date, s_name,
+         |       ${moneySumSql(revSql)} AS revenue
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY 1, 2 ORDER BY ship_date DESC, revenue DESC, s_name""".stripMargin) { (s, d) =>
+      li(s, d)
+        .join(broadcast(sup(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(to_date(col("l_shipdate")).as("ship_date"), col("s_name"))
+        .agg(moneySum(rev).as("revenue"))
+        .orderBy(col("ship_date").desc, col("revenue").desc, col("s_name"))
+    },
+
+    // ── J3: LEFT JOIN dim→fact keeping zero-sales members
+    //    (athena_queries.sql:124-134)
+    Q("q08_supplier_sales_including_zero",
+      s"""SELECT s_suppkey, s_name,
+         |       count(l_orderkey) AS n_tx,
+         |       coalesce(${moneySumSql(revSql)}, 0.0) AS revenue
+         |FROM supplier LEFT JOIN lineitem ON s_suppkey = l_suppkey
+         |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      sup(s, d)
+        .join(li(s, d), col("s_suppkey") === col("l_suppkey"), "left")
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+          count(col("l_orderkey")).as("n_tx"),
+          coalesce(moneySum(rev), lit(0.0)).as("revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // ── A7: COUNT(DISTINCT) per group (athena_queries.sql:97,106)
+    Q("q09_distinct_suppliers_per_flag",
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      li(s, d).groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"))
+        .orderBy("l_returnflag")
+    },
+
+    // ── P10+O2: comparison filter + top-k (athena_queries.sql:149-157).
+    //    Spark plans orderBy+limit as TakeOrderedAndProject (no full sort).
+    Q("q10_high_value_topk",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem WHERE l_extendedprice > 50000
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin) { (s, d) =>
+      li(s, d).filter(col("l_extendedprice") > 50000)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+    },
+
+    // ── A10: two-level aggregation — avg of per-day sums (dashboard.py:126)
+    Q("q11_avg_daily_revenue",
+      s"""SELECT round(avg(daily)) / 100.0 AS avg_daily_revenue
+         |FROM (SELECT CAST(l_shipdate AS DATE) AS dt,
+         |             ${centsSumSql(revSql)} AS daily
+         |      FROM lineitem GROUP BY 1)""".stripMargin) { (s, d) =>
+      li(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("dt"))
+        .agg(sum(cents(rev)).as("daily"))
+        .agg((round(avg("daily")) / 100.0).as("avg_daily_revenue"))
+    },
+
+    // ── A11+P12: conditional ratio — share of rows matching a string
+    //    equality predicate (dashboard.py:130-132 card-share KPI)
+    Q("q12_urgent_share",
+      s"""SELECT ${pct2Sql(
+           "sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)",
+           "count(*)")} AS urgent_pct
+         |FROM orders""".stripMargin) { (s, d) =>
+      ord(s, d).agg(
+        pct2(
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)),
+          count(lit(1))).as("urgent_pct"))
+    },
+
+    // ── A11+A14+F6: fee model — 2% fee on rows whose lowercased label
+    //    contains a substring; net = gross − fees
+    //    (generate_report.py:124-156)
+    Q("q13_fee_model", {
+      val feeSql = "CASE WHEN lower(o_orderpriority) LIKE '%urgent%' " +
+        "THEN o_totalprice * 0.02 ELSE 0.0 END"
+      s"""SELECT ${moneySumSql("o_totalprice")} AS gross_revenue,
+         |       ${moneySumSql(feeSql)} AS fees,
+         |       (${centsSumSql("o_totalprice")} - ${centsSumSql(feeSql)}) / 100.0
+         |         AS net_revenue
+         |FROM orders""".stripMargin
+    }) { (s, d) =>
+      val fee = when(lower(col("o_orderpriority")).contains("urgent"),
+        col("o_totalprice") * 0.02).otherwise(0.0)
+      ord(s, d).agg(
+        moneySum(col("o_totalprice")).as("gross_revenue"),
+        moneySum(fee).as("fees"),
+        ((sum(cents(col("o_totalprice"))) - sum(cents(fee))) / 100.0).as("net_revenue"))
+    },
+
+    // ── A12: dedup-by-key-subset keep-first, made deterministic with
+    //    row_number over an explicit order (SURVEY.md §7.4 trap 1;
+    //    reference transform.py:29-37 relies on pandas input order).
+    Q("q14_dedup_keep_first",
+      """SELECT user_id, event_type, event_id, ts
+        |FROM (SELECT user_id, event_type, event_id, ts,
+        |             row_number() OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY ts, event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts")
+        .orderBy("user_id", "event_type")
+    },
+
+    // ── A13: distinct projection — dimension extraction
+    //    (partition_transactions.py:12-18)
+    Q("q15_dim_extract",
+      """SELECT DISTINCT o_orderstatus, o_orderpriority
+        |FROM orders ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      ord(s, d).select("o_orderstatus", "o_orderpriority").distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    // ── A2: global MIN/MAX — date-range discovery / watermark computation
+    //    (transform.py:62, extract.py:142, dashboard.py:78-80)
+    Q("q16_date_range",
+      "SELECT min(l_shipdate) AS first_at, max(l_shipdate) AS last_at FROM lineitem") {
+      (s, d) =>
+        li(s, d).agg(min("l_shipdate").as("first_at"), max("l_shipdate").as("last_at"))
+    },
+
+    // ── A9: value_counts (dashboard.py:230-231)
+    Q("q17_value_counts",
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY n DESC, event_type""".stripMargin) { (s, d) =>
+      ev(s, d).groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type"))
+    },
+
+    // ── W1: best/worst group by metric via max_by/min_by
+    //    (generate_report.py:96-101 sorts and takes index[0]/[-1])
+    Q("q18_best_worst_supplier",
+      s"""WITH t AS (SELECT s_name, ${centsSumSql(revSql)} AS r
+         |           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |           GROUP BY 1)
+         |SELECT arg_max(s_name, r) AS best_supplier,
+         |       max(r) / 100.0 AS best_revenue,
+         |       arg_min(s_name, r) AS worst_supplier,
+         |       min(r) / 100.0 AS worst_revenue
+         |FROM t""".stripMargin) { (s, d) =>
+      li(s, d)
+        .join(broadcast(sup(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(sum(cents(rev)).as("r"))
+        .agg(
+          max_by(col("s_name"), col("r")).as("best_supplier"),
+          (max("r") / 100.0).as("best_revenue"),
+          min_by(col("s_name"), col("r")).as("worst_supplier"),
+          (min("r") / 100.0).as("worst_revenue"))
+    },
+
+    // ── W2: top-k days by revenue (dashboard.py:296-300)
+    Q("q19_top10_days",
+      s"""SELECT CAST(l_shipdate AS DATE) AS dt,
+         |       ${moneySumSql(revSql)} AS revenue
+         |FROM lineitem GROUP BY 1
+         |ORDER BY revenue DESC, dt LIMIT 10""".stripMargin) { (s, d) =>
+      li(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("dt"))
+        .agg(moneySum(rev).as("revenue"))
+        .orderBy(col("revenue").desc, col("dt"))
+        .limit(10)
+    },
+
+    // ── W3: rank-1 within group — peak hour per event type
+    //    (athena_queries.sql:139-146)
+    Q("q20_peak_hour_per_type",
+      """SELECT event_type, hour, n
+        |FROM (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour,
+        |             count(*) AS n,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY count(*) DESC, hour(ts)) AS rn
+        |      FROM events GROUP BY event_type, hour(ts))
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val byHour = ev(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy(col("n").desc, col("hour"))
+      byHour.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_type", "hour", "n")
+        .orderBy("event_type")
+    },
+
+    // ── A6: multi-aggregate per group, rounded (generate_report.py:92-95)
+    Q("q21_supplier_summary",
+      s"""SELECT s_name,
+         |       ${moneySumSql(revSql)} AS revenue,
+         |       count(*) AS n_tx,
+         |       ${moneyAvgSql(revSql)} AS avg_tx
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY 1 ORDER BY revenue DESC, s_name""".stripMargin) { (s, d) =>
+      li(s, d)
+        .join(broadcast(sup(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(
+          moneySum(rev).as("revenue"),
+          count(lit(1)).as("n_tx"),
+          moneyAvg(rev).as("avg_tx"))
+        .orderBy(col("revenue").desc, col("s_name"))
+    },
+
+    // ── P8+P9: dashboard filter block — BETWEEN date range + IN-lists
+    //    (dashboard.py:98-109)
+    Q("q22_filtered_dashboard",
+      s"""SELECT l_returnflag,
+         |       count(*) AS n_tx,
+         |       ${moneySumSql(revSql)} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+         |                     AND TIMESTAMP '1997-12-31 23:59:59'
+         |  AND l_returnflag IN ('R', 'A')
+         |  AND l_suppkey IN (1, 2, 3, 4, 5)
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate").between(
+          lit("1996-01-01 00:00:00").cast("timestamp"),
+          lit("1997-12-31 23:59:59").cast("timestamp")))
+        .filter(col("l_returnflag").isin("R", "A"))
+        .filter(col("l_suppkey").isin(1, 2, 3, 4, 5))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_tx"), moneySum(rev).as("revenue"))
+        .orderBy("l_returnflag")
+    },
+
+    // ── P13+S8: partition-window report scan — "yesterday's partition"
+    //    analog (generate_report.py:24-33). On a year/month/day-partitioned
+    //    lake these predicates prune at the file listing level.
+    Q("q23_partition_window_kpis",
+      s"""SELECT ${moneySumSql(revSql)} AS total_revenue,
+         |       count(*) AS n_tx,
+         |       ${moneyAvgSql(revSql)} AS avg_tx
+         |FROM lineitem
+         |WHERE year(l_shipdate) = 2000 AND month(l_shipdate) = 6""".stripMargin) { (s, d) =>
+      li(s, d)
+        .filter(year(col("l_shipdate")) === 2000 && month(col("l_shipdate")) === 6)
+        .agg(
+          moneySum(rev).as("total_revenue"),
+          count(lit(1)).as("n_tx"),
+          moneyAvg(rev).as("avg_tx"))
+    },
+
+    // ── O1+O2: multi-key ORDER BY asc/desc + LIMIT (athena_queries.sql:59,
+    //    README.md:249, dashboard.py:342)
+    Q("q24_recent_orders",
+      """SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority
+        |FROM orders
+        |ORDER BY o_orderdate DESC, o_totalprice DESC, o_orderkey
+        |LIMIT 50""".stripMargin) { (s, d) =>
+      ord(s, d)
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority")
+        .orderBy(col("o_orderdate").desc, col("o_totalprice").desc, col("o_orderkey"))
+        .limit(50)
+    },
+
+    // ── U1: UNION ALL of two filtered subsets (generate_report.py:57)
+    Q("q25_union_tiers",
+      """SELECT tier, count(*) AS n FROM (
+        |  SELECT 'high' AS tier FROM lineitem WHERE l_extendedprice > 55000
+        |  UNION ALL
+        |  SELECT 'low' AS tier FROM lineitem WHERE l_extendedprice < 1000
+        |) GROUP BY tier ORDER BY tier""".stripMargin) { (s, d) =>
+      val hi = li(s, d).filter(col("l_extendedprice") > 55000).select(lit("high").as("tier"))
+      val lo = li(s, d).filter(col("l_extendedprice") < 1000).select(lit("low").as("tier"))
+      hi.unionByName(lo).groupBy("tier").agg(count(lit(1)).as("n")).orderBy("tier")
+    },
+
+    // ── Consolidation of the reference's per-level aggregation queries
+    //    (SURVEY.md §2.4 note): one ROLLUP instead of N separate scans.
+    Q("q26_rollup_flag_status",
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${moneySumSql(revSql)} AS revenue, count(*) AS n_tx
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      li(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(moneySum(rev).as("revenue"), count(lit(1)).as("n_tx"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // ── A4 via spark.sql: uncorrelated scalar subquery, run through the
+    //    full SQL parse→analyze→optimize path (SURVEY.md §3 entry point 4).
+    //    The SQL text is shared verbatim between Spark SQL and DuckDB.
+    Q("q27_share_scalar_subquery",
+      shareScalarSubquerySql) { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier")
+      s.sql(shareScalarSubquerySql)
+    },
+
+    // ── §2.9: tumbling-window aggregation over the event stream — batch
+    //    twin of the Structured Streaming job in graft.streaming.
+    Q("q28_hourly_event_windows",
+      s"""SELECT date_trunc('hour', ts) AS window_start,
+         |       count(*) AS n, ${moneySumSql("value")} AS total_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+        .select(col("w.start").as("window_start"), col("n"), col("total_value"))
+        .orderBy("window_start")
+    },
+
+    // ── P11+S2+S9: incremental extraction — strict lower bound at
+    //    watermark+1s (extract.py:51-57,104-105; SURVEY.md §7.4 trap 2)
+    Q("q29_incremental_since_watermark",
+      """SELECT count(*) AS n_new, max(ts) AS max_ts
+        |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:01'""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .filter(col("ts") > lit("2024-01-15 00:00:01").cast("timestamp"))
+        .agg(count(lit(1)).as("n_new"), max("ts").as("max_ts"))
+    },
+
+    // ── P2-P7+A12+F4: the full ETL cleaning pipeline as ONE lazy plan
+    //    (transform.py:10-46 runs it as 7 eager pandas steps). Stage order
+    //    preserved: null/zero filter → dedup keep-first → derive y/m/d.
+    Q("q30_etl_clean",
+      s"""SELECT event_id, ts, user_id, event_type,
+         |       ${round2Sql("value")} AS value,
+         |       CAST(year(ts) AS INTEGER) AS "year",
+         |       CAST(month(ts) AS INTEGER) AS "month",
+         |       CAST(day(ts) AS INTEGER) AS "day"
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY ts, user_id, event_type, value
+         |        ORDER BY event_id) AS rn
+         |      FROM events WHERE value IS NOT NULL AND value <> 0)
+         |WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+      graft.etl.Clean.cleanEvents(ev(s, d)).orderBy("event_id")
+    }
+  )
+
+  /** Shared Spark-SQL/DuckDB text for the scalar-subquery share query.
+    * Decimal literals are cast to DOUBLE because Spark SQL types `10000.0`
+    * as DECIMAL(5,1) (propagating decimal math) while DuckDB types it as
+    * DOUBLE — the casts pin both engines to the same IEEE arithmetic. */
+  private lazy val shareScalarSubquerySql: String =
+    s"""SELECT s_name,
+       |       round(CAST(10000.0 AS DOUBLE) * sum(${centsSql(revSql)})
+       |             / (SELECT sum(${centsSql(revSql)}) FROM lineitem))
+       |         / CAST(100.0 AS DOUBLE) AS share_pct
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY s_name ORDER BY share_pct DESC, s_name""".stripMargin
+}
