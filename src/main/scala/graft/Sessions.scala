@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place where local SparkSessions are built, so session-scoped
+  * configuration lives in exactly one spot (no reader-side `conf.set`
+  * side effects — ADVICE.md round 1).
+  *
+  * Config notes:
+  *   - `spark.sql.legacy.parquet.nanosAsLong`: the driver-generated
+  *     `events.parquet` carries TIMESTAMP(NANOS), which Spark's vectorized
+  *     reader rejects ([PARQUET_TYPE_ILLEGAL]). Reading nanos as long and
+  *     truncating to micros in [[graft.model.Tables.events]] matches the
+  *     microsecond precision the DuckDB oracle compares at (test data has
+  *     no sub-microsecond components; documented assumption).
+  *   - shuffle partitions = executor threads: local mode has no reason for
+  *     the 200 default; at cluster scale this knob is sized to data volume
+  *     (~128 MB per shuffle partition), not hardcoded.
+  */
+object Sessions {
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -35,16 +35,15 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds
-    * — exactly what DuckDB does when it reads the same file, so oracle
-    * comparisons stay bit-identical. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). The session must be
+    * built with `spark.sql.legacy.parquet.nanosAsLong=true` (set once in
+    * [[graft.Sessions]], not here — readers are side-effect free); the
+    * nanos-as-long column is truncated to microsecond timestamps, the
+    * precision the DuckDB oracle compares at. */
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
