@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.llm.{Dedup, TextOps}
+import graft.model.Tables
+
+/** The LLM-training-data-pipeline operator inventory over the `documents`
+  * table (builder brief north-star; beyond the reference's own surface).
+  * Text analysis, exact + near-duplicate detection, SimHash — each a lazy
+  * Catalyst plan with a DuckDB oracle that recomputes the same semantics
+  * independently (all-pairs where the Spark side uses bucketed LSH, so the
+  * oracle also checks the LSH recall story, not just the arithmetic).
+  */
+object LlmPipeline {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Shared DuckDB CTE: tokenized documents. */
+  private val toksCte =
+    "SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS toks FROM documents"
+
+  /** Shared DuckDB CTE: distinct word-3-gram shingle sets. */
+  private val shinglesCte =
+    """SELECT doc_id,
+      |       list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+      |                                    i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |FROM t WHERE len(toks) >= 3""".stripMargin
+
+  /** Shared DuckDB CTE chain: exact all-pairs 3-gram Jaccard ≥ 0.5 — the
+    * oracle twin of the MinHash-LSH candidate + verify pipeline. */
+  private val nearDupPairsSql =
+    s"""WITH t AS ($toksCte),
+       |sh AS ($shinglesCte),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |             round(1e6 * len(list_intersect(a.s, b.s))
+       |                   / len(list_distinct(a.s || b.s))) / 1e6 AS jaccard
+       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
+
+  val JaccardThreshold = 0.5
+  val MaxHamming       = 1
+
+  /** 32 SimHash per-bit weight terms for the DuckDB oracle (md5 hex digit
+    * high bit, count-weighted) — textual twin of [[TextOps.simhashTerm]]. */
+  private val simhashSigSql: String = {
+    val terms = (1 to TextOps.SimhashBits).map { j =>
+      s"""(CASE WHEN sum(c * (CASE WHEN substr(h, $j, 1) IN ('8','9','a','b','c','d','e','f')
+         |     THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << (j - 1)} AS BIGINT) ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, tok, count(*) AS c, md5(tok) AS h
+       |             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |             GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, ($terms) AS simhash FROM tok GROUP BY doc_id)""".stripMargin
+  }
+
+  val defs: Vector[Q] = Vector(
+
+    // ── Text analysis: per-language token/char/subword statistics.
+    //    Token counting = whitespace split; subwords = BPE-ish ~4-chars-per-
+    //    token heuristic. One hash-agg shuffle on `lang`; the heavy part
+    //    (tokenize + per-token aggregate()) is map-side, codegen'd.
+    Q("q31_text_stats",
+      s"""WITH t AS ($toksCte)
+         |SELECT lang,
+         |       count(*) AS n_docs,
+         |       CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+         |       CAST(sum(${TextOps.subwordCountSql("toks")}) AS BIGINT) AS total_subwords,
+         |       round(100.0 * sum(n_chars) / count(*)) / 100.0 AS avg_chars
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      docs(s, d)
+        .select(col("lang"), col("n_chars"),
+          size(toks).as("n_tokens"),
+          TextOps.subwordCount(toks).as("n_subwords"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("total_tokens"),
+          sum("n_subwords").cast("long").as("total_subwords"),
+          (round(lit(100.0) * sum("n_chars") / count(lit(1))) / 100.0).as("avg_chars"))
+        .orderBy("lang")
+    },
+
+    // ── Exact dedup via md5-fingerprint hash-groupBy. The corpus is
+    //    documents ∪ a simulated re-crawl of the first 100 docs, so the
+    //    operator has real duplicates to collapse; keep-min-doc_id policy.
+    Q("q32_exact_dedup",
+      """WITH corpus AS (SELECT * FROM documents
+        |                UNION ALL
+        |                SELECT * FROM documents WHERE doc_id < 100),
+        |g AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id,
+        |             min(lang) AS lang, count(*) AS n_copies
+        |      FROM corpus GROUP BY 1)
+        |SELECT lang, count(*) AS n_unique, CAST(sum(n_copies - 1) AS BIGINT) AS n_dups
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val corpus = docs(s, d).unionByName(docs(s, d).filter(col("doc_id") < 100))
+      Dedup.exactDedup(corpus)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("n_copies") - 1).cast("long").as("n_dups"))
+        .orderBy("lang")
+    },
+
+    // ── Quality scoring (length / diversity / stopword-rate blend), top-20
+    //    by score — filter-and-rank shape of a pre-training quality gate.
+    //    TakeOrderedAndProject top-k: per-partition heaps, no global sort.
+    Q("q33_quality_topk",
+      s"""WITH t AS ($toksCte)
+         |SELECT doc_id,
+         |       ${TextOps.qualityScoreSql("toks", "len(toks)")} AS quality
+         |FROM t ORDER BY quality DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          TextOps.qualityScore(TextOps.tokens(col("text")), col("n_chars")).as("quality"))
+        .orderBy(col("quality").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // ── Language-ID heuristic vs the labeled lang column: the standard
+    //    eval confusion-count query a data pipeline runs on a labeled slice.
+    Q("q34_lang_id_eval",
+      s"""WITH t AS ($toksCte)
+         |SELECT lang, ${TextOps.langGuessSql("toks")} AS guess, count(*) AS n
+         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("lang"), TextOps.langGuess(TextOps.tokens(col("text"))).as("guess"))
+        .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "guess")
+    },
+
+    // ── MinHash-LSH near-duplicate pairs, exact-Jaccard verified at ≥ 0.5.
+    //    Spark path: 128-hash MinHash → 32×4 LSH bands → bucketed self-join
+    //    (shuffle on band slice, never all-pairs) → verify. Oracle path:
+    //    all-pairs exact Jaccard — feasible only at test scale, which is
+    //    exactly why it makes the right oracle: it independently checks that
+    //    LSH recall is 1 at this threshold, not just the arithmetic.
+    Q("q35_near_dup_pairs",
+      s"""$nearDupPairsSql
+         |SELECT doc_a, doc_b, jaccard FROM p
+         |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      Dedup.nearDupPairs(docs(s, d), JaccardThreshold).orderBy("doc_a", "doc_b")
+    },
+
+    // ── Near-dedup: keep-lowest-doc_id within each near-dup pair, then
+    //    per-language survivor counts (the actual dedup a training pipeline
+    //    applies with the pair relation above).
+    Q("q36_near_dedup",
+      s"""$nearDupPairsSql
+         |SELECT lang, count(*) AS n_docs
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM p WHERE jaccard >= $JaccardThreshold)
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Dedup.nearDedup(docs(s, d), JaccardThreshold)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    },
+
+    // ── SimHash near-dup pairs at Hamming ≤ 1 over a count-weighted 32-bit
+    //    signature. Spark path: 4×8-bit pigeonhole bands (guaranteed recall
+    //    to hamming 3) → bucketed join → exact bit_count(xor) verify.
+    //    Oracle: all-pairs Hamming over the identically-computed signature.
+    Q("q37_simhash_pairs",
+      s"""$simhashSigSql
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      Dedup.simhashPairs(docs(s, d), MaxHamming).orderBy("doc_a", "doc_b")
+    }
+  )
+}
