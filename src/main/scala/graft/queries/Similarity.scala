@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.VecDot
+import graft.llm.Ann
+import graft.model.Tables
+
+/** Similarity-search inventory over the `embeddings` table
+  * (vec_id, embedding array<float>[64], label): array-column math,
+  * exact brute-force ANN as the verifiable baseline, IVF as the scale
+  * path, hyperplane-LSH bucketing as the untrained alternative.
+  *
+  * Every query compares integer micro-cosines (`round(1e6·cos)` longs),
+  * so the DuckDB oracle — which recomputes the same sequential
+  * float→double arithmetic via `list_transform`/`list_sum` — hash-matches
+  * bit-for-bit.
+  */
+object Similarity {
+
+  private val Dim = 64
+
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    VecDot.register(s)
+    Tables.embeddings(s, d)
+  }
+
+  /** embeddings as the (id, vec) shape the Ann module speaks. */
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+
+  private val dotSelfSql = Ann.dotSql("embedding", "embedding")
+
+  val defs: Vector[Q] = Vector(
+
+    // ── Array-column math: L2 norms via the codegen'd vec_dot expression,
+    //    aggregated per label in exact integer micro-units (same
+    //    order-independence scheme as the money math).
+    Q("q38_embedding_norms",
+      s"""WITH n AS (SELECT label,
+         |                  CAST(round(1e6 * sqrt($dotSelfSql)) AS BIGINT) AS nm
+         |           FROM embeddings)
+         |SELECT label, count(*) AS n_vecs,
+         |       round(sum(nm) / count(*)) / 1e6 AS avg_norm,
+         |       min(nm) / 1e6 AS min_norm,
+         |       max(nm) / 1e6 AS max_norm
+         |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      emb(s, d)
+        .select(col("label"),
+          round(lit(1e6) * sqrt(VecDot.dot(col("embedding"), col("embedding"))))
+            .cast("long").as("nm"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          (round(sum("nm") / count(lit(1))) / 1e6).as("avg_norm"),
+          (min("nm") / 1e6).as("min_norm"),
+          (max("nm") / 1e6).as("max_norm"))
+        .orderBy("label")
+    },
+
+    // ── Exact brute-force cosine top-10 for a 5-query batch: the ANN
+    //    baseline every approximate index is measured against. Queries are
+    //    broadcast; the corpus streams once; top-k is the two-stage
+    //    bounded-state reduction (never a full-corpus single-reducer sort).
+    Q("q39_ann_brute_topk",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT qid, vec_id, ${Ann.cosMicrosSql("qv", "embedding")} AS cm
+         |      FROM q CROSS JOIN embeddings WHERE vec_id <> qid),
+         |r AS (SELECT qid, vec_id, cm,
+         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cm DESC, vec_id)
+         |                  AS INTEGER) AS rank
+         |      FROM s)
+         |SELECT qid, rank, vec_id, cm / 1e6 AS cos
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val c = corpus(s, d)
+      Ann.bruteForceTopK(c, c.filter(col("id") < 5).select("id", "vec"), 10)
+        .orderBy("qid", "rank")
+    },
+
+    // ── IVF top-10, nprobe=2: per-cell centroids (label = the coarse
+    //    quantizer cell; k-means-trained at scale) route each query to its
+    //    2 nearest cells; only those cells are scored. With the lake
+    //    bucketed by cell id this is a partition-pruned scan of 2/10 of
+    //    the corpus. The oracle replays the same algorithm in SQL.
+    Q("q40_ann_ivf_topk", {
+      val centTerms = (1 to Dim).map(i => s"avg(CAST(embedding[$i] AS DOUBLE))").mkString(", ")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |cent AS (SELECT label AS cell, list_value($centTerms) AS cvec
+         |         FROM embeddings GROUP BY label),
+         |centf AS (SELECT cell, list_transform(cvec, x -> CAST(x AS FLOAT)) AS cvf FROM cent),
+         |probes AS (SELECT qid, cell FROM (
+         |    SELECT q.qid, c.cell,
+         |           row_number() OVER (PARTITION BY q.qid
+         |             ORDER BY ${Ann.cosMicrosSql("q.qv", "c.cvf")} DESC, c.cell) AS r
+         |    FROM q CROSS JOIN centf c)
+         |  WHERE r <= 2),
+         |s AS (SELECT p.qid, e.vec_id, ${Ann.cosMicrosSql("q.qv", "e.embedding")} AS cm
+         |      FROM probes p
+         |      JOIN embeddings e ON e.label = p.cell
+         |      JOIN q ON q.qid = p.qid
+         |      WHERE e.vec_id <> p.qid),
+         |r AS (SELECT qid, vec_id, cm,
+         |             CAST(row_number() OVER (PARTITION BY qid ORDER BY cm DESC, vec_id)
+         |                  AS INTEGER) AS rank
+         |      FROM s)
+         |SELECT qid, rank, vec_id, cm / 1e6 AS cos
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    }) { (s, d) =>
+      val c = corpus(s, d)
+      Ann.ivfTopK(c, c.filter(col("id") < 5).select("id", "vec"),
+        cellCol = "label", dim = Dim, nprobe = 2, k = 10)
+        .orderBy("qid", "rank")
+    },
+
+    // ── Random-hyperplane LSH signatures: 16 sign-bits against
+    //    deterministic plane constants (identical float literals in both
+    //    engines; zero per-row hashing — planes are plan-time constants).
+    //    Output is the bucket-occupancy histogram — the diagnostic that
+    //    tells you whether a signature width balances load before you
+    //    shuffle 100 TB by bucket.
+    Q("q41_lsh_bucket_histogram", {
+      val bits = (0 until Ann.LshBits).map { j =>
+        s"(CASE WHEN ${Ann.dotSql("embedding", Ann.planeSql(Dim, j))} > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH sig AS (SELECT vec_id, ($bits) AS bucket FROM embeddings),
+         |occ AS (SELECT bucket, count(*) AS c FROM sig GROUP BY bucket)
+         |SELECT c AS bucket_size, count(*) AS n_buckets
+         |FROM occ GROUP BY c ORDER BY c""".stripMargin
+    }) { (s, d) =>
+      Ann.hyperplaneBuckets(corpus(s, d), Dim)
+        .groupBy("bucket").agg(count(lit(1)).as("c"))
+        .groupBy(col("c").as("bucket_size")).agg(count(lit(1)).as("n_buckets"))
+        .orderBy("bucket_size")
+    }
+  )
+}
