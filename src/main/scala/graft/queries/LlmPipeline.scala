@@ -167,6 +167,32 @@ object LlmPipeline {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       Dedup.simhashPairs(docs(s, d), MaxHamming).orderBy("doc_a", "doc_b")
+    },
+
+    // ── Multimodal-column plumbing, metadata path: payloads as opaque
+    //    binary + typed (n_bytes, checksum) metadata derived map-side
+    //    without decoding; per-source rollup with a deterministic fake
+    //    feature from the checksum. The batched mapPartitions decode seam
+    //    lives in graft.llm.Multimodal (unit-tested; a decode stub is not
+    //    SQL-expressible, so only the metadata path carries an oracle).
+    Q("q42_multimodal_meta",
+      """SELECT source, count(*) AS n,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       count(DISTINCT md5(text)) AS n_distinct,
+        |       round(100.0 * sum(('0x' || substr(md5(text), 1, 4))::BIGINT) / count(*)) / 100.0
+        |         AS avg_feat
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      graft.llm.Multimodal.withMeta(graft.llm.Multimodal.asMedia(docs(s, d)))
+        .select(col("source"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.checksum").as("checksum"),
+          conv(substring(col("meta.checksum"), 1, 4), 16, 10).cast("long").as("feat"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("n_bytes").cast("long").as("total_bytes"),
+          countDistinct("checksum").as("n_distinct"),
+          (round(lit(100.0) * sum("feat") / count(lit(1))) / 100.0).as("avg_feat"))
+        .orderBy("source")
     }
   )
 }

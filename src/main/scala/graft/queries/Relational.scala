@@ -512,6 +512,22 @@ object Relational {
          |        AND user_id IS NOT NULL AND event_type IS NOT NULL)
          |WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
       graft.etl.Clean.cleanEvents(ev(s, d)).orderBy("event_id")
+    },
+
+    // ── P7: boolean cast + group-by-boolean (transform.py:27 casts
+    //    has_card_reader to bool; athena_queries.sql:93-101 groups by it
+    //    with COUNT(DISTINCT truck)). Derived flag: "was returned".
+    Q("q43_bool_flag_groups",
+      s"""SELECT l_returnflag = 'R' AS was_returned,
+         |       count(DISTINCT l_suppkey) AS n_suppliers,
+         |       ${moneySumSql(revSql)} AS revenue
+         |FROM lineitem GROUP BY 1 ORDER BY was_returned""".stripMargin) { (s, d) =>
+      li(s, d)
+        .withColumn("was_returned", (col("l_returnflag") === "R").cast("boolean"))
+        .groupBy("was_returned")
+        .agg(countDistinct("l_suppkey").as("n_suppliers"),
+          moneySum(rev).as("revenue"))
+        .orderBy("was_returned")
     }
   )
 
