@@ -133,11 +133,19 @@ object Dedup {
   /** The full near-dup pipeline: MinHash → LSH buckets → exact-Jaccard
     * verify at `threshold`. Output is engine-independent (candidates are
     * a superset of the ≥threshold pairs at these params; the verify filter
-    * makes the result exact). */
-  def nearDupPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3): DataFrame =
-    verifiedJaccard(candidatePairs(minhashSignatures(docs, shingleN)),
-      shingleSets(docs, shingleN))
+    * makes the result exact).
+    *
+    * Signatures and shingle sets are persisted: the band self-join reads
+    * the signature relation twice and the verify join reads the shingle
+    * relation twice — without materialization the (expensive) signature
+    * aggregate recomputes per branch. At 100 TB this is the step a
+    * production pipeline checkpoints to the lake. */
+  def nearDupPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, shingleN).persist()
+    val sets = shingleSets(docs, shingleN).persist()
+    verifiedJaccard(candidatePairs(sigs), sets)
       .filter(col("jaccard") >= threshold)
+  }
 
   /** Near-dedup: drop every document that is the *larger* doc_id of some
     * near-dup pair (keep-lowest-id policy — deterministic, and exactly
@@ -169,7 +177,7 @@ object Dedup {
     * signature bands; verify is exact `bit_count(xor)`. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= SimhashBands - 1, s"bands guarantee recall only to hamming ${SimhashBands - 1}")
-    val sigs = withSimhash(docs)
+    val sigs = withSimhash(docs).persist() // read twice by the band self-join
     val bandBits = TextOps.SimhashBits / SimhashBands
     val bands = sigs.select(
         col("doc_id"), col("simhash"),

@@ -395,17 +395,23 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
-    // ── P13+S8: partition-window report scan — "yesterday's partition"
-    //    analog (generate_report.py:24-33). On a year/month/day-partitioned
-    //    lake these predicates prune at the file listing level.
+    // ── P13+S8+S6: partition-window report scan — "yesterday's partition"
+    //    analog (generate_report.py:24-33) — over the REAL year/month/day
+    //    partitioned lake written by graft.etl.PartitionedLake. The filter
+    //    is on the partition *columns*, so it prunes at file-listing time
+    //    (`PartitionFilters` in the scan node, asserted by LakeSpec) —
+    //    round 1 faked this with year(l_shipdate) expression filters,
+    //    which full-scan at 100 TB. The DuckDB oracle recomputes from the
+    //    raw table, so the write→read round-trip is also verified.
     Q("q23_partition_window_kpis",
       s"""SELECT ${moneySumSql(revSql)} AS total_revenue,
          |       count(*) AS n_tx,
          |       ${moneyAvgSql(revSql)} AS avg_tx
          |FROM lineitem
          |WHERE year(l_shipdate) = 2000 AND month(l_shipdate) = 6""".stripMargin) { (s, d) =>
-      li(s, d)
-        .filter(year(col("l_shipdate")) === 2000 && month(col("l_shipdate")) === 6)
+      val root = graft.etl.PartitionedLake.ensureLineitemLake(s, d)
+      graft.etl.PartitionedLake.read(s, root)
+        .filter(col("year") === 2000 && col("month") === 6)
         .agg(
           moneySum(rev).as("total_revenue"),
           count(lit(1)).as("n_tx"),
@@ -528,6 +534,43 @@ object Relational {
         .agg(countDistinct("l_suppkey").as("n_suppliers"),
           moneySum(rev).as("revenue"))
         .orderBy("was_returned")
+    },
+
+    // ── The full daily-report metrics job (generate_report.py:70-157):
+    //    one-day partition-pruned slice of the lake → global KPIs +
+    //    best/worst seller + fee model + net revenue in a single row.
+    //    Date parameterized (F8 "yesterday"); pinned here for determinism.
+    //    The empty-day branch (ref :72-84) is unit-tested in ReportSpec.
+    Q("q44_report_metrics",
+      s"""WITH slice AS (SELECT * FROM lineitem
+         |               WHERE year(l_shipdate) = 2000 AND month(l_shipdate) = 6
+         |                 AND day(l_shipdate) = 15),
+         |tot AS (SELECT coalesce(${centsSumSql(revSql)}, 0) AS rc, count(*) AS n_tx
+         |        FROM slice),
+         |tr AS (SELECT s_name, ${centsSumSql(revSql)} AS rc
+         |       FROM slice JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1),
+         |bw AS (SELECT
+         |         coalesce(arg_max(s_name, printf('%020d', rc) || s_name), 'n/a') AS best_truck,
+         |         coalesce(max(rc), 0) AS best_rc,
+         |         coalesce(arg_min(s_name, printf('%020d', rc) || s_name), 'n/a') AS worst_truck,
+         |         coalesce(min(rc), 0) AS worst_rc
+         |       FROM tr),
+         |pay AS (SELECT o_orderpriority AS method, ${centsSumSql(revSql)} AS rc
+         |        FROM slice JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
+         |fees AS (SELECT coalesce(CAST(sum(CASE WHEN lower(method) LIKE '%urgent%'
+         |                  THEN CAST(round(rc * 0.02) AS BIGINT) ELSE 0 END) AS BIGINT), 0)
+         |                AS fee_c
+         |         FROM pay)
+         |SELECT '2000-06-15' AS report_date,
+         |       rc / 100.0 AS total_revenue,
+         |       n_tx,
+         |       CASE WHEN n_tx = 0 THEN 0.0 ELSE round(rc / n_tx) / 100.0 END AS avg_tx,
+         |       best_truck, best_rc / 100.0 AS best_revenue,
+         |       worst_truck, worst_rc / 100.0 AS worst_revenue,
+         |       fee_c / 100.0 AS total_fees,
+         |       (rc - fee_c) / 100.0 AS net_revenue
+         |FROM tot, bw, fees""".stripMargin) { (s, d) =>
+      graft.report.Report.metricsDF(s, d, java.time.LocalDate.of(2000, 6, 15))
     }
   )
 
