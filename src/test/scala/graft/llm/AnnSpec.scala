@@ -1,0 +1,80 @@
+package graft.llm
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.VecDot
+
+/** vec_dot expression semantics + ANN reductions vs independent
+  * formulations. */
+class AnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus = {
+    VecDot.register(spark)
+    graft.model.Tables.embeddings(spark, TestSpark.Sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+      .persist()
+  }
+
+  test("vec_dot equals the higher-order-function formulation on real vectors") {
+    val hof = aggregate(
+      zip_with(col("vec"), col("vec"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val mismatches = corpus
+      .select(VecDot.dot(col("vec"), col("vec")).as("fast"), hof.as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(mismatches == 0, "codegen'd loop must be bit-identical to zip_with/aggregate")
+  }
+
+  test("vec_dot handles simple known values, length mismatch, and null input") {
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    assert(df.select(VecDot.dot(col("a"), col("b"))).collect()(0).getDouble(0) == 32.0)
+    val mixed = Seq((Array(1f, 2f), Array(3f))).toDF("a", "b")
+    assert(mixed.select(VecDot.dot(col("a"), col("b"))).collect()(0).getDouble(0) == 3.0)
+    val withNull = Seq((Array(1f), Option.empty[Array[Float]])).toDF("a", "b")
+    assert(withNull.select(VecDot.dot(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
+
+  test("bruteForceTopK matches an independent window-based top-k") {
+    val queries = corpus.filter(col("id") < 5).select("id", "vec")
+    val fast = Ann.bruteForceTopK(corpus, queries, 10)
+      .select("qid", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val scored = corpus.select(col("id").as("cid"), col("vec").as("cv"))
+      .join(broadcast(queries.select(col("id").as("qid"), col("vec").as("qv"))))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), Ann.cosMicros(col("qv"), col("cv")).as("cm"))
+    val ref = scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cm").desc, col("cid"))))
+      .filter(col("rank") <= 10)
+      .select("qid", "rank", "cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    assert(fast == ref)
+  }
+
+  test("ivfTopK results are rank-consistent per query") {
+    val queries = corpus.filter(col("id") < 5).select("id", "vec")
+    val ivf = Ann.ivfTopK(corpus, queries, "label", 64, nprobe = 2, k = 10).collect()
+    assert(ivf.length == 5 * 10)
+    // cosines are non-increasing within each query
+    ivf.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("hyperplane buckets are deterministic and within signature range") {
+    val b1 = Ann.hyperplaneBuckets(corpus, 64).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = Ann.hyperplaneBuckets(corpus, 64).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2)
+    assert(b1.values.forall(b => b >= 0 && b < (1L << Ann.LshBits)))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** MinHash/LSH, SimHash, and exact-dedup operator semantics on controlled
+  * inputs plus the real documents table. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("shingles: n-gram count, distinctness, and short-doc guard") {
+    val out = TextOps.shingles(TextOps.tokens(lit("a b c d")), 3)
+    val got = spark.range(1).select(out.as("s")).collect()(0).getSeq[String](0)
+    assert(got == Seq("a b c", "b c d"))
+    val short = spark.range(1)
+      .select(TextOps.shingles(TextOps.tokens(lit("a b")), 3).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("identical docs share a full MinHash signature; disjoint docs share ~none") {
+    val d = docsOf(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words about spark catalyst tungsten execution"))
+    val sigs = Dedup.minhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val agree = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree < Dedup.NumHashes / 4, s"disjoint docs agreed on $agree/128 hashes")
+  }
+
+  test("nearDupPairs finds exact copies and respects the threshold") {
+    val d = docsOf(
+      (1L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val pairs = Dedup.nearDupPairs(d, 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getDouble(2) == 1.0)
+  }
+
+  test("LSH recall is exact on the real corpus: candidates ⊇ all-pairs >= 0.5") {
+    val docs = graft.model.Tables.documents(spark, TestSpark.Sf)
+    val sets = Dedup.shingleSets(docs).persist()
+    val exact = Dedup.verifiedJaccard(
+      sets.select(col("doc_id").as("doc_a")).crossJoin(sets.select(col("doc_id").as("doc_b")))
+        .filter(col("doc_a") < col("doc_b")),
+      sets).filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.nearDupPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, "bucketed LSH must equal all-pairs at this margin")
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+  }
+
+  test("nearDedup keeps the lowest doc_id of each near-dup cluster") {
+    val d = docsOf(
+      (5L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"),
+      (9L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val kept = Dedup.nearDedup(d, 0.5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 9L))
+  }
+
+  test("exactDedup collapses identical content and counts copies") {
+    val d = docsOf(
+      (1L, "same text"), (7L, "same text"), (3L, "same text"), (4L, "other"))
+      .withColumn("lang", lit("en"))
+    val out = Dedup.exactDedup(d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_copies"))).toMap
+    assert(out == Map(1L -> 3L, 4L -> 1L))
+  }
+
+  test("simhash: identical docs collide at hamming 0") {
+    val d = docsOf(
+      (1L, "spark spark catalyst tungsten codegen shuffle"),
+      (2L, "spark spark catalyst tungsten codegen shuffle"),
+      (3L, "entirely unrelated vocabulary for the third document here"))
+    val pairs = Dedup.simhashPairs(d, 1).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The multimodal plumbing: binary payload round-trip, typed metadata,
+  * and the batched mapPartitions decode seam. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val docs = graft.model.Tables.documents(spark, TestSpark.Sf)
+
+  test("metadata is derivable without decoding and matches payload bytes") {
+    val meta = Multimodal.withMeta(Multimodal.asMedia(docs))
+      .select("doc_id", "payload", "meta.n_bytes", "meta.checksum")
+      .collect()
+    assert(meta.nonEmpty)
+    meta.take(20).foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      assert(r.getAs[Int]("n_bytes") == payload.length)
+      val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      val hex = String.format("%032x", new java.math.BigInteger(1, digest))
+      assert(r.getAs[String]("checksum") == hex)
+    }
+  }
+
+  test("decodeFeatures produces one fixed-shape record per input, deterministically") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val media = Multimodal.asMedia(docs)
+    val out1 = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    val out2 = Multimodal.decodeFeatures(media.repartition(7)).collect().sortBy(_.doc_id)
+    assert(out1.length == docs.count())
+    assert(out1.forall(_.features.length == Multimodal.FeatureDim))
+    // partitioning must not change decoded output
+    assert(out1.map(f => (f.doc_id, f.checksum, f.features.toSeq)).toSeq ==
+      out2.map(f => (f.doc_id, f.checksum, f.features.toSeq)).toSeq)
+  }
+
+  test("decode stub batches respect the batch-size contract") {
+    val records = (1L to 150L).map(i =>
+      Multimodal.MediaRecord(i, "s", s"payload-$i".getBytes))
+    val out = Multimodal.DecodeStub.decodeBatch(records)
+    assert(out.map(_.doc_id) == records.map(_.doc_id), "order-preserving")
+  }
+}
