@@ -18,12 +18,14 @@ import org.apache.spark.sql.functions._
   *      verified with exact Hamming distance.
   *
   * Scale notes:
-  *   - MinHash params below are H=128 hashes, 32 bands × 4 rows: a pair with
-  *     Jaccard J collides in ≥1 band with p = 1-(1-J⁴)³². At the verify
-  *     threshold J≥0.5 p≈0.88, at J≥0.8 p≈0.9999997, at J≥0.9 p≈1-1e-15;
-  *     the corpus's planted near-dups sit at J≥0.9 (all other pairs <0.07),
-  *     so recall is exactly 1 here. At 100 TB you tune (H, b, r) to the
-  *     target threshold exactly the same way.
+  *   - MinHash params below are H=64 hashes, 32 bands × 2 rows: a pair with
+  *     Jaccard J collides in ≥1 band with p = 1-(1-J²)³². At the verify
+  *     threshold J≥0.5 p≈0.9998, at J≥0.9 p≈1-3e-23; the corpus's planted
+  *     near-dups sit at J≥0.9 (all other pairs <0.07), so recall is exactly
+  *     1 here. r=2 admits more random candidates than r=4, but candidates
+  *     only feed the exact-Jaccard verify, and the narrower signature
+  *     halves both the aggregate width and its generated code. At 100 TB
+  *     you tune (H, b, r) to the target threshold exactly the same way.
   *   - Signatures are computed as one xxhash64 per shingle plus H affine
   *     re-hashes folded into a single hash-aggregate — codegen'd, no UDF,
   *     map-side partial aggregation, one shuffle on doc_id.
@@ -47,7 +49,7 @@ object Dedup {
         count(lit(1)).as("n_copies"))
   }
 
-  val NumHashes = 128
+  val NumHashes = 64
   val Bands     = 32
   val RowsPerBand: Int = NumHashes / Bands
 
@@ -170,10 +172,14 @@ object Dedup {
         TextOps.simhashFromWeights((1 to TextOps.SimhashBits).map(j => col(s"w$j"))).as("simhash"))
   }
 
-  val SimhashBands = 4 // 4 × 8-bit bands: pigeonhole-guarantees recall for hamming ≤ 3
+  /** 2 × 16-bit bands: pigeonhole-guarantees recall for hamming ≤ 1.
+    * Wider bands matter here because SimHash values cluster on a shared
+    * vocabulary — 8-bit bands produced hot buckets with quadratic
+    * candidate blow-up at 5k docs (17 s → 2 s at sf0.1). */
+  val SimhashBands = 2
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3 for
-    * guaranteed recall at these band params). Candidates bucket on 8-bit
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 1 for
+    * guaranteed recall at these band params). Candidates bucket on 16-bit
     * signature bands; verify is exact `bit_count(xor)`. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= SimhashBands - 1, s"bands guarantee recall only to hamming ${SimhashBands - 1}")
