@@ -51,6 +51,17 @@ object PartitionedLake {
   def read(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(root)
 
+  /** Catalog registration (S11) — the Glue-crawler analog
+    * (ref: terraform_s3/main.tf:126-146): register the lake as an external
+    * table and recover its partitions, so `spark.sql` queries hit it by
+    * name with full partition pruning. Re-runnable (drop + recreate —
+    * `UPDATE_IN_DATABASE` behavior). */
+  def registerTable(spark: SparkSession, name: String, root: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING PARQUET LOCATION '$root'")
+    spark.sql(s"MSCK REPAIR TABLE $name")
+  }
+
   // ── Derived test lake ─────────────────────────────────────────────────
 
   /** Root directory for lakes derived from a given source sf dir. */
