@@ -120,6 +120,29 @@ object Similarity {
     //    Output is the bucket-occupancy histogram — the diagnostic that
     //    tells you whether a signature width balances load before you
     //    shuffle 100 TB by bucket.
+    // ── Embedding-cosine near-duplicate pairs at a fixed threshold — the
+    //    embedding flavor of the dedup family (exact block-nested
+    //    all-pairs; honest about its quadratic cost). At 100 TB this exact
+    //    form runs per-bucket after the hyperplane-LSH (q41) or IVF-cell
+    //    (q40) partitioning bounds the candidate space; on the unclustered
+    //    test corpus a global threshold pass is the correct baseline.
+    Q("q45_embedding_near_dup",
+      s"""WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |                  ${Ann.cosMicrosSql("a.embedding", "b.embedding")} AS cm
+         |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cm / 1e6 AS cos
+         |FROM p WHERE cm >= 400000 ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+      val e = emb(s, d)
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          Ann.cosMicros(col("ea"), col("eb")).as("cm"))
+        .filter(col("cm") >= 400000)
+        .select(col("vec_a"), col("vec_b"), (col("cm") / 1e6).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    },
+
     Q("q41_lsh_bucket_histogram", {
       val bits = (0 until Ann.LshBits).map { j =>
         s"(CASE WHEN ${Ann.dotSql("embedding", Ann.planeSql(Dim, j))} > 0 THEN ${1L << j} ELSE 0 END)"

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generator-driven invariants evaluated in single Spark jobs over a
+  * ScalaCheck-generated batch (SURVEY §5 item 3): text-operator ranges,
+  * Jaccard bounds/symmetry, dedup idempotence on arbitrary content. */
+class GeneratedDataSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val word = Gen.oneOf(
+    "spark", "scan", "join", "filter", "agg", "sort", "merge", "hash",
+    "row", "batch", "the", "a", "data", "key", "value", "window")
+  private val doc = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  private def sample[A](g: Gen[List[A]], seed: Long): List[A] =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private lazy val docsDf = {
+    val texts = sample(Gen.listOfN(300, doc), seed = 42L)
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("quality score stays within [0,1] and lang guess within the label set, any doc") {
+    val toks = graft.llm.TextOps.tokens(col("text"))
+    val bad = docsDf.select(
+        graft.llm.TextOps.qualityScore(toks, length(col("text"))).as("q"),
+        graft.llm.TextOps.langGuess(toks).as("g"))
+      .filter(col("q") < 0 || col("q") > 1 || !col("g").isin("en", "und"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("shingle sets: every shingle has exactly n words; count bounded by token count") {
+    val toks = graft.llm.TextOps.tokens(col("text"))
+    val sh = graft.llm.TextOps.shingles(toks, 3)
+    val bad = docsDf.select(size(toks).as("nt"), sh.as("s"))
+      .select(col("nt"), size(col("s")).as("ns"),
+        size(filter(col("s"), x => size(split(x, " ")) =!= 3)).as("malformed"))
+      .filter(col("malformed") > 0 ||
+        col("ns") > greatest(col("nt") - 2, lit(0)))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("verified Jaccard is within [0,1] and 1 exactly on identical shingle sets") {
+    val sets = graft.llm.Dedup.shingleSets(docsDf)
+    val pairs = sets.select(col("doc_id").as("doc_a"))
+      .crossJoin(sets.select(col("doc_id").as("doc_b")))
+      .filter(col("doc_a") <= col("doc_b")).limit(5000)
+    val j = graft.llm.Dedup.verifiedJaccard(pairs, sets)
+    assert(j.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    assert(j.filter(col("doc_a") === col("doc_b")).filter(col("jaccard") =!= 1.0).count() == 0)
+  }
+
+  test("exactDedup then exactDedup changes nothing (idempotence on arbitrary content)") {
+    val d = docsDf.withColumn("lang", lit("en"))
+    val once = graft.llm.Dedup.exactDedup(d)
+    val again = graft.llm.Dedup.exactDedup(
+      once.select(col("doc_id"), col("fp").as("text"), col("lang")))
+    assert(once.count() == again.count())
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Pure-logic properties (ScalaCheck native runner). Spark-evaluated
+  * generator-driven checks live in [[GeneratedDataSpec]] — one job over a
+  * generated batch instead of one job per sample. */
+object PureProperties extends Properties("graft.pure") {
+
+  property("incremental bound adds exactly one second") = Prop.forAll(
+    Gen.choose(0L, 4102444800000L)) { millis =>
+    val ts = new java.sql.Timestamp((millis / 1000) * 1000)
+    val inc = new graft.incremental.Incremental(java.nio.file.Paths.get("/tmp/unused"))
+    inc.adjustedBound(ts).getTime == ts.getTime + 1000
+  }
+
+  property("multimodal decode stub is deterministic and order-preserving") = Prop.forAll(
+    Gen.listOfN(20, Gen.alphaNumStr.suchThat(_.nonEmpty))) { payloads =>
+    val recs = payloads.zipWithIndex.map { case (p, i) =>
+      graft.llm.Multimodal.MediaRecord(i.toLong, "s", p.getBytes)
+    }
+    val a = graft.llm.Multimodal.DecodeStub.decodeBatch(recs)
+    val b = graft.llm.Multimodal.DecodeStub.decodeBatch(recs)
+    a.map(_.checksum) == b.map(_.checksum) && a.map(_.doc_id) == recs.map(_.doc_id)
+  }
+
+  property("report HTML always renders a full document") = Prop.forAll(
+    Gen.choose(0L, 1000L), Gen.choose(0.0, 1e6)) { (n, rev) =>
+    val m = graft.report.Report.ReportMetrics(
+      "2024-01-01", rev, n, if (n == 0) 0 else rev / n,
+      "b", rev, "w", 0.0, rev * 0.02, rev * 0.98, Nil, Nil)
+    val html = graft.report.Report.renderHtml(m)
+    html.startsWith("<!DOCTYPE html>") && html.contains("</html>")
+  }
+}
