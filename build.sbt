@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 47 queries × whole-stage codegen in one JVM overflow the default
+  // 240 MB JIT code cache; once full the JVM stops compiling and later
+  // queries run interpreted (observed as a progressive 5-20× bench
+  // slowdown). Size it for the full inventory and let cold methods flush.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

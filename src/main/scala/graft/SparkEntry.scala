@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{LlmPipeline, Q, Relational, Similarity}
+import graft.queries.{LlmPipeline, Q, Relational, Similarity, Temporal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +11,8 @@ import graft.queries.{LlmPipeline, Q, Relational, Similarity}
   */
 object SparkEntry {
 
-  private def all: Vector[Q] = Relational.defs ++ LlmPipeline.defs ++ Similarity.defs
+  private def all: Vector[Q] =
+    Relational.defs ++ LlmPipeline.defs ++ Similarity.defs ++ Temporal.defs
 
   /** Flagship query (README.md:240-249 of the reference): daily revenue by
     * dimension over a broadcast join. Driver smoke-checks rows>0 on sf0.001. */

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.Tables
+import graft.operators.AsOfJoin
+
+/** Temporal operators over the event stream: gap-based sessionization and
+  * the as-of join — the two time-series primitives a behavioral /
+  * training-data pipeline needs beyond calendar windows (§2.9d covers
+  * those). Both are single-shuffle window plans; the streaming stateful
+  * twin of sessionization lives in graft.streaming.
+  */
+object Temporal {
+
+  /** Session gap: 8 hours (events' median per-user gap is ~7.3 h, so the
+    * corpus splits into real multi-event sessions). Compared in exact
+    * integer microseconds on both engines. */
+  val GapMicros: Long = 8L * 3600 * 1000000
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+
+  val defs: Vector[Q] = Vector(
+
+    // ── Gap-based sessionization: lag → break flag → running session id →
+    //    two-level aggregate. One shuffle on user_id; per-user state in the
+    //    window scan is O(1) (the previous timestamp). The mapGroupsWithState
+    //    streaming twin is graft.streaming.StreamingJobs.sessionize.
+    Q("q46_user_sessions",
+      s"""WITH e AS (SELECT user_id, ts, event_id FROM events WHERE ts IS NOT NULL),
+         |g AS (SELECT user_id, ts, event_id,
+         |             CASE WHEN lag(ts) OVER w IS NULL
+         |                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $GapMicros
+         |                  THEN 1 ELSE 0 END AS brk
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT user_id,
+         |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                            ROWS UNBOUNDED PRECEDING) AS sess_id
+         |      FROM g),
+         |c AS (SELECT user_id, sess_id, count(*) AS n FROM s GROUP BY 1, 2)
+         |SELECT user_id, count(*) AS n_sessions,
+         |       CAST(max(n) AS BIGINT) AS max_events,
+         |       CAST(sum(n) AS BIGINT) AS total_events
+         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev(s, d).filter(col("ts").isNotNull)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev"))) > GapMicros, 1)
+            .otherwise(0))
+        .withColumn("sess_id",
+          sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_id").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max("n").cast("long").as("max_events"),
+          sum("n").cast("long").as("total_events"))
+        .orderBy("user_id")
+    },
+
+    // ── As-of join: each click picks up the most recent prior-or-equal
+    //    purchase of the same user. Spark side is the merge/union window
+    //    plan in graft.operators.AsOfJoin (one shuffle, linear scan — a
+    //    range join would be quadratic per key); the oracle is DuckDB's
+    //    *native* ASOF LEFT JOIN, so the composed operator is validated
+    //    against an independent first-class implementation.
+    Q("q47_asof_purchase_attribution",
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events
+        |                WHERE event_type = 'click' AND ts IS NOT NULL),
+        |p0 AS (SELECT event_id, user_id, ts FROM events
+        |       WHERE event_type = 'purchase' AND ts IS NOT NULL),
+        |purch AS (SELECT event_id, user_id, ts FROM (
+        |            SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |                                         ORDER BY event_id) AS rn
+        |            FROM p0)
+        |          WHERE rn = 1)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |       p.event_id AS asof_event_id,
+        |       epoch_us(p.ts) AS asof_ts_us
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+      val e = ev(s, d).filter(col("ts").isNotNull)
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = AsOfJoin.dedupRight(
+        e.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+        key = "user_id", ts = "ts", orderCol = "event_id")
+      AsOfJoin.asof(clicks, purchases,
+        key = "user_id", ts = "ts", leftOrder = "event_id",
+        rightVals = Seq("event_id", "ts"))
+        // nullable timestamp as explicit epoch-micros: the nullable column
+        // otherwise reaches the comparator in engine-native epoch units
+        .withColumn("asof_ts_us", unix_micros(col("asof_ts")))
+        .drop("asof_ts")
+        .orderBy("event_id")
+    }
+  )
+}
