@@ -105,6 +105,29 @@ object TextOps {
        |     THEN 'en' ELSE 'und' END""".stripMargin
   }
 
+  /** Polynomial rolling-hash document fingerprint over the token stream:
+    * fp = fold(0, (acc, t) → (acc·131 + code(t)) mod p) with
+    * code(t) = len(t)·1000 + ascii(t₀) and p = 2³¹−1. Order-sensitive
+    * (unlike the md5 content hash, a permuted document fingerprints
+    * differently ⇒ usable for shingle-free near-identity), bounded to 2³⁸
+    * intermediates so ANSI-mode long arithmetic never overflows, and a
+    * left fold in both engines so values are bit-identical. */
+  val RollB = 131L
+  val RollP: Long = (1L << 31) - 1
+
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(
+      transform(toks, t => length(t).cast("long") * 1000L + ascii(t).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * RollB + c) % RollP)
+
+  /** DuckDB twin: list_reduce folds with the first element as the seed, so
+    * the 0 seed is prepended. */
+  def rollingFingerprintSql(toksExpr: String): String =
+    s"""list_reduce([CAST(0 AS BIGINT)] ||
+       |  list_transform($toksExpr, t -> CAST(len(t) AS BIGINT) * 1000 + ascii(t)),
+       |  (acc, c) -> (acc * $RollB + c) % $RollP)""".stripMargin
+
   /** BPE-ish subword count: whitespace tokens plus an extra unit per 4 chars
     * beyond the first 4 — the cheap deterministic stand-in for a real BPE
     * vocab (len/4 is the classic "~4 chars per token" heuristic). */

@@ -24,8 +24,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema-validated scan: the read uses parquet's own footer schema
+    * (vectorized, pruned), then asserts it matches the pinned contract in
+    * [[Schemas]] — drift fails fast with the exact columns, instead of the
+    * reference's silent per-hop re-inference (SURVEY §1.3). */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    Schemas.byName.get(name).foreach(Schemas.validate(name, _, df.schema))
+    df
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -169,6 +169,20 @@ object LlmPipeline {
       Dedup.simhashPairs(docs(s, d), MaxHamming).orderBy("doc_a", "doc_b")
     },
 
+    // ── Rolling-hash document fingerprinting: order-sensitive polynomial
+    //    hash over the token stream (vs q32's order-insensitive content
+    //    md5). Map-side only; values are compared engine-to-engine
+    //    directly, so the fold arithmetic itself is verified.
+    Q("q48_rolling_fingerprint",
+      s"""WITH t AS ($toksCte)
+         |SELECT doc_id, ${TextOps.rollingFingerprintSql("toks")} AS fp
+         |FROM t WHERE doc_id < 25 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      docs(s, d).filter(col("doc_id") < 25)
+        .select(col("doc_id"),
+          TextOps.rollingFingerprint(TextOps.tokens(col("text"))).as("fp"))
+        .orderBy("doc_id")
+    },
+
     // ── Multimodal-column plumbing, metadata path: payloads as opaque
     //    binary + typed (n_bytes, checksum) metadata derived map-side
     //    without decoding; per-source rollup with a deterministic fake

@@ -571,6 +571,41 @@ object Relational {
          |       (rc - fee_c) / 100.0 AS net_revenue
          |FROM tot, bw, fees""".stripMargin) { (s, d) =>
       graft.report.Report.metricsDF(s, d, java.time.LocalDate.of(2000, 6, 15))
+    },
+
+    // ── Range (non-equi) join: orders binned into literal price bands via
+    //    a broadcast interval dimension. Spark plans a
+    //    BroadcastNestedLoopJoin — correct for a tiny interval table (each
+    //    fact row tests 5 intervals, no shuffle). At scale with a LARGE
+    //    interval table the plan changes to a bucketed overlap join
+    //    (join on floor(price/width) buckets, then refine) — and for
+    //    STATIC bands like these, a width_bucket/CASE projection avoids
+    //    the join entirely; this query keeps the genuine join so the
+    //    non-equi path is exercised and verified.
+    Q("q49_range_join_price_bands", {
+      val bandsSql =
+        """(VALUES ('t1_low',      CAST(0 AS DOUBLE),      CAST(10000 AS DOUBLE)),
+          |        ('t2_mid',      CAST(10000 AS DOUBLE),  CAST(25000 AS DOUBLE)),
+          |        ('t3_high',     CAST(25000 AS DOUBLE),  CAST(50000 AS DOUBLE)),
+          |        ('t4_premium',  CAST(50000 AS DOUBLE),  CAST(100000 AS DOUBLE)),
+          |        ('t5_top',      CAST(100000 AS DOUBLE), CAST(1e12 AS DOUBLE))
+          |) AS bands(band, lo, hi)""".stripMargin
+      s"""SELECT band, count(*) AS n, ${moneySumSql("o_totalprice")} AS revenue
+         |FROM orders JOIN $bandsSql
+         |  ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY band ORDER BY band""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val bands = Seq(
+        ("t1_low", 0d, 10000d), ("t2_mid", 10000d, 25000d),
+        ("t3_high", 25000d, 50000d), ("t4_premium", 50000d, 100000d),
+        ("t5_top", 100000d, 1e12))
+        .toDF("band", "lo", "hi")
+      ord(s, d).join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("band")
     }
   )
 
