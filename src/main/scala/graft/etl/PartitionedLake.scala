@@ -51,6 +51,27 @@ object PartitionedLake {
   def read(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(root)
 
+  /** Small-file compaction: incremental appends (3-hourly batches, ref
+    * cadence) leave one file per batch per day-partition; at 100 TB that
+    * is millions of small files and scan throughput dies on open() calls.
+    * Rewrite each partition to one file (`repartition` on the partition
+    * columns aligns writer tasks with directories), then atomically swap
+    * the directory. Run out-of-band, like a real lake's maintenance job. */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val tmp = root + "__compacting"
+    overwrite(
+      read(spark, root).repartition(PartitionCols.map(org.apache.spark.sql.functions.col): _*),
+      tmp)
+    deleteRecursively(Paths.get(root))
+    Files.move(Paths.get(tmp), Paths.get(root))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
   /** Catalog registration (S11) — the Glue-crawler analog
     * (ref: terraform_s3/main.tf:126-146): register the lake as an external
     * table and recover its partitions, so `spark.sql` queries hit it by

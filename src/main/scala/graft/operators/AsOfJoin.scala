@@ -29,10 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** Keep one right row per (key, ts): the smallest `orderCol`. */
+  /** Keep one right row per (key, ts): the smallest `orderCol`. Uses a
+    * lag over the key-only window (ordered by ts, order) rather than a
+    * (key, ts)-partitioned row_number, so the shuffle is on `key` alone —
+    * the same partitioning the as-of merge window needs downstream. */
   def dedupRight(right: DataFrame, key: String, ts: String, orderCol: String): DataFrame = {
-    val w = Window.partitionBy(col(key), col(ts)).orderBy(col(orderCol))
-    right.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(orderCol))
+    right.withColumn("__prev_ts", lag(col(ts), 1).over(w))
+      .filter(col("__prev_ts").isNull || col("__prev_ts") =!= col(ts))
+      .drop("__prev_ts")
   }
 
   /** As-of join `left` to `right` on `key` with bound

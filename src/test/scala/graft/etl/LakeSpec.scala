@@ -56,6 +56,33 @@ class LakeSpec extends AnyFunSuite {
     assert(df.count() == expected)
   }
 
+  test("compaction merges per-batch small files without changing rows") {
+    val root = freshDir() + "/lake"
+    // five appends -> up to five files per touched day-partition
+    (1 to 5).foreach { m =>
+      PartitionedLake.append(events.filter(col("month") === m), root)
+    }
+    val before = PartitionedLake.read(spark, root)
+    val rows = before.count()
+    val sumBefore = before.agg(org.apache.spark.sql.functions.sum("event_id"))
+      .collect()(0).getLong(0)
+    def fileCount: Long = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val filesBefore = fileCount
+    PartitionedLake.compact(spark, root)
+    val after = PartitionedLake.read(spark, root)
+    assert(after.count() == rows)
+    assert(after.agg(org.apache.spark.sql.functions.sum("event_id"))
+      .collect()(0).getLong(0) == sumBefore)
+    assert(fileCount <= filesBefore, "compaction must not increase file count")
+  }
+
+  test("vec_dot is injected session-wide via GraftExtensions") {
+    val r = spark.sql("SELECT vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+      "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d").collect()(0).getDouble(0)
+    assert(r == 11.0)
+  }
+
   test("dim write produces a single readable file") {
     val dir = freshDir() + "/dim"
     PartitionedLake.writeDim(graft.model.Tables.supplier(spark, TestSpark.Sf), dir)
