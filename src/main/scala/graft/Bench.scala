@@ -25,6 +25,10 @@ object Bench {
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      // drop this query's persisted intermediates (LSH signatures etc.) —
+      // they are per-query, and letting them accumulate across the whole
+      // inventory starves later queries' execution memory
+      spark.catalog.clearCache()
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
