@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.Tables
+
+/** Beyond-reference analytic surface a complete engine owes its users:
+  * semi-structured (JSON) columns, exact distribution statistics
+  * (percentiles), and second-moment aggregates. The reference has none of
+  * these (SURVEY §2.8 records "no JSON functions"); a dashboard user
+  * switching engines expects them on day one.
+  */
+object Extended {
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+  private def li(s: SparkSession, d: String): DataFrame = Tables.lineitem(s, d)
+
+  val defs: Vector[Q] = Vector(
+
+    // ── JSON column extraction: events.props is a JSON string; parse it
+    //    with a TYPED from_json (schema-on-read pinned, not inferred) and
+    //    aggregate the extracted field. Map-side parse inside codegen, one
+    //    agg shuffle. At scale: parse once and persist the typed column —
+    //    repeated get_json_object calls re-parse per call.
+    Q("q50_json_extract",
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       round(100.0 * sum(CAST(json_extract(props, '$.k') AS BIGINT)) / count(*)) / 100.0
+        |         AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+          .getField("k"))
+        .groupBy("event_type")
+        .agg(sum("k").cast("long").as("sum_k"),
+          (round(lit(100.0) * sum("k") / count(lit(1))) / 100.0).as("avg_k"))
+        .orderBy("event_type")
+    },
+
+    // ── Exact interpolated percentiles over integer cents — both engines
+    //    run the same (1−f)·lo + f·hi interpolation over exactly-sorted
+    //    longs, so values are bit-identical. Exact percentile sorts per
+    //    group; at 100 TB swap in approx_percentile (t-digest) and accept
+    //    the documented error bound — the query shape is unchanged.
+    Q("q51_price_percentiles",
+      """SELECT l_returnflag,
+        |       round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25)) / 100.0 AS p25,
+        |       round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.50)) / 100.0 AS p50,
+        |       round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75)) / 100.0 AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          (round(percentile(cents, lit(0.25))) / 100.0).as("p25"),
+          (round(percentile(cents, lit(0.50))) / 100.0).as("p50"),
+          (round(percentile(cents, lit(0.75))) / 100.0).as("p75"))
+        .orderBy("l_returnflag")
+    },
+
+    // ── Second-moment statistics: correlation and sample stddev, rounded
+    //    to 1e-6 (the accumulators are FP and order-sensitive at ~1e-14;
+    //    six decimals is far inside the stable digits). Single hash-agg
+    //    shuffle with map-side partials.
+    Q("q52_second_moments",
+      """SELECT l_returnflag,
+        |       round(1e6 * corr(l_quantity, l_extendedprice)) / 1e6 AS qty_price_corr,
+        |       round(1e6 * stddev_samp(l_discount)) / 1e6 AS discount_sd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          (round(lit(1e6) * corr(col("l_quantity"), col("l_extendedprice"))) / 1e6).as("qty_price_corr"),
+          (round(lit(1e6) * stddev_samp(col("l_discount"))) / 1e6).as("discount_sd"))
+        .orderBy("l_returnflag")
+    }
+  )
+}
