@@ -33,4 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // slowdown). Size it for the full inventory and let cold methods flush.
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
-)
+  // Wide whole-stage-codegen methods (e.g. the 64-min MinHash aggregate)
+  // exceed HotSpot's 8000-bytecode DontCompileHugeMethods limit and would
+  // otherwise run interpreted FOREVER (q37 benched 56s -> 2s with this).
+  "-XX:-DontCompileHugeMethods",
+) ++ sys.env.get("GRAFT_EXTRA_JVM").toSeq.flatMap(_.split(" "))

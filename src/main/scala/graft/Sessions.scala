@@ -22,6 +22,12 @@ object Sessions {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // shuffle/spill scratch on tmpfs: the bench VM's disk intermittently
+      // stalls for tens of seconds, randomly inflating whichever query is
+      // mid-shuffle; data volumes at test SF are far below RAM
+      .config("spark.local.dir",
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+          "/dev/shm/spark-local" else System.getProperty("java.io.tmpdir"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

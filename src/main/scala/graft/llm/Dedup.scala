@@ -84,22 +84,43 @@ object Dedup {
     * touch the hot path — an earlier nested-transform formulation ran the
     * interpreted expression path and was ~50× slower. */
   def minhashSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val hashed = docs
+    val hashed = fanOut(docs)
       .select(col("doc_id"),
         explode(TextOps.shingles(TextOps.tokens(col("text")), shingleN)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .select(col("doc_id"), xxhash64(col("sh")).bitwiseAND(lit(0xffffffffL)).as("h"))
     val mins = (0 until NumHashes).map(k =>
-      min((col("h").bitwiseAND(lit(0xffffffffL)) * A(k) + B(k)) % MersennePrime).as(s"m$k"))
+      min((col("h") * A(k) + B(k)) % MersennePrime).as(s"m$k"))
     hashed.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until NumHashes).map(k => col(s"m$k")): _*).as("sig"))
   }
 
-  /** (doc_id, shingles) distinct shingle-set relation for exact verification. */
+  /** Fan a document relation out across the cluster before heavy map-side
+    * work. The shingle/hash/signature pipeline runs AFTER this exchange; a
+    * source that arrives as one input split (single-file single-row-group
+    * parquet — exactly what the test corpus is) would otherwise run the
+    * whole pipeline in ONE task. The partition count is pinned explicitly:
+    * a bare `repartition(col)` is AQE-coalescible, and because the
+    * shuffled *bytes* are tiny AQE merges it back to one partition —
+    * re-serializing the expensive compute it exists to spread
+    * (nondeterministically, since coalescing depends on runtime stats). */
+  private def fanOut(docs: DataFrame): DataFrame =
+    docs.repartition(
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      col("doc_id"))
+
+  /** (doc_id, shingles) distinct HASHED shingle sets (xxhash64 longs) for
+    * exact verification. Hashing before the pair join shrinks the relation
+    * ~5× (fixed 8-byte elements vs raw n-gram strings) and turns the
+    * intersect/union into long comparisons — the shingle-set relation is
+    * broadcast to every verify task, so its size is a per-task
+    * deserialization tax. Jaccard over hashed sets equals Jaccard over the
+    * string sets up to 64-bit collisions (~|S|²·N/2⁶⁴ ≈ 1e-9 here). */
   def shingleSets(docs: DataFrame, shingleN: Int = 3): DataFrame =
-    docs
-      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), shingleN).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+    fanOut(docs)
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), array_distinct(transform(col("sh"), s => xxhash64(s))).as("shingles"))
 
   /** LSH candidate pairs: explode each signature into `Bands` slices, bucket
     * on (band index, slice), and emit each bucket's intra-pairs once
@@ -161,7 +182,7 @@ object Dedup {
   /** (doc_id, simhash) via 32 conditional-sum aggregates over the
     * (doc, token, count) relation — see [[TextOps]] for the bit derivation. */
   def withSimhash(docs: DataFrame): DataFrame = {
-    val tok = docs
+    val tok = fanOut(docs)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .withColumn("h", TextOps.fingerprint(col("tok")))

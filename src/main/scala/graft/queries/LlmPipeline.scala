@@ -16,6 +16,15 @@ object LlmPipeline {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** Fan the single-split test corpus across partitions before heavy
+    * map-side text work (tokenize/score/hash would otherwise serialize
+    * into one task; see Dedup.fanOut — partition count pinned because a
+    * bare repartition(col) gets AQE-coalesced back to one partition on
+    * byte-size grounds). */
+  private def fanned(s: SparkSession, d: String) =
+    docs(s, d).repartition(
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("doc_id"))
+
   /** Shared DuckDB CTE: tokenized documents. */
   private val toksCte =
     "SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS toks FROM documents"
@@ -68,7 +77,7 @@ object LlmPipeline {
          |       round(100.0 * sum(n_chars) / count(*)) / 100.0 AS avg_chars
          |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val toks = TextOps.tokens(col("text"))
-      docs(s, d)
+      fanned(s, d)
         .select(col("lang"), col("n_chars"),
           size(toks).as("n_tokens"),
           TextOps.subwordCount(toks).as("n_subwords"))
@@ -109,7 +118,7 @@ object LlmPipeline {
          |SELECT doc_id,
          |       ${TextOps.qualityScoreSql("toks", "len(toks)")} AS quality
          |FROM t ORDER BY quality DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
-      docs(s, d)
+      fanned(s, d)
         .select(col("doc_id"),
           TextOps.qualityScore(TextOps.tokens(col("text")), col("n_chars")).as("quality"))
         .orderBy(col("quality").desc, col("doc_id"))
@@ -122,7 +131,7 @@ object LlmPipeline {
       s"""WITH t AS ($toksCte)
          |SELECT lang, ${TextOps.langGuessSql("toks")} AS guess, count(*) AS n
          |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      docs(s, d)
+      fanned(s, d)
         .select(col("lang"), TextOps.langGuess(TextOps.tokens(col("text"))).as("guess"))
         .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
         .orderBy("lang", "guess")
@@ -177,7 +186,7 @@ object LlmPipeline {
       s"""WITH t AS ($toksCte)
          |SELECT doc_id, ${TextOps.rollingFingerprintSql("toks")} AS fp
          |FROM t WHERE doc_id < 25 ORDER BY doc_id""".stripMargin) { (s, d) =>
-      docs(s, d).filter(col("doc_id") < 25)
+      fanned(s, d).filter(col("doc_id") < 25)
         .select(col("doc_id"),
           TextOps.rollingFingerprint(TextOps.tokens(col("text"))).as("fp"))
         .orderBy("doc_id")
@@ -196,7 +205,7 @@ object LlmPipeline {
         |       round(100.0 * sum(('0x' || substr(md5(text), 1, 4))::BIGINT) / count(*)) / 100.0
         |         AS avg_feat
         |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-      graft.llm.Multimodal.withMeta(graft.llm.Multimodal.asMedia(docs(s, d)))
+      graft.llm.Multimodal.withMeta(graft.llm.Multimodal.asMedia(fanned(s, d)))
         .select(col("source"), col("meta.n_bytes").as("n_bytes"),
           col("meta.checksum").as("checksum"),
           conv(substring(col("meta.checksum"), 1, 4), 16, 10).cast("long").as("feat"))

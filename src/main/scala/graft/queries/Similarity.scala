@@ -25,9 +25,13 @@ object Similarity {
     Tables.embeddings(s, d)
   }
 
-  /** embeddings as the (id, vec) shape the Ann module speaks. */
+  /** embeddings as the (id, vec) shape the Ann module speaks. Fanned out
+    * across partitions: the test corpus arrives as one unsplittable input
+    * split, which would serialize per-row scoring (the dominant work of
+    * every ANN plan) into a single task. */
   private def corpus(s: SparkSession, d: String): DataFrame =
     emb(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("id"))
 
   private val dotSelfSql = Ann.dotSql("embedding", "embedding")
 
@@ -134,6 +138,9 @@ object Similarity {
          |FROM p WHERE cm >= 400000 ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
       val e = emb(s, d)
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        // parallelize the streamed side of the pair scan (pinned count —
+        // AQE would coalesce a bare repartition back to one partition)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("vec_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
