@@ -20,6 +20,15 @@ object Bench {
       case c => c.toString
     } + "\""
 
+    // untimed warm-up: initialize the parquet reader, shuffle, codegen and
+    // JIT infrastructure once, so the alphabetically-first query does not
+    // absorb session start-up in its measurement
+    try {
+      spark.range(1 << 20).selectExpr("sum(id)").collect()
+      graft.model.Tables.lineitem(spark, sfDir).limit(1000)
+        .groupBy("l_returnflag").count().collect()
+    } catch { case _: Throwable => () }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =

@@ -4,19 +4,24 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.VecDot
+import graft.functions.{MinHashAgg, VecDot}
 
 /** Session extensions — the supported injection point for the engine's
   * custom Catalyst surface. Installing via
-  * `spark.sql.extensions=graft.GraftExtensions` makes `vec_dot` a
-  * first-class SQL function in every session of the application (including
-  * thrift/connect servers), where `VecDot.register` only patches one
-  * session's registry.
+  * `spark.sql.extensions=graft.GraftExtensions` makes the functions
+  * first-class in every session of the application (including
+  * thrift/connect servers), where the per-session `register` helpers only
+  * patch one registry.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (es: Seq[Expression]) => VecDot(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sig"),
+      (es: Seq[Expression]) => MinHashAgg(es.head)))
+  }
 }

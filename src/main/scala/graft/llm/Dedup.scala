@@ -53,46 +53,23 @@ object Dedup {
   val Bands     = 32
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** SplitMix64 — deterministic per-hash-function constants for the affine
-    * family h_k(x) = a_k·x + b_k over Z_2^64 (the standard one-base-hash
-    * MinHash construction: hash each shingle once with xxhash64, then apply
-    * H cheap affine maps instead of H string hashes). */
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-  /** Carter–Wegman universal family h_k(x) = (a_k·x + b_k) mod p over the
-    * Mersenne prime p = 2^31−1, with the base hash masked to 32 bits so the
-    * intermediate a_k·x + b_k stays below 2^63 — ANSI mode (Spark 4
-    * default) rejects wrapping long multiplication, and an affine map
-    * *without* the mod reduction would be monotonic in x, collapsing every
-    * minhash to the same argmin shingle. */
-  val MersennePrime: Long = (1L << 31) - 1
-  private val A: IndexedSeq[Long] =
-    (0 until NumHashes).map(k => Math.floorMod(splitmix64(k.toLong), MersennePrime - 1) + 1)
-  private val B: IndexedSeq[Long] =
-    (0 until NumHashes).map(k => Math.floorMod(splitmix64(k.toLong + 0x5eed), MersennePrime))
-
   /** (doc_id, sig) MinHash signatures: sig[k] = min over shingles of
-    * a_k·xxhash64(shingle) + b_k.
+    * (a_k·xxhash64(shingle) + b_k) mod p.
     *
-    * Plan shape: explode shingles → one xxhash64 per shingle → a single
-    * hash-aggregate with `NumHashes` codegen'd `min` columns (map-side
-    * partial aggregation, one shuffle on doc_id). No higher-order lambdas
-    * touch the hot path — an earlier nested-transform formulation ran the
-    * interpreted expression path and was ~50× slower. */
+    * Plan shape: explode shingles → one xxhash64 per shingle → ONE
+    * [[graft.functions.MinHashAgg]] sketch aggregate (map-side partial
+    * aggregation, one shuffle on doc_id). Two earlier formulations lost:
+    * nested higher-order lambdas (interpreted, ~50× slower) and
+    * `NumHashes` separate `min` columns (whole-stage codegen emits a huge
+    * update method whose JIT compilation is nondeterministically starved
+    * under compiler-queue pressure — 3 s vs 100+ s run-to-run). */
   def minhashSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame = {
     val hashed = fanOut(docs)
       .select(col("doc_id"),
         explode(TextOps.shingles(TextOps.tokens(col("text")), shingleN)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).bitwiseAND(lit(0xffffffffL)).as("h"))
-    val mins = (0 until NumHashes).map(k =>
-      min((col("h") * A(k) + B(k)) % MersennePrime).as(s"m$k"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
     hashed.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until NumHashes).map(k => col(s"m$k")): _*).as("sig"))
+      .agg(graft.functions.MinHashAgg.sig(col("h")).as("sig"))
   }
 
   /** Fan a document relation out across the cluster before heavy map-side

@@ -138,7 +138,7 @@ object LlmPipeline {
     },
 
     // ── MinHash-LSH near-duplicate pairs, exact-Jaccard verified at ≥ 0.5.
-    //    Spark path: 128-hash MinHash → 32×4 LSH bands → bucketed self-join
+    //    Spark path: 64-hash MinHash → 32×2 LSH bands → bucketed self-join
     //    (shuffle on band slice, never all-pairs) → verify. Oracle path:
     //    all-pairs exact Jaccard — feasible only at test scale, which is
     //    exactly why it makes the right oracle: it independently checks that
