@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashAgg, VecDot}
+import graft.functions.{MinHashAgg, ShingleHashes, SimHashAgg, VecDot}
 
 /** Session extensions — the supported injection point for the engine's
   * custom Catalyst surface. Installing via
@@ -23,5 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sig"),
       (es: Seq[Expression]) => MinHashAgg(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_sig"),
+      (es: Seq[Expression]) => SimHashAgg(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (es: Seq[Expression]) => ShingleHashes(es.head, 3)))
   }
 }

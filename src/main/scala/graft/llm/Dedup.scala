@@ -64,11 +64,11 @@ object Dedup {
     * update method whose JIT compilation is nondeterministically starved
     * under compiler-queue pressure — 3 s vs 100+ s run-to-run). */
   def minhashSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val hashed = fanOut(docs)
+    require(shingleN == 3, "shingle_hashes is registered for n=3")
+    fanOut(docs)
       .select(col("doc_id"),
-        explode(TextOps.shingles(TextOps.tokens(col("text")), shingleN)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    hashed.groupBy("doc_id")
+        explode(graft.functions.ShingleHashes.of(col("text"))).as("h"))
+      .groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.sig(col("h")).as("sig"))
   }
 
@@ -93,11 +93,12 @@ object Dedup {
     * broadcast to every verify task, so its size is a per-task
     * deserialization tax. Jaccard over hashed sets equals Jaccard over the
     * string sets up to 64-bit collisions (~|S|²·N/2⁶⁴ ≈ 1e-9 here). */
-  def shingleSets(docs: DataFrame, shingleN: Int = 3): DataFrame =
+  def shingleSets(docs: DataFrame, shingleN: Int = 3): DataFrame = {
+    require(shingleN == 3, "shingle_hashes is registered for n=3")
     fanOut(docs)
-      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), array_distinct(transform(col("sh"), s => xxhash64(s))).as("shingles"))
+      .select(col("doc_id"), graft.functions.ShingleHashes.of(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+  }
 
   /** LSH candidate pairs: explode each signature into `Bands` slices, bucket
     * on (band index, slice), and emit each bucket's intra-pairs once
@@ -135,14 +136,20 @@ object Dedup {
     * a superset of the ≥threshold pairs at these params; the verify filter
     * makes the result exact).
     *
-    * Signatures and shingle sets are persisted: the band self-join reads
-    * the signature relation twice and the verify join reads the shingle
-    * relation twice — without materialization the (expensive) signature
-    * aggregate recomputes per branch. At 100 TB this is the step a
-    * production pipeline checkpoints to the lake. */
+    * Signatures and shingle sets are persisted AND materialized eagerly:
+    * the band self-join reads the signature relation twice and the verify
+    * join twice more, several of them from racing broadcast-build threads
+    * — planning against an unmaterialized cache is a race that
+    * occasionally re-derives the whole signature pipeline serially inside
+    * a broadcast job (observed as nondeterministic 10× swings). Counting
+    * once up front materializes both in clean fanned-out jobs; every
+    * downstream plan then reads the in-memory relation. At 100 TB this is
+    * the stage a production pipeline checkpoints to the lake. */
   def nearDupPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3): DataFrame = {
     val sigs = minhashSignatures(docs, shingleN).persist()
     val sets = shingleSets(docs, shingleN).persist()
+    sigs.count()
+    sets.count()
     verifiedJaccard(candidatePairs(sigs), sets)
       .filter(col("jaccard") >= threshold)
   }
@@ -156,19 +163,17 @@ object Dedup {
     docs.join(dominated, Seq("doc_id"), "left_anti")
   }
 
-  /** (doc_id, simhash) via 32 conditional-sum aggregates over the
-    * (doc, token, count) relation — see [[TextOps]] for the bit derivation. */
-  def withSimhash(docs: DataFrame): DataFrame = {
-    val tok = fanOut(docs)
+  /** (doc_id, simhash) via the [[graft.functions.SimHashAgg]] sketch
+    * aggregate over the (doc, token, count) relation — see [[TextOps]] for
+    * the bit derivation (md5 hex digit high bits, count-weighted; the
+    * arithmetic matches the oracle's 32 conditional SUMs exactly). */
+  def withSimhash(docs: DataFrame): DataFrame =
+    fanOut(docs)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .withColumn("h", TextOps.fingerprint(col("tok")))
-    val weights = (1 to TextOps.SimhashBits).map(j => TextOps.simhashTerm(col("h"), col("c"), j).as(s"w$j"))
-    tok.groupBy("doc_id")
-      .agg(weights.head, weights.tail: _*)
-      .select(col("doc_id"),
-        TextOps.simhashFromWeights((1 to TextOps.SimhashBits).map(j => col(s"w$j"))).as("simhash"))
-  }
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.sig(col("h"), col("c")).as("simhash"))
 
   /** 2 × 16-bit bands: pigeonhole-guarantees recall for hamming ≤ 1.
     * Wider bands matter here because SimHash values cluster on a shared

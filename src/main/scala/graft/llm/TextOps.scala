@@ -39,24 +39,13 @@ object TextOps {
     * each of the 32 md5 hex digits of the token. Classic Charikar simhash:
     * bit_j(doc) = sign( Σ_tok count(tok) * (±1 by bit_j(md5(tok))) ).
     *
-    * Computed from a (doc_id, token, count, md5) relation via 32 conditional
-    * SUM aggregates — one shuffle on doc_id with map-side partial aggregation,
-    * no collect, no UDF. Both engines compute the identical integer, so the
-    * oracle comparison is exact.
+    * Computed from a (doc_id, token, count, md5) relation by the
+    * [[graft.functions.SimHashAgg]] sketch aggregate — one shuffle on
+    * doc_id with map-side partial aggregation, no collect, no UDF. Both
+    * engines compute the identical integer (the oracle runs the same
+    * arithmetic as 32 conditional SUMs), so the comparison is exact.
     */
   val SimhashBits = 32
-
-  /** The ±1 contribution of hex digit j (1-based) of md5 column `h`,
-    * weighted by count column `c`. */
-  def simhashTerm(h: Column, c: Column, j: Int): Column =
-    sum(c * when(substring(h, j, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-      .otherwise(-1))
-
-  /** Assemble the signature long from the 32 per-bit weight columns `w1..w32`. */
-  def simhashFromWeights(w: Seq[Column]): Column =
-    w.zipWithIndex.map { case (wj, idx) =>
-      when(wj > 0, lit(1L << idx)).otherwise(lit(0L))
-    }.reduce(_ + _)
 
   /** Tiny English stopword profile used by the quality and lang-id
     * heuristics (the synthetic corpus is lowercase a-z). */

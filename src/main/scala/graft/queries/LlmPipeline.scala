@@ -50,7 +50,7 @@ object LlmPipeline {
   val MaxHamming       = 1
 
   /** 32 SimHash per-bit weight terms for the DuckDB oracle (md5 hex digit
-    * high bit, count-weighted) — textual twin of [[TextOps.simhashTerm]]. */
+    * high bit, count-weighted) — textual twin of graft.functions.SimHashAgg. */
   private val simhashSigSql: String = {
     val terms = (1 to TextOps.SimhashBits).map { j =>
       s"""(CASE WHEN sum(c * (CASE WHEN substr(h, $j, 1) IN ('8','9','a','b','c','d','e','f')
