@@ -141,4 +141,42 @@ object Ann {
     * round-trip decimal repr of each float re-parses to the same value). */
   def planeSql(dim: Int, j: Int): String =
     planes(dim)(j).map(f => s"CAST(${f.toDouble} AS FLOAT)").mkString("[", ", ", "]")
+
+  /** Bands for LSH-bucketed near-dup candidate generation: 4 bands × 4 bits.
+    * A pair agreeing on ANY band is a candidate — banding trades the full
+    * 16-bit bucket equality (which near-dups at cosine ~0.9 only satisfy
+    * ~8% of the time: each sign bit flips with p = θ/π ≈ 0.14) for
+    * ≥1-of-4 4-bit band agreement (~95% recall at the same similarity),
+    * exactly the MinHash banding trade applied to hyperplane signatures. */
+  val LshBands = 4
+
+  /** Embedding-cosine near-duplicate pairs via hyperplane-LSH banding:
+    * signature → band explode → bucketed equality self-join on
+    * (band, key) → distinct candidates → exact-cosine verify ≥
+    * `thresholdMicros`. The plan has NO corpus×corpus product — the only
+    * joins are hash joins on band keys and ids, so it survives a 100×
+    * scale-up where the exact all-pairs baseline (quadratic) does not.
+    * Recall is governed by the banding parameters, and the oracle replays
+    * the identical banded algorithm, so the compare is exact. */
+  def lshNearDupPairs(corpus: DataFrame, dim: Int, thresholdMicros: Long): DataFrame = {
+    val bandBits = LshBits / LshBands
+    val bands = hyperplaneBuckets(corpus, dim).select(
+        col("id"),
+        posexplode(array((0 until LshBands).map(b =>
+          shiftright(col("bucket"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      .toDF("id", "band", "key")
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"))
+      .distinct()
+    val vecs = corpus.select(col("id"), col("vec"))
+    cand
+      .join(vecs.select(col("id").as("vec_a"), col("vec").as("va")), "vec_a")
+      .join(vecs.select(col("id").as("vec_b"), col("vec").as("vb")), "vec_b")
+      .withColumn("cm", cosMicros(col("va"), col("vb")))
+      .filter(col("cm") >= thresholdMicros)
+      .select("vec_a", "vec_b", "cm")
+  }
 }

@@ -139,34 +139,62 @@ object LlmPipeline {
 
     // ── MinHash-LSH near-duplicate pairs, exact-Jaccard verified at ≥ 0.5.
     //    Spark path: 64-hash MinHash → 32×2 LSH bands → bucketed self-join
-    //    (shuffle on band slice, never all-pairs) → verify. Oracle path:
-    //    all-pairs exact Jaccard — feasible only at test scale, which is
-    //    exactly why it makes the right oracle: it independently checks that
-    //    LSH recall is 1 at this threshold, not just the arithmetic.
+    //    (shuffle on band slice, never all-pairs) → verify, materialized
+    //    through the per-session pair checkpoint (Dedup.nearDupPairsCkpt)
+    //    that q36/q53 share instead of re-deriving the signatures. Oracle
+    //    path: all-pairs exact Jaccard — feasible only at test scale, which
+    //    is exactly why it makes the right oracle: it independently checks
+    //    that LSH recall is 1 at this threshold, not just the arithmetic.
     Q("q35_near_dup_pairs",
       s"""$nearDupPairsSql
          |SELECT doc_a, doc_b, jaccard FROM p
          |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      Dedup.nearDupPairs(docs(s, d), JaccardThreshold).orderBy("doc_a", "doc_b")
+      Dedup.nearDupPairsCkpt(docs(s, d), d, JaccardThreshold).orderBy("doc_a", "doc_b")
     },
 
     // ── Near-dedup: keep-lowest-doc_id within each near-dup pair, then
     //    per-language survivor counts (the actual dedup a training pipeline
-    //    applies with the pair relation above).
+    //    applies with the pair relation above — consumed from the shared
+    //    checkpoint, so the MinHash-LSH pipeline runs once per session).
     Q("q36_near_dedup",
       s"""$nearDupPairsSql
          |SELECT lang, count(*) AS n_docs
          |FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM p WHERE jaccard >= $JaccardThreshold)
          |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
-      Dedup.nearDedup(docs(s, d), JaccardThreshold)
+      Dedup.nearDedup(docs(s, d), Dedup.nearDupPairsCkpt(docs(s, d), d, JaccardThreshold))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    },
+
+    // ── Transitive near-dedup: connected components over the near-dup pair
+    //    graph (min-label propagation to fixpoint), survivors = component
+    //    minima + unpaired docs. Catches what the pairwise policy (q36)
+    //    misses: in a star {(2,5), (3,5)} pairwise keeps both 2 and 3;
+    //    clustering keeps only 2. Oracle: DuckDB recursive CTE computing
+    //    min-reachable-id over the same exact-Jaccard pair graph.
+    Q("q53_near_dedup_cc",
+      s"""${nearDupPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p WHERE jaccard >= $JaccardThreshold
+         |      UNION ALL
+         |      SELECT doc_b, doc_a FROM p WHERE jaccard >= $JaccardThreshold),
+         |r(id, m) AS (
+         |      SELECT src, src FROM e
+         |      UNION
+         |      SELECT e.src, r.m FROM e JOIN r ON r.id = e.dst),
+         |lab AS (SELECT id, min(m) AS component FROM r GROUP BY id)
+         |SELECT lang, count(*) AS n_docs
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM lab WHERE component <> id)
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      Dedup.nearDedupCC(docs(s, d), Dedup.nearDupPairsCkpt(docs(s, d), d, JaccardThreshold))
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")
     },
 
     // ── SimHash near-dup pairs at Hamming ≤ 1 over a count-weighted 32-bit
-    //    signature. Spark path: 4×8-bit pigeonhole bands (guaranteed recall
-    //    to hamming 3) → bucketed join → exact bit_count(xor) verify.
+    //    signature. Spark path: 2×16-bit pigeonhole bands (guaranteed recall
+    //    to hamming 1) → bucketed join → exact bit_count(xor) verify.
     //    Oracle: all-pairs Hamming over the identically-computed signature.
     Q("q37_simhash_pairs",
       s"""$simhashSigSql

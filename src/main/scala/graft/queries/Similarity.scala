@@ -126,10 +126,10 @@ object Similarity {
     //    shuffle 100 TB by bucket.
     // ── Embedding-cosine near-duplicate pairs at a fixed threshold — the
     //    embedding flavor of the dedup family (exact block-nested
-    //    all-pairs; honest about its quadratic cost). At 100 TB this exact
-    //    form runs per-bucket after the hyperplane-LSH (q41) or IVF-cell
-    //    (q40) partitioning bounds the candidate space; on the unclustered
-    //    test corpus a global threshold pass is the correct baseline.
+    //    all-pairs; honest about its quadratic cost). This is the
+    //    small-scale ORACLE BASELINE; the scale path is q54 below, which
+    //    composes the hyperplane-LSH buckets with the exact verify so the
+    //    plan has no corpus×corpus product.
     Q("q45_embedding_near_dup",
       s"""WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |                  ${Ann.cosMicrosSql("a.embedding", "b.embedding")} AS cm
@@ -146,6 +146,38 @@ object Similarity {
         .select(col("vec_a"), col("vec_b"),
           Ann.cosMicros(col("ea"), col("eb")).as("cm"))
         .filter(col("cm") >= 400000)
+        .select(col("vec_a"), col("vec_b"), (col("cm") / 1e6).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // ── Embedding near-dup, LSH-BUCKETED (the 100 TB composition the q45
+    //    baseline is honest about lacking): hyperplane signature → 4×4-bit
+    //    bands → bucketed equality self-join for candidates → exact-cosine
+    //    verify. No BroadcastNestedLoopJoin anywhere in the plan — every
+    //    join is a hash join on a band key or an id. Recall vs the exact
+    //    baseline is governed by the banding (~95% at cosine 0.9); the
+    //    oracle replays the identical banded algorithm (the q40 pattern),
+    //    so the compare is still bit-exact.
+    Q("q54_embedding_near_dup_lsh", {
+      val bits = (0 until Ann.LshBits).map { j =>
+        s"(CASE WHEN ${Ann.dotSql("embedding", Ann.planeSql(Dim, j))} > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val bandBits = Ann.LshBits / Ann.LshBands
+      s"""WITH sig AS (SELECT vec_id, ($bits) AS bucket FROM embeddings),
+         |b AS (SELECT vec_id, band, (bucket >> (band * $bandBits)) & ${(1 << bandBits) - 1} AS key
+         |      FROM sig CROSS JOIN (SELECT unnest([${(0 until Ann.LshBands).mkString(", ")}]) AS band)),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+         |         FROM b a JOIN b b2
+         |           ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id),
+         |p AS (SELECT c.vec_a, c.vec_b,
+         |             ${Ann.cosMicrosSql("ea.embedding", "eb.embedding")} AS cm
+         |      FROM cand c
+         |      JOIN embeddings ea ON ea.vec_id = c.vec_a
+         |      JOIN embeddings eb ON eb.vec_id = c.vec_b)
+         |SELECT vec_a, vec_b, cm / 1e6 AS cos
+         |FROM p WHERE cm >= 400000 ORDER BY vec_a, vec_b""".stripMargin
+    }) { (s, d) =>
+      Ann.lshNearDupPairs(corpus(s, d), Dim, 400000L)
         .select(col("vec_a"), col("vec_b"), (col("cm") / 1e6).as("cos"))
         .orderBy("vec_a", "vec_b")
     },

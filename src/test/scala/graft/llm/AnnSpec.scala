@@ -77,4 +77,28 @@ class AnnSpec extends AnyFunSuite {
     assert(b1 == b2)
     assert(b1.values.forall(b => b >= 0 && b < (1L << Ann.LshBits)))
   }
+
+  test("lshNearDupPairs ⊆ exact pairs, finds every same-bucket pair, no cartesian") {
+    val threshold = 400000L
+    val banded = Ann.lshNearDupPairs(corpus, 64, threshold)
+    assert(!banded.queryExecution.executedPlan.toString.contains("NestedLoop"),
+      "banded near-dup must not plan a nested-loop product")
+    val got = banded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val a = corpus.select(col("id").as("vec_a"), col("vec").as("va"))
+    val b = corpus.select(col("id").as("vec_b"), col("vec").as("vb"))
+    val exact = a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), Ann.cosMicros(col("va"), col("vb")).as("cm"))
+      .filter(col("cm") >= threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), "banded verify must never emit a below-threshold pair")
+    assert(got.nonEmpty, "corpus should contain banded near-dups")
+
+    // recall floor: any exact pair sharing a FULL 16-bit bucket trivially
+    // shares every band, so it must be present in the banded output
+    val buckets = Ann.hyperplaneBuckets(corpus, 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mustHave = exact.filter { case (x, y) => buckets(x) == buckets(y) }
+    assert(mustHave.subsetOf(got), "full-bucket-equal pairs must be recalled")
+  }
 }

@@ -80,6 +80,53 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3L, 4L -> 1L))
   }
 
+  test("connectedComponents labels a star with its minimum; chain collapses too") {
+    // star 5—2, 5—3 plus chain 10—11, 11—12 plus isolated pair 20—21
+    val pairs = Seq((2L, 5L), (3L, 5L), (10L, 11L), (11L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(
+      2L -> 2L, 3L -> 2L, 5L -> 2L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("nearDedupCC collapses transitive clusters the pairwise policy keeps") {
+    // star: 2≈5 and 3≈5, but 2 and 3 share nothing — the pairwise
+    // keep-lowest-id policy keeps BOTH 2 and 3 (neither is a doc_b);
+    // connected components keeps only the cluster minimum 2.
+    val docs = docsOf(
+      (2L, "one two three four five six seven eight nine ten eleven twelve"),
+      (3L, "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"),
+      (5L, "one two three four five six seven eight nine ten " +
+           "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"),
+      (9L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val pairs = Dedup.nearDupPairs(docs, 0.4).persist()
+    val got = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 5L), (3L, 5L)), s"planted star not detected: $got")
+    val pairwise = Dedup.nearDedup(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val transitive = Dedup.nearDedupCC(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(pairwise == Set(2L, 3L, 9L), "pairwise keeps both star leaves")
+    assert(transitive == Set(2L, 9L), "clustering keeps only the component minimum")
+  }
+
+  test("nearDupPairsCkpt computes once per key and re-reads thereafter") {
+    val d = docsOf(
+      (1L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"))
+    val key = s"dedup-ckpt-test-${System.identityHashCode(this)}"
+    val first = Dedup.nearDupPairsCkpt(d, key, 0.5).collect()
+    // second call with an EMPTY corpus but the same key must serve the
+    // checkpointed relation, proving no recompute happens
+    val second = Dedup.nearDupPairsCkpt(d.filter(lit(false)), key, 0.5).collect()
+    assert(first.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(second.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("simhash: identical docs collide at hamming 0") {
     val d = docsOf(
       (1L, "spark spark catalyst tungsten codegen shuffle"),
