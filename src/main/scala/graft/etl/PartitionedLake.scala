@@ -55,20 +55,29 @@ object PartitionedLake {
     * cadence) leave one file per batch per day-partition; at 100 TB that
     * is millions of small files and scan throughput dies on open() calls.
     * Rewrite each partition to one file (`repartition` on the partition
-    * columns aligns writer tasks with directories), then atomically swap
-    * the directory. Run out-of-band, like a real lake's maintenance job. */
+    * columns aligns writer tasks with directories), then swap the directory
+    * with two renames: old lake moves aside, compacted copy moves in, old
+    * copy is deleted last. A crash at any point leaves at least one full
+    * copy on disk (at `root`, `__old`, or `__compacting`) — the old data is
+    * never deleted before the replacement is in place. Run out-of-band,
+    * like a real lake's maintenance job. */
   def compact(spark: SparkSession, root: String): Unit = {
     val tmp = root + "__compacting"
+    val old = root + "__old"
     overwrite(
       read(spark, root).repartition(PartitionCols.map(org.apache.spark.sql.functions.col): _*),
       tmp)
-    deleteRecursively(Paths.get(root))
+    deleteRecursively(Paths.get(old)) // leftover from a previously crashed run
+    Files.move(Paths.get(root), Paths.get(old))
     Files.move(Paths.get(tmp), Paths.get(root))
+    deleteRecursively(Paths.get(old))
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(deleteRecursively)
+    if (Files.isDirectory(p)) {
+      val children = Files.list(p)
+      try children.forEach(deleteRecursively) finally children.close()
+    }
     Files.deleteIfExists(p)
   }
 

@@ -72,11 +72,16 @@ object Ann {
   }
 
   /** Per-cell mean vectors — the coarse quantizer. 64 codegen'd avg
-    * aggregates assembled into one array; output is k rows (broadcastable). */
+    * aggregates assembled into one array; output is k rows (broadcastable).
+    * Each component is micro-rounded (`round(1e6·avg)/1e6`) before use:
+    * a raw `avg` of doubles is summation-order-dependent, and a centroid
+    * component sitting on a float rounding boundary could flip probe
+    * routing between engines. The oracle SQL rounds identically. */
   def centroids(corpus: DataFrame, cellCol: String, dim: Int): DataFrame =
     corpus.groupBy(col(cellCol).as("cell"))
       .agg(array((0 until dim).map(i =>
-        avg(element_at(col("vec"), i + 1).cast("double"))): _*).as("cvec"))
+        round(lit(1e6) * avg(element_at(col("vec"), i + 1).cast("double"))) / 1e6): _*)
+        .as("cvec"))
 
   /** IVF search: route each query to its `nprobe` nearest cells (by cosine
     * to the centroid), then exact-score only vectors in those cells.

@@ -75,18 +75,10 @@ object Dedup {
   }
 
   /** Fan a document relation out across the cluster before heavy map-side
-    * work. The shingle/hash/signature pipeline runs AFTER this exchange; a
-    * source that arrives as one input split (single-file single-row-group
-    * parquet — exactly what the test corpus is) would otherwise run the
-    * whole pipeline in ONE task. The partition count is pinned explicitly:
-    * a bare `repartition(col)` is AQE-coalescible, and because the
-    * shuffled *bytes* are tiny AQE merges it back to one partition —
-    * re-serializing the expensive compute it exists to spread
-    * (nondeterministically, since coalescing depends on runtime stats). */
+    * work (adaptive — an already-parallel input passes through unchanged;
+    * see [[graft.etl.FanOut]]). */
   private def fanOut(docs: DataFrame): DataFrame =
-    docs.repartition(
-      docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-      col("doc_id"))
+    graft.etl.FanOut.fanOut(docs, col("doc_id"))
 
   /** (doc_id, shingles) distinct HASHED shingle sets (xxhash64 longs) for
     * exact verification. Hashing before the pair join shrinks the relation
@@ -180,19 +172,47 @@ object Dedup {
         java.nio.file.Paths.get("/dev/shm")
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val dir = java.nio.file.Files.createTempDirectory(base, "graft-dedup-ckpt")
-    dir.toFile.deleteOnExit()
+    // deleteOnExit cannot remove a non-empty directory; a shutdown hook
+    // recursively clears the checkpoint tree so /dev/shm (RAM-backed) does
+    // not accumulate parquet across JVM runs.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val children = java.nio.file.Files.list(p)
+          try children.forEach(rm) finally children.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+        ()
+      }
+      rm(dir)
+    }))
     dir
   }
-  private val ckpts = scala.collection.mutable.Map.empty[(String, Double, Int), String]
+
+  /** Checkpoint identity: caller key + banding params + a cheap content
+    * fingerprint (row count, min/max doc_id) so a regenerated or different
+    * corpus passed under the same `corpusKey` cannot silently reuse stale
+    * pairs. */
+  private final case class CkptKey(
+      corpusKey: String, threshold: Double, shingleN: Int,
+      nDocs: Long, minId: String, maxId: String)
+  private val ckptPaths = new java.util.concurrent.ConcurrentHashMap[CkptKey, String]()
+  private val ckptLocks = new java.util.concurrent.ConcurrentHashMap[CkptKey, Object]()
+  private val ckptSeq   = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Near-dup pairs via the per-session lake checkpoint: computed once per
-    * `corpusKey` (any stable identity of the input — here the sf dir),
-    * re-read from parquet by every later consumer in the same JVM. */
+    * (corpusKey, content fingerprint, params), re-read from parquet by
+    * every later consumer in the same JVM. Locking is per-key, so two
+    * different corpora can build their checkpoints concurrently. */
   def nearDupPairsCkpt(docs: DataFrame, corpusKey: String, threshold: Double,
                        shingleN: Int = 3): DataFrame = {
-    val dir = ckpts.synchronized {
-      ckpts.getOrElseUpdate((corpusKey, threshold, shingleN), {
-        val d = ckptRoot.resolve(s"pairs_${ckpts.size}").toString
+    val fp = docs.agg(count(lit(1)), min("doc_id"), max("doc_id")).collect()(0)
+    val key = CkptKey(corpusKey, threshold, shingleN,
+      fp.getLong(0), String.valueOf(fp.get(1)), String.valueOf(fp.get(2)))
+    val lock = ckptLocks.computeIfAbsent(key, _ => new Object)
+    val dir = lock.synchronized {
+      Option(ckptPaths.get(key)).getOrElse {
+        val d = ckptRoot.resolve(s"pairs_${ckptSeq.getAndIncrement()}").toString
         val sigs = minhashSignatures(docs, shingleN).persist()
         val sets = shingleSets(docs, shingleN).persist()
         sigs.count()
@@ -202,8 +222,9 @@ object Dedup {
             .filter(col("jaccard") >= threshold)
             .write.mode("overwrite").parquet(d)
         finally { sigs.unpersist(); sets.unpersist() }
+        ckptPaths.put(key, d)
         d
-      })
+      }
     }
     docs.sparkSession.read.parquet(dir)
   }
@@ -268,7 +289,13 @@ object Dedup {
       converged = changed == 0
     }
     edges.unpersist()
-    labels
+    // Truncate the iterative lineage and release the loop's cache entry:
+    // localCheckpoint materializes the final labels (cheap — they are
+    // already cached) into blocks the ContextCleaner reclaims on GC, so
+    // repeated calls don't accumulate permanent cache entries.
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** Transitive near-dedup: survivors = each connected component's minimum

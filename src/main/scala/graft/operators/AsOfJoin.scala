@@ -48,23 +48,28 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
            leftOrder: String, rightVals: Seq[String]): DataFrame = {
     val leftRest = left.columns.toSeq.filterNot(_ == key)
+    // All right values ride in ONE struct column filled by ONE
+    // last(ignoreNulls) window, so every asof_* output comes from the SAME
+    // right row. (Per-column last() windows would tear values from
+    // different rows whenever a right-value column is null on some row.)
+    val rType = org.apache.spark.sql.types.StructType(rightVals.map(right.schema(_)))
     val rightBranch = right.select(
       col(key) +:
         col(ts).as("__ts") +: lit(0).as("__side") +: lit(0L).as("__ord") +:
-        (rightVals.map(c => col(c).as(s"__r_$c")) ++
-          leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+        struct(rightVals.map(col): _*).cast(rType).as("__rvals") +:
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val leftBranch = left.select(
       col(key) +:
         col(ts).as("__ts") +: lit(1).as("__side") +: col(leftOrder).cast("long").as("__ord") +:
-        (rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
-          leftRest.map(col)): _*)
+        lit(null).cast(rType).as("__rvals") +:
+        leftRest.map(col): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts"), col("__side"), col("__ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(rightBranch.unionByName(leftBranch)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1)
-      .select(left.columns.toSeq.map(col) ++ rightVals.map(c => col(s"asof_$c")): _*)
+    rightBranch.unionByName(leftBranch)
+      .withColumn("__asof", last(col("__rvals"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.toSeq.map(col) ++
+        rightVals.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 }

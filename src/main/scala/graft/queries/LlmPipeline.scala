@@ -18,12 +18,9 @@ object LlmPipeline {
 
   /** Fan the single-split test corpus across partitions before heavy
     * map-side text work (tokenize/score/hash would otherwise serialize
-    * into one task; see Dedup.fanOut — partition count pinned because a
-    * bare repartition(col) gets AQE-coalesced back to one partition on
-    * byte-size grounds). */
+    * into one task) — adaptive, see [[graft.etl.FanOut]]. */
   private def fanned(s: SparkSession, d: String) =
-    docs(s, d).repartition(
-      s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("doc_id"))
+    graft.etl.FanOut.fanOut(docs(s, d), col("doc_id"))
 
   /** Shared DuckDB CTE: tokenized documents. */
   private val toksCte =

@@ -26,12 +26,14 @@ object Similarity {
   }
 
   /** embeddings as the (id, vec) shape the Ann module speaks. Fanned out
-    * across partitions: the test corpus arrives as one unsplittable input
-    * split, which would serialize per-row scoring (the dominant work of
-    * every ANN plan) into a single task. */
+    * across partitions (adaptive, see [[graft.etl.FanOut]]): the test
+    * corpus arrives as one unsplittable input split, which would serialize
+    * per-row scoring (the dominant work of every ANN plan) into a single
+    * task. */
   private def corpus(s: SparkSession, d: String): DataFrame =
-    emb(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
-      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("id"))
+    graft.etl.FanOut.fanOut(
+      emb(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"), col("label")),
+      col("id"))
 
   private val dotSelfSql = Ann.dotSql("embedding", "embedding")
 
@@ -88,7 +90,9 @@ object Similarity {
     //    bucketed by cell id this is a partition-pruned scan of 2/10 of
     //    the corpus. The oracle replays the same algorithm in SQL.
     Q("q40_ann_ivf_topk", {
-      val centTerms = (1 to Dim).map(i => s"avg(CAST(embedding[$i] AS DOUBLE))").mkString(", ")
+      // micro-rounded like Ann.centroids — raw avg() is summation-order-dependent
+      val centTerms = (1 to Dim).map(i =>
+        s"round(1e6 * avg(CAST(embedding[$i] AS DOUBLE))) / 1e6").mkString(", ")
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
          |           FROM embeddings WHERE vec_id < 5),
          |cent AS (SELECT label AS cell, list_value($centTerms) AS cvec
@@ -125,24 +129,26 @@ object Similarity {
     //    tells you whether a signature width balances load before you
     //    shuffle 100 TB by bucket.
     // ── Embedding-cosine near-duplicate pairs at a fixed threshold — the
-    //    embedding flavor of the dedup family (exact block-nested
-    //    all-pairs; honest about its quadratic cost). This is the
-    //    small-scale ORACLE BASELINE; the scale path is q54 below, which
-    //    composes the hyperplane-LSH buckets with the exact verify so the
-    //    plan has no corpus×corpus product.
+    //    embedding flavor of the dedup family. This is the ORACLE BASELINE
+    //    for the LSH-bucketed scale path (q54 below): an exact all-pairs
+    //    scan over a SAMPLED slice (vec_id < 500, both sides and in the
+    //    oracle). The cap bounds the nested-loop's build side to ≤500 rows
+    //    (broadcast-sized) at ANY scale factor, so the inventory carries no
+    //    unbounded corpus×corpus product — the baseline's cost is a
+    //    constant, the way a recall-measurement harness samples at 100 TB.
     Q("q45_embedding_near_dup",
-      s"""WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |                  ${Ann.cosMicrosSql("a.embedding", "b.embedding")} AS cm
-         |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |             ${Ann.cosMicrosSql("a.embedding", "b.embedding")} AS cm
+         |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, cm / 1e6 AS cos
          |FROM p WHERE cm >= 400000 ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-      val e = emb(s, d)
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-        // parallelize the streamed side of the pair scan (pinned count —
-        // AQE would coalesce a bare repartition back to one partition)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt, col("vec_a"))
+      val e = emb(s, d).filter(col("vec_id") < 500)
+      // parallelize the streamed side of the pair scan (adaptive fan-out)
+      val a = graft.etl.FanOut.fanOut(
+        e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), col("vec_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      a.join(b, col("vec_a") < col("vec_b"))
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
           Ann.cosMicros(col("ea"), col("eb")).as("cm"))
         .filter(col("cm") >= 400000)
@@ -155,9 +161,12 @@ object Similarity {
     //    bands → bucketed equality self-join for candidates → exact-cosine
     //    verify. No BroadcastNestedLoopJoin anywhere in the plan — every
     //    join is a hash join on a band key or an id. Recall vs the exact
-    //    baseline is governed by the banding (~95% at cosine 0.9); the
-    //    oracle replays the identical banded algorithm (the q40 pattern),
-    //    so the compare is still bit-exact.
+    //    baseline is governed by the banding AND the threshold: ~95% for
+    //    pairs at cosine ~0.9, but only ~50% near this query's 0.4 cutoff
+    //    (each sign bit flips with p = θ/π ≈ 0.37 there) — the candidate
+    //    set is a recall trade, not exhaustive. The oracle replays the
+    //    identical banded algorithm (the q40 pattern), so the compare is
+    //    still bit-exact.
     Q("q54_embedding_near_dup_lsh", {
       val bits = (0 until Ann.LshBits).map { j =>
         s"(CASE WHEN ${Ann.dotSql("embedding", Ann.planeSql(Dim, j))} > 0 THEN ${1L << j} ELSE 0 END)"

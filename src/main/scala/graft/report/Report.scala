@@ -68,9 +68,14 @@ object Report {
     * report; the list-valued tables are separate tiny aggregates consumed
     * by [[run]]). Deterministic ties: best/worst break on
     * (revenue, name) exactly like q18. */
-  def metricsDF(spark: SparkSession, sfDir: String, date: LocalDate): DataFrame = {
-    val slice = daySlice(spark, sfDir, date)
+  def metricsDF(spark: SparkSession, sfDir: String, date: LocalDate): DataFrame =
+    metricsDFFrom(spark, sfDir, date, daySlice(spark, sfDir, date))
 
+  /** Same plan over a caller-supplied (typically cached) slice — the seam
+    * [[metrics]] uses so one scan of the lake feeds every aggregate of the
+    * report run. */
+  def metricsDFFrom(spark: SparkSession, sfDir: String, date: LocalDate,
+                    slice: DataFrame): DataFrame = {
     val tot = slice.agg(
       coalesce(sum(cents(rev)), lit(0L)).as("rc"),
       count(lit(1)).as("n_tx"))
@@ -126,10 +131,19 @@ object Report {
       .orderBy(col("rc").desc, col("name"))
 
   /** Run the full report job for one date: metrics + tables collected into
-    * the case class. */
+    * the case class. The day slice is cached, so the (already
+    * partition-pruned) lake is scanned ONCE per run — the scalar metrics,
+    * the per-truck table and the per-payment table all aggregate the
+    * in-memory slice (asserted by ReportSpec). */
   def metrics(spark: SparkSession, sfDir: String, date: LocalDate): ReportMetrics = {
-    val m = metricsDF(spark, sfDir, date).collect()(0)
-    val slice = daySlice(spark, sfDir, date)
+    val slice = daySlice(spark, sfDir, date).cache()
+    try metricsFrom(spark, sfDir, date, slice)
+    finally { val _ = slice.unpersist() }
+  }
+
+  private def metricsFrom(spark: SparkSession, sfDir: String, date: LocalDate,
+                          slice: DataFrame): ReportMetrics = {
+    val m = metricsDFFrom(spark, sfDir, date, slice).collect()(0)
     val trucks = perTruckDF(spark, sfDir, slice).collect().toSeq.map { r =>
       TruckRow(r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3))
     }

@@ -81,9 +81,11 @@ class AnnSpec extends AnyFunSuite {
   test("lshNearDupPairs ⊆ exact pairs, finds every same-bucket pair, no cartesian") {
     val threshold = 400000L
     val banded = Ann.lshNearDupPairs(corpus, 64, threshold)
-    assert(!banded.queryExecution.executedPlan.toString.contains("NestedLoop"),
-      "banded near-dup must not plan a nested-loop product")
     val got = banded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // assert on the plan AFTER execution: under AQE the pre-execution
+    // string is the initial plan, not the one that actually ran
+    assert(!banded.queryExecution.executedPlan.toString.contains("NestedLoop"),
+      "banded near-dup must not execute a nested-loop product")
 
     val a = corpus.select(col("id").as("vec_a"), col("vec").as("va"))
     val b = corpus.select(col("id").as("vec_b"), col("vec").as("vb"))

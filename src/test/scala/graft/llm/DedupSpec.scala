@@ -114,17 +114,21 @@ class DedupSpec extends AnyFunSuite {
     assert(transitive == Set(2L, 9L), "clustering keeps only the component minimum")
   }
 
-  test("nearDupPairsCkpt computes once per key and re-reads thereafter") {
+  test("nearDupPairsCkpt re-reads for the same corpus, recomputes when the content changes") {
     val d = docsOf(
       (1L, "one two three four five six seven eight nine ten eleven twelve"),
       (2L, "one two three four five six seven eight nine ten eleven twelve"))
     val key = s"dedup-ckpt-test-${System.identityHashCode(this)}"
     val first = Dedup.nearDupPairsCkpt(d, key, 0.5).collect()
-    // second call with an EMPTY corpus but the same key must serve the
-    // checkpointed relation, proving no recompute happens
-    val second = Dedup.nearDupPairsCkpt(d.filter(lit(false)), key, 0.5).collect()
+    // same corpus + same key ⇒ the checkpointed relation is served again
+    val again = Dedup.nearDupPairsCkpt(d, key, 0.5).collect()
     assert(first.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
-    assert(second.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(again.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // a DIFFERENT corpus under the same caller key must NOT serve stale
+    // pairs: the content fingerprint in the checkpoint identity forces a
+    // recompute (here: an empty corpus ⇒ empty pair relation)
+    val changed = Dedup.nearDupPairsCkpt(d.filter(lit(false)), key, 0.5).collect()
+    assert(changed.isEmpty, "regenerated corpus under the same key must recompute")
   }
 
   test("simhash: identical docs collide at hamming 0") {

@@ -42,6 +42,31 @@ class ReportSpec extends AnyFunSuite {
     assert(empty.startsWith("<!DOCTYPE html>"))
   }
 
+  test("the report run feeds every aggregate from ONE cached lake scan") {
+    val date = LocalDate.of(2000, 6, 15)
+    val slice = Report.daySlice(spark, TestSpark.Sf, date).cache()
+    try {
+      val dfs = Seq(
+        Report.metricsDFFrom(spark, TestSpark.Sf, date, slice),
+        Report.perTruckDF(spark, TestSpark.Sf, slice),
+        Report.perPaymentDF(spark, TestSpark.Sf, slice))
+      dfs.foreach(_.collect())
+      val lakeRoot = graft.etl.PartitionedLake.lakeRoot(TestSpark.Sf)
+      def occurrences(s: String, sub: String): Int =
+        s.sliding(sub.length).count(_ == sub)
+      // every slice consumer must read the in-memory relation: each lake
+      // FileScan in the executed plan sits INSIDE an InMemoryRelation
+      // (cached-plan) block — a direct re-scan would print a lake FileScan
+      // without a matching InMemoryRelation
+      dfs.map(_.queryExecution.executedPlan.toString).foreach { s =>
+        assert(s.contains("InMemoryTableScan"),
+          s"report aggregate must read the cached slice:\n$s")
+        assert(occurrences(s, lakeRoot) <= occurrences(s, "InMemoryRelation"),
+          s"report aggregate must not re-scan the lake outside the cache:\n$s")
+      }
+    } finally { val _ = slice.unpersist() }
+  }
+
   test("report sink writes the reference's key scheme") {
     val dir = java.nio.file.Files.createTempDirectory("graft-report").toString
     val date = LocalDate.of(2000, 6, 15)
