@@ -13,25 +13,45 @@ import graft.model.Tables
   * The reference re-executes the whole script per UI interaction with a
   * 1-hour cache TTL on the scans; here the session holds ONE cached
   * filtered DataFrame (`df.filter(...).cache()`) and each chart is a lazy
-  * aggregate over it — N charts cost one scan plus N tiny shuffles. At
-  * 100 TB the cache becomes a materialized daily extract; the chart
-  * queries are unchanged.
+  * aggregate over it — N charts cost one scan plus N tiny shuffles
+  * (asserted by DashboardSpec). At 100 TB the cache becomes a materialized
+  * daily extract; the chart queries are unchanged.
   *
   * Filters mirror the reference's sidebar exactly: inclusive date range
   * (P8), supplier IN-list, priority IN-list (P9) — ref dashboard.py:98-109.
+  *
+  * Every chart is oracle-backed (q55-q59): money rides as exact integer
+  * cents, ties are broken totally, and functionally-dependent attributes
+  * travel as GROUP BY keys — never `first()` (the A8 trap,
+  * ref dashboard.py:320-321 `'fsa_rating': 'first'`, which is
+  * row-order-dependent in a distributed engine).
   */
-final class Dashboard private (slice: DataFrame, dims: DataFrame) {
+final class Dashboard private (slice: DataFrame) {
 
   import Dashboard._
 
-  /** KPI row (ref :117-132): revenue, tx count, avg ticket, urgent share. */
-  def kpis: DataFrame =
-    slice.agg(
-      (sum(cents(rev)) / 100.0).as("total_revenue"),
+  /** KPI row (ref :117-132): revenue, tx count, avg ticket, avg daily
+    * revenue, card-share-of-transactions — all over the FILTERED slice.
+    * `avg_daily_revenue` is the two-level aggregate (mean of exact daily
+    * cent sums); `card_pct` is the reference's
+    * `(payment_method == 'card').sum() / len * 100` with '1-URGENT' as the
+    * card-like method. */
+  def kpis: DataFrame = {
+    val tot = slice.agg(
+      sum(cents(rev)).as("rc"),
       count(lit(1)).as("n_tx"),
-      (round(sum(cents(rev)) / count(lit(1))) / 100.0).as("avg_tx"),
-      (round(lit(10000.0) * avg(when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0))) / 100.0)
-        .as("urgent_pct"))
+      sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_card"))
+    val daily = slice
+      .groupBy(to_date(col("l_shipdate")).as("date"))
+      .agg(sum(cents(rev)).as("drc"))
+      .agg(sum("drc").as("rc_sum"), count(lit(1)).as("n_days"))
+    tot.crossJoin(daily).select(
+      (col("rc") / 100.0).as("total_revenue"),
+      col("n_tx"),
+      (round(col("rc") / col("n_tx")) / 100.0).as("avg_tx"),
+      (round(col("rc_sum") / col("n_days")) / 100.0).as("avg_daily_revenue"),
+      (round(lit(10000.0) * col("n_card") / col("n_tx")) / 100.0).as("card_pct"))
+  }
 
   /** Daily revenue trend (ref :143). */
   def dailyTrend: DataFrame =
@@ -54,18 +74,45 @@ final class Dashboard private (slice: DataFrame, dims: DataFrame) {
   def priorityCounts: DataFrame =
     slice.groupBy("o_orderpriority").count().orderBy("o_orderpriority")
 
-  /** Top-k revenue days (ref :296-300). */
+  /** Payment-method mix: grouped counts AND revenue per method — the pie
+    * (ref :257-258 `value_counts`) and the revenue bar (:267-268) from one
+    * pass over the slice. */
+  def paymentMix: DataFrame =
+    slice.groupBy(col("o_orderpriority").as("method"))
+      .agg(count(lit(1)).as("n_tx"), (sum(cents(rev)) / 100.0).as("revenue"))
+      .orderBy("method")
+
+  /** Per-truck performance table (ref :316-325): revenue sum/avg/count plus
+    * the truck's own attributes (`fsa_rating`/`has_card_reader` analogs —
+    * here `s_nationkey`/`s_acctbal`). The reference fetches those with
+    * pandas `first()`; distributed, that is non-deterministic, so the
+    * functionally-dependent columns ride as GROUP BY keys instead — zero
+    * extra shuffle width, deterministic output (the A8 trap, properly). */
+  def perTruckSummary: DataFrame =
+    slice.groupBy("s_name", "s_nationkey", "s_acctbal")
+      .agg(sum(cents(rev)).as("rc"), count(lit(1)).as("n_tx"))
+      .select(
+        col("s_name"), col("s_nationkey"), col("s_acctbal"),
+        (col("rc") / 100.0).as("revenue"),
+        (round(col("rc") / col("n_tx")) / 100.0).as("avg_tx"),
+        col("n_tx"))
+      .orderBy(col("revenue").desc, col("s_name"))
+
+  /** Top-k revenue days with their transaction counts (ref :296-300). */
   def topDays(k: Int): DataFrame =
     slice.groupBy(to_date(col("l_shipdate")).as("date"))
-      .agg(sum(cents(rev)).as("rc"))
+      .agg(sum(cents(rev)).as("rc"), count(lit(1)).as("n_tx"))
       .orderBy(col("rc").desc, col("date"))
       .limit(k)
-      .select(col("date"), (col("rc") / 100.0).as("revenue"))
+      .select(col("date"), (col("rc") / 100.0).as("revenue"), col("n_tx"))
 
   /** Raw explorer page (ref :342). */
   def rawHead(k: Int): DataFrame =
     slice.select("l_orderkey", "l_shipdate", "s_name", "o_orderpriority")
       .orderBy(col("l_shipdate").desc, col("l_orderkey")).limit(k)
+
+  /** The cached slice itself — for plan assertions in tests. */
+  private[report] def sliceDF: DataFrame = slice
 
   def close(): Unit = { val _ = slice.unpersist() }
 }
@@ -93,6 +140,6 @@ object Dashboard {
       to_date(col("l_shipdate")).between(lit(f.from.toString), lit(f.to.toString)))
     val withSup = f.suppliers.fold(dated)(xs => dated.filter(col("s_name").isin(xs: _*)))
     val full = f.priorities.fold(withSup)(xs => withSup.filter(col("o_orderpriority").isin(xs: _*)))
-    new Dashboard(full.cache(), Tables.supplier(spark, sfDir))
+    new Dashboard(full.cache())
   }
 }

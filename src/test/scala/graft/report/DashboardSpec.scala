@@ -38,6 +38,31 @@ class DashboardSpec extends AnyFunSuite {
     } finally d.close()
   }
 
+  test("ONE cached scan feeds every chart: no chart re-reads the lake files") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val d = Dashboard.open(spark, TestSpark.Sf, filters)
+    try {
+      d.sliceDF.count() // materialize the cache once
+      val charts = Seq(
+        "kpis" -> d.kpis, "dailyTrend" -> d.dailyTrend,
+        "dayOfMonthHistogram" -> d.dayOfMonthHistogram,
+        "revenueBySupplier" -> d.revenueBySupplier,
+        "paymentMix" -> d.paymentMix, "perTruckSummary" -> d.perTruckSummary,
+        "topDays" -> d.topDays(10), "rawHead" -> d.rawHead(10))
+      charts.foreach { case (name, df) =>
+        df.collect()
+        val plan = df.queryExecution.optimizedPlan
+        // the chart's logical plan reads ONLY the in-memory slice — a file
+        // relation at this level would mean a second scan of the sources
+        val fileRelations = plan.collect { case r: LogicalRelation => r }
+        val cached = plan.collect { case m: InMemoryRelation => m }
+        assert(fileRelations.isEmpty, s"$name re-scans source files: $fileRelations")
+        assert(cached.nonEmpty, s"$name does not read the cached slice")
+      }
+    } finally d.close()
+  }
+
   test("date-range filter bounds the slice inclusively") {
     val oneDay = Dashboard.Filters(LocalDate.of(2000, 6, 15), LocalDate.of(2000, 6, 15))
     val d = Dashboard.open(spark, TestSpark.Sf, oneDay)
