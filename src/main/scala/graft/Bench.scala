@@ -29,18 +29,39 @@ object Bench {
         .groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => () }
 
+    // Per-query time = MIN over `runs` repeats: single runs swing up to
+    // ~2× on JIT compiler-queue state (a query's generated code may or may
+    // not be compiled in time, nondeterministically — observed as
+    // "regressions" that vanish on re-run), and min-of-N is the standard
+    // way to report the code's actual cost rather than the JIT's mood.
+    // EXCEPTION: queries that build JVM-memoized shared state on first run
+    // (the dedup pair checkpoint, the dashboard session, the incremental
+    // lake) run ONCE — their repeat would measure the warm amortized path
+    // and silently drop the one-time pipeline cost from the total.
+    val oneShot = Set(
+      "q35_near_dup_pairs",       // builds the MinHash-LSH pair checkpoint
+      "q55_dash_kpis",            // opens + caches the dashboard slice
+      "q60_incremental_roundtrip" // runs the two incremental batches
+    )
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // drop this query's persisted intermediates (LSH signatures etc.) —
-      // they are per-query, and letting them accumulate across the whole
-      // inventory starves later queries' execution memory. Outside the
-      // timed window: cache teardown is bench bookkeeping, not query time.
-      spark.catalog.clearCache()
-      (name, sec, err)
+      val n = if (oneShot(name)) 1 else runs
+      var best = Double.MaxValue
+      var err: Option[String] = None
+      var i = 0
+      while (i < n && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => err = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        // drop this query's persisted intermediates (LSH signatures etc.) —
+        // they are per-query, and letting them accumulate across the whole
+        // inventory starves later queries' execution memory. Outside the
+        // timed window: cache teardown is bench bookkeeping, not query time.
+        spark.catalog.clearCache()
+        i += 1
+      }
+      (name, best, err)
     }
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }

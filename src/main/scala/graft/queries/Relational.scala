@@ -606,6 +606,32 @@ object Relational {
         .groupBy("band")
         .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("revenue"))
         .orderBy("band")
+    },
+
+    // ── The STATIC-band twin of q49: when the interval dimension is known
+    //    at plan time, a CASE projection replaces the non-equi join
+    //    entirely — zero join, zero broadcast, the banding folds into the
+    //    scan's WholeStageCodegen span. Same result as q49; keep the join
+    //    form for *dynamic* interval dims, use this when bands are literals
+    //    (the common case for price/size tiering at 100 TB).
+    Q("q61_price_bands_static",
+      s"""SELECT CASE WHEN o_totalprice < 10000  THEN 't1_low'
+         |            WHEN o_totalprice < 25000  THEN 't2_mid'
+         |            WHEN o_totalprice < 50000  THEN 't3_high'
+         |            WHEN o_totalprice < 100000 THEN 't4_premium'
+         |            ELSE 't5_top' END AS band,
+         |       count(*) AS n, ${moneySumSql("o_totalprice")} AS revenue
+         |FROM orders GROUP BY 1 ORDER BY band""".stripMargin) { (s, d) =>
+      ord(s, d)
+        .withColumn("band",
+          when(col("o_totalprice") < 10000, "t1_low")
+            .when(col("o_totalprice") < 25000, "t2_mid")
+            .when(col("o_totalprice") < 50000, "t3_high")
+            .when(col("o_totalprice") < 100000, "t4_premium")
+            .otherwise("t5_top"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("band")
     }
   )
 
