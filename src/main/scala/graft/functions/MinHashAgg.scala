@@ -118,12 +118,13 @@ object MinHashAgg {
   def apply(child: Expression): MinHashAgg =
     MinHashAgg(child, NumHashes, A, B, MersennePrime)
 
-  /** Register `minhash_sig` in a session's function registry (the
-    * analyzer wraps the returned AggregateFunction itself). */
+  /** Compatibility fallback — no-op when GraftExtensions already injected
+    * the function (see VecDot.register for the rationale). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("minhash_sig", es => apply(es.head), "built-in")
+    if (!spark.catalog.functionExists("minhash_sig"))
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+        .createOrReplaceTempFunction("minhash_sig", es => apply(es.head), "built-in")
 
   /** Column-API face; sessions built by graft.Sessions get the function
     * via GraftExtensions, others must call [[register]] first. */

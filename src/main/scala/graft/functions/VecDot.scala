@@ -81,12 +81,19 @@ object VecDot {
     * Registry-based registration keeps the public `Column` API untouched —
     * Spark 4 no longer exposes Expression→Column construction outside
     * `org.apache.spark.sql`. */
+  /** Compatibility fallback for sessions built WITHOUT
+    * `spark.sql.extensions=graft.GraftExtensions` (the supported injection
+    * path, used by graft.Sessions). No-ops when the function is already
+    * injected, so the `classic.SparkSession` cast — a private-ish API
+    * surface that may move across Spark minor versions — is never touched
+    * in a properly configured session. */
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[ClassicSession].sessionState.functionRegistry
-      .createOrReplaceTempFunction(
-        "vec_dot", es => VecDot(es.head, es(1)), "built-in")
+    if (!spark.catalog.functionExists("vec_dot"))
+      spark.asInstanceOf[ClassicSession].sessionState.functionRegistry
+        .createOrReplaceTempFunction(
+          "vec_dot", es => VecDot(es.head, es(1)), "built-in")
 
-  /** Column-API face of the expression. Call [[register]] on the session
-    * first (the query builders in graft.queries do). */
+  /** Column-API face of the expression. Sessions built by graft.Sessions
+    * have the function via GraftExtensions; others call [[register]]. */
   def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 }

@@ -104,6 +104,20 @@ object DashboardQueries {
       dash(s, d).dailyTrend
     },
 
+    // ── Payment preference by truck (dashboard.py:268-281): the
+    //    truck × method count matrix via PIVOT with pinned values — the
+    //    oracle's conditional-SUM columns are the relational spelling of
+    //    the same plan (one hash aggregate, no second shuffle).
+    Q("q62_dash_truck_payment_pivot",
+      s"""WITH $sliceCte
+         |SELECT s_name,
+         |       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_1_urgent,
+         |       CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 ELSE 0 END) AS BIGINT) AS n_2_high,
+         |       CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_3_medium
+         |FROM slice GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      dash(s, d).truckPaymentMatrix(Priorities)
+    },
+
     // ── Top-10 revenue days with tx counts (dashboard.py:296-300);
     //    ties broken by date so the LIMIT edge is total-ordered.
     Q("q59_dash_top_days",

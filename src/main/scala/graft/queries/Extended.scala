@@ -60,6 +60,21 @@ object Extended {
         .orderBy("l_returnflag")
     },
 
+    // ── Skew-safe two-phase COUNT(DISTINCT) — graft.etl.Skew's salted
+    //    plan (salt = hash(value) mod buckets ⇒ per-bucket distinct sets
+    //    are disjoint and their counts sum exactly) verified against the
+    //    oracle's plain COUNT(DISTINCT). This is the plan you swap in when
+    //    one group holds a disproportionate share of a 100 TB fact table
+    //    and its distinct state would otherwise sit in one reducer.
+    Q("q64_skew_salted_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.etl.Skew.saltedDistinctCount(
+          li(s, d), keys = Seq("l_returnflag"), value = "l_orderkey",
+          buckets = 8, out = "n_orders")
+        .orderBy("l_returnflag")
+    },
+
     // ── Second-moment statistics: correlation and sample stddev, rounded
     //    to 1e-6 (the accumulators are FP and order-sensitive at ~1e-14;
     //    six decimals is far inside the stable digits). Single hash-agg

@@ -82,6 +82,21 @@ final class Dashboard private (slice: DataFrame) {
       .agg(count(lit(1)).as("n_tx"), (sum(cents(rev)) / 100.0).as("revenue"))
       .orderBy("method")
 
+  /** Payment preference by truck (ref :268-281 grouped bar): the
+    * truck × payment count matrix as a PIVOT — one hash aggregate on
+    * s_name with the method columns folded map-side (values pinned, so no
+    * extra distinct-scan to discover them; at 100 TB always pass the value
+    * list). Absent combinations surface as 0, like the chart's empty bars. */
+  def truckPaymentMatrix(methods: Seq[String]): DataFrame = {
+    val wide = slice.groupBy("s_name")
+      .pivot("o_orderpriority", methods)
+      .agg(count(lit(1)))
+    methods.foldLeft(wide) { (df, m) =>
+      val clean = "n_" + m.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      df.withColumn(clean, coalesce(col(s"`$m`"), lit(0L))).drop(m)
+    }.orderBy("s_name")
+  }
+
   /** Per-truck performance table (ref :316-325): revenue sum/avg/count plus
     * the truck's own attributes (`fsa_rating`/`has_card_reader` analogs —
     * here `s_nationkey`/`s_acctbal`). The reference fetches those with

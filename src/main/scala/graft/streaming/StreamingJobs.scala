@@ -44,6 +44,21 @@ object StreamingJobs {
         (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
       .select(col("window.start").as("window_start"), col("n"), col("total_value"))
 
+  /** Watermark-free twin of [[hourlyWindows]] for COMPLETE-mode
+    * verification runs: complete mode retains all window state and emits
+    * every window at each trigger, so a drained AvailableNow run produces
+    * exactly the batch result — which is what lets the DuckDB oracle check
+    * the streaming plan bit-for-bit (q63). Production streams use the
+    * watermarked append variant above; this one trades bounded state for
+    * verifiability. */
+  def hourlyWindowsComplete(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+      .select(col("window.start").as("window_start"), col("n"), col("total_value"))
+
   // ── Stateful sessionization ─────────────────────────────────────────
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)

@@ -49,6 +49,7 @@ class DashboardSpec extends AnyFunSuite {
         "dayOfMonthHistogram" -> d.dayOfMonthHistogram,
         "revenueBySupplier" -> d.revenueBySupplier,
         "paymentMix" -> d.paymentMix, "perTruckSummary" -> d.perTruckSummary,
+        "truckPaymentMatrix" -> d.truckPaymentMatrix(Seq("1-URGENT", "2-HIGH")),
         "topDays" -> d.topDays(10), "rawHead" -> d.rawHead(10))
       charts.foreach { case (name, df) =>
         df.collect()
