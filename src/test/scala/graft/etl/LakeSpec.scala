@@ -77,6 +77,22 @@ class LakeSpec extends AnyFunSuite {
     assert(fileCount <= filesBefore, "compaction must not increase file count")
   }
 
+  test("compaction recovers from a crashed predecessor's leftover __old copy") {
+    val root = freshDir() + "/lake"
+    PartitionedLake.append(events.filter(col("month") === 1), root)
+    val rows = PartitionedLake.read(spark, root).count()
+    // simulate a prior compact that crashed between its two renames:
+    // a stale __old tree is still on disk
+    val old = java.nio.file.Paths.get(root + "__old")
+    java.nio.file.Files.createDirectories(old)
+    java.nio.file.Files.writeString(old.resolve("stale.txt"), "leftover")
+    PartitionedLake.compact(spark, root)
+    assert(PartitionedLake.read(spark, root).count() == rows)
+    assert(java.nio.file.Files.notExists(old), "stale __old must be cleared")
+    assert(java.nio.file.Files.notExists(java.nio.file.Paths.get(root + "__compacting")),
+      "no __compacting tree may remain after a successful swap")
+  }
+
   test("vec_dot is injected session-wide via GraftExtensions") {
     val r = spark.sql("SELECT vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
       "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d").collect()(0).getDouble(0)

@@ -41,6 +41,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     ))
   }
 
+  test("all asof_* values come from the SAME right row even when a value column is null") {
+    // The matched right row (11:00) has note = null. A per-column
+    // last(ignoreNulls) would tear: event id from 11:00 but note from
+    // 09:00. The struct-packed window must carry the 11:00 row whole —
+    // id 13, note NULL.
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), 101L))
+      .toDF("user_id", "ts", "click_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 12L, Option("early-note")),
+      (1L, ts("2024-01-01 11:00:00"), 13L, Option.empty[String]))
+      .toDF("user_id", "ts", "rid", "note")
+
+    val row = AsOfJoin.asof(left, right, "user_id", "ts", "click_id", Seq("rid", "note"))
+      .select("asof_rid", "asof_note").collect()(0)
+    assert(row.getLong(0) == 13L, "must match the latest right row")
+    assert(row.isNullAt(1), "note must be the MATCHED row's null, not an older row's value")
+  }
+
   test("dedupRight keeps the smallest order column per (key, ts)") {
     val right = Seq(
       (1L, ts("2024-01-01 09:00:00"), 5L),
