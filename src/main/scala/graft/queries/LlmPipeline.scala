@@ -241,6 +241,38 @@ object LlmPipeline {
           countDistinct("checksum").as("n_distinct"),
           (round(lit(100.0) * sum("feat") / count(lit(1))) / 100.0).as("avg_feat"))
         .orderBy("source")
+    },
+
+    // ── Eval-set decontamination: find every corpus document sharing ≥1
+    //    word-3-gram with a benchmark/eval slice (doc_id < 20) — the
+    //    "did my training data leak the test set" sweep every pre-training
+    //    pipeline runs. Plan: explode distinct hashed shingles on both
+    //    sides, hash-join on the shingle hash, aggregate per corpus doc —
+    //    one shuffle on an 8-byte key, NO doc×doc comparison, so it runs
+    //    at any eval-set × corpus scale. The oracle joins on the STRING
+    //    3-grams (xxhash64 is Spark-only); doc-id results agree unless a
+    //    64-bit hash collision occurs (~1e-9 here, same argument as q35).
+    Q("q65_decontamination",
+      s"""WITH t AS ($toksCte),
+         |sh AS ($shinglesCte),
+         |e AS (SELECT doc_id AS eval_doc, unnest(s) AS g FROM sh WHERE doc_id < 20),
+         |c AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 20)
+         |SELECT c.doc_id,
+         |       count(DISTINCT e.eval_doc) AS n_eval_docs,
+         |       count(DISTINCT c.g) AS n_shared
+         |FROM c JOIN e ON c.g = e.g
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val sh = Dedup.shingleSets(docs(s, d))
+        .select(col("doc_id"), explode(col("shingles")).as("g"))
+      val eval = sh.filter(col("doc_id") < 20)
+        .select(col("g"), col("doc_id").as("eval_doc"))
+      sh.filter(col("doc_id") >= 20)
+        .join(eval, "g")
+        .groupBy("doc_id")
+        .agg(
+          countDistinct("eval_doc").as("n_eval_docs"),
+          countDistinct("g").as("n_shared"))
+        .orderBy("doc_id")
     }
   )
 }
