@@ -92,6 +92,24 @@ object PartitionedLake {
     spark.sql(s"MSCK REPAIR TABLE $name")
   }
 
+  /** Bucketed external table — the co-located join path. Two facts
+    * bucketed (and sorted) on their join key with the same bucket count
+    * join WITHOUT shuffling either side: each task merge-joins bucket i of
+    * the left with bucket i of the right (asserted shuffle-free by
+    * BucketedJoinSpec). At 100 TB this is THE lever for repeated
+    * fact-to-fact joins — the shuffle is paid once at write time, then
+    * every join of the two lakes is exchange-free. Bucketing requires the
+    * catalog (`saveAsTable`); `path` keeps the data external. */
+  def writeBucketed(spark: SparkSession, df: DataFrame, table: String,
+                    path: String, buckets: Int, keyCol: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .saveAsTable(table)
+  }
+
   // ── Derived test lake ─────────────────────────────────────────────────
 
   /** Root directory for lakes derived from a given source sf dir. */
