@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Inventory-wide plan guard: no query may introduce an unbounded
+  * cartesian. A BroadcastNestedLoopJoin is allowed only where the build
+  * side is a documented constant-size relation; everything else must plan
+  * hash/sort-merge joins. This is the automated version of the per-round
+  * PlanAudit sweep — a new query with a scale-killing product fails CI
+  * instead of surfacing in review.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Queries whose plan legitimately carries a BroadcastNestedLoopJoin —
+    * each with a constant-size build side. */
+  private val allowedNestedLoop = Map(
+    "q39_ann_brute_topk"     -> "5-row query batch (exact-scan baseline)",
+    "q40_ann_ivf_topk"       -> "query batch × centroid table (tiny × tiny)",
+    "q44_report_metrics"     -> "cross join of single-row aggregates",
+    "q45_embedding_near_dup" -> "sampled baseline capped at 500 rows",
+    "q49_range_join_price_bands" -> "5-row literal interval dimension",
+    "q55_dash_kpis"          -> "cross join of single-row aggregates")
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name plans no unexpected nested-loop or cartesian join") {
+      val plan = fn(spark, TestSpark.Sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
+      if (!allowedNestedLoop.contains(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin with no documented bound:\n$plan")
+    }
+  }
+}
