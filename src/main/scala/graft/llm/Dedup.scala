@@ -125,26 +125,43 @@ object Dedup {
           / size(array_union(col("sa"), col("sb")))) / 1e6)
       .select("doc_a", "doc_b", "jaccard")
 
+  /** (doc_id, shingles) hashed once, shared by the signature AND set
+    * branches of the near-dup pipeline: [[minhashSignatures]] and
+    * [[shingleSets]] each rerun the fan-out + shingle-hash map pass (the
+    * pipeline's dominant per-row work) when called separately; deriving
+    * both from one cached relation halves it. Caller owns the unpersist. */
+  private def hashedShingles(docs: DataFrame, shingleN: Int): DataFrame = {
+    require(shingleN == 3, "shingle_hashes is registered for n=3")
+    fanOut(docs)
+      .select(col("doc_id"), graft.functions.ShingleHashes.of(col("text")).as("shingles"))
+  }
+
+  private def sigsFrom(hashed: DataFrame): DataFrame =
+    hashed.select(col("doc_id"), explode(col("shingles")).as("h"))
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.sig(col("h")).as("sig"))
+
+  private def setsFrom(hashed: DataFrame): DataFrame =
+    hashed.filter(size(col("shingles")) > 0)
+
   /** The full near-dup pipeline: MinHash → LSH buckets → exact-Jaccard
     * verify at `threshold`. Output is engine-independent (candidates are
     * a superset of the ≥threshold pairs at these params; the verify filter
     * makes the result exact).
     *
-    * Signatures and shingle sets are persisted AND materialized eagerly:
-    * the band self-join reads the signature relation twice and the verify
-    * join twice more, several of them from racing broadcast-build threads
-    * — planning against an unmaterialized cache is a race that
-    * occasionally re-derives the whole signature pipeline serially inside
-    * a broadcast job (observed as nondeterministic 10× swings). Counting
-    * once up front materializes both in clean fanned-out jobs; every
-    * downstream plan then reads the in-memory relation. At 100 TB this is
-    * the stage a production pipeline checkpoints to the lake. */
+    * The hashed-shingle relation is persisted AND materialized eagerly:
+    * the downstream joins read it from several racing broadcast-build
+    * threads, and planning against an unmaterialized cache is a race that
+    * occasionally re-derives the whole pipeline serially inside a
+    * broadcast job (observed as nondeterministic 10× swings). The band
+    * self-join's duplicate read of the signature aggregate is handled by
+    * Spark's ReusedExchange (identical subplans inside one query reuse
+    * one shuffle). At 100 TB this is the stage a production pipeline
+    * checkpoints to the lake. */
   def nearDupPairs(docs: DataFrame, threshold: Double, shingleN: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(docs, shingleN).persist()
-    val sets = shingleSets(docs, shingleN).persist()
-    sigs.count()
-    sets.count()
-    verifiedJaccard(candidatePairs(sigs), sets)
+    val hashed = hashedShingles(docs, shingleN).persist()
+    hashed.count()
+    verifiedJaccard(candidatePairs(sigsFrom(hashed)), setsFrom(hashed))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -213,15 +230,13 @@ object Dedup {
     val dir = lock.synchronized {
       Option(ckptPaths.get(key)).getOrElse {
         val d = ckptRoot.resolve(s"pairs_${ckptSeq.getAndIncrement()}").toString
-        val sigs = minhashSignatures(docs, shingleN).persist()
-        val sets = shingleSets(docs, shingleN).persist()
-        sigs.count()
-        sets.count()
+        val hashed = hashedShingles(docs, shingleN).persist()
+        hashed.count()
         try
-          verifiedJaccard(candidatePairs(sigs), sets)
+          verifiedJaccard(candidatePairs(sigsFrom(hashed)), setsFrom(hashed))
             .filter(col("jaccard") >= threshold)
             .write.mode("overwrite").parquet(d)
-        finally { sigs.unpersist(); sets.unpersist() }
+        finally { val _ = hashed.unpersist() }
         ckptPaths.put(key, d)
         d
       }
