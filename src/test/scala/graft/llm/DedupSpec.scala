@@ -92,6 +92,31 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("large-star/small-star CC equals label propagation on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 6 + rnd.nextInt(12)
+      val nEdges = 1 + rnd.nextInt(2 * n)
+      val pairs = Seq.fill(nEdges) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("doc_a", "doc_b")
+        val simple = Dedup.connectedComponents(df).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val logn = Dedup.connectedComponentsLogN(df).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(logn == simple, s"trial $trial (n=$n, edges=$pairs) diverged")
+      }
+    }
+    // the adversarial case for propagation: one long chain (diameter = n)
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponentsLogN(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 10L).map(_ -> 0L).toMap)
+  }
+
   test("nearDedupCC collapses transitive clusters the pairwise policy keeps") {
     // star: 2≈5 and 3≈5, but 2 and 3 share nothing — the pairwise
     // keep-lowest-id policy keeps BOTH 2 and 3 (neither is a doc_b);
