@@ -16,6 +16,19 @@ object Extended {
   private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
   private def li(s: SparkSession, d: String): DataFrame = Tables.lineitem(s, d)
 
+  /** One CSV stage hop per (session, sf dir) for q66 — events written
+    * through graft.etl.Csv and read back with the explicit schema, the
+    * reference's between-stage hand-off (S3/S4). */
+  private val csvStage =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def csvEventsDir(s: SparkSession, d: String): String =
+    csvStage.getOrElseUpdate((s, d), {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv-stage").toString
+      graft.etl.Csv.write(
+        ev(s, d).select("event_id", "ts", "user_id", "event_type", "value"), tmp)
+      tmp
+    })
+
   val defs: Vector[Q] = Vector(
 
     // ── JSON column extraction: events.props is a JSON string; parse it
@@ -58,6 +71,26 @@ object Extended {
           (round(percentile(cents, lit(0.50))) / 100.0).as("p50"),
           (round(percentile(cents, lit(0.75))) / 100.0).as("p75"))
         .orderBy("l_returnflag")
+    },
+
+    // ── CSV stage hand-off round-trip (S3/S4): events → distributed CSV
+    //    write (microsecond timestampFormat) → explicit-schema read →
+    //    aggregate. The oracle computes the same aggregate from the
+    //    ORIGINAL parquet, so any loss on the hop — truncated timestamps,
+    //    double-formatting drift, header/quoting damage — hash-mismatches.
+    Q("q66_csv_stage_roundtrip",
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
+        |       max(ts) AS max_ts
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.etl.Csv.read(s, csvEventsDir(s, d), graft.streaming.StreamingJobs.eventsSchema)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"),
+          max("ts").as("max_ts"))
+        .orderBy("event_type")
     },
 
     // ── Skew-safe two-phase COUNT(DISTINCT) — graft.etl.Skew's salted
