@@ -86,4 +86,66 @@ object Multimodal {
         it.grouped(DecodeBatch).flatMap(b => DecodeStub.decodeBatch(b.toSeq))
       }
   }
+
+  // ── Frame sampling (1→N) ────────────────────────────────────────────
+
+  /** One sampled frame of a payload; `frame_idx` is the frame's index in
+    * the ORIGINAL frame sequence (0, every, 2·every, …), so downstream
+    * reassembly can order frames without carrying offsets. */
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: split each payload into `frameBytes`-sized frames
+    * (last one may be short) and keep every `every`-th — the video
+    * keyframe / audio-window sampling shape. This is the 1→N flavor of
+    * the decode seam: each record explodes into frame rows that never
+    * shuffle (mapPartitions; a real codec would decode frame boundaries
+    * here instead of fixed-size chunks). Oracle-backed by q67, which
+    * reassembles the sample and checksums it against an independent
+    * recomputation. */
+  def frameSample(media: DataFrame, frameBytes: Int, every: Int)
+                 (implicit spark: SparkSession): Dataset[MediaFrame] = {
+    import spark.implicits._
+    require(frameBytes > 0 && every > 0)
+    media.select("doc_id", "source", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+          Iterator.range(0, nFrames).filter(_ % every == 0).map { k =>
+            val from = k * frameBytes
+            val until = math.min(from + frameBytes, r.payload.length)
+            MediaFrame(r.doc_id, k, java.util.Arrays.copyOfRange(r.payload, from, until))
+          }
+        }
+      }
+  }
+
+  // ── Resize (1→1, bytes→smaller bytes) ───────────────────────────────
+
+  /** Deterministic resize stub: stride-sample the payload down to at most
+    * `targetBytes` (stands in for an image resize — same 1→1
+    * bytes→smaller-bytes contract, map-side, payload never shuffles).
+    * Replace the byte stride with a real scaler at this seam. */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    require(targetBytes > 0)
+    if (payload.length <= targetBytes) payload
+    else {
+      val out = new Array[Byte](targetBytes)
+      var i = 0
+      while (i < targetBytes) {
+        out(i) = payload(((i.toLong * payload.length) / targetBytes).toInt)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Resize stage over a media frame: payload column replaced by its
+    * resized version, metadata preserved — chainable before
+    * [[decodeFeatures]] exactly like a real image pipeline. */
+  def resized(media: DataFrame, targetBytes: Int)
+             (implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.select("doc_id", "source", "payload").as[MediaRecord]
+      .mapPartitions(_.map(r => r.copy(payload = resizeStub(r.payload, targetBytes))))
+  }
 }

@@ -243,6 +243,43 @@ object LlmPipeline {
         .orderBy("source")
     },
 
+    // ── Frame sampling (multimodal 1→N seam): every 3rd 64-byte frame of
+    //    each payload, then per-doc reassembly + checksum of the sampled
+    //    byte subsequence. The oracle regenerates frames with
+    //    range/substring and string_agg — so the frame boundaries, the
+    //    sampling stride, the short-tail frame, AND the reassembly order
+    //    are all independently verified. (Payload bytes are pure ASCII in
+    //    this corpus, so character substr == byte slicing in the oracle.)
+    Q("q67_multimodal_frame_sample",
+      """WITH fr AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS idx,
+        |         text
+        |  FROM documents),
+        |sampled AS (
+        |  SELECT doc_id, idx, substring(text, CAST(1 + idx*64 AS BIGINT), 64) AS f
+        |  FROM fr WHERE idx % 3 = 0)
+        |SELECT doc_id, count(*) AS n_frames,
+        |       CAST(sum(length(f)) AS BIGINT) AS sample_bytes,
+        |       md5(string_agg(f, '' ORDER BY idx)) AS sample_md5
+        |FROM sampled GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      implicit val sp: SparkSession = s
+      graft.llm.Multimodal.frameSample(
+          graft.llm.Multimodal.asMedia(fanned(s, d)), frameBytes = 64, every = 3)
+        .toDF()
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_frames"),
+          sum(octet_length(col("frame"))).cast("long").as("sample_bytes"),
+          md5(aggregate(
+            transform(
+              array_sort(collect_list(struct(col("frame_idx"), col("frame")))),
+              _.getField("frame")),
+            lit(Array.emptyByteArray),
+            (acc, f) => concat(acc, f))).as("sample_md5"))
+        .orderBy("doc_id")
+    },
+
     // ── Eval-set decontamination: find every corpus document sharing ≥1
     //    word-3-gram with a benchmark/eval slice (doc_id < 20) — the
     //    "did my training data leak the test set" sweep every pre-training

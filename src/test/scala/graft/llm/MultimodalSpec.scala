@@ -37,6 +37,28 @@ class MultimodalSpec extends AnyFunSuite {
       out2.map(f => (f.doc_id, f.checksum, f.features.toSeq)).toSeq)
   }
 
+  test("frameSample reassembles to the exact sampled byte subsequence") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val payload = (0 until 300).map(i => (i % 251).toByte).toArray
+    val media = Seq((1L, "s", payload)).toDF("doc_id", "source", "payload")
+    val frames = Multimodal.frameSample(media, frameBytes = 64, every = 3)
+      .collect().sortBy(_.frame_idx)
+    // 300 bytes -> frames 0..4 (last is 44 bytes); sampled: 0 and 3
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 3))
+    assert(frames(0).frame.toSeq == payload.slice(0, 64).toSeq)
+    assert(frames(1).frame.toSeq == payload.slice(192, 256).toSeq)
+  }
+
+  test("resizeStub caps length, keeps first byte, and is a no-op when small") {
+    val big = (0 until 1000).map(_.toByte).toArray
+    val out = Multimodal.resizeStub(big, 100)
+    assert(out.length == 100)
+    assert(out(0) == big(0))
+    val small = Array[Byte](1, 2, 3)
+    assert(Multimodal.resizeStub(small, 100).toSeq == small.toSeq)
+  }
+
   test("decode stub batches respect the batch-size contract") {
     val records = (1L to 150L).map(i =>
       Multimodal.MediaRecord(i, "s", s"payload-$i".getBytes))
