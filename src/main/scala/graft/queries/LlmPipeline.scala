@@ -280,6 +280,44 @@ object LlmPipeline {
         .orderBy("doc_id")
     },
 
+    // ── Deterministic train/val/test split: assign each document to a
+    //    split by a stable content-independent hash bucket
+    //    (md5(doc_id) % 100 → 80/10/10). THE reproducibility primitive of
+    //    a training pipeline: the same doc lands in the same split on any
+    //    cluster, any partitioning, any rerun — unlike randomSplit, whose
+    //    assignment depends on partitioning. Map-side + one small agg
+    //    shuffle; md5 is the one hash both engines share bit-for-bit.
+    Q("q68_deterministic_split",
+      """WITH b AS (
+        |  SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+        |  FROM documents),
+        |s AS (SELECT CASE WHEN bucket < 80 THEN 'train'
+        |                  WHEN bucket < 90 THEN 'val'
+        |                  ELSE 'test' END AS split,
+        |             n_chars, lang, doc_id
+        |      FROM b)
+        |SELECT split, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       count(DISTINCT lang) AS n_langs,
+        |       CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"),
+          countDistinct("lang").as("n_langs"),
+          min("doc_id").cast("long").as("first_doc"))
+        .orderBy("split")
+    },
+
     // ── Eval-set decontamination: find every corpus document sharing ≥1
     //    word-3-gram with a benchmark/eval slice (doc_id < 20) — the
     //    "did my training data leak the test set" sweep every pre-training
