@@ -191,6 +191,41 @@ object Similarity {
         .orderBy("vec_a", "vec_b")
     },
 
+    // ── Int8 scalar quantization: each vector scaled by its max-abs
+    //    component and rounded to [-127, 127] — the 4× storage compression
+    //    step of a 100 TB embedding lake (quantize at ingest, rerank the
+    //    top-k with full-precision vectors). Map-side only; the aggregate
+    //    rides exact integers, and both engines run the identical
+    //    double-divide → ×127 → half-away-from-zero round per component,
+    //    so the compare is bit-exact.
+    Q("q69_embedding_quantize",
+      """WITH s AS (SELECT vec_id, label, embedding,
+        |                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        |           FROM embeddings),
+        |q AS (SELECT label,
+        |             list_transform(embedding,
+        |                            x -> CAST(round(CAST(x AS DOUBLE) / m * 127) AS BIGINT)) AS qv
+        |      FROM s WHERE m > 0)
+        |SELECT label, count(*) AS n_vecs,
+        |       CAST(sum(list_sum(qv)) AS BIGINT) AS sum_q,
+        |       CAST(min(list_min(qv)) AS BIGINT) AS min_q,
+        |       CAST(max(list_max(qv)) AS BIGINT) AS max_q
+        |FROM q GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      val m = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+      emb(s, d)
+        .withColumn("m", m)
+        .filter(col("m") > 0)
+        .withColumn("qv", transform(col("embedding"),
+          x => round(x.cast("double") / col("m") * 127).cast("long")))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(aggregate(col("qv"), lit(0L), (acc, v) => acc + v)).cast("long").as("sum_q"),
+          min(array_min(col("qv"))).cast("long").as("min_q"),
+          max(array_max(col("qv"))).cast("long").as("max_q"))
+        .orderBy("label")
+    },
+
     Q("q41_lsh_bucket_histogram", {
       val bits = (0 until Ann.LshBits).map { j =>
         s"(CASE WHEN ${Ann.dotSql("embedding", Ann.planeSql(Dim, j))} > 0 THEN ${1L << j} ELSE 0 END)"
