@@ -23,7 +23,7 @@ object Extended {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def csvEventsDir(s: SparkSession, d: String): String =
     csvStage.getOrElseUpdate((s, d), {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-csv-stage").toString
+      val tmp = graft.etl.Scratch.tempDir("graft-csv-stage").toString
       graft.etl.Csv.write(
         ev(s, d).select("event_id", "ts", "user_id", "event_type", "value"), tmp)
       tmp

@@ -40,7 +40,7 @@ object IncrementalQueries {
 
   private def roundTripLake(s: SparkSession, d: String): String =
     lakes.getOrElseUpdate((s, d), {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-incr-rt").toString
+      val tmp = graft.etl.Scratch.tempDir("graft-incr-rt").toString
       val lake = s"$tmp/lake"
       val inc = Incremental(tmp)
       val ev = Tables.events(s, d)

@@ -26,7 +26,7 @@ object StreamingQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def stagedEventsDir(s: SparkSession, d: String): String =
     staged.getOrElseUpdate((s, d), {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-events").toString
+      val tmp = graft.etl.Scratch.tempDir("graft-stream-events").toString
       Tables.events(s, d)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .write.mode("overwrite").parquet(tmp)
