@@ -18,7 +18,11 @@ import org.apache.spark.sql.SparkSession
   *     (~128 MB per shuffle partition), not hardcoded.
   */
 object Sessions {
-  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+  /** Default parallelism = every core the machine has (the driver's bench
+    * box is local[32]); `SPARK_GRAFT_CPUS` pins it lower for tests that
+    * want small deterministic partition counts. */
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -34,9 +34,18 @@ object PartitionedLake {
 
   /** Incremental append of one batch (U2/S6). Caller is responsible for
     * watermark discipline (graft.incremental) — append is only exactly-once
-    * under the watermark policy, same as the reference. */
+    * under the watermark policy, same as the reference.
+    *
+    * Writers are aligned to partition directories (`repartition` on the
+    * partition columns) so each batch adds ONE file per touched day, not
+    * one per (task × day): an unaligned 32-task append over a 30-day batch
+    * sprays ~1000 small files, and at 100 TB cadence that kills scan
+    * throughput on open() calls (what [[compact]] exists to repair —
+    * better to not make the mess). A day too large for one writer gets a
+    * salt column appended to the repartition key, sized to day volume. */
   def append(df: DataFrame, root: String): Unit =
-    df.write.mode("append").partitionBy(PartitionCols: _*).parquet(root)
+    df.repartition(PartitionCols.map(col): _*)
+      .write.mode("append").partitionBy(PartitionCols: _*).parquet(root)
 
   /** Full idempotent (re)build — used for the derived test lakes. */
   def overwrite(df: DataFrame, root: String): Unit =

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.llm.TextOps
+import graft.model.Tables
+
+/** Corpus-statistics and curation operators a large-scale training-data
+  * pipeline runs between ingestion and tokenization: vocabulary building,
+  * TF-IDF term weighting, per-domain caps, PII scrubbing, repetition
+  * filtering, inverted-index construction, stratified sampling. All are
+  * single- or two-shuffle plans over the `documents` table with DuckDB
+  * oracles (Q determinism contract: total orderings, micro-rounded floats,
+  * md5-only cross-engine hashing).
+  */
+object TextCorpus {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  private def fanned(s: SparkSession, d: String) =
+    graft.etl.FanOut.fanOut(docs(s, d), col("doc_id"))
+
+  /** Shared DuckDB CTE: one row per (doc_id, token) occurrence. */
+  private val tokCte =
+    "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents"
+
+  /** Deterministic "random" order / bucket assignment: md5 of the doc id —
+    * identical lowercase hex in both engines, stable under any partitioning
+    * (the q68 reproducibility primitive, reused as a shuffle key). */
+  private def docHash = md5(col("doc_id").cast("string"))
+  private val docHashSql = "md5(CAST(doc_id AS VARCHAR))"
+
+  // Synthetic-PII injection for q73: the corpus itself is clean lowercase
+  // prose, so the scrub operator is exercised on a deterministically
+  // augmented twin (every 7th doc gains an email, every 11th a phone) —
+  // same construction in both engines, so matches/replacements are real.
+  private val EmailPat = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+  private val PhonePat = "[0-9]{3}-[0-9]{4}"
+
+  val defs: Vector[Q] = Vector(
+
+    // ── Vocabulary build: term + document frequencies, top-30 by total
+    //    count. The classic first pass of tokenizer training. Plan: explode
+    //    tokens (map-side), one hash-agg on the token (partial aggregation
+    //    absorbs the stopword skew before the shuffle — a hot token
+    //    contributes ONE partial row per map task, not its full count), DF
+    //    via count(DISTINCT doc_id) (Spark expands to a two-stage
+    //    partial-dedup plan), TakeOrdered top-k. At 100 TB the same plan
+    //    stands; the top-k bound keeps the driver result O(k).
+    Q("q70_vocab_topk",
+      s"""WITH tok AS ($tokCte)
+         |SELECT tok,
+         |       count(*) AS tf,
+         |       count(DISTINCT doc_id) AS df
+         |FROM tok GROUP BY tok
+         |ORDER BY tf DESC, tok LIMIT 30""".stripMargin) { (s, d) =>
+      fanned(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+        .orderBy(col("tf").desc, col("tok"))
+        .limit(30)
+    },
+
+    // ── TF-IDF term weighting: top-3 terms per document (doc_id < 10) by
+    //    tf·ln(N/df), document frequencies computed over the FULL corpus.
+    //    Plan: per-doc term counts (one shuffle on (doc_id, tok)), global
+    //    df relation (one shuffle on tok, broadcast back — at corpus scale
+    //    the df relation is vocabulary-sized, far smaller than the corpus),
+    //    rank-per-doc window. Score micro-rounded to 6dp identically in
+    //    both engines before ranking; ties broken by token.
+    Q("q71_tfidf_topk",
+      s"""WITH tok AS ($tokCte),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.tok,
+         |              round(1e6 * tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)) / 1e6 AS tfidf
+         |       FROM tf JOIN df USING (tok) CROSS JOIN n
+         |       WHERE tf.doc_id < 10),
+         |r AS (SELECT *, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn FROM sc)
+         |SELECT doc_id, tok, tfidf FROM r WHERE rn <= 3
+         |ORDER BY doc_id, tfidf DESC, tok""".stripMargin) { (s, d) =>
+      val tok = fanned(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      val n  = docs(s, d).agg(count(lit(1)).as("n"))
+      val sc = tf.filter(col("doc_id") < 10)
+        .join(broadcast(df), "tok")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"),
+          (round(lit(1e6) * col("tf") * log(col("n").cast("double") / col("df"))) / 1e6)
+            .as("tfidf"))
+      sc.withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf")
+        .orderBy(col("doc_id"), col("tfidf").desc, col("tok"))
+    },
+
+    // ── Per-domain cap: keep at most 50 documents per source (`source`
+    //    stands in for the registrable domain), chosen by a deterministic
+    //    content-independent hash order — the anti-boilerplate /
+    //    anti-domination quota every web-scale corpus applies. Plan: one
+    //    row_number window per source; at real scale a skewed mega-domain
+    //    is handled the same way the salted-distinct query (q64) handles
+    //    hot keys — pre-aggregate a per-(domain, salt) top-K then re-rank,
+    //    same two-shuffle shape.
+    Q("q72_domain_cap",
+      s"""WITH r AS (
+         |  SELECT source, doc_id, n_chars,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY $docHashSql, doc_id) AS rn
+         |  FROM documents)
+         |SELECT source,
+         |       count(*) AS n_total,
+         |       count(*) FILTER (WHERE rn <= 50) AS n_kept,
+         |       CAST(sum(doc_id) FILTER (WHERE rn <= 50) AS BIGINT) AS kept_id_sum,
+         |       CAST(sum(n_chars) FILTER (WHERE rn <= 50) AS BIGINT) AS kept_chars
+         |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(docHash, col("doc_id"))))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("rn") <= 50, 1)).as("n_kept"),
+          sum(when(col("rn") <= 50, col("doc_id"))).cast("long").as("kept_id_sum"),
+          sum(when(col("rn") <= 50, col("n_chars"))).cast("long").as("kept_chars"))
+        .orderBy("source")
+    },
+
+    // ── PII scrub: regex-redact emails and phone numbers, report per-lang
+    //    match/redaction counts and the redacted sizes. Pure map-side
+    //    (regexp_count + regexp_replace are codegen'd) + one small agg
+    //    shuffle — the shape that matters at 100 TB, where this pass is
+    //    IO-bound. DuckDB twin: regexp_extract_all lengths + regexp_replace
+    //    with the 'g' flag (DuckDB replaces only the first match without it;
+    //    Spark always replaces all).
+    Q("q73_pii_scrub",
+      s"""WITH aug AS (
+         |  SELECT doc_id, lang,
+         |         text ||
+         |         (CASE WHEN doc_id % 7 = 0
+         |               THEN ' mail u' || CAST(doc_id AS VARCHAR)
+         |                    || '@ex' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+         |               ELSE '' END) ||
+         |         (CASE WHEN doc_id % 11 = 0
+         |               THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |               ELSE '' END) AS text
+         |  FROM documents),
+         |m AS (
+         |  SELECT lang,
+         |         len(regexp_extract_all(text, '$EmailPat')) AS n_email,
+         |         len(regexp_extract_all(text, '$PhonePat')) AS n_phone,
+         |         len(regexp_replace(regexp_replace(text, '$EmailPat', '<EMAIL>', 'g'),
+         |                            '$PhonePat', '<PHONE>', 'g')) AS len_redacted
+         |  FROM aug)
+         |SELECT lang,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_email) AS BIGINT) AS total_emails,
+         |       CAST(sum(n_phone) AS BIGINT) AS total_phones,
+         |       count(*) FILTER (WHERE n_email + n_phone > 0) AS docs_with_pii,
+         |       CAST(sum(len_redacted) AS BIGINT) AS total_chars_redacted
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val aug = fanned(s, d).select(
+        col("doc_id"), col("lang"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" mail u"), col("doc_id").cast("string"),
+              lit("@ex"), (col("doc_id") % 5).cast("string"), lit(".com")))
+            .otherwise(""),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" tel 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise("")).as("text"))
+      aug.select(
+          col("lang"),
+          regexp_count(col("text"), lit(EmailPat)).as("n_email"),
+          regexp_count(col("text"), lit(PhonePat)).as("n_phone"),
+          length(regexp_replace(regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+            PhonePat, "<PHONE>")).as("len_redacted"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_email").cast("long").as("total_emails"),
+          sum("n_phone").cast("long").as("total_phones"),
+          count(when(col("n_email") + col("n_phone") > 0, 1)).as("docs_with_pii"),
+          sum("len_redacted").cast("long").as("total_chars_redacted"))
+        .orderBy("lang")
+    },
+
+    // ── Repetition-ratio quality signal: share of duplicated word bigrams
+    //    per document (1 − distinct/total) — the cheap boilerplate /
+    //    template-spam detector run alongside q33's quality blend. Top-20
+    //    most repetitive, micro-rounded, ties on doc_id. Map-side per-doc
+    //    arithmetic + TakeOrdered.
+    Q("q74_repetition_topk",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id,
+        |             list_transform(range(1, len(toks)),
+        |                            i -> toks[i] || ' ' || toks[i+1]) AS grams
+        |      FROM t WHERE len(toks) >= 2)
+        |SELECT doc_id,
+        |       CAST(len(grams) AS BIGINT) AS n_bigrams,
+        |       round(1e6 * (1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams))) / 1e6
+        |         AS rep_ratio
+        |FROM b ORDER BY rep_ratio DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      fanned(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
+            .as("grams"))
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_bigrams"),
+          (round(lit(1e6) * (lit(1.0) -
+            size(array_distinct(col("grams"))).cast("double") / size(col("grams")))) / 1e6)
+            .as("rep_ratio"))
+        .orderBy(col("rep_ratio").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // ── Inverted index over an eval slice (doc_id < 40): posting lists
+    //    (sorted doc ids) per token — the retrieval-side artifact a corpus
+    //    pipeline materializes for decontamination lookups and attribution
+    //    (the q65 sweep's reusable form). The slice filter lands on the
+    //    scan and BOUNDS every posting list, which is the point: list aggs
+    //    over hot keys are the one agg shape partial aggregation cannot
+    //    save, so a production index is always built per bounded slice
+    //    (or df-banded shard), never over an open-ended corpus. Plan:
+    //    pruned scan → distinct (tok, doc_id) (one shuffle) → grouped
+    //    ordered-list agg. Lists compare as comma-joined strings
+    //    (deterministically sorted in both engines).
+    Q("q75_inverted_index",
+      s"""WITH tok AS ($tokCte),
+         |td AS (SELECT DISTINCT tok, doc_id FROM tok WHERE doc_id < 40)
+         |SELECT tok, count(*) AS df,
+         |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         |FROM td GROUP BY tok ORDER BY tok""".stripMargin) { (s, d) =>
+      fanned(s, d)
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .distinct()
+        .groupBy("tok")
+        .agg(
+          count(lit(1)).as("df"),
+          array_join(array_sort(collect_list(col("doc_id"))), ",").as("postings"))
+        .orderBy("tok")
+    },
+
+    // ── Stratified deterministic sample: 10% per language via md5 bucket —
+    //    q68's reproducible-split primitive applied per stratum, the way a
+    //    pipeline draws eval slices proportionally from every language
+    //    without a seed-and-shuffle (partitioning-independent, rerun-stable).
+    //    Map-side bucket + one agg shuffle.
+    Q("q76_stratified_sample",
+      s"""WITH b AS (
+         |  SELECT lang, doc_id, n_chars,
+         |         ('0x' || substr($docHashSql, 1, 4))::BIGINT % 10 AS bucket
+         |  FROM documents)
+         |SELECT lang,
+         |       count(*) AS n_total,
+         |       count(*) FILTER (WHERE bucket = 0) AS n_sampled,
+         |       CAST(min(doc_id) FILTER (WHERE bucket = 0) AS BIGINT) AS first_sampled,
+         |       CAST(sum(n_chars) FILTER (WHERE bucket = 0) AS BIGINT) AS sampled_chars
+         |FROM b GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .withColumn("bucket",
+          conv(substring(docHash, 1, 4), 16, 10).cast("long") % 10)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("bucket") === 0, 1)).as("n_sampled"),
+          min(when(col("bucket") === 0, col("doc_id"))).cast("long").as("first_sampled"),
+          sum(when(col("bucket") === 0, col("n_chars"))).cast("long").as("sampled_chars"))
+        .orderBy("lang")
+    }
+  )
+}
