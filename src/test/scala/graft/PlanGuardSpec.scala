@@ -20,7 +20,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q44_report_metrics"     -> "cross join of single-row aggregates",
     "q45_embedding_near_dup" -> "sampled baseline capped at 500 rows",
     "q49_range_join_price_bands" -> "5-row literal interval dimension",
-    "q55_dash_kpis"          -> "cross join of single-row aggregates")
+    "q55_dash_kpis"          -> "cross join of single-row aggregates",
+    "q71_tfidf_topk"         -> "cross join of the single-row corpus count")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no unexpected nested-loop or cartesian join") {
