@@ -226,6 +226,63 @@ object Similarity {
         .orderBy("label")
     },
 
+    // ── ANN recall harness: recall@10 of the IVF index (nprobe=2) against
+    //    the exact brute-force baseline, per query — the "measure, don't
+    //    guess" query every approximate index ships with. At 100 TB this
+    //    exact shape runs over a sampled query batch (both operand plans
+    //    already scale: broadcast queries / pruned cell scan); the recall
+    //    join itself is k-bounded per query. Both engines replay both
+    //    algorithms with micro-rounded integer scores, so the compare is
+    //    bit-exact: a routing flip or rank tie-break drift anywhere in
+    //    either pipeline shows up as a recall mismatch here.
+    Q("q77_ann_recall", {
+      val centTerms = (1 to Dim).map(i =>
+        s"round(1e6 * avg(CAST(embedding[$i] AS DOUBLE))) / 1e6").mkString(", ")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |bs AS (SELECT qid, vec_id, ${Ann.cosMicrosSql("qv", "embedding")} AS cm
+         |       FROM q CROSS JOIN embeddings WHERE vec_id <> qid),
+         |bt AS (SELECT qid, vec_id FROM (
+         |         SELECT qid, vec_id,
+         |                row_number() OVER (PARTITION BY qid ORDER BY cm DESC, vec_id) AS r
+         |         FROM bs) WHERE r <= 10),
+         |cent AS (SELECT label AS cell, list_value($centTerms) AS cvec
+         |         FROM embeddings GROUP BY label),
+         |centf AS (SELECT cell, list_transform(cvec, x -> CAST(x AS FLOAT)) AS cvf FROM cent),
+         |probes AS (SELECT qid, cell FROM (
+         |    SELECT q.qid, c.cell,
+         |           row_number() OVER (PARTITION BY q.qid
+         |             ORDER BY ${Ann.cosMicrosSql("q.qv", "c.cvf")} DESC, c.cell) AS r
+         |    FROM q CROSS JOIN centf c)
+         |  WHERE r <= 2),
+         |ivs AS (SELECT p.qid, e.vec_id, ${Ann.cosMicrosSql("q.qv", "e.embedding")} AS cm
+         |        FROM probes p
+         |        JOIN embeddings e ON e.label = p.cell
+         |        JOIN q ON q.qid = p.qid
+         |        WHERE e.vec_id <> p.qid),
+         |it AS (SELECT qid, vec_id FROM (
+         |         SELECT qid, vec_id,
+         |                row_number() OVER (PARTITION BY qid ORDER BY cm DESC, vec_id) AS r
+         |         FROM ivs) WHERE r <= 10)
+         |SELECT bt.qid,
+         |       CAST(count(it.vec_id) AS BIGINT) AS n_hits,
+         |       count(it.vec_id) / 10.0 AS recall_at_10
+         |FROM bt LEFT JOIN it ON it.qid = bt.qid AND it.vec_id = bt.vec_id
+         |GROUP BY bt.qid ORDER BY bt.qid""".stripMargin
+    }) { (s, d) =>
+      val c = corpus(s, d)
+      val qs = c.filter(col("id") < 5).select("id", "vec")
+      val bt = Ann.bruteForceTopK(c, qs, 10).select("qid", "vec_id")
+      val it = Ann.ivfTopK(c, qs, cellCol = "label", dim = Dim, nprobe = 2, k = 10)
+        .select(col("qid"), col("vec_id")).withColumn("hit", lit(1))
+      bt.join(it, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(
+          count(col("hit")).as("n_hits"),
+          (count(col("hit")) / 10.0).as("recall_at_10"))
+        .orderBy("qid")
+    },
+
     Q("q41_lsh_bucket_histogram", {
       val bits = (0 until Ann.LshBits).map { j =>
         s"(CASE WHEN ${Ann.dotSql("embedding", Ann.planeSql(Dim, j))} > 0 THEN ${1L << j} ELSE 0 END)"

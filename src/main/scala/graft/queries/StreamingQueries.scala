@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.model.Tables
@@ -33,6 +34,21 @@ object StreamingQueries {
       tmp
     })
 
+  /** Staged events WITH at-least-once redelivery: the full table plus an
+    * exact copy of every 5th event appended as a second file — what a
+    * retrying source hands the stream. Memoized per (session, sf dir). */
+  private val stagedDup =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def dupEventsDir(s: SparkSession, d: String): String =
+    stagedDup.getOrElseUpdate((s, d), {
+      val tmp = graft.etl.Scratch.tempDir("graft-stream-dup").toString
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      ev.write.mode("overwrite").parquet(tmp)
+      ev.filter(col("event_id") % 5 === 0).write.mode("append").parquet(tmp)
+      tmp
+    })
+
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   val defs: Vector[Q] = Vector(
@@ -55,6 +71,37 @@ object StreamingQueries {
         .start()
       query.awaitTermination()
       s.table(sink).orderBy("window_start")
+    },
+
+    // ── Streaming exact-dedup (§2.9 × the dedup family): the staged source
+    //    re-delivers 20% of the events (every 5th event id appended as an
+    //    exact copy — the at-least-once redelivery a retrying source
+    //    produces), and the stream's keyed dedup state must collapse them
+    //    so the drained sink equals a plain aggregate over the ORIGINAL
+    //    events — which is exactly what the oracle computes. Duplicate rows
+    //    are bit-identical copies, so keep-first nondeterminism cannot leak
+    //    into the result.
+    Q("q78_streaming_dedup",
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val sink = s"q78_sink_${sinkSeq.getAndIncrement()}"
+      val query = StreamingJobs
+        .dedupStream(StreamingJobs.eventsStream(s, dupEventsDir(s, d)))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sink)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+        .orderBy("event_type")
     }
   )
 }

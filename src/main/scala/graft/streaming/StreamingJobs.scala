@@ -59,6 +59,24 @@ object StreamingJobs {
         (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
       .select(col("window.start").as("window_start"), col("n"), col("total_value"))
 
+  /** Streaming exact-dedup on the event id — the stream-side twin of the
+    * dedup family (L2): a re-delivered batch (at-least-once sources
+    * re-emit on retry) is dropped by key state instead of by a lake
+    * rewrite. This unwindowed variant keeps every seen key in state,
+    * which is what lets a drain run equal batch DISTINCT exactly (the
+    * q78 oracle); production streams bound the state with
+    * [[dedupStreamWithinWatermark]]. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
+  /** Production dedup shape: duplicates are only detected inside the
+    * watermark horizon and key state is evicted past it — O(horizon)
+    * state at any stream length, the standard at-least-once→exactly-once
+    * repair. Correct whenever the source's redelivery window is shorter
+    * than the watermark delay. */
+  def dedupStreamWithinWatermark(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   // ── Stateful sessionization ─────────────────────────────────────────
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
