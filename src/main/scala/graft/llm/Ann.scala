@@ -71,17 +71,32 @@ object Ann {
       .select(col("key").as("qid"), col("rank"), col("id").as("vec_id"), col("cos"))
   }
 
-  /** Per-cell mean vectors — the coarse quantizer. 64 codegen'd avg
-    * aggregates assembled into one array; output is k rows (broadcastable).
+  /** Per-cell mean vectors — the coarse quantizer; output is k rows
+    * (broadcastable). Computed in the EXPLODE shape: (cell, component,
+    * value) rows → one narrow avg per (cell, component) → reassembled
+    * into the array post-agg. An earlier formulation ran `dim` separate
+    * avg aggregates in one groupBy — whole-stage codegen emits one huge
+    * update method for all 64 accumulators, and huge generated methods
+    * are the documented JIT hazard of this repo (compilation is
+    * nondeterministically starved under compiler-queue pressure late in
+    * a many-query run; observed as a 20× swing on the IVF query). The
+    * explode shape keeps every generated method small, costs dim× rows
+    * into a map-side partial agg, and collapses to cells×dim rows per
+    * partition — the right trade at any scale.
+    *
     * Each component is micro-rounded (`round(1e6·avg)/1e6`) before use:
     * a raw `avg` of doubles is summation-order-dependent, and a centroid
     * component sitting on a float rounding boundary could flip probe
     * routing between engines. The oracle SQL rounds identically. */
   def centroids(corpus: DataFrame, cellCol: String, dim: Int): DataFrame =
-    corpus.groupBy(col(cellCol).as("cell"))
-      .agg(array((0 until dim).map(i =>
-        round(lit(1e6) * avg(element_at(col("vec"), i + 1).cast("double"))) / 1e6): _*)
-        .as("cvec"))
+    corpus
+      .select(col(cellCol).as("cell"), posexplode(col("vec")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("a"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("a")))),
+        s => round(lit(1e6) * s.getField("a")) / 1e6).as("cvec"))
 
   /** IVF search: route each query to its `nprobe` nearest cells (by cosine
     * to the centroid), then exact-score only vectors in those cells.

@@ -108,6 +108,38 @@ object Extended {
         .orderBy("l_returnflag")
     },
 
+    // ── Daily anomaly sweep: z-score of each day's event-value total
+    //    against the corpus of daily totals, top-5 by |z| — the monitoring
+    //    query a pipeline runs on every ingest day. Daily sums ride exact
+    //    integer cents (order-independent); the mean is exact (long sum ÷
+    //    count, one IEEE divide); only the stddev accumulator is
+    //    order-sensitive and is micro-rounded before use, so z is
+    //    bit-identical across engines. Two tiny aggregates + a single-row
+    //    broadcast join — scales as one scan.
+    Q("q79_daily_anomaly",
+      """WITH dly AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT avg(vc) AS mu,
+        |              round(1e6 * stddev_samp(vc)) / 1e6 AS sd FROM dly)
+        |SELECT day, vc / 100.0 AS total_value,
+        |       round(1e6 * (vc - mu) / sd) / 1e6 AS z
+        |FROM dly, st
+        |ORDER BY abs(round(1e6 * (vc - mu) / sd)) DESC, day LIMIT 5""".stripMargin) { (s, d) =>
+      val dly = ev(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("vc"))
+      val st = dly.agg(
+        avg("vc").as("mu"),
+        (round(lit(1e6) * stddev_samp(col("vc"))) / 1e6).as("sd"))
+      dly.crossJoin(broadcast(st))
+        .select(col("day"), (col("vc") / 100.0).as("total_value"),
+          (round(lit(1e6) * (col("vc") - col("mu")) / col("sd")) / 1e6).as("z"))
+        .orderBy(abs(round(lit(1e6) * col("z"))).desc, col("day"))
+        .limit(5)
+    },
+
     // ── Second-moment statistics: correlation and sample stddev, rounded
     //    to 1e-6 (the accumulators are FP and order-sensitive at ~1e-14;
     //    six decimals is far inside the stable digits). Single hash-agg
