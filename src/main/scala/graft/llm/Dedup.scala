@@ -327,9 +327,14 @@ object Dedup {
     * heights, converging to per-component stars rooted at the component
     * minimum in O(log n) rounds regardless of diameter — the property the
     * simple propagation lacks on long chains. Each round is two
-    * groupBy-min shuffles + hash joins; convergence here is detected with
-    * two except() counts (at extreme scale, compare cheap edge-set
-    * checksums instead).
+    * groupBy-min shuffles + hash joins; convergence is detected by
+    * comparing a cheap edge-set signature (count, XOR of per-edge
+    * xxhash64) across rounds — one tiny aggregate over the cached edges
+    * instead of two except() set-differences (each a full sort/shuffle).
+    * Equal sets always produce equal signatures; a false convergence
+    * needs an xxhash64 XOR collision between successive edge sets
+    * (~2⁻⁶⁴, and the property test cross-checks against the exact
+    * label-propagation variant).
     *
     * Equivalence with [[connectedComponents]] is property-tested on
     * random graphs (DedupSpec); q53's DuckDB recursive-CTE oracle checks
@@ -345,15 +350,24 @@ object Dedup {
       s.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
 
+    // (count, XOR of xxhash64(u, v)) — an order-independent edge-set
+    // signature computable in one tiny aggregate over the cached edges.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
     // localCheckpoint (eager) per round: it materializes AND truncates the
     // logical plan. A bare persist() caches data but keeps the full
-    // lineage, and an iterative loop with except() doubles the plan every
-    // round — planning (even just stringifying it for the UI) goes
-    // exponential long before execution does. Checkpoint blocks are
-    // reclaimed by the ContextCleaner when unreferenced.
+    // lineage, and an iterative loop doubles the plan every round —
+    // planning (even just stringifying it for the UI) goes exponential
+    // long before execution does. Checkpoint blocks are reclaimed by the
+    // ContextCleaner when unreferenced.
     var edges = canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
       .localCheckpoint(true)
-    var converged = edges.isEmpty
+    var sig = signature(edges)
+    var converged = sig._1 == 0
     while (!converged) {
       val s1 = sym(edges)
       val m1 = mins(s1)
@@ -371,10 +385,10 @@ object Dedup {
           .unionByName(m2.select(col("u").as("a"), col("m").as("b"))))
         .localCheckpoint(true)
 
-      val changed =
-        afterSmall.except(edges).count() + edges.except(afterSmall).count()
+      val nextSig = signature(afterSmall)
       edges = afterSmall
-      converged = changed == 0
+      converged = nextSig == sig
+      sig = nextSig
     }
     // stable state = stars rooted at each component minimum
     sym(edges).groupBy("u").agg(min(col("v")).as("mn"))
