@@ -140,6 +140,74 @@ object Extended {
         .limit(5)
     },
 
+    // ── Star-schema rollup across the full dimension chain: fact ⋈ fact
+    //    (lineitem⋈orders, the one genuine shuffle) then three broadcast
+    //    dims (customer→nation→region) — the canonical warehouse query
+    //    shape. The year filter lands on the orders scan BEFORE its join
+    //    (predicate pushdown shrinks the shuffled side ~7×); every dim join
+    //    is an explicit broadcast, so the plan is one SortMergeJoin plus a
+    //    broadcast chain — exactly what it should be at 100 TB with a
+    //    1000-executor cluster.
+    Q("q82_star_revenue",
+      """SELECT r_name AS region, c_mktsegment AS segment,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |         / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey  = o_orderkey
+        |JOIN customer ON o_custkey   = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      li(s, d).select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long").as("rc"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_mktsegment", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum("rc") / 100.0).as("revenue"))
+        .orderBy("region", "segment")
+    },
+
+    // ── 7-day user retention: of the users active on day d, the share
+    //    also active on d+7 — the product-analytics staple. Plan: one
+    //    distinct (day, user) relation (single shuffle), self hash-join on
+    //    (user, day+7), per-day aggregate. No window over user history, so
+    //    nothing accumulates per-user state — at 100 TB the distinct
+    //    relation is the only thing that scales with activity.
+    Q("q83_weekly_retention",
+      """WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+        |SELECT a.day, count(*) AS n_active,
+        |       count(b.user_id) AS n_retained,
+        |       round(10000.0 * count(b.user_id) / count(*)) / 100.0 AS retention_pct
+        |FROM act a
+        |LEFT JOIN act b ON b.user_id = a.user_id AND b.day = a.day + 7
+        |GROUP BY a.day ORDER BY a.day""".stripMargin) { (s, d) =>
+      val act = ev(s, d)
+        .select(col("ts").cast("date").as("day"), col("user_id")).distinct()
+      val next = act.select(col("user_id"), col("day").as("nday"))
+      act.join(next,
+          next("user_id") === act("user_id") && col("nday") === date_add(col("day"), 7),
+          "left")
+        .groupBy(act("day"))
+        .agg(
+          count(lit(1)).as("n_active"),
+          count(col("nday")).as("n_retained"),
+          (round(lit(10000.0) * count(col("nday")) / count(lit(1))) / 100.0).as("retention_pct"))
+        .orderBy(act("day"))
+    },
+
     // ── Second-moment statistics: correlation and sample stddev, rounded
     //    to 1e-6 (the accumulators are FP and order-sensitive at ~1e-14;
     //    six decimals is far inside the stable digits). Single hash-agg
