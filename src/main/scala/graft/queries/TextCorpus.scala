@@ -256,6 +256,87 @@ object TextCorpus {
         .orderBy("tok")
     },
 
+    // ── Token-window chunking: split each document into 64-token windows
+    //    at stride 48 (16-token overlap) — the slicing step that turns
+    //    documents into training examples. Chunks are MATERIALIZED
+    //    (explode over the window starts, 1-based slice in both engines)
+    //    and re-aggregated, so the boundary arithmetic — trailing partial
+    //    windows included — is what the oracle checks, not a count
+    //    formula. Map-side explode into one agg shuffle on lang.
+    Q("q84_token_chunks",
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |ch AS (SELECT doc_id, lang,
+        |              len(toks[st:st+63]) AS chunk_len
+        |       FROM (SELECT doc_id, lang, toks,
+        |                    unnest(range(1, len(toks) + 1, 48)) AS st
+        |             FROM t WHERE len(toks) >= 1))
+        |SELECT lang,
+        |       count(*) AS n_chunks,
+        |       CAST(sum(chunk_len) AS BIGINT) AS total_chunk_tokens,
+        |       count(*) FILTER (WHERE chunk_len < 64) AS n_partial,
+        |       CAST(min(chunk_len) AS BIGINT) AS min_chunk
+        |FROM ch GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val toks = TextOps.tokens(col("text"))
+      fanned(s, d)
+        .select(col("doc_id"), col("lang"), toks.as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .select(col("lang"),
+          explode(transform(
+            sequence(lit(1), size(col("toks")), lit(48)),
+            st => size(slice(col("toks"), st, lit(64))))).as("chunk_len"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum("chunk_len").cast("long").as("total_chunk_tokens"),
+          count(when(col("chunk_len") < 64, 1)).as("n_partial"),
+          min("chunk_len").cast("long").as("min_chunk"))
+        .orderBy("lang")
+    },
+
+    // ── Distributed sequence packing: fill 2048-token training contexts by
+    //    running a token cumsum over a STABLE document order WITHIN each of
+    //    32 hash buckets (bin = starting offset ÷ 2048, documents may
+    //    straddle bins — packing-with-splitting). The window runs per
+    //    bucket, never globally — a global ORDER BY cumsum is the classic
+    //    single-reducer trap; bucketing is exactly how production packers
+    //    parallelize, at the cost of per-bucket (not global) packing
+    //    density. Deterministic on any cluster: bucket and order are both
+    //    md5/doc_id-derived. Output is per-bucket bin counts + fill rate.
+    Q("q85_sequence_packing",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         ('0x' || substr($docHashSql, 1, 4))::BIGINT % 32 AS bucket,
+         |         len(string_split(text, ' ')) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT bucket, doc_id, n_tok,
+         |             sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+         |                              ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM t),
+         |b AS (SELECT bucket, doc_id, n_tok, (cum - n_tok) // 2048 AS bin FROM c)
+         |SELECT bucket,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |       CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+         |       round(10000.0 * sum(n_tok) / ((max(bin) + 1) * 2048)) / 100.0 AS fill_pct
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      val t = docs(s, d).select(
+        col("doc_id"),
+        (conv(substring(docHash, 1, 4), 16, 10).cast("long") % 32).as("bucket"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("bin", (sum("n_tok").over(w) - col("n_tok")) / 2048)
+        .withColumn("bin", floor(col("bin")))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("long").as("total_tokens"),
+          (max("bin") + 1).cast("long").as("n_bins"),
+          (round(lit(10000.0) * sum("n_tok") / ((max("bin") + 1) * 2048)) / 100.0)
+            .as("fill_pct"))
+        .orderBy("bucket")
+    },
+
     // ── Stratified deterministic sample: 10% per language via md5 bucket —
     //    q68's reproducible-split primitive applied per stratum, the way a
     //    pipeline draws eval slices proportionally from every language
