@@ -93,6 +93,37 @@ object Extended {
         .orderBy("event_type")
     },
 
+    // ── Incremental view maintenance: the per-type revenue view is
+    //    maintained as base-aggregate ⊕ delta-aggregate (full outer merge
+    //    on the group key, coalesced partial sums) rather than recomputed —
+    //    the algebra that lets a 100 TB materialized view absorb a 3-hourly
+    //    batch by re-aggregating ONLY the delta. The oracle recomputes the
+    //    view from scratch over all events, so the merge operator itself
+    //    (identity elements, null handling on either side) is what's
+    //    verified. Counts and cents are the associative/commutative
+    //    partials — exactly Spark's own map-side combine contract, made
+    //    explicit at the view level.
+    Q("q86_incremental_view",
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val split = lit("2024-01-15 00:00:00").cast("timestamp")
+      def partial(df: DataFrame) = df.groupBy("event_type")
+        .agg(count(lit(1)).as("pn"),
+          sum(round(col("value") * 100).cast("long")).as("pv"))
+      val base  = partial(ev(s, d).filter(col("ts") <= split))
+        .withColumnRenamed("pn", "bn").withColumnRenamed("pv", "bv")
+      val delta = partial(ev(s, d).filter(col("ts") > split))
+        .withColumnRenamed("pn", "dn").withColumnRenamed("pv", "dv")
+      base.join(delta, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          ((coalesce(col("bv"), lit(0L)) + coalesce(col("dv"), lit(0L))) / 100.0)
+            .as("total_value"))
+        .orderBy("event_type")
+    },
+
     // ── Skew-safe two-phase COUNT(DISTINCT) — graft.etl.Skew's salted
     //    plan (salt = hash(value) mod buckets ⇒ per-bucket distinct sets
     //    are disjoint and their counts sum exactly) verified against the
