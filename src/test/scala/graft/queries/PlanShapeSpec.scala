@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Plan-shape assertions for the scale claims the Scaladocs make — filter
+  * pushdown reaching the scan, windows partitioned by their bucket key
+  * (never a global single-partition sort), broadcast dimension chains.
+  * PlanGuardSpec bans cartesians inventory-wide; this spec pins the
+  * positive properties for the queries whose whole point is the plan.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+
+  test("q82: the year filter reaches the orders parquet scan") {
+    val p = plan("q82_star_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")
+      || p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"o_orderdate bound not pushed to the scan:\n$p")
+    assert(p.split("BroadcastHashJoin").length >= 4,
+      "the customer->nation->region chain (and the filtered orders side at test " +
+        "scale) must plan as broadcast hash joins")
+  }
+
+  test("q75: the eval-slice bound reaches the documents scan") {
+    val p = plan("q75_inverted_index")
+    assert(p.contains("LessThan(doc_id,40)"),
+      s"doc_id < 40 not pushed to the scan:\n$p")
+  }
+
+  test("q85: the packing window partitions by bucket, not globally") {
+    val p = plan("q85_sequence_packing")
+    assert(p.contains("hashpartitioning(bucket"),
+      s"cumsum window must shuffle on the bucket key:\n$p")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"a single-partition exchange means the window went global:\n$p")
+  }
+
+  test("q80: the tombstone predicate reaches the scan and the anti-join broadcasts") {
+    val p = plan("q80_user_erasure")
+    assert(p.contains("LeftAnti, BuildRight"),
+      s"erasure must plan a broadcast anti-join:\n$p")
+  }
+
+  test("q86: each partial aggregates a split-filtered branch, merged full-outer") {
+    val p = plan("q86_incremental_view")
+    // The split lands as a Filter on the derived ts (this corpus's
+    // TIMESTAMP(NANOS) column must be rebuilt via timestamp_micros, which
+    // structurally blocks scan-level pushdown — with a properly-typed
+    // micros source the same predicate reaches the parquet footer). Both
+    // branches must filter BEFORE their aggregate, and the merge must be
+    // an outer hash join, not a recompute.
+    assert(p.contains("2024-01-15"), s"split literal missing from the plan:\n$p")
+    assert(p.split("HashAggregate").length > 4,
+      s"both branches must carry their own partial+final aggregate:\n$p")
+    assert(p.contains("FullOuter"), s"merge must be a full-outer join:\n$p")
+  }
+}
