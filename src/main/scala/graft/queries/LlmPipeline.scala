@@ -189,6 +189,46 @@ object LlmPipeline {
         .orderBy("lang")
     },
 
+    // ── EXACT n-gram Jaccard pairs via inverted-index join — the third
+    //    algorithm over the same pair relation (q35 = LSH candidates +
+    //    verify; the oracle = all-pairs; this = candidates from sharing ≥1
+    //    shingle, intersection counted on the shingle-hash join, union by
+    //    inclusion-exclusion). No approximation anywhere: candidate recall
+    //    is 1 by construction (J > 0 ⇒ a shared shingle exists). The cost
+    //    model is the flip side: a shingle in k docs emits k² candidate
+    //    rows, so this is the right tool when shingle document-frequency
+    //    is bounded and LSH (q35) when it is skewed. This corpus's 31-token
+    //    vocabulary makes shingles collide heavily, so the operator runs on
+    //    a 1000-doc slice — the bounded-baseline pattern of q45 — and the
+    //    oracle runs all-pairs over the same slice.
+    Q("q87_ngram_jaccard", {
+      val slicedToks = toksCte + " WHERE doc_id < 1000"
+      s"""WITH t AS ($slicedToks),
+         |sh AS ($shinglesCte),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             round(1e6 * len(list_intersect(a.s, b.s))
+         |                   / len(list_distinct(a.s || b.s))) / 1e6 AS jaccard
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM p
+         |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+      val sh = Dedup.shingleSets(docs(s, d).filter(col("doc_id") < 1000))
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+      ex.alias("a")
+        .join(ex.alias("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+        .withColumn("jaccard",
+          round(lit(1e6) * col("inter") / (col("sa") + col("sb") - col("inter"))) / 1e6)
+        .filter(col("jaccard") >= JaccardThreshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ── SimHash near-dup pairs at Hamming ≤ 1 over a count-weighted 32-bit
     //    signature. Spark path: 2×16-bit pigeonhole bands (guaranteed recall
     //    to hamming 1) → bucketed join → exact bit_count(xor) verify.
