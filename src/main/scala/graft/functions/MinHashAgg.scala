@@ -118,16 +118,8 @@ object MinHashAgg {
   def apply(child: Expression): MinHashAgg =
     MinHashAgg(child, NumHashes, A, B, MersennePrime)
 
-  /** Compatibility fallback — no-op when GraftExtensions already injected
-    * the function (see VecDot.register for the rationale). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (!spark.catalog.functionExists("minhash_sig"))
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .sessionState.functionRegistry
-        .createOrReplaceTempFunction("minhash_sig", es => apply(es.head), "built-in")
-
-  /** Column-API face; sessions built by graft.Sessions get the function
-    * via GraftExtensions, others must call [[register]] first. */
+  /** Column-API face; the function is injected via
+    * `spark.sql.extensions=graft.GraftExtensions` (see VecDot.dot). */
   def sig(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function("minhash_sig", h)
 }

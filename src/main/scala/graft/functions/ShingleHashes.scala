@@ -78,14 +78,8 @@ object ShingleHashes {
     out
   }
 
-  /** Compatibility fallback — no-op when GraftExtensions already injected
-    * the function (see VecDot.register for the rationale). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (!spark.catalog.functionExists("shingle_hashes"))
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .sessionState.functionRegistry
-        .createOrReplaceTempFunction("shingle_hashes", es => ShingleHashes(es.head, 3), "built-in")
-
+  /** Column-API face; the function is injected via
+    * `spark.sql.extensions=graft.GraftExtensions` (see VecDot.dot). */
   def of(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function("shingle_hashes", text)
 }

@@ -4,10 +4,9 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.Column
 
 /** `vec_dot(a, b)` — dot product of two float vectors, accumulated
   * left-to-right in doubles.
@@ -77,23 +76,11 @@ case class VecDot(left: Expression, right: Expression)
 
 object VecDot {
 
-  /** Register `vec_dot` in the session's function registry (idempotent).
-    * Registry-based registration keeps the public `Column` API untouched —
-    * Spark 4 no longer exposes Expression→Column construction outside
-    * `org.apache.spark.sql`. */
-  /** Compatibility fallback for sessions built WITHOUT
-    * `spark.sql.extensions=graft.GraftExtensions` (the supported injection
-    * path, used by graft.Sessions). No-ops when the function is already
-    * injected, so the `classic.SparkSession` cast — a private-ish API
-    * surface that may move across Spark minor versions — is never touched
-    * in a properly configured session. */
-  def register(spark: SparkSession): Unit =
-    if (!spark.catalog.functionExists("vec_dot"))
-      spark.asInstanceOf[ClassicSession].sessionState.functionRegistry
-        .createOrReplaceTempFunction(
-          "vec_dot", es => VecDot(es.head, es(1)), "built-in")
-
-  /** Column-API face of the expression. Sessions built by graft.Sessions
-    * have the function via GraftExtensions; others call [[register]]. */
+  /** Column-API face of the expression. The function is injected by
+    * `spark.sql.extensions=graft.GraftExtensions` (the supported,
+    * version-stable path — set by graft.Sessions; any other session must
+    * add the same extension at build time). Spark 4 exposes no public
+    * Expression→Column constructor, so the registry + `call_function`
+    * pair IS the sanctioned route for custom expressions. */
   def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 }

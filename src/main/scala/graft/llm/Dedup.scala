@@ -328,13 +328,14 @@ object Dedup {
     * minimum in O(log n) rounds regardless of diameter — the property the
     * simple propagation lacks on long chains. Each round is two
     * groupBy-min shuffles + hash joins; convergence is detected by
-    * comparing a cheap edge-set signature (count, XOR of per-edge
-    * xxhash64) across rounds — one tiny aggregate over the cached edges
-    * instead of two except() set-differences (each a full sort/shuffle).
-    * Equal sets always produce equal signatures; a false convergence
-    * needs an xxhash64 XOR collision between successive edge sets
-    * (~2⁻⁶⁴, and the property test cross-checks against the exact
-    * label-propagation variant).
+    * comparing a cheap edge-set signature (count plus two independent
+    * per-edge xxhash64 XOR accumulators) across rounds — one tiny
+    * aggregate over the cached edges instead of two except()
+    * set-differences (each a full sort/shuffle). Equal sets always
+    * produce equal signatures; a false convergence needs BOTH
+    * independent 64-bit XORs to collide between successive distinct
+    * edge sets (~2⁻¹²⁸, and the property test cross-checks against the
+    * exact label-propagation variant).
     *
     * Equivalence with [[connectedComponents]] is property-tested on
     * random graphs (DedupSpec); q53's DuckDB recursive-CTE oracle checks
@@ -350,12 +351,21 @@ object Dedup {
       s.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
 
-    // (count, XOR of xxhash64(u, v)) — an order-independent edge-set
-    // signature computable in one tiny aggregate over the cached edges.
-    def signature(e: DataFrame): (Long, Long) = {
+    // (count, XOR of xxhash64(u, v), XOR of xxhash64(u, v, 1)) — an
+    // order-independent edge-set signature computable in one tiny
+    // aggregate over the cached edges. TWO independent 64-bit XOR
+    // accumulators (the second hashes an extra literal, so its family is
+    // independent of the first): a silent false convergence now needs
+    // both to collide between successive distinct edge sets (~2⁻¹²⁸).
+    // A sum accumulator would be the textbook pairing but ANSI mode
+    // makes BIGINT sum overflow a hard error, so a second XOR it is.
+    def signature(e: DataFrame): (Long, Long, Long) = {
       val r = e.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(u, v))")).collect()(0)
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        expr("bit_xor(xxhash64(u, v))"),
+        expr("bit_xor(xxhash64(u, v, 1))")).collect()(0)
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
     }
 
     // localCheckpoint (eager) per round: it materializes AND truncates the

@@ -25,11 +25,11 @@ object DashboardQueries {
 
   /** One dashboard session per (Spark session, sf dir): the five chart
     * queries share its cached slice exactly like one interactive user. */
-  private val sessions =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Dashboard]
+  private val sessions = new graft.etl.Memo[(SparkSession, String), Dashboard]
   private def dash(s: SparkSession, d: String): Dashboard =
-    sessions.getOrElseUpdate((s, d),
-      Dashboard.open(s, d, Dashboard.Filters(From, To, None, Some(Priorities))))
+    sessions((s, d)) {
+      Dashboard.open(s, d, Dashboard.Filters(From, To, None, Some(Priorities)))
+    }
 
   /** The filtered session slice as a DuckDB CTE — the oracle twin of
     * Dashboard.open's join + sidebar filters. */

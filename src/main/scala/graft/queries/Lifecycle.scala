@@ -30,10 +30,15 @@ object Lifecycle {
     //    lake-rewrite job, and the anti-join is the per-file filter. The
     //    tombstone relation is derived (distinct user_ids), so the counts
     //    double-check the join's null/match semantics against the oracle's
-    //    NOT IN formulation.
+    //    NOT EXISTS formulation — chosen over NOT IN deliberately: a left
+    //    anti join KEEPS rows whose key is NULL while NOT IN with any
+    //    non-empty subquery drops them, so NOT EXISTS (which matches
+    //    anti-join semantics exactly) keeps the two sides equivalent even
+    //    if a future source makes user_id nullable.
     Q("q80_user_erasure",
       s"""WITH tomb AS (SELECT DISTINCT user_id FROM events WHERE user_id % $ErasureMod = 0),
-         |kept AS (SELECT * FROM events WHERE user_id NOT IN (SELECT user_id FROM tomb))
+         |kept AS (SELECT * FROM events e
+         |         WHERE NOT EXISTS (SELECT 1 FROM tomb t WHERE t.user_id = e.user_id))
          |SELECT event_type,
          |       count(*) AS n_kept,
          |       CAST((SELECT count(*) FROM events) - count(*) AS BIGINT) AS n_total_minus_kept,

@@ -20,10 +20,8 @@ object Similarity {
 
   private val Dim = 64
 
-  private def emb(s: SparkSession, d: String): DataFrame = {
-    VecDot.register(s)
+  private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-  }
 
   /** embeddings as the (id, vec) shape the Ann module speaks. Fanned out
     * across partitions (adaptive, see [[graft.etl.FanOut]]): the test

@@ -23,31 +23,29 @@ object StreamingQueries {
     * Spark-written micros copy, materialized once per (session, sf dir).
     * At 100 TB the stream source is a landing directory the upstream
     * system writes — this copy stands in for it. */
-  private val staged =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val staged = new graft.etl.Memo[(SparkSession, String), String]
   private def stagedEventsDir(s: SparkSession, d: String): String =
-    staged.getOrElseUpdate((s, d), {
+    staged((s, d)) {
       val tmp = graft.etl.Scratch.tempDir("graft-stream-events").toString
       Tables.events(s, d)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .write.mode("overwrite").parquet(tmp)
       tmp
-    })
+    }
 
   /** Staged events WITH at-least-once redelivery: the full table plus an
     * exact copy of every 5th event appended as a second file — what a
     * retrying source hands the stream. Memoized per (session, sf dir). */
-  private val stagedDup =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val stagedDup = new graft.etl.Memo[(SparkSession, String), String]
   private def dupEventsDir(s: SparkSession, d: String): String =
-    stagedDup.getOrElseUpdate((s, d), {
+    stagedDup((s, d)) {
       val tmp = graft.etl.Scratch.tempDir("graft-stream-dup").toString
       val ev = Tables.events(s, d)
         .select("event_id", "ts", "user_id", "event_type", "value")
       ev.write.mode("overwrite").parquet(tmp)
       ev.filter(col("event_id") % 5 === 0).write.mode("append").parquet(tmp)
       tmp
-    })
+    }
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 

@@ -14,7 +14,6 @@ class AnnSpec extends AnyFunSuite {
   import spark.implicits._
 
   private lazy val corpus = {
-    VecDot.register(spark)
     graft.model.Tables.embeddings(spark, TestSpark.Sf)
       .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
       .persist()
