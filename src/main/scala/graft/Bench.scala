@@ -46,21 +46,34 @@ object Bench {
     // lake) run ONCE — their repeat would measure the warm amortized path
     // and silently drop the one-time pipeline cost from the total.
     val oneShot = Set(
-      "q35_near_dup_pairs",       // builds the MinHash-LSH pair checkpoint
-      "q55_dash_kpis",            // opens + caches the dashboard slice
-      "q60_incremental_roundtrip" // runs the two incremental batches
+      "q35_near_dup_pairs",        // builds the MinHash-LSH pair checkpoint
+      "q55_dash_kpis",             // opens + caches the dashboard slice
+      "q60_incremental_roundtrip", // runs the two incremental batches
+      "q65_decontamination",       // materializes the shared shingle relation
+      "q70_vocab_topk"             // materializes the tokenized-corpus relation
     )
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q79,q35 → bench only the named queries
+    // (prefix match) — the isolation lever for chasing per-query anomalies.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
+    case class R(name: String, best: Double, worst: Double, n: Int, err: Option[String])
+    val results = selected.map { case (name, fn) =>
       val n = if (oneShot(name)) 1 else runs
       var best = Double.MaxValue
+      var worst = 0.0
       var err: Option[String] = None
       var i = 0
       while (i < n && err.isEmpty) {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable => err = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        val t = (System.nanoTime() - t0) / 1e9
+        best = math.min(best, t)
+        worst = math.max(worst, t)
         // drop this query's persisted intermediates (LSH signatures etc.) —
         // they are per-query, and letting them accumulate across the whole
         // inventory starves later queries' execution memory. Outside the
@@ -68,19 +81,30 @@ object Bench {
         spark.catalog.clearCache()
         i += 1
       }
-      (name, best, err)
+      R(name, best, worst, n, err)
     }
     // 3-decimal seconds: ~70 full-precision doubles push the line past the
     // harness's stdout-tail window and truncate the leading fields (the
     // total and the first ~16 queries vanished from BENCH_r04); millisecond
     // resolution is far below run-to-run noise anyway.
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => s"${jstr(k)}:${sec(v)}" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+    val qs = results.map(r => s"${jstr(r.name)}:${sec(r.best)}").mkString("{", ",", "}")
+    val errs = results.collect { case R(k, _, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","n_queries":${results.size},"total_sec":${sec(total)}}""")
+    // Variance disclosure without blowing the harness's stdout-tail window
+    // (full-inventory maps already push the line near its limit): `spread`
+    // lists [runs, min, max] ONLY for queries whose repeats disagree
+    // materially (>0.25 s AND >1.5× min) — a quiet query's spread adds no
+    // information, a noisy one's is exactly what run-to-run comparisons
+    // need before declaring a regression. One-shots (n=1) never appear.
+    val spread = results
+      .filter(r => r.n > 1 && r.err.isEmpty &&
+        (r.worst - r.best) > 0.25 && r.worst > 1.5 * r.best)
+      .map(r => s"${jstr(r.name)}:[${r.n},${sec(r.best)},${sec(r.worst)}]")
+      .mkString("{", ",", "}")
+    val total = results.map(_.best).sum
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"spread":$spread,"sf":"$sfDir","n_queries":${results.size},"total_sec":${sec(total)}}""")
     spark.stop()
-    if (results.exists(_._3.nonEmpty)) sys.exit(1)
+    if (results.exists(_.err.nonEmpty)) sys.exit(1)
   }
 }

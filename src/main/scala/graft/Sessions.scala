@@ -35,6 +35,11 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark-written lakes must carry INT64 micros timestamps (never
+      // INT96): INT64 columns have usable min/max statistics, so ts
+      // predicates on derived lakes (incremental delta, IVM) push to the
+      // parquet footer and prune row groups.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

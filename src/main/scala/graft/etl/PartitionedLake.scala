@@ -41,11 +41,25 @@ object PartitionedLake {
     * one per (task × day): an unaligned 32-task append over a 30-day batch
     * sprays ~1000 small files, and at 100 TB cadence that kills scan
     * throughput on open() calls (what [[compact]] exists to repair —
-    * better to not make the mess). A day too large for one writer gets a
-    * salt column appended to the repartition key, sized to day volume. */
-  def append(df: DataFrame, root: String): Unit =
-    df.repartition(PartitionCols.map(col): _*)
-      .write.mode("append").partitionBy(PartitionCols: _*).parquet(root)
+    * better to not make the mess). A day too large for one writer task
+    * (straggler/OOM risk) gets `saltBuckets > 1`: a deterministic
+    * row-content hash mod `saltBuckets` is appended to the repartition
+    * key, spreading each day over up to that many writers/files — size it
+    * to expected day volume / target file size. */
+  def append(df: DataFrame, root: String, saltBuckets: Int = 1): Unit = {
+    val out =
+      if (saltBuckets <= 1) df.repartition(PartitionCols.map(col): _*)
+      else {
+        // Pin the shuffle's partition count: AQE coalesces a bare
+        // repartition(cols) over a small shuffle back to ONE partition,
+        // which would silently undo the salt (single writer again).
+        val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        df.repartition(math.max(n, saltBuckets),
+          PartitionCols.map(col) :+
+            pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)): _*)
+      }
+    out.write.mode("append").partitionBy(PartitionCols: _*).parquet(root)
+  }
 
   /** Full idempotent (re)build — used for the derived test lakes. */
   def overwrite(df: DataFrame, root: String): Unit =
@@ -141,4 +155,46 @@ object PartitionedLake {
     }
     root
   }
+
+  /** Build (once) the micros-typed, day-partitioned events lake derived
+    * from `sfDir`. The driver's raw `events.parquet` carries
+    * TIMESTAMP(NANOS), which the reader must rebuild via
+    * `timestamp_micros(ts div 1000)` — a derived expression that
+    * structurally blocks every ts predicate from reaching the parquet
+    * scan. Re-landing the table ONCE as a Spark-written lake (INT64
+    * micros + year/month/day directories) is the production answer: each
+    * downstream incremental/IVM delta predicate then prunes at the
+    * parquet footer (`PushedFilters`) and — paired with [[sinceDay]] /
+    * [[upToDay]] — at the file listing (`PartitionFilters`), which is the
+    * entire "re-aggregate only the delta" story at 100 TB. */
+  def ensureEventsLake(spark: SparkSession, sfDir: String): String = {
+    val root = s"${lakeRoot(sfDir)}/events"
+    if (!Files.exists(Paths.get(root, "_SUCCESS"))) {
+      val src = graft.model.Tables.events(spark, sfDir)
+      overwrite(
+        withPartitionCols(src, "ts").repartition(col("year"), col("month")),
+        root)
+    }
+    root
+  }
+
+  import org.apache.spark.sql.Column
+
+  /** Partition-pruning twin of `ts >= day` (day granularity, inclusive):
+    * the (year, month, day) tuple comparison that prunes whole day
+    * directories at file-listing time. Conservative — always AND it with
+    * the exact ts predicate; it only discards directories that cannot
+    * contain matching rows. */
+  def sinceDay(d: java.time.LocalDate): Column =
+    col("year") > d.getYear ||
+      (col("year") === d.getYear &&
+        (col("month") > d.getMonthValue ||
+          (col("month") === d.getMonthValue && col("day") >= d.getDayOfMonth)))
+
+  /** Partition-pruning twin of `ts <= end-of-day` (inclusive). */
+  def upToDay(d: java.time.LocalDate): Column =
+    col("year") < d.getYear ||
+      (col("year") === d.getYear &&
+        (col("month") < d.getMonthValue ||
+          (col("month") === d.getMonthValue && col("day") <= d.getDayOfMonth)))
 }

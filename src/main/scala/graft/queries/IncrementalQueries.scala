@@ -35,20 +35,25 @@ object IncrementalQueries {
     * exactly-once under watermark discipline — a rebuilt runner with fresh
     * state would double-write, which is precisely the semantics under
     * test). */
-  private val lakes =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val lakes = new graft.etl.Memo[(SparkSession, String), String]
 
   private def roundTripLake(s: SparkSession, d: String): String =
-    lakes.getOrElseUpdate((s, d), {
+    lakes((s, d)) {
       val tmp = graft.etl.Scratch.tempDir("graft-incr-rt").toString
       val lake = s"$tmp/lake"
       val inc = Incremental(tmp)
-      val ev = Tables.events(s, d)
+      // Source the batches from the Spark-written micros events lake, not
+      // the raw nanos file: the watermark bound (`ts > wm+1s`) then reaches
+      // the parquet footer as a PushedFilter — the incremental extract's
+      // scale story. Partition cols are dropped to restore the source shape
+      // (runBatch re-derives them for its own append).
+      val ev = s.read.parquet(graft.etl.PartitionedLake.ensureEventsLake(s, d))
+        .drop("year", "month", "day")
       val n1 = inc.runBatch(ev.filter(col("ts") <= lit(SplitTs).cast("timestamp")), lake)
       val n2 = inc.runBatch(ev, lake)
       require(n1 > 0 && n2 > 0, s"both batches must append rows (got $n1, $n2)")
       lake
-    })
+    }
 
   val defs: Vector[Q] = Vector(
 

@@ -22,6 +22,20 @@ object LlmPipeline {
   private def fanned(s: SparkSession, d: String) =
     graft.etl.FanOut.fanOut(docs(s, d), col("doc_id"))
 
+  /** The corpus's hashed-shingle relation, computed ONCE per (session,
+    * corpus) and checkpointed to scratch parquet — the "hash once, fan
+    * consumers out" seam, same production shape as Dedup's pair
+    * checkpoint. q65's decontamination sweep and q87's inverted-index
+    * join both read it instead of re-running the fan-out + shingle map
+    * pass; at 100 TB this is a lake table every curation job shares. */
+  private val shingleDir = new graft.etl.Memo[(SparkSession, String), String]
+  private def sharedShingles(s: SparkSession, d: String) =
+    s.read.parquet(shingleDir((s, d)) {
+      val tmp = graft.etl.Scratch.tempDir("graft-shingles").toString
+      Dedup.shingleSets(docs(s, d)).write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
   /** Shared DuckDB CTE: tokenized documents. */
   private val toksCte =
     "SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS toks FROM documents"
@@ -212,7 +226,7 @@ object LlmPipeline {
          |SELECT doc_a, doc_b, jaccard FROM p
          |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, d) =>
-      val sh = Dedup.shingleSets(docs(s, d).filter(col("doc_id") < 1000))
+      val sh = sharedShingles(s, d).filter(col("doc_id") < 1000)
       val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
       val ex = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
       ex.alias("a")
@@ -320,6 +334,37 @@ object LlmPipeline {
         .orderBy("doc_id")
     },
 
+    // ── Resize stage (1→1 bytes→smaller-bytes seam, the q67 frame-sample
+    //    pattern applied to Multimodal.resized): stride-sample every
+    //    payload down to ≤100 bytes map-side (payloads never shuffle),
+    //    then checksum the result. The stub's stride pick
+    //    out[i] = payload[(i·len) div 100] is substring-expressible, so
+    //    the DuckDB twin reassembles the identical resized bytes
+    //    independently — closing the multimodal quartet's last oracle gap
+    //    (metadata q42, frames q67, features ad-hoc, resize here).
+    Q("q88_multimodal_resize",
+      """WITH src AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |big AS (
+        |  SELECT doc_id,
+        |         string_agg(substring(text, CAST(1 + (i * len) // 100 AS BIGINT), 1),
+        |                    '' ORDER BY i) AS rz
+        |  FROM (SELECT doc_id, text, len, unnest(range(0, 100)) AS i
+        |        FROM src WHERE len > 100) b
+        |  GROUP BY doc_id),
+        |small AS (SELECT doc_id, text AS rz FROM src WHERE len <= 100),
+        |allr AS (SELECT * FROM big UNION ALL SELECT * FROM small)
+        |SELECT doc_id, CAST(length(rz) AS BIGINT) AS n_bytes, md5(rz) AS checksum
+        |FROM allr ORDER BY doc_id""".stripMargin) { (s, d) =>
+      implicit val sp: SparkSession = s
+      graft.llm.Multimodal.resized(
+          graft.llm.Multimodal.asMedia(fanned(s, d)), targetBytes = 100)
+        .toDF()
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("checksum"))
+        .orderBy("doc_id")
+    },
+
     // ── Deterministic train/val/test split: assign each document to a
     //    split by a stable content-independent hash bucket
     //    (md5(doc_id) % 100 → 80/10/10). THE reproducibility primitive of
@@ -377,7 +422,7 @@ object LlmPipeline {
          |       count(DISTINCT c.g) AS n_shared
          |FROM c JOIN e ON c.g = e.g
          |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      val sh = Dedup.shingleSets(docs(s, d))
+      val sh = sharedShingles(s, d)
         .select(col("doc_id"), explode(col("shingles")).as("g"))
       val eval = sh.filter(col("doc_id") < 20)
         .select(col("g"), col("doc_id").as("eval_doc"))

@@ -467,6 +467,49 @@ object Relational {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // ── GROUPING SETS consolidation: the global KPI (q01's level), the
+    //    daily trend (q04's), and the flag×status rollup (q26's) produced
+    //    in ONE pass — one scan, one expanded aggregate — instead of three
+    //    separate queries over the same 100 TB fact table, which is the
+    //    Spark-native upgrade the reference's query-per-level design begs
+    //    for (ref: athena_queries.sql:19-59). The grouping id is built
+    //    EXPLICITLY (4·g(day) + 2·g(flag) + g(status)) so the level
+    //    encoding is engine-independent by construction; ungrouped keys
+    //    are coalesced to sentinels to keep the ordering total.
+    Q("q89_grouping_sets",
+      s"""SELECT CAST(4*grouping(day) + 2*grouping(flag) + grouping(status) AS BIGINT) AS gid,
+         |       coalesce(day, DATE '1900-01-01') AS day,
+         |       coalesce(flag, '') AS flag,
+         |       coalesce(status, '') AS status,
+         |       count(*) AS n_tx,
+         |       ${moneySumSql(revSql)} AS revenue
+         |FROM (SELECT CAST(l_shipdate AS DATE) AS day, l_returnflag AS flag,
+         |             l_linestatus AS status, l_extendedprice, l_discount
+         |      FROM lineitem) t
+         |GROUP BY GROUPING SETS ((), (day), (flag, status))
+         |ORDER BY gid, day, flag, status""".stripMargin) { (s, d) =>
+      li(s, d)
+        .select(
+          col("l_shipdate").cast("date").as("day"),
+          col("l_returnflag").as("flag"),
+          col("l_linestatus").as("status"),
+          col("l_extendedprice"), col("l_discount"))
+        .groupingSets(
+          Seq(Seq(), Seq(col("day")), Seq(col("flag"), col("status"))),
+          col("day"), col("flag"), col("status"))
+        .agg(
+          (grouping(col("day")) * 4 + grouping(col("flag")) * 2
+            + grouping(col("status"))).cast("long").as("gid"),
+          count(lit(1)).as("n_tx"),
+          moneySum(rev).as("revenue"))
+        .select(col("gid"),
+          coalesce(col("day"), lit("1900-01-01").cast("date")).as("day"),
+          coalesce(col("flag"), lit("")).as("flag"),
+          coalesce(col("status"), lit("")).as("status"),
+          col("n_tx"), col("revenue"))
+        .orderBy("gid", "day", "flag", "status")
+    },
+
     // ── A4 via spark.sql: uncorrelated scalar subquery, run through the
     //    full SQL parse→analyze→optimize path (SURVEY.md §3 entry point 4).
     //    The SQL text is shared verbatim between Spark SQL and DuckDB.

@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.model.Tables
+
+/** The reference's declared entry point, exercised AS DECLARED: SQL text
+  * submitted verbatim to `spark.sql` over registered views — the full
+  * parse → analyze → optimize → execute Catalyst path, not a DataFrame
+  * re-expression (ref: pipeline/athena_queries.sql:1-167 is the
+  * reference's Athena console surface; ref: terraform_s3/main.tf:126-146
+  * registers the catalog those queries hit).
+  *
+  * Each entry here defines ONE SQL string and hands the SAME string to
+  * both engines: Spark executes it via `spark.sql`, DuckDB executes it as
+  * the oracle. A single text, two independent engines, hash-compared —
+  * the strongest possible evidence that a user can paste their existing
+  * analytic SQL at this engine unchanged.
+  *
+  * Dialect notes for the shared text (SURVEY §7.4): numeric literals are
+  * wrapped `CAST(... AS DOUBLE)` (Spark types `100.0` as DECIMAL, DuckDB
+  * as DOUBLE); money rides exact integer cents; `hour()` is cast to
+  * INTEGER (INT in Spark, BIGINT in DuckDB).
+  */
+object SqlQueries {
+
+  /** athena_queries.sql:26-35 ("Revenue by truck — top performers")
+    * re-keyed to supplier: per-group totals plus a scalar-subquery revenue
+    * share, ordered by revenue. The scalar subquery broadcasts as a
+    * single-row relation; the supplier dim joins broadcast; at 100 TB the
+    * only shuffle is the group-by — same plan Catalyst builds for the DSL
+    * twin (q03/q27). */
+  private val SupplierRevenueSql =
+    """SELECT s_name,
+      |       count(*) AS n_items,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+      |         / CAST(100 AS DOUBLE) AS revenue,
+      |       round(CAST(10000 AS DOUBLE)
+      |             * CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+      |             / CAST((SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+      |                     FROM lineitem) AS BIGINT))
+      |         / CAST(100 AS DOUBLE) AS revenue_pct
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name
+      |ORDER BY revenue DESC, s_name""".stripMargin
+
+  /** athena_queries.sql:63-68 ("Hourly transaction patterns") on events:
+    * hour histogram with cents-exact totals. */
+  private val HourlySql =
+    """SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |         / CAST(100 AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY hour(ts)
+      |ORDER BY hour_of_day""".stripMargin
+
+  val defs: Vector[Q] = Vector(
+    Q("q90_sql_supplier_revenue", SupplierRevenueSql) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(SupplierRevenueSql)
+    },
+    Q("q91_sql_hourly", HourlySql) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(HourlySql)
+    }
+  )
+}

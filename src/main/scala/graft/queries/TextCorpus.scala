@@ -26,6 +26,24 @@ object TextCorpus {
   private val tokCte =
     "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents"
 
+  /** The exploded (doc_id, lang, tok) relation, tokenized ONCE per
+    * (session, corpus) and checkpointed to scratch parquet — the
+    * "tokenize once, curate many" seam. The vocabulary and TF-IDF passes
+    * (q70, q71 — whose tf and df branches each reference the relation)
+    * read this instead of re-running the fan-out + split map pass per
+    * query; at 100 TB the tokenized corpus is a lake table maintained
+    * alongside the documents themselves. */
+  private val tokensDir = new graft.etl.Memo[(SparkSession, String), String]
+  private def tokenized(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(tokensDir((s, d)) {
+      val tmp = graft.etl.Scratch.tempDir("graft-tokens").toString
+      fanned(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
   /** Deterministic "random" order / bucket assignment: md5 of the doc id —
     * identical lowercase hex in both engines, stable under any partitioning
     * (the q68 reproducibility primitive, reused as a shuffle key). */
@@ -56,8 +74,7 @@ object TextCorpus {
          |       count(DISTINCT doc_id) AS df
          |FROM tok GROUP BY tok
          |ORDER BY tf DESC, tok LIMIT 30""".stripMargin) { (s, d) =>
-      fanned(s, d)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      tokenized(s, d)
         .groupBy("tok")
         .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
         .orderBy(col("tf").desc, col("tok"))
@@ -84,8 +101,7 @@ object TextCorpus {
          |        PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn FROM sc)
          |SELECT doc_id, tok, tfidf FROM r WHERE rn <= 3
          |ORDER BY doc_id, tfidf DESC, tok""".stripMargin) { (s, d) =>
-      val tok = fanned(s, d)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val tok = tokenized(s, d)
       val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       val df = tok.groupBy("tok").agg(countDistinct("doc_id").as("df"))
       val n  = docs(s, d).agg(count(lit(1)).as("n"))
@@ -363,6 +379,46 @@ object TextCorpus {
           min(when(col("bucket") === 0, col("doc_id"))).cast("long").as("first_sampled"),
           sum(when(col("bucket") === 0, col("n_chars"))).cast("long").as("sampled_chars"))
         .orderBy("lang")
+    },
+
+    // ── Unigram-surprisal quality filter (perplexity-style): fit the
+    //    corpus's own unigram model p(tok) = tf/N, score each document by
+    //    its average token surprisal −ln p(tok), surface the top-20 most
+    //    surprising — the cheap stand-in for the KenLM/perplexity filter
+    //    every pre-training pipeline runs. Third consumer of the shared
+    //    tokenized relation (tokenize once, curate many). Determinism:
+    //    each token's surprisal is micro-rounded to 6dp THEN summed as
+    //    scaled longs (order-independent — a raw double sum would drift
+    //    with partitioning); the per-doc average is one exact long sum,
+    //    one IEEE divide, one round. Plan: vocab agg (partial aggregation
+    //    absorbs stopword skew), broadcast the vocabulary-sized model
+    //    back, one per-doc agg shuffle — at 100 TB the model relation
+    //    stays vocab-sized while the corpus streams map-side.
+    Q("q92_unigram_surprisal",
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |uni AS (SELECT tok, count(*) AS tf FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM uni),
+         |st AS (SELECT t.doc_id,
+         |              CAST(round(1e6 * -ln(CAST(u.tf AS DOUBLE) / tot.n)) AS BIGINT) AS s
+         |       FROM tok t JOIN uni u USING (tok) CROSS JOIN tot),
+         |d AS (SELECT doc_id, count(*) AS n_tok, CAST(sum(s) AS BIGINT) AS ssum
+         |      FROM st GROUP BY 1)
+         |SELECT doc_id, n_tok,
+         |       round(CAST(ssum AS DOUBLE) / n_tok) / 1e6 AS avg_surprisal
+         |FROM d ORDER BY avg_surprisal DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val tok = tokenized(s, d)
+      val uni = tok.groupBy("tok").agg(count(lit(1)).as("tf"))
+      val tot = uni.agg(sum("tf").cast("long").as("n"))
+      tok.join(broadcast(uni), "tok")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          round(lit(1e6) * -log(col("tf").cast("double") / col("n"))).cast("long").as("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("s").cast("long").as("ssum"))
+        .select(col("doc_id"), col("n_tok"),
+          (round(col("ssum").cast("double") / col("n_tok")) / 1e6).as("avg_surprisal"))
+        .orderBy(col("avg_surprisal").desc, col("doc_id"))
+        .limit(20)
     }
   )
 }

@@ -41,6 +41,27 @@ class LakeSpec extends AnyFunSuite {
     assert(PartitionedLake.read(spark, root).count() == events.count())
   }
 
+  test("salted append spreads a hot day across multiple writer files") {
+    val root = freshDir() + "/lake"
+    val day = events.filter(col("day") === 5)
+    val dayRows = day.count()
+    assert(dayRows >= 8, s"test day too small ($dayRows rows)")
+    PartitionedLake.append(day, root, saltBuckets = 4)
+    def partFiles(): Int = {
+      val dir = java.nio.file.Paths.get(root, "year=2024", "month=1", "day=5")
+      val ls = Files.list(dir)
+      try ls.toArray.map(_.toString).count(_.endsWith(".parquet")) finally ls.close()
+    }
+    val salted = partFiles()
+    assert(salted >= 2 && salted <= 4,
+      s"4-bucket salt should write 2..4 files for the day, got $salted")
+    // unsalted append of the same batch adds exactly ONE more file (the
+    // single-writer-per-day default), and no rows are lost either way
+    PartitionedLake.append(day, root)
+    assert(partFiles() == salted + 1)
+    assert(PartitionedLake.read(spark, root).count() == 2 * dayRows)
+  }
+
   test("partition-column predicates prune at file-listing time") {
     val root = PartitionedLake.ensureLineitemLake(spark, TestSpark.Sf)
     val df = PartitionedLake.read(spark, root)

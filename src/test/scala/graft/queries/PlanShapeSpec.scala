@@ -47,15 +47,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"erasure must plan a broadcast anti-join:\n$p")
   }
 
-  test("q86: each partial aggregates a split-filtered branch, merged full-outer") {
+  test("q89: one lineitem scan feeds all three grouping-set levels") {
+    // The whole point of the consolidation: three reporting levels, ONE
+    // pass over the fact table (Expand), not three scans. Count scans in
+    // the current-plan section only (AQE plan strings may append an
+    // "Initial Plan" copy that would double-count).
+    val p = plan("q89_grouping_sets").split("== Initial Plan ==")(0)
+    assert(p.contains("Expand"), s"grouping sets must plan as a single Expand:\n$p")
+    assert(p.split("Scan parquet").length == 2, s"expected exactly one lineitem scan:\n$p")
+  }
+
+  test("q86: delta predicate prunes at the scan, partials merge full-outer") {
     val p = plan("q86_incremental_view")
-    // The split lands as a Filter on the derived ts (this corpus's
-    // TIMESTAMP(NANOS) column must be rebuilt via timestamp_micros, which
-    // structurally blocks scan-level pushdown — with a properly-typed
-    // micros source the same predicate reaches the parquet footer). Both
-    // branches must filter BEFORE their aggregate, and the merge must be
+    // Reading the Spark-written micros events lake (not the raw nanos
+    // file), the split predicate must reach the parquet footer AND its
+    // day-granular twin must prune partition directories — IVM's
+    // "re-aggregate only the delta" is only real if both fire. Both
+    // branches carry their own partial+final aggregate, and the merge is
     // an outer hash join, not a recompute.
-    assert(p.contains("2024-01-15"), s"split literal missing from the plan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(ts)")
+      || p.contains("GreaterThan(ts,") || p.contains("LessThanOrEqual(ts,"),
+      s"ts split bound not pushed to the lake scan:\n$p")
+    assert(p.contains("PartitionFilters: [")
+      && p.replaceAll("PartitionFilters: \\[\\]", "").contains("PartitionFilters: ["),
+      s"day-granular guard must appear as a partition filter:\n$p")
     assert(p.split("HashAggregate").length > 4,
       s"both branches must carry their own partial+final aggregate:\n$p")
     assert(p.contains("FullOuter"), s"merge must be a full-outer join:\n$p")
