@@ -88,19 +88,27 @@ object Bench {
     // total and the first ~16 queries vanished from BENCH_r04); millisecond
     // resolution is far below run-to-run noise anyway.
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map(r => s"${jstr(r.name)}:${sec(r.best)}").mkString("{", ",", "}")
+    // Per-query keys are shortened to their unique qNN prefix: at 92
+    // queries the full-name maps push the ONE output line past the
+    // harness's ~2.9 KB stdout-tail window, which truncates the LEADING
+    // fields (BENCH_r04 lost its total this way). Full names appear only
+    // in `errors` (rare, and a failing run matters more than its width).
+    def short(n: String): String = n.takeWhile(_ != '_')
+    val qs = results.map(r => s"${jstr(short(r.name))}:${sec(r.best)}").mkString("{", ",", "}")
     val errs = results.collect { case R(k, _, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
-    // Variance disclosure without blowing the harness's stdout-tail window
-    // (full-inventory maps already push the line near its limit): `spread`
-    // lists [runs, min, max] ONLY for queries whose repeats disagree
-    // materially (>0.25 s AND >1.5× min) — a quiet query's spread adds no
-    // information, a noisy one's is exactly what run-to-run comparisons
-    // need before declaring a regression. One-shots (n=1) never appear.
+    // Variance disclosure without blowing the line budget: `spread` lists
+    // [runs, min, max] ONLY for queries whose repeats disagree materially
+    // (>0.25 s AND >1.5× min), capped at the 10 widest — a quiet query's
+    // spread adds no information, a noisy one's is exactly what
+    // run-to-run comparisons need before declaring a regression.
+    // One-shots (n=1) never appear.
     val spread = results
       .filter(r => r.n > 1 && r.err.isEmpty &&
         (r.worst - r.best) > 0.25 && r.worst > 1.5 * r.best)
-      .map(r => s"${jstr(r.name)}:[${r.n},${sec(r.best)},${sec(r.worst)}]")
+      .sortBy(r => r.best - r.worst)
+      .take(10)
+      .map(r => s"${jstr(short(r.name))}:[${r.n},${sec(r.best)},${sec(r.worst)}]")
       .mkString("{", ",", "}")
     val total = results.map(_.best).sum
     println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"spread":$spread,"sf":"$sfDir","n_queries":${results.size},"total_sec":${sec(total)}}""")

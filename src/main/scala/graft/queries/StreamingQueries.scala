@@ -100,6 +100,54 @@ object StreamingQueries {
           count(lit(1)).as("n"),
           (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
         .orderBy("event_type")
+    },
+
+    // ── Stateful sessionization through the actual streaming engine
+    //    (§2.9 × the temporal family): gap-based sessions via
+    //    mapGroupsWithState with O(1) per-user state, drained with
+    //    AvailableNow and hash-compared against the SAME oracle as the
+    //    batch window twin (q46). The memory sink sees one row per
+    //    (user, trigger) in update mode; every emitted counter is
+    //    monotone non-decreasing across triggers, so folding with
+    //    per-user max yields the final state deterministically even if
+    //    the drain splits into several micro-batches.
+    Q("q93_streaming_sessions",
+      s"""WITH e AS (SELECT user_id, ts, event_id FROM events WHERE ts IS NOT NULL),
+         |g AS (SELECT user_id, ts, event_id,
+         |             CASE WHEN lag(ts) OVER w IS NULL
+         |                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > ${Temporal.GapMicros}
+         |                  THEN 1 ELSE 0 END AS brk
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT user_id,
+         |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                            ROWS UNBOUNDED PRECEDING) AS sess_id
+         |      FROM g),
+         |c AS (SELECT user_id, sess_id, count(*) AS n FROM s GROUP BY 1, 2)
+         |SELECT user_id, count(*) AS n_sessions,
+         |       CAST(max(n) AS BIGINT) AS max_events,
+         |       CAST(sum(n) AS BIGINT) AS total_events
+         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val sink = s"q93_sink_${sinkSeq.getAndIncrement()}"
+      val stream = StreamingJobs.eventsStream(s, stagedEventsDir(s, d))
+        .filter(col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[StreamingJobs.SessionEvent]
+      val query = StreamingJobs.sessionize(stream, Temporal.GapMicros)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sink)
+        .groupBy("user_id")
+        .agg(
+          max("n_sessions").as("n_sessions"),
+          max("max_events").cast("long").as("max_events"),
+          max("total_events").cast("long").as("total_events"))
+        .orderBy("user_id")
     }
   )
 }

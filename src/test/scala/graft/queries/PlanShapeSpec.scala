@@ -47,6 +47,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"erasure must plan a broadcast anti-join:\n$p")
   }
 
+  test("curation family reads the shared materialized relations") {
+    // "Tokenize once, curate many": the TF-IDF and surprisal queries must
+    // scan the memoized tokenized-corpus parquet (not re-tokenize
+    // documents), and the inverted-index Jaccard must scan the shared
+    // hashed-shingle relation — the checkpoint-read evidence the shared
+    // seam promises.
+    assert(plan("q71_tfidf_topk").contains("graft-tokens"),
+      "q71 must read the materialized tokenized relation")
+    assert(plan("q92_unigram_surprisal").contains("graft-tokens"),
+      "q92 must read the materialized tokenized relation")
+    assert(plan("q87_ngram_jaccard").contains("graft-shingles"),
+      "q87 must read the materialized shingle relation")
+  }
+
   test("q89: one lineitem scan feeds all three grouping-set levels") {
     // The whole point of the consolidation: three reporting levels, ONE
     // pass over the fact table (Expand), not three scans. Count scans in
