@@ -247,18 +247,23 @@ object Extended {
         |FROM act a
         |LEFT JOIN act b ON b.user_id = a.user_id AND b.day = a.day + 7
         |GROUP BY a.day ORDER BY a.day""".stripMargin) { (s, d) =>
+      // the self-join sides carry DISTINCT column names (uid/nday on the
+      // probe side) so resolution never leans on Spark's dataset-id
+      // disambiguation — the ambiguous form resolves today but logs a
+      // "trivially true predicate" warning, and renamed attributes make
+      // the join condition unambiguous by construction
       val act = ev(s, d)
         .select(col("ts").cast("date").as("day"), col("user_id")).distinct()
-      val next = act.select(col("user_id"), col("day").as("nday"))
+      val next = act.select(col("user_id").as("uid"), col("day").as("nday"))
       act.join(next,
-          next("user_id") === act("user_id") && col("nday") === date_add(col("day"), 7),
+          col("uid") === col("user_id") && col("nday") === date_add(col("day"), 7),
           "left")
-        .groupBy(act("day"))
+        .groupBy(col("day"))
         .agg(
           count(lit(1)).as("n_active"),
           count(col("nday")).as("n_retained"),
           (round(lit(10000.0) * count(col("nday")) / count(lit(1))) / 100.0).as("retention_pct"))
-        .orderBy(act("day"))
+        .orderBy(col("day"))
     },
 
     // ── Second-moment statistics: correlation and sample stddev, rounded

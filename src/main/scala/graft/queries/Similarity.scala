@@ -281,6 +281,57 @@ object Similarity {
         .orderBy("qid")
     },
 
+    // ── Top-k search over the int8-QUANTIZED lake (q69's compression put
+    //    to work): integer dot products over the quantized vectors,
+    //    scale-corrected by the two per-vector max-abs factors
+    //    (score = dot·ma·mb/127²) — exactly how an int8 embedding index
+    //    scores before full-precision reranking. Everything before the
+    //    final scale is INTEGER arithmetic, bit-exact in any engine and
+    //    any partition order; the scale correction is one deterministic
+    //    IEEE product chain, micro-rounded. The int8 values ride float
+    //    arrays through the codegen'd VecDot kernel (products ≤127² and
+    //    sums ≤64·127² are exactly representable, so the double result IS
+    //    the integer dot). Queries broadcast, corpus streams, top-k via
+    //    the bounded two-stage reduction — the q39 plan at 4× less IO.
+    Q("q95_ann_int8", {
+      val zipTerms = s"range(1, ${Dim + 1})"
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+         |           FROM embeddings),
+         |qz AS (SELECT vec_id, m,
+         |              list_transform(embedding,
+         |                             x -> CAST(round(CAST(x AS DOUBLE) / m * 127) AS BIGINT)) AS qv
+         |       FROM s WHERE m > 0),
+         |qs AS (SELECT vec_id AS qid, m AS qm, qv AS qqv FROM qz WHERE vec_id < 5),
+         |sc AS (SELECT qs.qid, c.vec_id,
+         |              round(1e6 * CAST(list_sum(list_transform($zipTerms,
+         |                                 i -> qs.qqv[i] * c.qv[i])) AS DOUBLE)
+         |                    * qs.qm * c.m / 16129.0) AS sm
+         |       FROM qs CROSS JOIN qz c WHERE c.vec_id <> qs.qid),
+         |r AS (SELECT qid, vec_id, sm,
+         |             row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vec_id) AS rank
+         |      FROM sc)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, sm / 1e6 AS score
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    }) { (s, d) =>
+      val qz = emb(s, d)
+        .withColumn("m", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .filter(col("m") > 0)
+        .withColumn("qv", transform(col("embedding"),
+          x => round(x.cast("double") / col("m") * 127).cast("float")))
+        .select(col("vec_id"), col("m"), col("qv"))
+      val qs = qz.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("m").as("qm"), col("qv").as("qqv"))
+      val scored = qz.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .select(col("qid").as("key"), col("vec_id").as("id"),
+          round(lit(1e6) * VecDot.dot(col("qqv"), col("qv"))
+            * col("qm") * col("m") / 16129.0).as("score"))
+      Ann.topKPerKey(scored, k = 10)
+        .select(col("key").as("qid"), col("rank"),
+          col("id").as("vec_id"), col("cos").as("score"))
+        .orderBy("qid", "rank")
+    },
+
     Q("q41_lsh_bucket_histogram", {
       val bits = (0 until Ann.LshBits).map { j =>
         s"(CASE WHEN ${Ann.dotSql("embedding", Ann.planeSql(Dim, j))} > 0 THEN ${1L << j} ELSE 0 END)"

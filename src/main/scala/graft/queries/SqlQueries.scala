@@ -54,6 +54,19 @@ object SqlQueries {
       |GROUP BY hour(ts)
       |ORDER BY hour_of_day""".stripMargin
 
+  /** The reference's FLAGSHIP analytic join (ref: README.md:240-249 —
+    * daily revenue by dimension over fact ⋈ dim), as pasted-in SQL. The
+    * DSL twin is q07; this is the same Catalyst plan arrived at through
+    * the parser. */
+  private val DailyRevenueSql =
+    """SELECT CAST(l_shipdate AS DATE) AS ship_date, s_name,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+      |         / CAST(100 AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY CAST(l_shipdate AS DATE), s_name
+      |ORDER BY ship_date, s_name""".stripMargin
+
   val defs: Vector[Q] = Vector(
     Q("q90_sql_supplier_revenue", SupplierRevenueSql) { (s, d) =>
       Tables.registerAll(s, d)
@@ -62,6 +75,10 @@ object SqlQueries {
     Q("q91_sql_hourly", HourlySql) { (s, d) =>
       Tables.registerAll(s, d)
       s.sql(HourlySql)
+    },
+    Q("q94_sql_daily_revenue", DailyRevenueSql) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(DailyRevenueSql)
     }
   )
 }

@@ -25,7 +25,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q77_ann_recall"         -> "5-row query batch × corpus/centroids (recall harness over q39+q40)",
     "q79_daily_anomaly"      -> "cross join of the single-row mean/stddev aggregate",
     "q80_user_erasure"       -> "cross join of the single-row total count",
-    "q92_unigram_surprisal"  -> "cross join of the single-row corpus token count")
+    "q92_unigram_surprisal"  -> "cross join of the single-row corpus token count",
+    "q95_ann_int8"           -> "5-row quantized query batch (int8 exact-scan)")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no unexpected nested-loop or cartesian join") {
