@@ -62,6 +62,25 @@ class LakeSpec extends AnyFunSuite {
     assert(PartitionedLake.read(spark, root).count() == 2 * dayRows)
   }
 
+  test("sinceDay/upToDay guards are conservative: ANDing them changes nothing") {
+    // The IVM/incremental queries AND these day-granular partition guards
+    // with their exact ts predicates; that is only sound if the guards
+    // never exclude a row the ts predicate keeps. Check at several split
+    // points including both boundary midnights.
+    val root = PartitionedLake.ensureEventsLake(spark, TestSpark.Sf)
+    val lake = PartitionedLake.read(spark, root)
+    for (split <- Seq("2024-01-01 00:00:00", "2024-01-15 00:00:00",
+                      "2024-01-15 13:47:11", "2024-01-31 00:00:00")) {
+      val ts = col("ts") > org.apache.spark.sql.functions.lit(split).cast("timestamp")
+      val day = java.time.LocalDate.parse(split.take(10))
+      assert(lake.filter(ts && PartitionedLake.sinceDay(day)).count()
+        == lake.filter(ts).count(), s"sinceDay dropped rows at $split")
+      val tsLe = col("ts") <= org.apache.spark.sql.functions.lit(split).cast("timestamp")
+      assert(lake.filter(tsLe && PartitionedLake.upToDay(day)).count()
+        == lake.filter(tsLe).count(), s"upToDay dropped rows at $split")
+    }
+  }
+
   test("partition-column predicates prune at file-listing time") {
     val root = PartitionedLake.ensureLineitemLake(spark, TestSpark.Sf)
     val df = PartitionedLake.read(spark, root)
