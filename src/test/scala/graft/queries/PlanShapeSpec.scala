@@ -47,6 +47,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"erasure must plan a broadcast anti-join:\n$p")
   }
 
+  test("q90: pasted SQL arrives at the same physical shapes as the DSL") {
+    // The verbatim-SQL entry point must not lose the optimizations the
+    // DSL twins get: the supplier dim joins as a broadcast hash join and
+    // the lineitem scan is column-pruned to the three referenced columns
+    // (a scan dragging l_comment through a 100 TB pass would be wrong).
+    val p = plan("q90_sql_supplier_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      s"supplier dim must broadcast:\n$p")
+    assert(!p.contains("l_comment") && !p.contains("l_quantity"),
+      s"lineitem scan must prune to the referenced columns:\n$p")
+  }
+
   test("curation family reads the shared materialized relations") {
     // "Tokenize once, curate many": the TF-IDF and surprisal queries must
     // scan the memoized tokenized-corpus parquet (not re-tokenize
