@@ -332,6 +332,76 @@ object Similarity {
         .orderBy("qid", "rank")
     },
 
+    // ── Two-phase quantized search — the production ANN pattern end to
+    //    end: stage 1 recalls top-20 candidates per query on the int8
+    //    lake (q95's integer scoring, 4× less IO), stage 2 reranks ONLY
+    //    those candidates with full-precision cosine and keeps the
+    //    top-10. At 100 TB the expensive float pass touches 20 vectors
+    //    per query instead of the corpus — the recall/rerank split every
+    //    deployed vector index uses. Both stages replayed bit-exact by
+    //    the oracle (integer stage exact, rerank micro-rounded), so a
+    //    candidate-set or tie-break drift in either stage hash-fails.
+    Q("q96_ann_rerank", {
+      val zipTerms = s"range(1, ${Dim + 1})"
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+         |           FROM embeddings),
+         |qz AS (SELECT vec_id, m,
+         |              list_transform(embedding,
+         |                             x -> CAST(round(CAST(x AS DOUBLE) / m * 127) AS BIGINT)) AS qv
+         |       FROM s WHERE m > 0),
+         |qs AS (SELECT vec_id AS qid, m AS qm, qv AS qqv FROM qz WHERE vec_id < 5),
+         |sc AS (SELECT qs.qid, c.vec_id,
+         |              round(1e6 * CAST(list_sum(list_transform($zipTerms,
+         |                                 i -> qs.qqv[i] * c.qv[i])) AS DOUBLE)
+         |                    * qs.qm * c.m / 16129.0) AS sm
+         |       FROM qs CROSS JOIN qz c WHERE c.vec_id <> qs.qid),
+         |cand AS (SELECT qid, vec_id FROM (
+         |           SELECT qid, vec_id,
+         |                  row_number() OVER (PARTITION BY qid ORDER BY sm DESC, vec_id) AS rn
+         |           FROM sc) WHERE rn <= 20),
+         |q AS (SELECT vec_id AS qid, embedding AS fqv FROM embeddings WHERE vec_id < 5),
+         |rr AS (SELECT cand.qid, cand.vec_id,
+         |              ${Ann.cosMicrosSql("q.fqv", "e.embedding")} AS cm
+         |       FROM cand
+         |       JOIN q ON q.qid = cand.qid
+         |       JOIN embeddings e ON e.vec_id = cand.vec_id),
+         |r AS (SELECT qid, vec_id, cm,
+         |             row_number() OVER (PARTITION BY qid ORDER BY cm DESC, vec_id) AS rank
+         |      FROM rr)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cm / 1e6 AS cos
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    }) { (s, d) =>
+      val qz = emb(s, d)
+        .withColumn("m", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .filter(col("m") > 0)
+        .withColumn("qv", transform(col("embedding"),
+          x => round(x.cast("double") / col("m") * 127).cast("float")))
+        .select(col("vec_id"), col("m"), col("qv"))
+      val qs = qz.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("m").as("qm"), col("qv").as("qqv"))
+      val scored = qz.join(broadcast(qs), col("vec_id") =!= col("qid"))
+        .select(col("qid").as("key"), col("vec_id").as("id"),
+          round(lit(1e6) * VecDot.dot(col("qqv"), col("qv"))
+            * col("qm") * col("m") / 16129.0).as("score"))
+      val cand = Ann.topKPerKey(scored, k = 20)
+        .select(col("key").as("qid"), col("id").as("vec_id"))
+      val fullQ = emb(s, d).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("fqv"))
+      val rr = emb(s, d).select(col("vec_id"), col("embedding"))
+        .join(broadcast(cand), "vec_id")
+        .join(broadcast(fullQ), "qid")
+        .select(col("qid"), col("vec_id"),
+          Ann.cosMicros(col("fqv"), col("embedding")).as("cm"))
+      rr.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("cm").desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          (col("cm") / 1e6).as("cos"))
+        .orderBy("qid", "rank")
+    },
+
     Q("q41_lsh_bucket_histogram", {
       val bits = (0 until Ann.LshBits).map { j =>
         s"(CASE WHEN ${Ann.dotSql("embedding", Ann.planeSql(Dim, j))} > 0 THEN ${1L << j} ELSE 0 END)"

@@ -26,7 +26,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q79_daily_anomaly"      -> "cross join of the single-row mean/stddev aggregate",
     "q80_user_erasure"       -> "cross join of the single-row total count",
     "q92_unigram_surprisal"  -> "cross join of the single-row corpus token count",
-    "q95_ann_int8"           -> "5-row quantized query batch (int8 exact-scan)")
+    "q95_ann_int8"           -> "5-row quantized query batch (int8 exact-scan)",
+    "q96_ann_rerank"         -> "5-row quantized query batch (recall stage of the rerank)")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no unexpected nested-loop or cartesian join") {
