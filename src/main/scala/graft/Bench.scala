@@ -79,6 +79,15 @@ object Bench {
         // inventory starves later queries' execution memory. Outside the
         // timed window: cache teardown is bench bookkeeping, not query time.
         spark.catalog.clearCache()
+        // streaming queries leave memory-sink temp views holding their
+        // drained rows in driver memory; dropping them after the timed
+        // window keeps tens of accumulated sinks from pressuring the heap
+        // of every later query. (Any lingering stream is stopped too —
+        // AvailableNow drains terminate themselves, this is a belt.)
+        spark.streams.active.foreach(_.stop())
+        spark.catalog.listTables().collect()
+          .filter(t => t.isTemporary && t.name.contains("_sink_"))
+          .foreach(t => spark.catalog.dropTempView(t.name))
         i += 1
       }
       R(name, best, worst, n, err)

@@ -103,6 +103,52 @@ object Lifecycle {
           count(when(col("src") === 2, 1)).as("n_updated"),
           (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
         .orderBy("event_type")
+    },
+
+    // ── SCD Type-2 history build: turn a flat change stream into
+    //    versioned dimension rows with [valid_from, valid_to) intervals —
+    //    the other half of the lakehouse MERGE story next to q81's
+    //    keep-latest upsert. Per user (ordered by ts, event_id as the
+    //    total tie-break), a new version opens whenever the tracked
+    //    attribute (event_type) changes vs its lag; valid_to is the next
+    //    version's valid_from (NULL = current). Plan: two windows over
+    //    the SAME (user_id) partitioning — one shuffle, reused by both
+    //    window operators — then one agg shuffle. At 100 TB the per-key
+    //    window state is one row (lag/lead), so the build streams; no
+    //    driver-side history assembly.
+    Q("q99_scd2_history",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |v AS (SELECT user_id, ts AS valid_from, event_id, event_type
+        |      FROM o WHERE prev IS NULL OR prev <> event_type),
+        |scd AS (SELECT user_id, event_type,
+        |               lead(valid_from) OVER (
+        |                 PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+        |        FROM v)
+        |SELECT event_type,
+        |       count(*) AS n_versions,
+        |       count(*) FILTER (WHERE valid_to IS NULL) AS n_current,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM scd GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val versions = ev(s, d)
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"), col("ts").as("valid_from"),
+          col("event_id"), col("event_type"))
+      val byVersion = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))
+      versions
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_versions"),
+          count(when(col("valid_to").isNull, 1)).as("n_current"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
     }
   )
 }

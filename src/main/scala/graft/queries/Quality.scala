@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.Tables
+
+/** Data-quality and sketch operators a 100 TB lake runs before (and
+  * instead of) full scans: a mergeable distinct-count sketch, a one-pass
+  * constraint-validation suite (the "assert before publish" gate every
+  * ETL stage of the reference implies but never codifies — ref:
+  * pipeline/ETL/transform.py:30-44 drops bad rows silently; here the
+  * violations are counted and reported), and blocked fuzzy entity
+  * resolution over a dimension catalog.
+  *
+  * Cross-engine determinism: all "randomness" is md5 (bit-identical in
+  * both engines), all money/metric arithmetic is integer, and the one
+  * floating-point step (the KMV estimate) is a single IEEE multiply +
+  * divide + round, which both engines evaluate bit-exactly.
+  */
+object Quality {
+
+  private def li(s: SparkSession, d: String): DataFrame = Tables.lineitem(s, d)
+  private def pa(s: SparkSession, d: String): DataFrame = Tables.part(s, d)
+
+  /** KMV sketch size. Standard error ≈ 1/sqrt(k-2) ≈ 6.3% at k=256 —
+    * the estimate column in q97 shows the real error against the exact
+    * count on the same data. */
+  private val K = 256
+
+  /** 2^60 as an exact double (15 hex digits of md5 span [0, 2^60)). */
+  private val HashSpace = 1152921504606846976.0
+
+  val defs: Vector[Q] = Vector(
+
+    // ── Approximate COUNT(DISTINCT) via a KMV (k-minimum-values) sketch.
+    //    Unlike HyperLogLog (whose register layout differs per engine and
+    //    can't be oracle-replayed), KMV is exactly reproducible from SQL:
+    //    hash every key with md5, keep the k smallest distinct hashes,
+    //    estimate N ≈ (k-1) / U(k) where U(k) is the k-th smallest hash
+    //    normalized to [0,1). The sketch is a mergeable bounded set — at
+    //    100 TB each partition keeps its k smallest (partial aggregate),
+    //    the merge keeps the k smallest of the union, and the final state
+    //    is k longs regardless of input size. Here the plan is the same
+    //    shape Catalyst already distributes: map-side partial DISTINCT,
+    //    one shuffle, then TakeOrdered(k) — no global sort. The exact
+    //    count rides along so the sketch's error is itself verified data.
+    Q("q97_kmv_distinct",
+      s"""WITH h AS (SELECT DISTINCT
+         |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+         |  FROM lineitem),
+         |k AS (SELECT h FROM h ORDER BY h LIMIT $K),
+         |kk AS (SELECT max(h) AS kth_hash FROM k),
+         |e AS (SELECT count(DISTINCT l_orderkey) AS exact_distinct FROM lineitem)
+         |SELECT CAST($K AS BIGINT) AS k, kth_hash,
+         |       CAST(round(${K - 1}.0 * $HashSpace / kth_hash) AS BIGINT) AS est_distinct,
+         |       exact_distinct
+         |FROM kk, e""".stripMargin) { (s, d) =>
+      val items = li(s, d)
+      val hashes = items.select(
+        conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h")).distinct()
+      val kth = hashes.orderBy("h").limit(K).agg(max("h").as("kth_hash"))
+      val exact = items.agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+      kth.crossJoin(broadcast(exact)).select(
+        lit(K.toLong).as("k"),
+        col("kth_hash"),
+        round(lit((K - 1).toDouble) * lit(HashSpace) / col("kth_hash"))
+          .cast("long").as("est_distinct"),
+        col("exact_distinct"))
+    },
+
+    // ── One-pass data-quality constraint suite (the Deequ/`dbt test`
+    //    shape): completeness, range, and uniqueness checks computed in a
+    //    SINGLE aggregate over one scan, then unpivoted to one row per
+    //    check. The input is a deterministically-dirtied twin of lineitem
+    //    (every 13th order's shipdate nulled, every 17th order's quantity
+    //    negated, every 23rd order's rows duplicated — same construction
+    //    in both engines, q73's synthetic-dirt pattern), so every check
+    //    is exercised against real violations, not vacuous zeros. The
+    //    uniqueness check also surfaces the base data's own duplicate
+    //    (orderkey, linenumber) keys — a genuine data-quality finding the
+    //    suite reports truthfully on top of the injected copies. At
+    //    100 TB this is the cheapest possible gate: one map-side partial
+    //    aggregate per file, one single-row merge — the uniqueness check
+    //    (count − distinct keys) is the only part that shuffles, and it
+    //    shares the same two-phase aggregate.
+    Q("q100_quality_suite",
+      """WITH dirty AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN l_orderkey % 17 = 0 THEN -l_quantity ELSE l_quantity END AS qty,
+        |         l_discount,
+        |         CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_shipdate END AS ship
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN l_orderkey % 17 = 0 THEN -l_quantity ELSE l_quantity END,
+        |         l_discount,
+        |         CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_shipdate END
+        |  FROM lineitem WHERE l_orderkey % 23 = 0),
+        |m AS (SELECT
+        |    count(*) AS row_count,
+        |    count(*) FILTER (WHERE l_orderkey IS NULL) AS null_orderkey,
+        |    count(*) FILTER (WHERE ship IS NULL) AS null_shipdate,
+        |    count(*) FILTER (WHERE qty <= 0 OR qty > 100) AS qty_out_of_range,
+        |    count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS discount_out_of_range,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS dup_order_line
+        |  FROM dirty)
+        |SELECT 'row_count' AS check_name, row_count AS metric, row_count > 0 AS passed FROM m
+        |UNION ALL SELECT 'null_orderkey', null_orderkey, null_orderkey = 0 FROM m
+        |UNION ALL SELECT 'null_shipdate', null_shipdate, null_shipdate = 0 FROM m
+        |UNION ALL SELECT 'qty_out_of_range', qty_out_of_range, qty_out_of_range = 0 FROM m
+        |UNION ALL SELECT 'discount_out_of_range', discount_out_of_range, discount_out_of_range = 0 FROM m
+        |UNION ALL SELECT 'dup_order_line', dup_order_line, dup_order_line = 0 FROM m
+        |ORDER BY check_name""".stripMargin) { (s, d) =>
+      val base = li(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_orderkey") % 17 === 0, -col("l_quantity"))
+          .otherwise(col("l_quantity")).as("qty"),
+        col("l_discount"),
+        when(col("l_orderkey") % 13 === 0, lit(null))
+          .otherwise(col("l_shipdate")).as("ship"))
+      val dirty = base.unionByName(base.filter(col("l_orderkey") % 23 === 0))
+      dirty.agg(
+        count(lit(1)).as("row_count"),
+        count(when(col("l_orderkey").isNull, 1)).as("null_orderkey"),
+        count(when(col("ship").isNull, 1)).as("null_shipdate"),
+        count(when(col("qty") <= 0 || col("qty") > 100, 1)).as("qty_out_of_range"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 1, 1))
+          .as("discount_out_of_range"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+          .as("dup_order_line"))
+        .selectExpr(
+          """stack(6,
+            |  'row_count', row_count,
+            |  'null_orderkey', null_orderkey,
+            |  'null_shipdate', null_shipdate,
+            |  'qty_out_of_range', qty_out_of_range,
+            |  'discount_out_of_range', discount_out_of_range,
+            |  'dup_order_line', dup_order_line) AS (check_name, metric)""".stripMargin)
+        .withColumn("passed",
+          when(col("check_name") === "row_count", col("metric") > 0)
+            .otherwise(col("metric") === 0))
+        .orderBy("check_name")
+    },
+
+    // ── Blocked fuzzy entity resolution over the part catalog: find
+    //    near-duplicate product names (edit distance 1–2, excluding exact
+    //    matches — those are q14/q32's exact-dedup territory). The 100 TB
+    //    shape is the three-step ladder real ER systems use: (1) collapse
+    //    to DISTINCT entities first (20k rows → ~160 names here; the
+    //    pairwise stage never sees row multiplicity), (2) block by a cheap
+    //    key (the noun — last name token, the entity type) so candidates
+    //    are per-block, never catalog×catalog, (3) fan the resolved pairs
+    //    back to row counts by multiplying the kept group sizes — so the
+    //    quadratic step runs on entities and the data-scale cost stays
+    //    linear. Blocking is the deliberate recall trade: pairs differing
+    //    in their blocking token are out of scope by design (on this
+    //    catalog every distance-≤2 pair shares its noun, so recall is
+    //    total — verified against the unblocked all-pairs distances).
+    Q("q101_fuzzy_catalog_dedup",
+      """WITH names AS (
+        |  SELECT split_part(p_name, ' ', 2) AS blk, p_name, count(*) AS cnt
+        |  FROM part GROUP BY 1, 2)
+        |SELECT a.blk AS block,
+        |       count(*) AS n_near_name_pairs,
+        |       CAST(sum(a.cnt * b.cnt) AS BIGINT) AS n_row_pairs,
+        |       min(a.p_name || ' | ' || b.p_name) AS example_pair
+        |FROM names a JOIN names b
+        |  ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val names = pa(s, d)
+        .groupBy(split_part(col("p_name"), lit(" "), lit(2)).as("blk"), col("p_name"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = names.select(col("blk"), col("p_name").as("name_a"), col("cnt").as("cnt_a"))
+      val b = names.select(col("blk"), col("p_name").as("name_b"), col("cnt").as("cnt_b"))
+      a.join(b, Seq("blk"))
+        .filter(col("name_a") < col("name_b"))
+        .filter(levenshtein(col("name_a"), col("name_b")).between(1, 2))
+        .groupBy(col("blk").as("block"))
+        .agg(
+          count(lit(1)).as("n_near_name_pairs"),
+          sum(col("cnt_a") * col("cnt_b")).cast("long").as("n_row_pairs"),
+          min(concat(col("name_a"), lit(" | "), col("name_b"))).as("example_pair"))
+        .orderBy("block")
+    }
+  )
+}

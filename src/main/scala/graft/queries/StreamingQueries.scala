@@ -148,6 +148,49 @@ object StreamingQueries {
           max("max_events").cast("long").as("max_events"),
           max("total_events").cast("long").as("total_events"))
         .orderBy("user_id")
+    },
+
+    // ── Stream-stream interval join through the actual streaming engine:
+    //    purchase↔click attribution where BOTH sides are unbounded streams
+    //    (q47's as-of family is the batch shape; this is what replaces it
+    //    when neither side fits a batch). Watermarks + the interval bound
+    //    give bounded join state; the drained inner join must equal the
+    //    batch interval join the oracle computes. Ties (equal ts) are
+    //    included on the click side, and the aggregate output (pairs and
+    //    distinct purchases per hour) is a deterministic roll-up of the
+    //    emitted matches regardless of micro-batch boundaries.
+    Q("q102_streaming_attribution",
+      """SELECT date_trunc('hour', p.ts) AS hour,
+        |       count(*) AS n_pairs,
+        |       count(DISTINCT p.event_id) AS n_purchases
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 30 MINUTE
+        |WHERE p.ts IS NOT NULL AND c.ts IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val sink = s"q102_sink_${sinkSeq.getAndIncrement()}"
+      val src = stagedEventsDir(s, d)
+      val purchases = StreamingJobs.eventsStream(s, src)
+        .filter(col("event_type") === "purchase" && col("ts").isNotNull)
+      val clicks = StreamingJobs.eventsStream(s, src)
+        .filter(col("event_type") === "click" && col("ts").isNotNull)
+      val query = StreamingJobs
+        .attributionJoin(purchases, clicks,
+          windowMicros = 30L * 60 * 1000000, watermark = "1 hour")
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(sink)
+        .groupBy(date_trunc("hour", col("purchase_ts")).as("hour"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("purchase_id")).as("n_purchases"))
+        .orderBy("hour")
     }
   )
 }

@@ -419,6 +419,40 @@ object TextCorpus {
           (round(col("ssum").cast("double") / col("n_tok")) / 1e6).as("avg_surprisal"))
         .orderBy(col("avg_surprisal").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // ── Weighted mixture sampling: keep each document with probability
+    //    proportional to its weight (here n_chars/1000 — the "sample long
+    //    documents more" mixture knob), decided by a pure integer compare
+    //    against an md5-derived 32-bit uniform. No floating point, no RNG
+    //    state: u·1000 < w·2^32 is bit-identical in both engines, stable
+    //    under any partitioning/cluster size (the q68 reproducibility
+    //    primitive extended from uniform to WEIGHTED sampling — how a
+    //    training pipeline downsamples low-quality sources while staying
+    //    rerun-reproducible). Map-side filter + one small agg shuffle;
+    //    at 100 TB the decision is per-row with zero coordination.
+    Q("q98_weighted_sample",
+      """WITH w AS (
+        |  SELECT source, n_chars,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+        |  FROM documents)
+        |SELECT source,
+        |       count(*) AS n_docs,
+        |       count(*) FILTER (WHERE u * 1000 < n_chars * 4294967296) AS n_kept,
+        |       CAST(sum(n_chars) FILTER (WHERE u * 1000 < n_chars * 4294967296) AS BIGINT)
+        |         AS kept_chars
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val kept = col("u") * 1000 < col("n_chars") * lit(4294967296L)
+      docs(s, d)
+        .select(col("source"), col("n_chars"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("u"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(kept, 1)).as("n_kept"),
+          sum(when(kept, col("n_chars"))).cast("long").as("kept_chars"))
+        .orderBy("source")
     }
   )
 }

@@ -124,6 +124,29 @@ object StreamingJobs {
       }
   }
 
+  /** Stream-stream interval join (click→purchase attribution): every
+    * purchase joined to the same user's clicks in the preceding
+    * `windowMicros`. Both sides carry event-time watermarks, and the join
+    * condition bounds the event-time distance, so each side's buffered
+    * state is O(watermark horizon): a click older than (purchase watermark
+    * − window) can never match again and is evicted — THE mechanism that
+    * lets two unbounded streams join with bounded memory at 100 TB/day.
+    * Inner joins emit eagerly on match, so an AvailableNow drain of a
+    * finite source produces exactly the batch join. */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+                      windowMicros: Long, watermark: String): DataFrame = {
+    val p = purchases.select(
+      col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+      col("ts").as("purchase_ts")).withWatermark("purchase_ts", watermark)
+    val c = clicks.select(
+      col("event_id").as("click_id"), col("user_id").as("c_user"),
+      col("ts").as("click_ts")).withWatermark("click_ts", watermark)
+    p.join(c, expr(
+      s"""p_user = c_user AND
+         |click_ts <= purchase_ts AND
+         |click_ts > purchase_ts - INTERVAL ${windowMicros / 1000000} SECONDS""".stripMargin))
+  }
+
   /** Exactly-once-ish partitioned lake append (§2.9c): checkpointed source
     * offsets replace the text-file watermark, `foreachBatch` applies the
     * same clean→append batch logic. `Trigger.AvailableNow` drains what

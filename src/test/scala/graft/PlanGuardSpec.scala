@@ -27,6 +27,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q80_user_erasure"       -> "cross join of the single-row total count",
     "q92_unigram_surprisal"  -> "cross join of the single-row corpus token count",
     "q95_ann_int8"           -> "5-row quantized query batch (int8 exact-scan)",
+    "q97_kmv_distinct"       -> "cross join of the single-row exact-count aggregate",
     "q96_ann_rerank"         -> "5-row quantized query batch (recall stage of the rerank)")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -101,4 +101,44 @@ class PlanShapeSpec extends AnyFunSuite {
       s"both branches must carry their own partial+final aggregate:\n$p")
     assert(p.contains("FullOuter"), s"merge must be a full-outer join:\n$p")
   }
+
+  test("q97: the KMV sketch plans top-k, never a global sort") {
+    // The sketch's scale story is "k smallest of a distinct set via
+    // TakeOrdered" — a global Sort before the limit would materialize the
+    // whole distinct relation on one reducer at 100 TB.
+    val p = plan("q97_kmv_distinct").split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"k-smallest must plan as TakeOrderedAndProject:\n$p")
+    // scope to the sketch branch (everything before the broadcast of the
+    // exact-count rider, whose single-row final merge is inherent): the
+    // top-k must sit directly on the hash-partitioned distinct with no
+    // single-partition exchange of its own
+    val sketchBranch = p.split("BroadcastExchange")(0)
+    assert(!sketchBranch.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"no single-partition exchange may feed the top-k:\n$p")
+    // the distinct is two-phase: partial per partition, merge after shuffle
+    assert(sketchBranch.split("HashAggregate").length >= 3,
+      s"distinct must run as partial+final hash aggregates:\n$p")
+  }
+
+  test("q101: fuzzy ER joins hash-partitioned on the block key") {
+    // Blocked entity resolution must plan an equi-join on the blocking
+    // key (hash or broadcast — never nested-loop over the catalog), with
+    // the Levenshtein predicate applied post-join inside codegen.
+    val p = plan("q101_fuzzy_catalog_dedup")
+    assert(p.contains("HashJoin"), s"block join must be a hash join:\n$p")
+    assert(p.contains("levenshtein"),
+      s"the edit-distance filter must ride the join, not a collect:\n$p")
+  }
+
+  test("q100: the quality suite aggregates in one pass per branch") {
+    // One combined aggregate computes every check (no per-check scan):
+    // expect exactly the base scan + the 1/23rd duplicate-injection scan,
+    // then a single partial+final aggregate pair feeding the unpivot.
+    val p = plan("q100_quality_suite").split("== Initial Plan ==")(0)
+    assert(p.split("Scan parquet").length <= 3,
+      s"expected at most two lineitem scans (base + injected dups):\n$p")
+    assert(p.contains("Expand") || p.contains("Generate"),
+      s"the check-per-row unpivot must be an Expand/Generate, driver-free:\n$p")
+  }
 }

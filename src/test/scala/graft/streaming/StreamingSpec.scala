@@ -67,4 +67,38 @@ class StreamingSpec extends AnyFunSuite {
     drain()
     assert(PartitionedLake.read(spark, lake).count() == expected)
   }
+
+  test("stream-stream attribution join equals the batch interval join") {
+    val q = StreamingJobs.attributionJoin(
+        StreamingJobs.eventsStream(spark, eventsDir)
+          .filter(col("event_type") === "purchase" && col("ts").isNotNull),
+        StreamingJobs.eventsStream(spark, eventsDir)
+          .filter(col("event_type") === "click" && col("ts").isNotNull),
+        windowMicros = 30L * 60 * 1000000, watermark = "1 hour")
+      .writeStream
+      .format("memory")
+      .queryName("attr_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("attr_stream")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = graft.model.Tables.events(spark, TestSpark.Sf)
+      .filter(col("ts").isNotNull)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val batch = p.join(c, Seq("user_id"))
+      .filter(col("cts") <= col("pts") &&
+        col("cts") > col("pts") - expr("INTERVAL 30 MINUTES"))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed == batch, "drained stream join must equal the batch interval join")
+    assert(streamed.nonEmpty)
+  }
 }
