@@ -281,6 +281,98 @@ object Extended {
           (round(lit(1e6) * corr(col("l_quantity"), col("l_extendedprice"))) / 1e6).as("qty_price_corr"),
           (round(lit(1e6) * stddev_samp(col("l_discount"))) / 1e6).as("discount_sd"))
         .orderBy("l_returnflag")
+    },
+
+    // ── Approximate percentiles via fixed equi-width binning: exact
+    //    min/max bounds in one pass, a 1000-bin histogram in a second,
+    //    then linear interpolation inside the target bin — error bounded
+    //    by one bin width, shown against q51's exact-sort percentiles.
+    //    This is the 100 TB replacement for exact percentile_cont (whose
+    //    global sort is the bottleneck at scale): both passes are pure
+    //    map-side partial aggregates, the histogram relation is 1000 rows
+    //    regardless of input size, and the cumulative window runs on
+    //    those 1000 rows only. Unlike t-digest/GK sketches (merge-order-
+    //    dependent), the binned estimate is exactly replayable in any
+    //    engine: counts are integers and the interpolation is a handful
+    //    of IEEE ops, micro-rounded at the end.
+    Q("q103_binned_percentiles",
+      """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+        |                 count(*) AS n FROM lineitem),
+        |h AS (SELECT LEAST(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 1000.0)) AS BIGINT), 999) AS bin,
+        |             count(*) AS c
+        |      FROM lineitem, b GROUP BY 1),
+        |cum AS (SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM h),
+        |t AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(pct)),
+        |sel AS (SELECT t.pct, min(cum.bin) AS bin
+        |        FROM t, cum, b
+        |        WHERE cum.cum >= CAST(ceil(t.pct * b.n / 100.0) AS BIGINT)
+        |        GROUP BY t.pct)
+        |SELECT CAST(sel.pct AS BIGINT) AS pct,
+        |       round(1e6 * (b.lo + (sel.bin + (CAST(ceil(sel.pct * b.n / 100.0) AS BIGINT)
+        |                                        - (cum.cum - cum.c)) / CAST(cum.c AS DOUBLE))
+        |                            * ((b.hi - b.lo) / 1000.0))) / 1e6 AS approx_value
+        |FROM sel JOIN cum ON sel.bin = cum.bin CROSS JOIN b
+        |ORDER BY pct""".stripMargin) { (s, d) =>
+      val items = li(s, d)
+      val bounds = items.agg(
+        min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"),
+        count(lit(1)).as("n"))
+      val hist = items.crossJoin(broadcast(bounds))
+        .select(least(
+          floor((col("l_extendedprice") - col("lo")) / ((col("hi") - col("lo")) / 1000.0))
+            .cast("long"), lit(999L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum",
+        sum("c").over(org.apache.spark.sql.expressions.Window
+          .orderBy("bin").rowsBetween(Long.MinValue, 0)))
+      val targets = s.range(1).select(explode(array(lit(50), lit(90), lit(99))).as("pct"))
+      val sel = broadcast(targets).crossJoin(cum).crossJoin(broadcast(bounds))
+        .filter(col("cum") >= ceil(col("pct") * col("n") / 100.0).cast("long"))
+        .groupBy("pct").agg(min("bin").as("bin"))
+      sel.join(cum, "bin").crossJoin(broadcast(bounds))
+        .select(
+          col("pct").cast("long").as("pct"),
+          (round(lit(1e6) * (col("lo") +
+            (col("bin") + (ceil(col("pct") * col("n") / 100.0).cast("long")
+              - (col("cum") - col("c"))) / col("c").cast("double"))
+              * ((col("hi") - col("lo")) / 1000.0))) / 1e6).as("approx_value"))
+        .orderBy("pct")
+    },
+
+    // ── Salted replicated join under the oracle: a deliberately skewed
+    //    fact key (75% of rows collapse onto key 0 — the one-customer-
+    //    dominates shape) joined to a dimension through
+    //    graft.etl.Skew.saltedJoin, which spreads the hot key across 8
+    //    reducers by salting the fact side from a high-cardinality column
+    //    and exploding the dim side 8×. The oracle computes the PLAIN
+    //    join — the salted plan must be bit-identical, proving the
+    //    mitigation is exact, not approximate. (q64 is the salted
+    //    DISTINCT twin; this closes the salted-JOIN half. AQE skew-join
+    //    handles this at runtime when stats surface it; the salt is the
+    //    deterministic plan-level version you reach for when it doesn't.)
+    Q("q106_skew_salted_join",
+      """WITH f AS (SELECT CASE WHEN l_suppkey % 4 <> 0 THEN 0 ELSE l_suppkey END AS hk,
+        |                  l_orderkey, l_extendedprice, l_discount FROM lineitem),
+        |dim AS (SELECT s_suppkey AS hk, s_nationkey FROM supplier),
+        |j AS (SELECT f.hk, f.l_extendedprice, f.l_discount, dim.s_nationkey
+        |      FROM f JOIN dim ON f.hk = dim.hk)
+        |SELECT s_nationkey, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |         / 100.0 AS revenue
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val fact = li(s, d).select(
+        when(col("l_suppkey") % 4 =!= 0, lit(0L)).otherwise(col("l_suppkey")).as("hk"),
+        col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val dim = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("hk"), col("s_nationkey"))
+      graft.etl.Skew.saltedJoin(fact, dim, key = "hk",
+          bigSaltSource = "l_orderkey", buckets = 8)
+        .groupBy("s_nationkey")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")) / 100.0).as("revenue"))
+        .orderBy("s_nationkey")
     }
   )
 }

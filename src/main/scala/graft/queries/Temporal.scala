@@ -97,6 +97,56 @@ object Temporal {
         .withColumn("asof_ts_us", unix_micros(col("asof_ts")))
         .drop("asof_ts")
         .orderBy("event_id")
+    },
+
+    // ── Conversion funnel (signup → click-within-7d → purchase-within-7d):
+    //    the product-analytics staple next to sessions (q46) and as-of
+    //    attribution (q47). Each stage is "earliest qualifying event after
+    //    the previous stage's timestamp", so the funnel is three
+    //    min-aggregates chained by equi-joins on user_id — every join
+    //    co-partitioned on the same key (one shuffle partitioning reused
+    //    down the chain at scale), nothing quadratic, and each stage's
+    //    relation only shrinks. Conversion rates ride as round(10000·a/b)/100
+    //    — integer counts, one IEEE divide, engine-identical.
+    Q("q104_funnel",
+      """WITH s AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s ON e.user_id = s.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= s.t0
+        |        AND e.ts <= s.t0 + INTERVAL 7 DAY GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t1
+        |        AND e.ts <= c.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |n AS (SELECT (SELECT count(*) FROM s) AS n_signup,
+        |             (SELECT count(*) FROM c) AS n_click,
+        |             (SELECT count(*) FROM p) AS n_purchase)
+        |SELECT 'signup' AS stage, CAST(1 AS BIGINT) AS step, n_signup AS n_users,
+        |       CAST(100 AS DOUBLE) AS pct_of_prev FROM n
+        |UNION ALL SELECT 'click', 2, n_click, round(10000.0 * n_click / n_signup) / 100.0 FROM n
+        |UNION ALL SELECT 'purchase', 3, n_purchase, round(10000.0 * n_purchase / n_click) / 100.0 FROM n
+        |ORDER BY step""".stripMargin) { (s, d) =>
+      val e = ev(s, d)
+      val signup = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t0"))
+      val click = e.filter(col("event_type") === "click")
+        .join(signup, "user_id")
+        .filter(col("ts") >= col("t0") && col("ts") <= col("t0") + expr("INTERVAL 7 DAYS"))
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val purchase = e.filter(col("event_type") === "purchase")
+        .join(click, "user_id")
+        .filter(col("ts") >= col("t1") && col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val n = signup.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(click.agg(count(lit(1)).as("n_click")))
+        .crossJoin(purchase.agg(count(lit(1)).as("n_purchase")))
+      n.selectExpr(
+        """stack(3,
+          |  'signup', CAST(1 AS BIGINT), n_signup, CAST(100 AS DOUBLE),
+          |  'click', CAST(2 AS BIGINT), n_click,
+          |    round(CAST(10000 AS DOUBLE) * n_click / n_signup) / CAST(100 AS DOUBLE),
+          |  'purchase', CAST(3 AS BIGINT), n_purchase,
+          |    round(CAST(10000 AS DOUBLE) * n_purchase / n_click) / CAST(100 AS DOUBLE))
+          |  AS (stage, step, n_users, pct_of_prev)""".stripMargin)
+        .orderBy("step")
     }
   )
 }

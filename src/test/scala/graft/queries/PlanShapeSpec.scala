@@ -131,6 +131,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the edit-distance filter must ride the join, not a collect:\n$p")
   }
 
+  test("q106: the salted join shuffles on (key, salt), not the bare hot key") {
+    // The whole mitigation: the join's partitioning must include __salt so
+    // the hot key's rows spread over `buckets` reducers instead of one.
+    val p = plan("q106_skew_salted_join")
+    assert(p.contains("__salt"),
+      s"salt column must survive into the join keys:\n$p")
+    assert(p.contains("hashpartitioning(hk") || p.contains("[hk"),
+      s"join must still key on hk alongside the salt:\n$p")
+  }
+
   test("q100: the quality suite aggregates in one pass per branch") {
     // One combined aggregate computes every check (no per-check scan):
     // expect exactly the base scan + the 1/23rd duplicate-injection scan,
