@@ -133,8 +133,16 @@ object StreamingJobs {
     * lets two unbounded streams join with bounded memory at 100 TB/day.
     * Inner joins emit eagerly on match, so an AvailableNow drain of a
     * finite source produces exactly the batch join. */
+  /** `joinType = "left_outer"` adds the unmatched-purchase rows (null
+    * click columns), which the engine can only emit once the click-side
+    * watermark has passed the purchase's match window — late-arriving
+    * clicks must be provably impossible before the "no click" verdict is
+    * final. That makes outer results WATERMARK-PACED: a drain whose last
+    * batch doesn't advance the watermark past the window holds back the
+    * tail (exercised batch-by-batch in StreamingSpec). */
   def attributionJoin(purchases: DataFrame, clicks: DataFrame,
-                      windowMicros: Long, watermark: String): DataFrame = {
+                      windowMicros: Long, watermark: String,
+                      joinType: String = "inner"): DataFrame = {
     val p = purchases.select(
       col("event_id").as("purchase_id"), col("user_id").as("p_user"),
       col("ts").as("purchase_ts")).withWatermark("purchase_ts", watermark)
@@ -144,7 +152,8 @@ object StreamingJobs {
     p.join(c, expr(
       s"""p_user = c_user AND
          |click_ts <= purchase_ts AND
-         |click_ts > purchase_ts - INTERVAL ${windowMicros / 1000000} SECONDS""".stripMargin))
+         |click_ts > purchase_ts - INTERVAL ${windowMicros / 1000000} SECONDS""".stripMargin),
+      joinType)
   }
 
   /** Exactly-once-ish partitioned lake append (§2.9c): checkpointed source

@@ -101,4 +101,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "drained stream join must equal the batch interval join")
     assert(streamed.nonEmpty)
   }
+
+  test("left-outer stream join emits unmatched rows only after the watermark passes") {
+    import java.sql.Timestamp
+    val work = Files.createTempDirectory("graft-stream-outer").toString
+    val src = s"$work/src"
+    def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+    def write(rows: Seq[(Long, Timestamp, Long, String, Double)], file: String): Unit = {
+      import spark.implicits._
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(5) // distinct mtimes keep the two batches ordered
+      val _ = file
+    }
+    // batch 1: user 1 purchases with NO click; user 2 clicks then purchases
+    write(Seq(
+      (1L, ts(0), 1L, "purchase", 1.0),
+      (2L, ts(0), 2L, "click", 1.0),
+      (3L, ts(5), 2L, "purchase", 1.0)), "b1")
+    // batches 2-3: far-future rows on BOTH sides (non-matching users, so
+    // they add no output within the drain) advance the query's single
+    // GLOBAL watermark — Spark takes the min across every watermark
+    // operator, so a side whose later batches carry no rows pins the
+    // global watermark forever. And two extra batches, not one: the
+    // watermark moves at END of batch N and the eviction that emits the
+    // null runs DURING batch N+1 — the same reason a real deployment sees
+    // outer results one trigger late.
+    write(Seq(
+      (9L, Timestamp.valueOf("2024-01-02 10:00:00"), 3L, "purchase", 1.0),
+      (11L, Timestamp.valueOf("2024-01-02 10:00:00"), 4L, "click", 1.0)), "b2")
+    write(Seq(
+      (10L, Timestamp.valueOf("2024-01-03 10:00:00"), 5L, "purchase", 1.0),
+      (12L, Timestamp.valueOf("2024-01-03 10:00:00"), 6L, "click", 1.0)), "b3")
+
+    // maxFilesPerTrigger is a SOURCE option: one file per micro-batch, so
+    // the drain runs three batches and the watermark genuinely advances
+    // between them
+    def stream = spark.readStream
+      .schema(StreamingJobs.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = StreamingJobs.attributionJoin(
+        stream.filter(col("event_type") === "purchase"),
+        stream.filter(col("event_type") === "click"),
+        windowMicros = 30L * 60 * 1000000, watermark = "10 minutes",
+        joinType = "left_outer")
+      .writeStream
+      .format("memory")
+      .queryName("outer_attr")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val batches = q.recentProgress.map(_.batchId).distinct.length
+    assert(batches >= 3, s"expected >=3 micro-batches (1 file each), got $batches")
+    val rows = spark.table("outer_attr")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    // user 2's purchase matched its click; user 1's purchase emitted with a
+    // NULL click — possible only because batch 2 pushed the click watermark
+    // past 10:00 + 30 min, proving no late click can still arrive
+    assert(rows.contains((3L, Some(2L))), s"matched pair missing: $rows")
+    assert(rows.contains((1L, None)),
+      s"unmatched purchase must surface as a null-click row after the watermark: $rows")
+  }
 }
