@@ -373,6 +373,32 @@ object Extended {
           (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
             .cast("long")) / 100.0).as("revenue"))
         .orderBy("s_nationkey")
+    },
+
+    // ── Two-dimension box scan over the Z-ORDERED lineitem lake
+    //    (graft.etl.ZOrder): the lake is laid out along the Morton curve
+    //    of (l_suppkey, l_partkey), so every file covers a small rectangle
+    //    of the key plane and this query's two BETWEEN predicates skip
+    //    most files via parquet footer min/max — the multi-dimension
+    //    data-skipping a single-column sort cannot give (ZOrderSpec
+    //    measures the file-intersection ratio against a one-dimension
+    //    layout). The oracle reads the RAW table: layout must never
+    //    change results, only which bytes are read.
+    Q("q107_zorder_box_scan",
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |         / 100.0 AS revenue
+        |FROM lineitem
+        |WHERE l_suppkey BETWEEN 2 AND 7 AND l_partkey BETWEEN 10 AND 150
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      s.read.parquet(graft.etl.ZOrder.ensureZorderedLineitem(s, d))
+        .filter(col("l_suppkey").between(2, 7) && col("l_partkey").between(10, 150))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")) / 100.0).as("revenue"))
+        .orderBy("l_returnflag")
     }
   )
 }
