@@ -145,7 +145,7 @@ object PartitionedLake {
     * committed. One file per day-partition (`repartition` by (year, month)
     * keeps writer tasks aligned with directories — no small-file spray).
     */
-  def ensureLineitemLake(spark: SparkSession, sfDir: String): String = {
+  def ensureLineitemLake(spark: SparkSession, sfDir: String): String = synchronized {
     val root = s"${lakeRoot(sfDir)}/lineitem"
     if (!Files.exists(Paths.get(root, "_SUCCESS"))) {
       val src = graft.model.Tables.lineitem(spark, sfDir)
@@ -167,7 +167,7 @@ object PartitionedLake {
     * parquet footer (`PushedFilters`) and — paired with [[sinceDay]] /
     * [[upToDay]] — at the file listing (`PartitionFilters`), which is the
     * entire "re-aggregate only the delta" story at 100 TB. */
-  def ensureEventsLake(spark: SparkSession, sfDir: String): String = {
+  def ensureEventsLake(spark: SparkSession, sfDir: String): String = synchronized {
     val root = s"${lakeRoot(sfDir)}/events"
     if (!Files.exists(Paths.get(root, "_SUCCESS"))) {
       val src = graft.model.Tables.events(spark, sfDir)

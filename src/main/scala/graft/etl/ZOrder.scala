@@ -52,11 +52,12 @@ object ZOrder {
     * (l_suppkey, l_partkey) — the two independent scan dimensions the
     * star queries filter on. Committed via Spark's `_SUCCESS` marker,
     * same contract as PartitionedLake.ensureLineitemLake. */
-  def ensureZorderedLineitem(spark: SparkSession, sfDir: String): String = {
-    val root = s"${PartitionedLake.lakeRoot(sfDir)}/lineitem_zorder"
-    if (!Files.exists(Paths.get(root, "_SUCCESS")))
-      write(graft.model.Tables.lineitem(spark, sfDir),
-        "l_suppkey", "l_partkey", files = 16, root)
-    root
-  }
+  def ensureZorderedLineitem(spark: SparkSession, sfDir: String): String =
+    synchronized { // parallel test suites must not race the _SUCCESS check
+      val root = s"${PartitionedLake.lakeRoot(sfDir)}/lineitem_zorder"
+      if (!Files.exists(Paths.get(root, "_SUCCESS")))
+        write(graft.model.Tables.lineitem(spark, sfDir),
+          "l_suppkey", "l_partkey", files = 16, root)
+      root
+    }
 }
