@@ -64,4 +64,27 @@ class GeneratedDataSpec extends AnyFunSuite {
       once.select(col("doc_id"), col("fp").as("text"), col("lang")))
     assert(once.count() == again.count())
   }
+
+  test("z-order interleave is a bijection on 16-bit pairs (round-trips, any input)") {
+    // de-interleave in plain Scala: even bits back to a, odd bits to b —
+    // losing any bit would collapse distinct key pairs into one z value
+    // and silently merge file rectangles
+    def deinterleave(z: Long): (Long, Long) = {
+      var (a, b) = (0L, 0L)
+      for (i <- 0 until graft.etl.ZOrder.BitsPerDim) {
+        a |= ((z >> (2 * i)) & 1L) << i
+        b |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (a, b)
+    }
+    val pairs = sample(Gen.listOfN(500,
+      Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L))), seed = 7L)
+    val zs = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.etl.ZOrder.interleave(col("a"), col("b")).as("z"))
+      .collect()
+    for (r <- zs)
+      assert(deinterleave(r.getLong(2)) == ((r.getLong(0), r.getLong(1))),
+        s"(${r.getLong(0)}, ${r.getLong(1)}) -> z=${r.getLong(2)} did not round-trip")
+  }
 }
