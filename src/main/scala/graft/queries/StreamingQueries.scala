@@ -175,16 +175,38 @@ object StreamingQueries {
         .filter(col("event_type") === "purchase" && col("ts").isNotNull)
       val clicks = StreamingJobs.eventsStream(s, src)
         .filter(col("event_type") === "click" && col("ts").isNotNull)
-      val query = StreamingJobs
-        .attributionJoin(purchases, clicks,
-          windowMicros = 30L * 60 * 1000000, watermark = "1 hour")
-        .writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      // Stateful-op sizing, the real 100 TB lesson this query carries: a
+      // stream-stream join commits (partitions × 4 state stores per side)
+      // per batch, so its partition count must follow STATE volume, not
+      // the session's batch-shuffle default — at this state size 8
+      // partitions quarters the store-commit overhead. And an
+      // AvailableNow INNER join emits eagerly, so the trailing no-data
+      // finalization batch (which re-runs the whole stateful plan purely
+      // to advance the watermark) buys nothing here — outer joins are the
+      // shape that needs it (see StreamingSpec's left-outer test). Both
+      // knobs are read at stream start; restore them right after so batch
+      // queries keep the session defaults.
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      val savedNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        val query = StreamingJobs
+          .attributionJoin(purchases, clicks,
+            windowMicros = 30L * 60 * 1000000, watermark = "1 hour")
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        // micro-batch planning reads the conf on the stream's own thread,
+        // so the restore must wait for the drain to finish
+        query.awaitTermination()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+      }
       s.table(sink)
         .groupBy(date_trunc("hour", col("purchase_ts")).as("hour"))
         .agg(
