@@ -120,7 +120,12 @@ object Bench {
       .map(r => s"${jstr(short(r.name))}:[${r.n},${sec(r.best)},${sec(r.worst)}]")
       .mkString("{", ",", "}")
     val total = results.map(_.best).sum
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"spread":$spread,"sf":"$sfDir","n_queries":${results.size},"total_sec":${sec(total)}}""")
+    // one-shots are listed in the output so a reader comparing per-query
+    // numbers knows which entries deliberately include one-time pipeline
+    // cost (they run once; repeats would measure the warm amortized path)
+    val oneShots = selected.map(_._1).filter(oneShot)
+      .map(n => jstr(short(n))).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"spread":$spread,"one_shot":$oneShots,"sf":"$sfDir","n_queries":${results.size},"total_sec":${sec(total)}}""")
     spark.stop()
     if (results.exists(_.err.nonEmpty)) sys.exit(1)
   }

@@ -399,6 +399,78 @@ object Extended {
           (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
             .cast("long")) / 100.0).as("revenue"))
         .orderBy("l_returnflag")
+    },
+
+    // ── Dynamic partition pruning over the day-partitioned events lake:
+    //    the week-1 predicate lives on a tiny CALENDAR dimension, not on
+    //    the fact — so static pushdown and partition pruning cannot see
+    //    it at plan time. Catalyst plants a dynamicpruningexpression in
+    //    the fact scan's PartitionFilters: the dim filter's surviving day
+    //    keys (reused from the join's broadcast) prune the lake's FILE
+    //    LISTING at runtime, so pruned day directories cost zero IO.
+    //    This is the star-join lever at 100 TB — partition elimination
+    //    decided by a dimension predicate the fact side never stated.
+    //    PlanShapeSpec asserts the dynamic pruning subquery is planted.
+    //    The oracle applies the equivalent day-of-month predicate
+    //    directly (the join is inner on a unique dim key, so it is
+    //    exactly a filter).
+    Q("q108_dpp_calendar_join",
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+        |FROM events
+        |WHERE day(ts) <= 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val lake = s.read.parquet(graft.etl.PartitionedLake.ensureEventsLake(s, d))
+      val calendar = s.range(1, 32).select(
+        col("id").cast("int").as("day"),
+        (col("id") <= 7).as("first_week"))
+      lake.join(calendar.filter(col("first_week")), Seq("day"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+        .orderBy("event_type")
+    },
+
+    // ── Runtime Bloom-filter join (q108's shuffle-side sibling): when BOTH
+    //    join sides are too large to broadcast, the dim's selective
+    //    predicate can still prune the fact — Catalyst builds a Bloom
+    //    filter over the filtered orders' join keys and plants a
+    //    might_contain guard on the lineitem side BEFORE its shuffle, so
+    //    ~97% of fact rows drop at the scan instead of crossing the wire.
+    //    This is the semi-join reduction every large-scale engine leans on
+    //    for selective fact⋈fact joins. The conf overrides (broadcast off,
+    //    application-side floor zeroed) force the large×large shape at
+    //    test scale; they live on a CHILD session (shared context, own
+    //    conf) because the plan is optimized lazily at action time, after
+    //    this function returns. The oracle computes the plain join — the
+    //    Bloom path must be bit-identical (false positives only ever let
+    //    rows through to the exact join, never drop them).
+    Q("q110_bloom_runtime_filter",
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS gross
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s0, d) =>
+      val s = s0.newSession()
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val orders = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_orderpriority")
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("gross"))
+        .orderBy("o_orderpriority")
     }
   )
 }

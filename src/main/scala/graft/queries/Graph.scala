@@ -10,11 +10,13 @@ import graft.model.Tables
   * (llm/Dedup.connectedComponentsLogN) covers the unbounded-iteration
   * case with a convergence test; this family covers the FIXED-iteration
   * case (PageRank-style scoring), where the loop unrolls into one Catalyst
-  * plan. At 100 TB scale each iteration is one co-partitioned
-  * edges⋈ranks join + one aggregate on the destination key — the ranks
-  * relation stays node-sized, the edge relation partitions on src, and a
-  * real deployment checkpoints ranks every few iterations to cut lineage
-  * (here 3 iterations ride one plan comfortably).
+  * plan. At 100 TB scale each iteration is one edges⋈ranks join + one
+  * aggregate on the destination key — the ranks relation stays
+  * node-sized (broadcast here; when a node table outgrows the broadcast
+  * budget, the same plan runs as a shuffle join co-partitioned with the
+  * src-bucketed edge relation), and a real deployment checkpoints ranks
+  * every few iterations to cut lineage (here 3 iterations ride one plan
+  * comfortably).
   *
   * Determinism contract: ranks are scaled longs (1e9 = mass 1.0), every
   * per-edge contribution is a truncating integer division (`div` in
@@ -79,22 +81,28 @@ object Graph {
       // plan; without persistence Catalyst re-runs the edge self-join once
       // per iteration reference (3-5 recomputes of the only large step).
       // At cluster scale this persist is the per-iteration checkpoint every
-      // Pregel-style runner does.
+      // Pregel-style runner does. The out-degree is folded INTO the
+      // checkpointed edge relation once (via a broadcast of the node-sized
+      // degree table), so each iteration is a single map-side join plus
+      // one aggregate — no per-round deg join, and the edge relation
+      // never shuffles after the build.
       val edges = pairs.alias("a")
         .join(pairs.alias("b"),
           col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
         .select(col("a.pk").as("src"), col("b.pk").as("dst"))
         .distinct()
-        .localCheckpoint()
       val nodes = pairs.select("pk").distinct().localCheckpoint()
       val nn = nodes.agg(count(lit(1)).as("n"))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
+      // deg re-references the edges subplan; its distinct's exchange is
+      // reused (one self-join run), so only the degree-annotated relation
+      // needs materializing — one 3-column edge checkpoint, not two.
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      val edgesD = edges.join(broadcast(deg), "src").localCheckpoint()
       var ranks = nodes.crossJoin(broadcast(nn))
         .select(col("pk"), expr(s"$Mass div n").as("r"))
       for (_ <- 1 to Iterations) {
-        val inbound = edges
-          .join(ranks.withColumnRenamed("pk", "src"), "src")
-          .join(deg, "src")
+        val inbound = edgesD
+          .join(broadcast(ranks.withColumnRenamed("pk", "src")), "src")
           .groupBy(col("dst").as("pk"))
           .agg(sum(expr("r div d")).cast("long").as("m"))
         // checkpoint the node-sized rank relation each round: iteration

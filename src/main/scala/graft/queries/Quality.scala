@@ -184,6 +184,50 @@ object Quality {
           sum(col("cnt_a") * col("cnt_b")).cast("long").as("n_row_pairs"),
           min(concat(col("name_a"), lit(" | "), col("name_b"))).as("example_pair"))
         .orderBy("block")
+    },
+
+    // ── Observed metrics (`Dataset.observe` / CollectMetrics): the ETL
+    //    clean pass runs ONCE to its real sink (a noop write here; the
+    //    lake append in production), and the run's audit metrics — row
+    //    count, value total, id bounds — are collected as a side-effect
+    //    of that same pass via an AggregatingAccumulator. This is q100's
+    //    gate WITHOUT the second scan: at 100 TB the pipeline cannot
+    //    afford to re-read its output to audit it, so the metrics must
+    //    ride the write. The oracle recomputes the same aggregates from
+    //    an independent SQL replay of the clean semantics, so the
+    //    observation path (exactly-once per action, no double-count from
+    //    speculative/retried tasks) is what's verified.
+    Q("q111_observed_metrics",
+      """WITH cleaned AS (
+        |  SELECT event_id, value FROM (
+        |    SELECT event_id, value, row_number() OVER (
+        |      PARTITION BY ts, user_id, event_type, value ORDER BY event_id) AS rn
+        |    FROM events
+        |    WHERE value IS NOT NULL AND value <> 0
+        |      AND event_id IS NOT NULL AND ts IS NOT NULL
+        |      AND user_id IS NOT NULL AND event_type IS NOT NULL)
+        |  WHERE rn = 1)
+        |SELECT count(*) AS rows_out,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
+        |       CAST(min(event_id) AS BIGINT) AS min_event_id,
+        |       CAST(max(event_id) AS BIGINT) AS max_event_id
+        |FROM cleaned""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      graft.etl.Clean.cleanEvents(Tables.events(s, d))
+        .observe(obs,
+          count(lit(1)).as("rows_out"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"),
+          min("event_id").cast("long").as("min_event_id"),
+          max("event_id").cast("long").as("max_event_id"))
+        .write.mode("overwrite").format("noop").save()
+      val m = obs.get
+      Seq((
+        m("rows_out").asInstanceOf[Long],
+        m("total_value").asInstanceOf[Double],
+        m("min_event_id").asInstanceOf[Long],
+        m("max_event_id").asInstanceOf[Long]))
+        .toDF("rows_out", "total_value", "min_event_id", "max_event_id")
     }
   )
 }

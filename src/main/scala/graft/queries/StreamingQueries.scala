@@ -226,6 +226,43 @@ object StreamingQueries {
           count(lit(1)).as("n_pairs"),
           countDistinct(col("purchase_id")).as("n_purchases"))
         .orderBy("hour")
+    },
+
+    // ── Stream-static enrichment join: the event stream joined per
+    //    micro-batch to a bounded segment dimension (stateless — no join
+    //    state survives a trigger, unlike q102's stream-stream shape).
+    //    The dim keeps only segments 0 and 1, so the inner join also
+    //    FILTERS the stream — the drained sink must equal the batch
+    //    predicate the oracle computes. The dim is deterministic
+    //    (user_id mod 3), so both engines derive it independently.
+    Q("q109_stream_static_enrich",
+      """SELECT user_id % 3 AS segment, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+        |FROM events
+        |WHERE user_id % 3 <= 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val sink = s"q109_sink_${sinkSeq.getAndIncrement()}"
+      val dim = Tables.events(s, d).select(col("user_id")).distinct()
+        .select(col("user_id").as("uid"), pmod(col("user_id"), lit(3L)).as("segment"))
+        .filter(col("segment") <= 1)
+      withStreamTuning(s, partitions = 8) {
+        val query = StreamingJobs
+          .enrichWithDim(StreamingJobs.eventsStream(s, stagedEventsDir(s, d)),
+            dim, "user_id", "uid")
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
+      s.table(sink)
+        .groupBy("segment")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+        .orderBy("segment")
     }
   )
 }

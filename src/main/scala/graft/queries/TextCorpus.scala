@@ -453,6 +453,91 @@ object TextCorpus {
           count(when(kept, 1)).as("n_kept"),
           sum(when(kept, col("n_chars"))).cast("long").as("kept_chars"))
         .orderBy("source")
+    },
+
+    // ── Higher-order array functions (transform / filter / aggregate with
+    //    lambdas): per-document word-length statistics computed INSIDE the
+    //    array column, no explode — the declarative array surface for
+    //    jagged per-row data. Trade documented: lambda HOFs evaluate
+    //    interpreted (outside whole-stage codegen), which is fine for a
+    //    once-per-row pass like this; the hot loops that run per
+    //    token-pair (shingling, dot products) use the custom codegen'd
+    //    kernels instead (functions/ShingleHashes, VecDot). An exploded
+    //    twin of this query would shuffle |tokens|× the rows; the HOF
+    //    form keeps it map-side with one node-sized agg shuffle.
+    Q("q112_array_hof_stats",
+      """WITH t AS (
+        |  SELECT lang,
+        |         list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum')
+        |           AS chars_in_words,
+        |         len(list_filter(string_split(text, ' '), w -> length(w) >= 8)) AS n_long_words,
+        |         len(string_split(text, ' ')) AS n_words
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(chars_in_words) AS BIGINT) AS total_word_chars,
+        |       CAST(sum(n_long_words) AS BIGINT) AS total_long_words,
+        |       CAST(max(n_words) AS BIGINT) AS max_words
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val words = split(col("text"), " ")
+      docs(s, d)
+        .select(col("lang"),
+          aggregate(transform(words, w => length(w)), lit(0L), (acc, x) => acc + x)
+            .as("chars_in_words"),
+          size(filter(words, w => length(w) >= 8)).as("n_long_words"),
+          size(words).as("n_words"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("chars_in_words").cast("long").as("total_word_chars"),
+          sum("n_long_words").cast("long").as("total_long_words"),
+          max("n_words").cast("long").as("max_words"))
+        .orderBy("lang")
+    },
+
+    // ── Count-min sketch (frequency estimation, q97's sibling — that one
+    //    answers "how many distinct", this one "how often is X"): d=3
+    //    hash rows × w=64 buckets, each counter the sum of colliding
+    //    token counts, estimate = min over rows. The counters relation IS
+    //    the sketch: 192 longs REGARDLESS of corpus size, built by one
+    //    aggregate whose map-side partials absorb token skew, then
+    //    broadcast back to score the exact top-20 — the error (min-of-d
+    //    only overestimates, never under) is visible in the output (2 of
+    //    the top-20 collide at this w; production sizes w ≈ e/ε). Unlike
+    //    library CMS (murmur seeds, platform-varying layouts), md5-derived
+    //    bucket hashes replay bit-identically in any engine — same
+    //    trade q97 made against HyperLogLog. Fourth consumer of the
+    //    shared tokenized relation.
+    Q("q113_count_min_sketch",
+      s"""WITH tok AS ($tokCte),
+         |tf AS (SELECT tok, count(*) AS tf FROM tok GROUP BY 1),
+         |hashes AS (
+         |  SELECT tok, tf, r.row_id,
+         |         ('0x' || substr(md5(CAST(r.row_id AS VARCHAR) || ':' || tok), 1, 8))::BIGINT % 64
+         |           AS bucket
+         |  FROM tf CROSS JOIN (SELECT unnest([0, 1, 2]) AS row_id) r),
+         |counters AS (SELECT row_id, bucket, CAST(sum(tf) AS BIGINT) AS c
+         |             FROM hashes GROUP BY 1, 2),
+         |est AS (SELECT h.tok, h.tf, min(c.c) AS est FROM hashes h
+         |        JOIN counters c ON c.row_id = h.row_id AND c.bucket = h.bucket
+         |        GROUP BY 1, 2)
+         |SELECT tok, CAST(tf AS BIGINT) AS exact_tf, CAST(est AS BIGINT) AS cms_est
+         |FROM est ORDER BY exact_tf DESC, tok LIMIT 20""".stripMargin) { (s, d) =>
+      val tf = tokenized(s, d).groupBy("tok").agg(count(lit(1)).as("tf"))
+      val hashes = tf
+        .select(col("tok"), col("tf"),
+          explode(array(lit(0), lit(1), lit(2))).as("row_id"))
+        .withColumn("bucket",
+          pmod(conv(substring(
+            md5(concat(col("row_id").cast("string"), lit(":"), col("tok"))),
+            1, 8), 16, 10).cast("long"), lit(64L)))
+      val counters = hashes.groupBy("row_id", "bucket")
+        .agg(sum("tf").cast("long").as("c"))
+      hashes.join(broadcast(counters), Seq("row_id", "bucket"))
+        .groupBy(col("tok"), col("tf"))
+        .agg(min("c").as("est"))
+        .select(col("tok"), col("tf").as("exact_tf"), col("est").as("cms_est"))
+        .orderBy(col("exact_tf").desc, col("tok"))
+        .limit(20)
     }
   )
 }

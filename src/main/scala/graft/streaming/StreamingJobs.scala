@@ -156,6 +156,20 @@ object StreamingJobs {
       joinType)
   }
 
+  /** Stream-static enrichment join: the unbounded stream joined to a
+    * bounded dimension. Stateless — nothing is buffered across triggers
+    * (unlike stream-stream joins). The dim's FILES are re-read at each
+    * micro-batch execution, but its file listing is pinned when the plan
+    * resolves — so on plain parquet, swapping in a refreshed dim is a
+    * query-restart operation (checkpointed offsets make the restart
+    * seamless; snapshot-refreshing table formats lift the restriction).
+    * The explicit broadcast keeps every micro-batch's join map-side: at
+    * 100 TB/day the stream side never shuffles, which is the entire
+    * point of enriching in-stream instead of joining after landing. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    streamKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey))
+
   /** Exactly-once-ish partitioned lake append (§2.9c): checkpointed source
     * offsets replace the text-file watermark, `foreachBatch` applies the
     * same clean→append batch logic. `Trigger.AvailableNow` drains what

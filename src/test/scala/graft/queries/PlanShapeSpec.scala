@@ -141,6 +141,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"join must still key on hk alongside the salt:\n$p")
   }
 
+  test("q108: the calendar dim filter prunes fact partitions at runtime") {
+    // The predicate lives on the dimension, so only DYNAMIC pruning can
+    // eliminate fact partitions: the scan must carry a
+    // dynamicpruningexpression partition filter (fed by the reused join
+    // broadcast), and the dim must broadcast.
+    val p = plan("q108_dpp_calendar_join")
+    assert(p.contains("dynamicpruning"),
+      s"fact scan must carry a dynamic partition pruning filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 31-row calendar dim must broadcast:\n$p")
+  }
+
+  test("q110: the dim's predicate reaches the fact side as a Bloom filter") {
+    // Both sides too large to broadcast (forced at test scale): the
+    // filtered orders' keys must arrive on the lineitem side as a
+    // might_contain(bloom_filter) guard BEFORE the join's shuffle — the
+    // semi-join reduction that drops ~97% of fact rows pre-wire.
+    val p = plan("q110_bloom_runtime_filter")
+    assert(p.contains("might_contain"),
+      s"fact side must carry the runtime Bloom filter:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"the join must be a shuffle join (broadcast is disabled):\n$p")
+  }
+
   test("q100: the quality suite aggregates in one pass per branch") {
     // One combined aggregate computes every check (no per-check scan):
     // expect exactly the base scan + the 1/23rd duplicate-injection scan,

@@ -102,6 +102,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static enrich picks up a refreshed dim across a checkpointed restart") {
+    import java.sql.Timestamp
+    val work = Files.createTempDirectory("graft-stream-enrich").toString
+    val src = s"$work/src"
+    val dim = s"$work/dim"
+    val cp = s"$work/cp"
+    import spark.implicits._
+    def writeEvents(id: Long): Unit =
+      Seq((id, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(src)
+    def writeDim(label: String): Unit =
+      Seq((1L, label)).toDF("uid", "label")
+        .coalesce(1).write.mode("overwrite").parquet(dim)
+
+    val collected = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    // the dim DataFrame is created at stream start: its file listing pins
+    // then, so the refreshed dim is a RESTART pick-up — the checkpointed
+    // offsets make the restart exactly-once (batch 1's events are not
+    // re-joined against dim v2)
+    def drain(): Unit = {
+      val q = StreamingJobs.enrichWithDim(
+          StreamingJobs.eventsStream(spark, src), spark.read.parquet(dim), "user_id", "uid")
+        .writeStream
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.select("event_id", "label").collect()
+            .map(r => (r.getLong(0), r.getString(1)))
+          collected.synchronized { collected ++= rows }
+          ()
+        }
+        .start()
+      q.awaitTermination(120000)
+    }
+    writeEvents(1L); writeDim("v1")
+    drain()
+    writeEvents(2L); writeDim("v2")
+    drain()
+    assert(collected.toSet == Set((1L, "v1"), (2L, "v2")),
+      s"each restart must join only ITS new offsets against the dim as of start: $collected")
+  }
+
   test("left-outer stream join emits unmatched rows only after the watermark passes") {
     import java.sql.Timestamp
     val work = Files.createTempDirectory("graft-stream-outer").toString
