@@ -11,10 +11,13 @@ import graft.functions.{MinHashAgg, ShingleHashes, SimHashAgg, VecDot}
   * `spark.sql.extensions=graft.GraftExtensions` makes the functions
   * first-class in every session of the application (including
   * thrift/connect servers), where the per-session `register` helpers only
-  * patch one registry.
+  * patch one registry. Also injects the engine's optimizer rule
+  * ([[graft.plans.DerivePartitionGuards]]) into the operator-optimization
+  * batch.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.DerivePartitionGuards)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

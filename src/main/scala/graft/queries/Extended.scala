@@ -471,6 +471,33 @@ object Extended {
           count(lit(1)).as("n"),
           (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0).as("gross"))
         .orderBy("o_orderpriority")
+    },
+
+    // ── The custom optimizer rule under the oracle: this query filters
+    //    the day-partitioned events lake by BARE ts bounds — no manual
+    //    sinceDay/upToDay guards — and still prunes partition
+    //    directories, because graft.plans.DerivePartitionGuards
+    //    (injected via GraftExtensions) derives the (year, month, day)
+    //    tuple comparison from each ts bound during optimization.
+    //    PlanShapeSpec asserts the scan's PartitionFilters are non-empty
+    //    even though the query stated none; the mid-day upper bound
+    //    exercises the conservative boundary (the guard keeps all of
+    //    Jan 20, the exact ts predicate trims it to noon). The oracle
+    //    computes the same range over the raw events table.
+    Q("q114_auto_partition_guards",
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 12:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      s.read.parquet(graft.etl.PartitionedLake.ensureEventsLake(s, d))
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-20 12:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+        .orderBy("event_type")
     }
   )
 }

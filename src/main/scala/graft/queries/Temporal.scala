@@ -61,6 +61,43 @@ object Temporal {
         .orderBy("user_id")
     },
 
+    // ── Native session windows: the SAME sessionization computed by
+    //    Spark's built-in session_window aggregate (Spark's third way to
+    //    sessionize, next to q46's explicit window plan and q93's
+    //    mapGroupsWithState streaming state). One semantic difference is
+    //    pinned by the oracle: session_window closes a session when the
+    //    gap is >= the duration (an event exactly at last_ts + gap starts
+    //    a NEW session), where q46's lag-based rule breaks only on >.
+    //    The oracle encodes the >= rule, so the built-in's boundary
+    //    semantics — not just its happy path — are what's hash-verified.
+    //    Plan: one hash-partitioned sort per user (the session merge),
+    //    then node-sized aggregates; works identically over readStream.
+    Q("q115_session_window",
+      s"""WITH e AS (SELECT user_id, ts, event_id FROM events WHERE ts IS NOT NULL),
+         |g AS (SELECT user_id, ts, event_id,
+         |             CASE WHEN lag(ts) OVER w IS NULL
+         |                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= $GapMicros
+         |                  THEN 1 ELSE 0 END AS brk
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT user_id,
+         |             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                            ROWS UNBOUNDED PRECEDING) AS sess_id
+         |      FROM g),
+         |c AS (SELECT user_id, sess_id, count(*) AS n FROM s GROUP BY 1, 2)
+         |SELECT user_id, count(*) AS n_sessions,
+         |       CAST(max(n) AS BIGINT) AS max_events,
+         |       CAST(sum(n) AS BIGINT) AS total_events
+         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      ev(s, d).filter(col("ts").isNotNull)
+        .groupBy(col("user_id"), session_window(col("ts"), "8 hours"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max("n").cast("long").as("max_events"),
+          sum("n").cast("long").as("total_events"))
+        .orderBy("user_id")
+    },
+
     // ── As-of join: each click picks up the most recent prior-or-equal
     //    purchase of the same user. Spark side is the merge/union window
     //    plan in graft.operators.AsOfJoin (one shuffle, linear scan — a

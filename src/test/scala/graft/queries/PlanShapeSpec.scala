@@ -165,6 +165,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the join must be a shuffle join (broadcast is disabled):\n$p")
   }
 
+  test("q114: the optimizer rule injects partition guards the query never wrote") {
+    // q114 filters the events lake by bare ts bounds — the non-empty
+    // PartitionFilters can only come from graft.plans.DerivePartitionGuards.
+    val p = plan("q114_auto_partition_guards")
+    assert(p.contains("PartitionFilters: [") &&
+      p.replaceAll("PartitionFilters: \\[\\]", "").contains("year"),
+      s"the derived (year, month, day) guard must reach PartitionFilters:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(ts)")
+      || p.contains("GreaterThanOrEqual(ts,"),
+      s"the exact ts bound must still push to the parquet footer:\n$p")
+  }
+
   test("q100: the quality suite aggregates in one pass per branch") {
     // One combined aggregate computes every check (no per-check scan):
     // expect exactly the base scan + the 1/23rd duplicate-injection scan,
