@@ -67,6 +67,44 @@ object SqlQueries {
       |GROUP BY CAST(l_shipdate AS DATE), s_name
       |ORDER BY ship_date, s_name""".stripMargin
 
+  /** Time-based RANGE window frame: the 7-day trailing revenue every
+    * monitoring dashboard draws. RANGE + calendar interval (not ROWS)
+    * handles GAPS in the date spine correctly — a missing day still
+    * bounds the frame by time, where ROWS 6 PRECEDING would silently
+    * widen it. The window rides the DAILY relation (one row per day), so
+    * the unpartitioned sort is node-sized at any fact scale — same
+    * containment argument as q103's cumulative histogram. Both engines
+    * run the identical frame spec; exact integer cents inside the frame
+    * sum keep the hash stable. */
+  private val RollingRevenueSql =
+    """WITH dly AS (SELECT CAST(l_shipdate AS DATE) AS day,
+      |                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rc
+      |             FROM lineitem GROUP BY CAST(l_shipdate AS DATE))
+      |SELECT day, rc / CAST(100 AS DOUBLE) AS revenue,
+      |       CAST(sum(rc) OVER (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         / CAST(100 AS DOUBLE) AS revenue_7d,
+      |       count(*) OVER (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS n_days_7d
+      |FROM dly ORDER BY day""".stripMargin
+
+  /** Correlated scalar subqueries — the decorrelation path: suppliers
+    * whose revenue beats their OWN nation's average, stated the way an
+    * analyst writes it (two correlated aggregates in the predicate).
+    * Catalyst must rewrite both subqueries into aggregate-then-join under
+    * the correlation key or the query cannot run at all — there is no
+    * per-row subquery execution in a distributed engine. The comparison
+    * is all-integer (rc·n > Σrc, avoiding IEEE average drift), so the
+    * survivor set is bit-identical in both engines. */
+  private val CorrelatedAboveAvgSql =
+    """WITH sup AS (SELECT s_name, s_nationkey,
+      |                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rc
+      |             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |             GROUP BY s_name, s_nationkey)
+      |SELECT s_name, rc / CAST(100 AS DOUBLE) AS revenue
+      |FROM sup a
+      |WHERE rc * (SELECT count(*) FROM sup b WHERE b.s_nationkey = a.s_nationkey)
+      |    > (SELECT sum(b.rc) FROM sup b WHERE b.s_nationkey = a.s_nationkey)
+      |ORDER BY s_name""".stripMargin
+
   val defs: Vector[Q] = Vector(
     Q("q90_sql_supplier_revenue", SupplierRevenueSql) { (s, d) =>
       Tables.registerAll(s, d)
@@ -79,6 +117,14 @@ object SqlQueries {
     Q("q94_sql_daily_revenue", DailyRevenueSql) { (s, d) =>
       Tables.registerAll(s, d)
       s.sql(DailyRevenueSql)
+    },
+    Q("q116_sql_rolling_revenue", RollingRevenueSql) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(RollingRevenueSql)
+    },
+    Q("q117_sql_correlated_above_avg", CorrelatedAboveAvgSql) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(CorrelatedAboveAvgSql)
     }
   )
 }
