@@ -108,12 +108,19 @@ object DerivePartitionGuards extends Rule[LogicalPlan] with PredicateHelper {
     case _ => Seq.empty
   }
 
-  /** Micros-since-epoch → local date in the session time zone (the zone
-    * the writer's year/month/day derivations used). */
   private def day(micros: Long): LocalDate =
+    day(micros, ZoneId.of(conf.sessionLocalTimeZone))
+
+  /** Micros-since-epoch → local date in the given zone (the rule passes
+    * the session time zone — the zone the writer's year/month/day
+    * derivations used). floorDiv/floorMod, not `/`/`%`: truncation toward
+    * zero would round PRE-epoch timestamps to the wrong day, breaking the
+    * monotonicity the conservative-guard argument rests on
+    * (property-tested in PropertySpec). */
+  private[graft] def day(micros: Long, zone: ZoneId): LocalDate =
     Instant.ofEpochSecond(
         Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
-      .atZone(ZoneId.of(conf.sessionLocalTimeZone))
+      .atZone(zone)
       .toLocalDate
 
   private def lit(i: Int): Literal = Literal(i, IntegerType)

@@ -105,6 +105,23 @@ object SqlQueries {
       |    > (SELECT sum(b.rc) FROM sup b WHERE b.s_nationkey = a.s_nationkey)
       |ORDER BY s_name""".stripMargin
 
+  /** EXISTS / NOT EXISTS predicate subqueries in one text — Catalyst's
+    * RewritePredicateSubquery path: the EXISTS must become a left-semi
+    * join and the NOT EXISTS a left-anti join on the correlation key (no
+    * distributed engine executes a per-row subquery), here suppliers
+    * with a 50-unit sale but no 50-unit sale at a deep discount. The
+    * anti side deliberately uses NOT EXISTS semantics (null-safe, unlike
+    * NOT IN — the q80 oracle lesson codified as a dialect case). */
+  private val ExistsSemiAntiSql =
+    """SELECT n_name, count(*) AS n_suppliers
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_suppkey = s_suppkey AND l_quantity > 49)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_suppkey = s_suppkey AND l_quantity > 49
+      |                    AND l_discount > CAST(0.09 AS DOUBLE))
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val defs: Vector[Q] = Vector(
     Q("q90_sql_supplier_revenue", SupplierRevenueSql) { (s, d) =>
       Tables.registerAll(s, d)
@@ -125,6 +142,10 @@ object SqlQueries {
     Q("q117_sql_correlated_above_avg", CorrelatedAboveAvgSql) { (s, d) =>
       Tables.registerAll(s, d)
       s.sql(CorrelatedAboveAvgSql)
+    },
+    Q("q118_sql_exists_semi_anti", ExistsSemiAntiSql) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(ExistsSemiAntiSql)
     }
   )
 }

@@ -24,6 +24,20 @@ object PureProperties extends Properties("graft.pure") {
     a.map(_.checksum) == b.map(_.checksum) && a.map(_.doc_id) == recs.map(_.doc_id)
   }
 
+  // Conservativeness of the partition-guard rule reduces to monotonicity
+  // of the micros→day conversion: t >= bound implies day(t) >= day(bound)
+  // (then the (year,month,day) tuple guard is implied by the ts
+  // predicate). Range spans pre-epoch to year ~4100 — truncating division
+  // instead of floorDiv would fail the negative half.
+  property("partition-guard day conversion is monotone") = Prop.forAll(
+    Gen.choose(-2208988800000000L, 67253817600000000L),
+    Gen.choose(-2208988800000000L, 67253817600000000L)) { (a, b) =>
+    val (lo, hi) = (math.min(a, b), math.max(a, b))
+    val z = java.time.ZoneOffset.UTC
+    !graft.plans.DerivePartitionGuards.day(lo, z)
+      .isAfter(graft.plans.DerivePartitionGuards.day(hi, z))
+  }
+
   property("report HTML always renders a full document") = Prop.forAll(
     Gen.choose(0L, 1000L), Gen.choose(0.0, 1e6)) { (n, rev) =>
     val m = graft.report.Report.ReportMetrics(

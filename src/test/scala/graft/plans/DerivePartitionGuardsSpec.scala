@@ -42,6 +42,17 @@ class DerivePartitionGuardsSpec extends AnyFunSuite {
     }
   }
 
+  test("the rule is idempotent on an already-guarded plan") {
+    // the operator-optimization batch runs to fixpoint, so re-application
+    // must be a no-op — the canonicalized-conjunct check is what keeps
+    // the rule from growing the filter forever
+    val df = lake.filter(col("ts") >= lit("2024-01-15 06:30:00").cast("timestamp"))
+    val once = df.queryExecution.optimizedPlan // rule already ran in optimization
+    val twice = DerivePartitionGuards(once)
+    assert(twice.canonicalized == once.canonicalized,
+      s"second application changed the plan:\n$twice\nvs\n$once")
+  }
+
   test("timestamp columns outside the ts convention are never guarded") {
     // the lineitem lake partitions on l_shipdate-derived columns, but the
     // rule cannot know that relation-specific derivation — it must leave

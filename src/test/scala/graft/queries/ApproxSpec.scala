@@ -62,4 +62,28 @@ class ApproxSpec extends AnyFunSuite {
     // every rank carries at least the teleport share and less than all mass
     assert(ranks.forall(r => r > 0 && r < 1000000000L))
   }
+
+  test("count-min estimates never underestimate, for EVERY token") {
+    // q113's oracle checks the top-20; the sketch's defining one-sided
+    // guarantee (est >= true count, always) is re-derived here
+    // independently over the whole vocabulary with a plain split()
+    // tokenizer.
+    val docs = graft.model.Tables.documents(spark, TestSpark.Sf)
+    val tf = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    val hashes = tf
+      .select(col("tok"), col("tf"),
+        explode(array(lit(0), lit(1), lit(2))).as("row_id"))
+      .withColumn("bucket",
+        pmod(conv(substring(
+          md5(concat(col("row_id").cast("string"), lit(":"), col("tok"))),
+          1, 8), 16, 10).cast("long"), lit(64L)))
+    val counters = hashes.groupBy("row_id", "bucket")
+      .agg(sum("tf").as("c"))
+    val under = hashes.join(counters, Seq("row_id", "bucket"))
+      .groupBy("tok", "tf").agg(min("c").as("est"))
+      .filter(col("est") < col("tf"))
+      .count()
+    assert(under == 0, s"$under tokens underestimated — CMS invariant broken")
+  }
 }
