@@ -65,6 +65,37 @@ class GeneratedDataSpec extends AnyFunSuite {
     assert(once.count() == again.count())
   }
 
+  test("partition guards preserve results on generated timestamps, any bound") {
+    // end-to-end property for the optimizer rule: a lake written from
+    // GENERATED event times (spanning pre-epoch through 2100, plus nulls)
+    // filtered by random ts bounds must return exactly the rows the
+    // unpartitioned source returns — the injected (year, month, day)
+    // guards may prune directories, never rows
+    val micros = Gen.frequency(
+      9 -> Gen.choose(-2208988800000000L, 4102444800000000L),
+      1 -> Gen.const(Long.MinValue)) // sentinel → null ts
+    val rows = sample(Gen.listOfN(400, micros), seed = 11L)
+      .zipWithIndex.map { case (m, i) =>
+        (i.toLong, if (m == Long.MinValue) null
+                   else new java.sql.Timestamp(Math.floorDiv(m, 1000L)))
+      }
+    val src = rows.toDF("id", "ts")
+    val dir = graft.etl.Scratch.tempDir("graft-guard-gen").toString
+    graft.etl.PartitionedLake.overwrite(
+      graft.etl.PartitionedLake.withPartitionCols(src, "ts"), dir)
+    val lake = spark.read.parquet(dir)
+    val bounds = sample(Gen.listOfN(6,
+      Gen.choose(-2208988800000000L, 4102444800000000L)), seed = 13L)
+    for (b <- bounds) {
+      val t = new java.sql.Timestamp(Math.floorDiv(b, 1000L))
+      for (pred <- Seq(col("ts") >= lit(t), col("ts") < lit(t))) {
+        val got = lake.filter(pred).agg(count(lit(1)), sum("id")).collect()(0)
+        val want = src.filter(pred).agg(count(lit(1)), sum("id")).collect()(0)
+        assert(got == want, s"guarded lake diverged for bound $t, pred $pred")
+      }
+    }
+  }
+
   test("z-order interleave is a bijection on 16-bit pairs (round-trips, any input)") {
     // de-interleave in plain Scala: even bits back to a, odd bits to b —
     // losing any bit would collapse distinct key pairs into one z value
