@@ -50,7 +50,8 @@ object Bench {
       "q55_dash_kpis",             // opens + caches the dashboard slice
       "q60_incremental_roundtrip", // runs the two incremental batches
       "q65_decontamination",       // materializes the shared shingle relation
-      "q70_vocab_topk"             // materializes the tokenized-corpus relation
+      "q70_vocab_topk",            // materializes the tokenized-corpus relation
+      "q119_compacted_lake_roundtrip" // appends 3 batches + compacts the lake
     )
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     // SPARK_GRAFT_BENCH_ONLY=q79,q35 → bench only the named queries

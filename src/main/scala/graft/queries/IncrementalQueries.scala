@@ -89,6 +89,51 @@ object IncrementalQueries {
           (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"),
           max("ts").as("max_ts"))
         .orderBy("event_type")
+    },
+
+    // ── Lake maintenance under the oracle (S6 + compact): three
+    //    incremental appends spray one file per (batch × touched day);
+    //    compact() rewrites each day-partition to one file behind a
+    //    crash-safe two-move swap. The oracle aggregates the RAW events
+    //    table — append alignment, the directory swap, and the rewrite
+    //    must lose or duplicate NOTHING, whatever the file layout. (File
+    //    counts and crash-safety are LakeSpec's unit territory; this is
+    //    the content-preservation half, hash-checked.) At 100 TB this is
+    //    the out-of-band maintenance job every partitioned lake runs on a
+    //    schedule.
+    Q("q119_compacted_lake_roundtrip",
+      """SELECT event_type,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
+        |       max(ts) AS max_ts
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      s.read.parquet(compactedLake(s, d))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"),
+          max("ts").as("max_ts"))
+        .orderBy("event_type")
     }
   )
+
+  /** One compacted lake per (session, sf dir): the full events table
+    * appended as three deterministic batches (event_id mod 3), then
+    * compacted in place. Memoized — the build is the operator under
+    * test; repeats read the finished lake. */
+  private val compacted = new graft.etl.Memo[(SparkSession, String), String]
+
+  private def compactedLake(s: SparkSession, d: String): String =
+    compacted((s, d)) {
+      val root = graft.etl.Scratch.tempDir("graft-compact-rt").toString + "/lake"
+      val ev = s.read.parquet(graft.etl.PartitionedLake.ensureEventsLake(s, d))
+        .drop("year", "month", "day")
+      for (i <- 0 until 3)
+        graft.etl.PartitionedLake.append(
+          graft.etl.PartitionedLake.withPartitionCols(
+            ev.filter(pmod(col("event_id"), lit(3)) === i), "ts"),
+          root)
+      graft.etl.PartitionedLake.compact(s, root)
+      root
+    }
 }
