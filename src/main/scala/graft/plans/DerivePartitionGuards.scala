@@ -37,13 +37,30 @@ import org.apache.spark.sql.types.{IntegerType, TimestampType}
   * The `ts`-name convention matters: a lake may carry OTHER timestamp
   * columns unrelated to its partition derivation (the lineitem lake
   * partitions on l_shipdate), and guarding those would silently drop
-  * rows. Only the column the convention derives from is ever guarded.
+  * rows. Only the column the convention derives from is ever guarded,
+  * and only on relations partitioned by EXACTLY (year, month, day).
+  * The one thing no plan-level check can verify is a lake that breaks
+  * the convention itself — (year, month, day) derived from some other
+  * timestamp while a column named `ts` also exists; plain parquet has
+  * no metadata slot for "generated from" (table formats do, which is
+  * how Delta/Iceberg make this rewrite safe unconditionally). For such
+  * lakes, `SET spark.graft.partitionGuards=false` ([[EnabledKey]])
+  * disables the rule.
   */
 object DerivePartitionGuards extends Rule[LogicalPlan] with PredicateHelper {
 
   private val TsCol = "ts"
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  /** Kill switch: `SET spark.graft.partitionGuards=false` disables the
+    * rule for sessions whose lakes do not follow the convention (partition
+    * columns derived from the column named `ts`) — the escape hatch for
+    * the one thing the rule cannot verify from the plan alone. */
+  val EnabledKey = "spark.graft.partitionGuards"
+
+  private def enabled: Boolean =
+    conf.getConfString(EnabledKey, "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan = if (!enabled) plan else plan.transform {
     case f @ Filter(cond, rel: LogicalRelation) =>
       partitionYmd(rel) match {
         case Some((y, m, d)) =>
@@ -58,16 +75,20 @@ object DerivePartitionGuards extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** The `(year, month, day)` integer partition attributes of a
-    * hive-partitioned file relation following the lake convention. */
+    * hive-partitioned file relation following the lake convention. The
+    * partition schema must be EXACTLY these three columns — a relation
+    * partitioned on anything more or different is outside the convention
+    * and is left alone (the rule cannot verify from the plan that the
+    * partition values derive from `ts`; the exact-schema check plus the
+    * column-name convention is the contract, [[EnabledKey]] the escape
+    * hatch). */
   private def partitionYmd(rel: LogicalRelation)
       : Option[(Attribute, Attribute, Attribute)] =
     rel.relation match {
-      case fs: HadoopFsRelation =>
-        val parts = fs.partitionSchema.fieldNames.toSet
+      case fs: HadoopFsRelation
+          if fs.partitionSchema.fieldNames.sorted.toSeq == Seq("day", "month", "year") =>
         def attr(n: String): Option[Attribute] =
-          if (parts.contains(n))
-            rel.output.find(a => a.name == n && a.dataType == IntegerType)
-          else None
+          rel.output.find(a => a.name == n && a.dataType == IntegerType)
         for (y <- attr("year"); m <- attr("month"); d <- attr("day"))
           yield (y, m, d)
       case _ => None

@@ -7,4 +7,14 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   lazy val spark: SparkSession = Sessions.local("4")
   val Sf = "/root/testdata/sf0.001"
+
+  /** True iff some scan in the plan string carries a NON-empty
+    * PartitionFilters list naming the `year` partition column — the one
+    * place the fragile plan-string parsing lives (plan formats shift
+    * across Spark versions; fix it here, not per spec). Matches INSIDE
+    * the bracket list only: the scan's output schema also spells "year",
+    * which a whole-plan contains() would false-positive on. */
+  def hasPartitionGuard(plan: String): Boolean =
+    "PartitionFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(plan)
+      .exists(_.group(1).contains("year"))
 }

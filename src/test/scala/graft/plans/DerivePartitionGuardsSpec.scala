@@ -21,9 +21,24 @@ class DerivePartitionGuardsSpec extends AnyFunSuite {
   test("a bare ts lower bound prunes partition directories") {
     val df = lake.filter(col("ts") >= lit("2024-01-15 06:30:00").cast("timestamp"))
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") &&
-      plan.replaceAll("PartitionFilters: \\[\\]", "").contains("year"),
+    assert(TestSpark.hasPartitionGuard(plan),
       s"the rule must inject a year/month/day guard into PartitionFilters:\n$plan")
+  }
+
+  test("the kill switch disables the rule") {
+    val saved = spark.conf.getOption(DerivePartitionGuards.EnabledKey)
+    try {
+      spark.conf.set(DerivePartitionGuards.EnabledKey, "false")
+      val df = lake.filter(col("ts") >= lit("2024-01-15 06:30:00").cast("timestamp"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!TestSpark.hasPartitionGuard(plan),
+        s"with the flag off, no guard may be injected:\n$plan")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(DerivePartitionGuards.EnabledKey, v)
+        case None => spark.conf.unset(DerivePartitionGuards.EnabledKey)
+      }
+    }
   }
 
   test("guarded results equal the raw table on both bound directions") {
@@ -45,7 +60,11 @@ class DerivePartitionGuardsSpec extends AnyFunSuite {
   test("the rule is idempotent on an already-guarded plan") {
     // the operator-optimization batch runs to fixpoint, so re-application
     // must be a no-op — the canonicalized-conjunct check is what keeps
-    // the rule from growing the filter forever
+    // the rule from growing the filter forever. The direct application
+    // below runs outside the optimizer, so pin the active session first:
+    // Rule.conf would otherwise fall back to the JVM-default time zone on
+    // a bare test thread and re-derive a zone-shifted (non-matching) guard.
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
     val df = lake.filter(col("ts") >= lit("2024-01-15 06:30:00").cast("timestamp"))
     val once = df.queryExecution.optimizedPlan // rule already ran in optimization
     val twice = DerivePartitionGuards(once)

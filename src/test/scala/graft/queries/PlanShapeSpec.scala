@@ -94,8 +94,7 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(ts)")
       || p.contains("GreaterThan(ts,") || p.contains("LessThanOrEqual(ts,"),
       s"ts split bound not pushed to the lake scan:\n$p")
-    assert(p.contains("PartitionFilters: [")
-      && p.replaceAll("PartitionFilters: \\[\\]", "").contains("PartitionFilters: ["),
+    assert(TestSpark.hasPartitionGuard(p),
       s"day-granular guard must appear as a partition filter:\n$p")
     assert(p.split("HashAggregate").length > 4,
       s"both branches must carry their own partial+final aggregate:\n$p")
@@ -169,8 +168,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // q114 filters the events lake by bare ts bounds — the non-empty
     // PartitionFilters can only come from graft.plans.DerivePartitionGuards.
     val p = plan("q114_auto_partition_guards")
-    assert(p.contains("PartitionFilters: [") &&
-      p.replaceAll("PartitionFilters: \\[\\]", "").contains("year"),
+    assert(TestSpark.hasPartitionGuard(p),
       s"the derived (year, month, day) guard must reach PartitionFilters:\n$p")
     assert(p.contains("PushedFilters: [IsNotNull(ts)")
       || p.contains("GreaterThanOrEqual(ts,"),
