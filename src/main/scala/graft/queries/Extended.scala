@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -498,6 +499,53 @@ object Extended {
           count(lit(1)).as("n"),
           (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
         .orderBy("event_type")
+    },
+
+    // ── Customer spend deciles: ntile(10) + percent_rank + cume_dist over
+    //    per-customer lifetime spend — the ranking-function trio q18/q20's
+    //    row_number/rank family doesn't cover. The unpartitioned window is
+    //    DELIBERATE and bounded: it ranks the per-customer aggregate
+    //    (|customers| rows, already reduced by a distributed groupBy from
+    //    the fact table), not the fact rows — the BI-report shape where
+    //    the global sort input is dim-sized. For fact-sized distributions
+    //    use q103's binning; a guard would rightly reject this plan there.
+    //    Rank determinism: (cents DESC, custkey) is a total order, so
+    //    ntile bucket boundaries, percent_rank's (rank-1)/(n-1) and
+    //    cume_dist's i/n are all exact IEEE ratios both engines reproduce;
+    //    6-dp rounding guards the hash against formatting, not semantics.
+    Q("q120_spend_deciles",
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT o_custkey, cents,
+        |             ntile(10) OVER w AS decile,
+        |             percent_rank() OVER w AS pr,
+        |             cume_dist() OVER w AS cd
+        |      FROM spend WINDOW w AS (ORDER BY cents DESC, o_custkey))
+        |SELECT decile,
+        |       count(*) AS n_customers,
+        |       CAST(sum(cents) AS BIGINT) / 100.0 AS total_spend,
+        |       round(1000000 * min(pr)) / 1000000.0 AS min_percent_rank,
+        |       round(1000000 * max(cd)) / 1000000.0 AS max_cume_dist
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("cents").desc, col("o_custkey"))
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+        .select(
+          col("o_custkey"), col("cents"),
+          // cast: DuckDB's ntile yields BIGINT, Spark's INT — pin to long
+          ntile(10).over(w).cast("long").as("decile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .groupBy("decile")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          (sum("cents").cast("long") / 100.0).as("total_spend"),
+          (round(lit(1000000) * min("pr")) / 1000000.0).as("min_percent_rank"),
+          (round(lit(1000000) * max("cd")) / 1000000.0).as("max_cume_dist"))
+        .orderBy("decile")
     }
   )
 }

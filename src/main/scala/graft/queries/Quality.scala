@@ -228,6 +228,37 @@ object Quality {
         m("min_event_id").asInstanceOf[Long],
         m("max_event_id").asInstanceOf[Long]))
         .toDF("rows_out", "total_value", "min_event_id", "max_event_id")
+    },
+
+    // ── HyperLogLog distinct-count guard: q97's KMV sketch is the
+    //    oracle-REPLAYABLE approximate distinct; this is the built-in one
+    //    (approx_count_distinct, Spark's HLL++). Its register layout can't
+    //    be replayed in another engine, so the verification inverts — like
+    //    q77's ANN recall, the Spark side measures its own estimate against
+    //    the exact count computed in the same plan, and emits the exact
+    //    count plus a within-tolerance verdict; the oracle recomputes the
+    //    exact count and expects every verdict true. rsd=0.02 against a
+    //    ±10% gate is a ≥5σ margin on 5k-distinct groups — deterministic
+    //    in practice AND a real regression tripwire (a broken HLL fails
+    //    loudly). At 100 TB the HLL column is the one you run: fixed
+    //    ~1.5 KB mergeable state per group vs count(DISTINCT)'s full
+    //    key shuffle; the exact twin here is the verification harness,
+    //    not the production shape.
+    Q("q124_hll_distinct_guard",
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_orderkey) AS exact_distinct,
+        |       true AS approx_within_10pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      li(s, d).groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_distinct"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx"))
+        .select(
+          col("l_returnflag"),
+          col("exact_distinct"),
+          (abs(col("approx") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.1).as("approx_within_10pct"))
+        .orderBy("l_returnflag")
     }
   )
 }

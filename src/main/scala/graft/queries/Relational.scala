@@ -675,6 +675,42 @@ object Relational {
         .groupBy("band")
         .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("revenue"))
         .orderBy("band")
+    },
+
+    // ── INTERSECT / EXCEPT cohort arithmetic (§2.7 beyond q25's UNION):
+    //    customers active in both 1995 and 1996, vs churned (1995 only)
+    //    vs newly acquired (1996 only). Spark compiles intersect/except
+    //    on a deduplicated key column to aggregate + left-semi/anti hash
+    //    joins — both year cohorts shuffle once on o_custkey and every
+    //    set op reuses that co-partitioning, so the three branches cost
+    //    one exchange each at any scale (no sort, nothing quadratic).
+    //    The year predicates push to the orders scan in each branch.
+    Q("q121_customer_set_ops",
+      """WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+        |             WHERE year(o_orderdate) = 1995),
+        |y96 AS (SELECT DISTINCT o_custkey FROM orders
+        |        WHERE year(o_orderdate) = 1996)
+        |SELECT 'churned_after_1995' AS cohort, count(*) AS n_customers
+        |FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+        |UNION ALL
+        |SELECT 'new_in_1996', count(*)
+        |FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y95)
+        |UNION ALL
+        |SELECT 'retained_both_years', count(*)
+        |FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+        |ORDER BY cohort""".stripMargin) { (s, d) =>
+      def cohortKeys(yr: Int) = ord(s, d)
+        .filter(year(col("o_orderdate")) === yr)
+        .select("o_custkey").distinct()
+      val y95 = cohortKeys(1995)
+      val y96 = cohortKeys(1996)
+      y95.except(y96).agg(count(lit(1)).as("n_customers"))
+        .select(lit("churned_after_1995").as("cohort"), col("n_customers"))
+        .unionByName(y96.except(y95).agg(count(lit(1)).as("n_customers"))
+          .select(lit("new_in_1996").as("cohort"), col("n_customers")))
+        .unionByName(y95.intersect(y96).agg(count(lit(1)).as("n_customers"))
+          .select(lit("retained_both_years").as("cohort"), col("n_customers")))
+        .orderBy("cohort")
     }
   )
 
