@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one thread-safe SparkSession (TestSpark) and were built
+// for concurrency: lake/corpus builders are exactly-once via graft.etl.Memo,
+// streaming memory sinks draw unique names from an atomic counter. Running
+// the 27 suites in parallel inside the forked JVM cuts the wall-clock of
+// `sbt test` severalfold (the suite is dominated by many small Spark jobs,
+// not by any single saturating one).
+Test / testForkedParallel := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

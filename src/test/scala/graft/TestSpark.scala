@@ -3,9 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** One shared local session for the whole test run (Spark startup is the
-  * dominant cost; suites must not stop() it). */
+  * dominant cost; suites must not stop() it). 16 threads: the suite grew
+  * past 45 min on local[4] (27 suites × real lake/streaming work run
+  * SEQUENTIALLY in the forked JVM); no test depends on the partition
+  * count — the two that touch parallelism (FanOutSpec) read
+  * spark.sql.shuffle.partitions at runtime. Not the full 32: concurrent
+  * suites (build.sbt testForkedParallel) each run multi-task jobs, and
+  * oversubscribing every hardware thread with shuffle+GC helps nothing. */
 object TestSpark {
-  lazy val spark: SparkSession = Sessions.local("4")
+  lazy val spark: SparkSession = Sessions.local("16")
   val Sf = "/root/testdata/sf0.001"
 
   /** True iff some scan in the plan string carries a NON-empty
