@@ -41,6 +41,13 @@ object Sessions {
       // parquet footer and prune row groups.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // Driver self-defense: plan→string rendering (AQE plan-change log,
+      // explain, UI) is O(plan size), and an iterative job that fails to
+      // truncate lineage grows its plan exponentially — an unbounded
+      // render can wedge the driver for minutes (observed: a
+      // connected-components variant before per-round localCheckpoint).
+      // 1 MiB is far beyond any legitimate plan and caps the damage.
+      .config("spark.sql.maxPlanStringLength", (1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -283,11 +283,19 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint(true)
+    // localCheckpoint (eager) EVERY round, not persist(): `next` references
+    // `labels` twice (propagation union + convergence join), so with
+    // lineage kept the analyzed plan DOUBLES per round — execution stays
+    // cheap (cache hits) but anything that walks or stringifies the plan
+    // (AQE's plan-change log, the UI, explain) goes exponential in the
+    // round count and can wedge the DRIVER for minutes on a long-diameter
+    // graph. Checkpointing truncates the plan to a leaf each round; blocks
+    // are reclaimed by the ContextCleaner when the previous round's
+    // Dataset becomes unreferenced.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
-      .persist()
-    labels.count()
+      .localCheckpoint(true)
     var converged = false
     while (!converged) {
       val next = edges
@@ -295,22 +303,13 @@ object Dedup {
         .select(col("src").as("doc_id"), col("component"))
         .unionByName(labels)
         .groupBy("doc_id").agg(min("component").as("component"))
-        .persist()
-      next.count()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("component", "prev"), "doc_id")
         .filter(col("component") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
     }
-    edges.unpersist()
-    // Truncate the iterative lineage and release the loop's cache entry:
-    // localCheckpoint materializes the final labels (cheap — they are
-    // already cached) into blocks the ContextCleaner reclaims on GC, so
-    // repeated calls don't accumulate permanent cache entries.
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
-    out
+    labels
   }
 
   /** Connected components in O(log n) rounds: the alternating
