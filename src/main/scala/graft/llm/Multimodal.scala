@@ -148,4 +148,44 @@ object Multimodal {
     media.select("doc_id", "source", "payload").as[MediaRecord]
       .mapPartitions(_.map(r => r.copy(payload = resizeStub(r.payload, targetBytes))))
   }
+
+  // ── Waveform analysis (audio twin of the frame sampler) ─────────────
+
+  /** Per-frame waveform statistics: payload bytes read as unsigned 8-bit
+    * samples (a PCM-u8 stand-in), cut into `frameBytes`-sample frames,
+    * each reduced map-side to integer energy (sum of amplitudes) and peak
+    * (max amplitude). This is the audio feature-extraction seam — swap
+    * the amplitude loop for a real decoder + spectral kernel and the
+    * shape is unchanged: payloads never shuffle, one frame-stat row per
+    * frame leaves the executor, downstream aggregation sees only the
+    * tiny numeric relation. Integer outputs keep the stage bit-exactly
+    * replayable (q127's DuckDB twin recomputes them from the same
+    * bytes). */
+  final case class WaveFrame(doc_id: Long, frame_idx: Int, energy: Long, peak: Int)
+
+  def waveform(media: DataFrame, frameBytes: Int)
+              (implicit spark: SparkSession): Dataset[WaveFrame] = {
+    import spark.implicits._
+    require(frameBytes > 0)
+    media.select("doc_id", "source", "payload").as[MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+          Iterator.range(0, nFrames).map { k =>
+            val from = k * frameBytes
+            val until = math.min(from + frameBytes, r.payload.length)
+            var e = 0L
+            var p = 0
+            var i = from
+            while (i < until) {
+              val v = r.payload(i) & 0xff
+              e += v
+              if (v > p) p = v
+              i += 1
+            }
+            WaveFrame(r.doc_id, k, e, p)
+          }
+        }
+      }
+  }
 }

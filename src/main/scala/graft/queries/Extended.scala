@@ -546,6 +546,89 @@ object Extended {
           (round(lit(1000000) * min("pr")) / 1000000.0).as("min_percent_rank"),
           (round(lit(1000000) * max("cd")) / 1000000.0).as("max_cume_dist"))
         .orderBy("decile")
+    },
+
+    // ── Per-group linear-regression trend (regr_slope): revenue-per-day
+    //    slope for each supplier — the "which suppliers are growing"
+    //    analytic a dashboard asks after q04's raw trend. Plan: daily
+    //    revenue in exact integer cents (one composite-key shuffle with
+    //    partial aggregation), then regr_slope's second-moment state
+    //    (Σx, Σy, Σxy, Σx²) per supplier — mergeable constant-size state,
+    //    so at 100 TB it behaves exactly like any sum: map-side partials,
+    //    no sort, no row buffering. Slope micro-rounded; day index is an
+    //    exact integer datediff from a fixed epoch so x is bit-identical
+    //    across engines.
+    Q("q129_supplier_trend_slope",
+      """WITH daily AS (
+        |  SELECT l_suppkey,
+        |         CAST(date_diff('day', DATE '1995-01-01',
+        |                        CAST(l_shipdate AS DATE)) AS DOUBLE) AS day_x,
+        |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |              AS DOUBLE) / 100 AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |sl AS (SELECT l_suppkey, count(*) AS n_days,
+        |              regr_slope(rev, day_x) AS slope
+        |       FROM daily GROUP BY 1)
+        |SELECT l_suppkey, CAST(n_days AS BIGINT) AS n_days,
+        |       round(1e6 * slope) / 1e6 AS slope_per_day
+        |FROM sl ORDER BY slope_per_day DESC, l_suppkey LIMIT 20""".stripMargin) { (s, d) =>
+      li(s, d)
+        .groupBy(col("l_suppkey"),
+          datediff(to_date(col("l_shipdate")), lit("1995-01-01").cast("date"))
+            .cast("double").as("day_x"))
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).cast("double") / 100).as("rev"))
+        .groupBy("l_suppkey")
+        .agg(
+          count(lit(1)).as("n_days"),
+          regr_slope(col("rev"), col("day_x")).as("slope"))
+        .select(col("l_suppkey"), col("n_days"),
+          (round(lit(1e6) * col("slope")) / 1e6).as("slope_per_day"))
+        .orderBy(col("slope_per_day").desc, col("l_suppkey"))
+        .limit(20)
+    },
+
+    // ── Date-spine gap fill: generate the full calendar between the fact
+    //    table's min and max ship dates (sequence + explode — no
+    //    driver-side loop, the spine is a lazily-exploded relation), LEFT
+    //    join daily revenue onto it, and report zero-revenue days per
+    //    month. THE standard warehouse densification pattern — without it
+    //    every trend chart silently skips empty days. Scale: the spine is
+    //    O(days) regardless of fact size and broadcasts; the fact side is
+    //    one partial-aggregated scan. min/max come from the same scan
+    //    statistics parquet already maintains.
+    Q("q130_date_spine_gapfill",
+      """WITH bounds AS (SELECT min(CAST(l_shipdate AS DATE)) AS d0,
+        |                       max(CAST(l_shipdate AS DATE)) AS d1 FROM lineitem),
+        |spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |          FROM bounds),
+        |daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |          FROM lineitem GROUP BY 1),
+        |filled AS (SELECT s.day, coalesce(d.cents, 0) AS cents
+        |           FROM spine s LEFT JOIN daily d USING (day))
+        |SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+        |       count(*) AS n_days,
+        |       CAST(sum(CASE WHEN cents = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_days,
+        |       CAST(sum(cents) AS BIGINT) / 100.0 AS revenue
+        |FROM filled GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val liDf = li(s, d)
+      val bounds = liDf.agg(
+        min(to_date(col("l_shipdate"))).as("d0"),
+        max(to_date(col("l_shipdate"))).as("d1"))
+      val spine = bounds.select(
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val daily = liDf
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).cast("long").as("cents"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
+        .groupBy(trunc(col("day"), "month").as("month"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum(when(col("cents") === 0, 1).otherwise(0)).cast("long").as("zero_days"),
+          (sum("cents").cast("long") / 100.0).as("revenue"))
+        .orderBy("month")
     }
   )
 }

@@ -365,6 +365,61 @@ object LlmPipeline {
         .orderBy("doc_id")
     },
 
+    // ── Audio-waveform analysis (the quartet's audio member, completing
+    //    metadata q42 / frames q67 / resize q88): payload bytes as PCM-u8
+    //    samples → 32-sample frames → integer energy/peak per frame via
+    //    the Multimodal.waveform mapPartitions seam, then per-doc frame
+    //    aggregates incl. the arg-max frame (loudest window — what an
+    //    audio curation pass clips around). The per-char oracle unnest is
+    //    O(corpus bytes) in DuckDB but the SPARK side never explodes to
+    //    chars: the frame loop runs inside one map pass, so 100 TB of
+    //    audio shuffles only ~doc_count×frames tiny integer rows. Arg-max
+    //    is the deterministic window form (min frame_idx among frames
+    //    attaining the per-doc max), not engine-specific max_by/arg_max
+    //    whose tie rules differ.
+    Q("q127_audio_waveform",
+      """WITH fr AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS idx,
+        |         text
+        |  FROM documents),
+        |f AS (SELECT doc_id, idx,
+        |             substring(text, CAST(1 + idx * 32 AS BIGINT), 32) AS fb
+        |      FROM fr),
+        |ch AS (SELECT doc_id, idx, fb,
+        |              unnest(range(1, length(fb) + 1)) AS p
+        |       FROM f),
+        |en AS (SELECT doc_id, idx,
+        |              sum(ord(substring(fb, CAST(p AS BIGINT), 1))) AS energy,
+        |              max(ord(substring(fb, CAST(p AS BIGINT), 1))) AS peak
+        |       FROM ch GROUP BY 1, 2),
+        |mx AS (SELECT doc_id, idx, energy, peak,
+        |              max(energy) OVER (PARTITION BY doc_id) AS me
+        |       FROM en)
+        |SELECT doc_id,
+        |       count(*) AS n_frames,
+        |       CAST(sum(energy) AS BIGINT) AS total_energy,
+        |       CAST(max(energy) AS BIGINT) AS peak_energy,
+        |       CAST(min(CASE WHEN energy = me THEN idx END) AS BIGINT) AS peak_frame,
+        |       CAST(max(peak) AS BIGINT) AS peak_sample
+        |FROM mx GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      implicit val sp: SparkSession = s
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      graft.llm.Multimodal.waveform(
+          graft.llm.Multimodal.asMedia(fanned(s, d)), frameBytes = 32)
+        .toDF()
+        .withColumn("me", max("energy").over(w))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_frames"),
+          sum("energy").cast("long").as("total_energy"),
+          max("energy").cast("long").as("peak_energy"),
+          min(when(col("energy") === col("me"), col("frame_idx")))
+            .cast("long").as("peak_frame"),
+          max("peak").cast("long").as("peak_sample"))
+        .orderBy("doc_id")
+    },
+
     // ── Deterministic train/val/test split: assign each document to a
     //    split by a stable content-independent hash bucket
     //    (md5(doc_id) % 100 → 80/10/10). THE reproducibility primitive of

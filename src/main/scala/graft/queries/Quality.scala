@@ -259,6 +259,95 @@ object Quality {
           (abs(col("approx") - col("exact_distinct")) <=
             col("exact_distinct") * 0.1).as("approx_within_10pct"))
         .orderBy("l_returnflag")
+    },
+
+    // ── Quantile-sketch guard: the percentile twin of q124. Spark's
+    //    approx_percentile (KLL-style rank sketch) has engine-private
+    //    state, so as with the HLL the verification inverts: the same
+    //    plan computes the EXACT interpolated percentiles (Spark
+    //    `percentile` == DuckDB `quantile_cont`, both (n-1)·p linear
+    //    interpolation — bit-comparable after micro-rounding) next to the
+    //    sketch estimate and emits a within-2% verdict the oracle expects
+    //    to be uniformly true. accuracy=10000 bounds rank error at
+    //    n/10000 rows — orders of magnitude inside the 2% value gate on
+    //    this distribution. At 100 TB the sketch column is the production
+    //    shape (fixed mergeable state per group, single pass); exact
+    //    percentile needs a per-group sort and exists here as the harness.
+    Q("q125_approx_percentile_guard",
+      """SELECT l_returnflag,
+        |       round(1e6 * quantile_cont(l_extendedprice, 0.5)) / 1e6 AS exact_p50,
+        |       round(1e6 * quantile_cont(l_extendedprice, 0.9)) / 1e6 AS exact_p90,
+        |       true AS approx_within_2pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      li(s, d).groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("a90"))
+        .select(
+          col("l_returnflag"),
+          (round(lit(1e6) * col("p50")) / 1e6).as("exact_p50"),
+          (round(lit(1e6) * col("p90")) / 1e6).as("exact_p90"),
+          (abs(col("a50") - col("p50")) <= col("p50") * 0.02 &&
+            abs(col("a90") - col("p90")) <= col("p90") * 0.02)
+            .as("approx_within_2pct"))
+        .orderBy("l_returnflag")
+    },
+
+    // ── Distribution-drift detection (two-sample Kolmogorov–Smirnov over
+    //    a fixed equi-width histogram): the data-quality gate a training
+    //    pipeline runs before accepting a new ingestion batch — "does this
+    //    week's price distribution still look like last week's?". ONE
+    //    fact scan: period membership and bucket are map-side expressions,
+    //    conditional partial aggregation collapses the scan to a
+    //    ~12-bucket histogram, and the CDF/KS windows run on that tiny
+    //    relation (the single-partition window is over buckets, never
+    //    rows — O(price_range/width) regardless of data scale). All
+    //    counts integer; shares and the KS statistic are single
+    //    fixed-order divides, micro-rounded identically in both engines.
+    Q("q128_distribution_drift",
+      """WITH base AS (
+        |  SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+        |         CASE WHEN l_shipdate < TIMESTAMP '1998-07-01'
+        |              THEN 1 ELSE 0 END AS is_a
+        |  FROM lineitem),
+        |tot AS (SELECT CAST(sum(is_a) AS BIGINT) AS na,
+        |               CAST(sum(1 - is_a) AS BIGINT) AS nb FROM base),
+        |hist AS (SELECT bucket, CAST(sum(is_a) AS BIGINT) AS ca,
+        |                CAST(sum(1 - is_a) AS BIGINT) AS cb
+        |         FROM base GROUP BY 1),
+        |cdf AS (SELECT bucket,
+        |               round(1e6 * ca / CAST(na AS DOUBLE)) / 1e6 AS share_a,
+        |               round(1e6 * cb / CAST(nb AS DOUBLE)) / 1e6 AS share_b,
+        |               round(1e6 * (sum(ca) OVER (ORDER BY bucket) / CAST(na AS DOUBLE)
+        |                          - sum(cb) OVER (ORDER BY bucket) / CAST(nb AS DOUBLE))) / 1e6
+        |                 AS cdf_gap
+        |        FROM hist CROSS JOIN tot)
+        |SELECT bucket, share_a, share_b, cdf_gap,
+        |       max(abs(cdf_gap)) OVER () AS ks_stat
+        |FROM cdf ORDER BY bucket""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = li(s, d).select(
+        floor(col("l_extendedprice") / 10000).cast("long").as("bucket"),
+        when(col("l_shipdate") < lit("1998-07-01").cast("timestamp_ntz"), 1)
+          .otherwise(0).as("is_a"))
+      val tot = base.agg(
+        sum("is_a").cast("long").as("na"),
+        sum(lit(1) - col("is_a")).cast("long").as("nb"))
+      val hist = base.groupBy("bucket").agg(
+        sum("is_a").cast("long").as("ca"),
+        sum(lit(1) - col("is_a")).cast("long").as("cb"))
+      val wCum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = hist.crossJoin(broadcast(tot)).select(
+        col("bucket"),
+        (round(lit(1e6) * col("ca") / col("na").cast("double")) / 1e6).as("share_a"),
+        (round(lit(1e6) * col("cb") / col("nb").cast("double")) / 1e6).as("share_b"),
+        (round(lit(1e6) * (sum("ca").over(wCum) / col("na").cast("double")
+          - sum("cb").over(wCum) / col("nb").cast("double"))) / 1e6).as("cdf_gap"))
+      cdf.withColumn("ks_stat",
+          max(abs(col("cdf_gap"))).over(Window.partitionBy()))
+        .orderBy("bucket")
     }
   )
 }

@@ -184,6 +184,42 @@ object Temporal {
           |    round(CAST(10000 AS DOUBLE) * n_purchase / n_click) / CAST(100 AS DOUBLE))
           |  AS (stage, step, n_users, pct_of_prev)""".stripMargin)
         .orderBy("step")
+    },
+
+    // ── First-order Markov transition matrix over per-user event
+    //    sequences: lag(event_type) within each user's (ts, event_id)
+    //    order gives (prev → cur) pairs; counting them and normalizing
+    //    per source state yields the transition probabilities behavioral
+    //    models train on (and q104's funnel generalizes from). Plan: ONE
+    //    shuffle on user_id for the lag window (per-row state is O(1)),
+    //    then the pair counts collapse to an event_type² relation —
+    //    5×5 here, tiny at any corpus size — so the normalizing window
+    //    runs on a driver-trivial relation. The (ts, event_id) composite
+    //    sort key makes same-timestamp ordering deterministic in both
+    //    engines.
+    Q("q131_event_transitions",
+      """WITH p AS (
+        |  SELECT user_id, event_type AS cur,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |t AS (SELECT prev, cur, count(*) AS n
+        |      FROM p WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, cur, n,
+        |       round(1e6 * n / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE)) / 1e6
+        |         AS p_transition
+        |FROM t ORDER BY prev, cur""".stripMargin) { (s, d) =>
+      val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev(s, d)
+        .select(col("user_id"), col("event_type").as("cur"),
+          lag(col("event_type"), 1).over(wSeq).as("prev"))
+        .filter(col("prev").isNotNull)
+        .groupBy("prev", "cur")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_transition",
+          round(lit(1e6) * col("n")
+            / sum("n").over(Window.partitionBy("prev")).cast("double")) / 1e6)
+        .orderBy("prev", "cur")
     }
   )
 }

@@ -538,6 +538,75 @@ object TextCorpus {
         .select(col("tok"), col("tf").as("exact_tf"), col("est").as("cms_est"))
         .orderBy(col("exact_tf").desc, col("tok"))
         .limit(20)
+    },
+
+    // ── BM25 ranked retrieval (Robertson/Sparck-Jones, k1=1.2 b=0.75)
+    //    for a fixed 3-term query — the scoring function an LLM-data
+    //    pipeline uses to mine topical documents from a crawl (and the
+    //    upgrade over q71's raw TF-IDF). Plan: the shared tokenized
+    //    relation feeds (a) per-doc lengths (one shuffle), (b) per-term
+    //    tf filtered to the query terms BEFORE the shuffle (the filter
+    //    makes the tf/df relations query-sized, not corpus-sized), with
+    //    df and the global length stats broadcast back. At 100 TB this
+    //    is the inverted-index probe shape: nothing corpus-sized moves
+    //    after the initial token scan. Determinism: per-(doc,term)
+    //    scores are fixed-order scalar expressions on integer tf/df/dl
+    //    (avgdl derived via explicit sum/count, not engine-private avg),
+    //    the 3 term contributions pivot into FIXED columns summed in
+    //    one left-to-right expression (no float sum over a group), then
+    //    micro-round.
+    Q("q126_bm25_topk",
+      s"""WITH tok AS ($tokCte),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |                 count(*) AS n FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+         |       WHERE tok IN ('join', 'vector', 'merge') GROUP BY 1, 2),
+         |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok
+         |       WHERE tok IN ('join', 'vector', 'merge') GROUP BY 1),
+         |per AS (SELECT tf.doc_id, tf.tok,
+         |               ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+         |                 * tf.tf * 2.2
+         |                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+         |        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+         |        CROSS JOIN stats),
+         |piv AS (SELECT doc_id,
+         |               max(CASE WHEN tok = 'join'   THEN s END) AS sj,
+         |               max(CASE WHEN tok = 'vector' THEN s END) AS sv,
+         |               max(CASE WHEN tok = 'merge'  THEN s END) AS sm
+         |        FROM per GROUP BY 1)
+         |SELECT doc_id,
+         |       round(1e6 * (coalesce(sj, 0.0) + coalesce(sv, 0.0)
+         |                    + coalesce(sm, 0.0))) / 1e6 AS bm25
+         |FROM piv ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val terms = Seq("join", "vector", "merge")
+      val tok = tokenized(s, d)
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"),
+        count(lit(1)).as("n"))
+      val hits = tok.filter(col("tok").isin(terms: _*))
+      val tf = hits.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = hits.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      val per = tf
+        .join(broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("s",
+          log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+            * col("tf") * 2.2
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      per.groupBy("doc_id")
+        .agg(
+          max(when(col("tok") === "join", col("s"))).as("sj"),
+          max(when(col("tok") === "vector", col("s"))).as("sv"),
+          max(when(col("tok") === "merge", col("s"))).as("sm"))
+        .select(col("doc_id"),
+          (round(lit(1e6) * (coalesce(col("sj"), lit(0.0))
+            + coalesce(col("sv"), lit(0.0))
+            + coalesce(col("sm"), lit(0.0)))) / 1e6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
     }
   )
 }

@@ -31,7 +31,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q103_binned_percentiles" -> "3-row percentile targets × 1000-row histogram + single-row bounds",
     "q104_funnel"            -> "cross join of three single-row stage counts",
     "q105_pagerank"          -> "per-iteration cross join of the single-row node count",
-    "q96_ann_rerank"         -> "5-row quantized query batch (recall stage of the rerank)")
+    "q96_ann_rerank"         -> "5-row quantized query batch (recall stage of the rerank)",
+    "q126_bm25_topk"         -> "cross join of the single-row corpus length/count stats",
+    "q128_distribution_drift" -> "cross join of the single-row period totals onto the ~12-bucket histogram")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no unexpected nested-loop or cartesian join") {

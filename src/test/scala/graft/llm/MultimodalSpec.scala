@@ -65,4 +65,26 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.DecodeStub.decodeBatch(records)
     assert(out.map(_.doc_id) == records.map(_.doc_id), "order-preserving")
   }
+
+  test("waveform frames carry exact integer energy/peak per frame") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    // 70 bytes at frameBytes=32 -> frames of 32, 32, 6
+    val payload = (0 until 70).map(i => ((i * 7) % 256).toByte).toArray
+    val media = Seq((9L, "s", payload)).toDF("doc_id", "source", "payload")
+    val frames = Multimodal.waveform(media, frameBytes = 32)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    frames.foreach { f =>
+      val slice = payload.slice(f.frame_idx * 32, math.min(f.frame_idx * 32 + 32, 70))
+        .map(_ & 0xff)
+      assert(f.energy == slice.map(_.toLong).sum, s"energy frame ${f.frame_idx}")
+      assert(f.peak == slice.max, s"peak frame ${f.frame_idx}")
+    }
+    // partitioning must not change frame stats
+    val re = Multimodal.waveform(media.repartition(5), frameBytes = 32)
+      .collect().sortBy(_.frame_idx)
+    assert(re.map(f => (f.frame_idx, f.energy, f.peak)).toSeq ==
+      frames.map(f => (f.frame_idx, f.energy, f.peak)).toSeq)
+  }
 }
