@@ -29,7 +29,78 @@ object Extended {
       tmp
     }
 
+  /** Catalog-registered lineitem with table + column statistics, created
+    * once per (session, sf dir): the ANALYZE TABLE surface (S11's missing
+    * half — registration without statistics leaves the cost-based
+    * optimizer blind). External USING PARQUET LOCATION over the source
+    * file — no copy; stats live in the session catalog. */
+  private val statsTables = new graft.etl.Memo[(SparkSession, String), String]
+  def cboStatsTable(s: SparkSession, d: String): String =
+    statsTables((s, d)) {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8"))
+      val name = "graft_li_stats_" +
+        String.format("%032x", new java.math.BigInteger(1, digest)).take(8)
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      s.sql(s"CREATE TABLE $name USING PARQUET LOCATION '$d/lineitem.parquet'")
+      s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+      s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS " +
+        "l_suppkey, l_orderkey, l_extendedprice")
+      name
+    }
+
+  /** The q132 join body, parameterized by an already-configured session so
+    * PlanShapeSpec can run the stats-on/stats-off counterfactual: orders
+    * containing a small-id supplier (the filtered self-side dim), joined
+    * back to the fact on the order key — NO broadcast hint anywhere; with
+    * CBO on, the column statistics alone must price the filtered side
+    * under the broadcast threshold. */
+  def cboJoin(s2: SparkSession, table: String): DataFrame = {
+    val f = s2.table(table).select(col("l_orderkey"), col("l_extendedprice"))
+    val dim = s2.table(table)
+      .filter(col("l_suppkey") < 5 && col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .distinct()
+    f.join(dim, "l_orderkey")
+      .groupBy("l_suppkey")
+      .agg(
+        count(lit(1)).as("n_colines"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")).cast("long") / 100.0)
+          .as("co_revenue"))
+      .orderBy("l_suppkey")
+  }
+
   val defs: Vector[Q] = Vector(
+
+    // ── Cost-based-optimizer statistics: ANALYZE TABLE (table + column
+    //    stats) on a catalog-registered lineitem, then a filtered
+    //    self-join where the BROADCAST DECISION COMES FROM THE STATS —
+    //    the dim side is `lineitem WHERE l_suppkey < 5 AND l_orderkey <
+    //    100`, whose file-size estimate (all Spark has without
+    //    statistics) is the full fact file, far over the 16 KiB test
+    //    threshold, but whose range-selectivity CBO estimate is a couple
+    //    hundred rows, far under it. PlanShapeSpec runs the counterfactual (same session conf,
+    //    CBO off → sort-merge; CBO on → broadcast). This is the 100 TB
+    //    discipline in miniature: on a real lake you ANALYZE after load
+    //    so the optimizer prices filtered fact slices correctly instead
+    //    of assuming every subquery is table-sized. The result itself is
+    //    stats-independent — the oracle checks values, the spec checks
+    //    the plan.
+    Q("q132_cbo_stats_join",
+      """WITH dim AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |            FROM lineitem WHERE l_suppkey < 5 AND l_orderkey < 100)
+        |SELECT dim.l_suppkey,
+        |       count(*) AS n_colines,
+        |       CAST(sum(CAST(round(f.l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+        |         AS co_revenue
+        |FROM lineitem f JOIN dim ON f.l_orderkey = dim.l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val table = cboStatsTable(s, d)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (16 * 1024).toString)
+      cboJoin(s2, table)
+    },
 
     // ── JSON column extraction: events.props is a JSON string; parse it
     //    with a TYPED from_json (schema-on-read pinned, not inferred) and
@@ -546,6 +617,45 @@ object Extended {
           (round(lit(1000000) * min("pr")) / 1000000.0).as("min_percent_rank"),
           (round(lit(1000000) * max("cd")) / 1000000.0).as("max_cume_dist"))
         .orderBy("decile")
+    },
+
+    // ── UNPIVOT / melt (wide → long): the inverse of q62's pivot and the
+    //    §2.7 set-op family's missing member. Three per-flag metrics
+    //    computed WIDE in one aggregate pass, then melted to
+    //    (flag, metric, value) rows via Dataset.unpivot — which plans as
+    //    an Expand (each input row emits 3 output rows map-side), never a
+    //    join or union of re-scans: one fact scan total at any scale.
+    //    The DuckDB twin states the same reshape as the portable
+    //    UNION ALL; values are exact integer cents/counts cast to a
+    //    common DOUBLE melt type (unpivot requires one value type).
+    Q("q133_unpivot_metrics",
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS DOUBLE) AS n_lines,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+        |           AS gross,
+        |         CAST(sum(l_quantity) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'gross' AS metric, gross AS value FROM w
+        |  UNION ALL SELECT l_returnflag, 'n_lines', n_lines FROM w
+        |  UNION ALL SELECT l_returnflag, 'qty', qty FROM w)
+        |ORDER BY l_returnflag, metric""".stripMargin) { (s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n_lines"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100)
+            .as("gross"),
+          // quantities are integral doubles (< 2^53), so the double sum is
+          // exact and order-independent in both engines
+          sum(col("l_quantity")).cast("double").as("qty"))
+        .unpivot(
+          ids = Array(col("l_returnflag")),
+          values = Array(col("gross"), col("n_lines"), col("qty")),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        .orderBy("l_returnflag", "metric")
     },
 
     // ── Per-group linear-regression trend (regr_slope): revenue-per-day

@@ -220,6 +220,51 @@ object Temporal {
           round(lit(1e6) * col("n")
             / sum("n").over(Window.partitionBy("prev")).cast("double")) / 1e6)
         .orderBy("prev", "cur")
+    },
+
+    // ── Time-weighted average (the finance/IoT aggregate plain AVG gets
+    //    wrong): each event's value holds until the user's next event, so
+    //    the mean must weight by holding time — Σ(value·Δt)/Σ(Δt) with
+    //    Δt from lead() within the (ts, event_id)-ordered user stream
+    //    (the last event holds nothing and drops out). ONE shuffle on
+    //    user_id; the window state is O(1) per row. Determinism at the
+    //    float level: value → integer cents, Δt → integer microseconds,
+    //    so every product and both sums are exact longs (max |Σ| ≈ 2^56,
+    //    inside BIGINT) and the single divide + micro-round is the only
+    //    float step. Top 20 users by TWA, key tie-break.
+    Q("q134_time_weighted_avg",
+      """WITH seq AS (
+        |  SELECT user_id,
+        |         CAST(round(value * 100) AS BIGINT) AS cents,
+        |         epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id))
+        |           - epoch_us(ts) AS dt
+        |  FROM events),
+        |agg AS (SELECT user_id,
+        |               CAST(sum(cents * dt) AS BIGINT) AS wsum,
+        |               CAST(sum(dt) AS BIGINT) AS tsum
+        |        FROM seq WHERE dt IS NOT NULL GROUP BY 1)
+        |SELECT user_id,
+        |       round(1e4 * wsum / CAST(tsum AS DOUBLE)) / 1e6 AS twa_value
+        |FROM agg WHERE tsum > 0
+        |ORDER BY twa_value DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
+      val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev(s, d)
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          (unix_micros(lead(col("ts"), 1).over(wSeq))
+            - unix_micros(col("ts"))).as("dt"))
+        .filter(col("dt").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          sum(col("cents") * col("dt")).cast("long").as("wsum"),
+          sum("dt").cast("long").as("tsum"))
+        .filter(col("tsum") > 0)
+        .select(col("user_id"),
+          (round(lit(1e4) * col("wsum") / col("tsum").cast("double")) / 1e6)
+            .as("twa_value"))
+        .orderBy(col("twa_value").desc, col("user_id"))
+        .limit(20)
     }
   )
 }

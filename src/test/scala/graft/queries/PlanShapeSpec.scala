@@ -185,4 +185,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Expand") || p.contains("Generate"),
       s"the check-per-row unpivot must be an Expand/Generate, driver-free:\n$p")
   }
+
+  test("q132: ANALYZE column stats, not file size, price the filtered side") {
+    // Counterfactual pair on the SAME catalog table and the SAME 16 KiB
+    // broadcast threshold: without CBO the filtered self-side is priced
+    // at file size (hundreds of KiB -> sort-merge/shuffle join); with CBO
+    // the ndv/range estimate for l_suppkey < 5 is a few hundred rows
+    // (~KiB) -> broadcast. The flip can ONLY come from the statistics.
+    val table = Extended.cboStatsTable(spark, TestSpark.Sf)
+
+    val off = spark.newSession()
+    off.conf.set("spark.sql.cbo.enabled", "false")
+    off.conf.set("spark.sql.autoBroadcastJoinThreshold", (16 * 1024).toString)
+    val pOff = Extended.cboJoin(off, table).queryExecution.executedPlan.toString
+    assert(!pOff.contains("BroadcastHashJoin"),
+      s"without CBO the file-size estimate must exceed the threshold:\n$pOff")
+
+    val on = spark.newSession()
+    on.conf.set("spark.sql.cbo.enabled", "true")
+    on.conf.set("spark.sql.autoBroadcastJoinThreshold", (16 * 1024).toString)
+    val pOn = Extended.cboJoin(on, table).queryExecution.executedPlan.toString
+    assert(pOn.contains("BroadcastHashJoin"),
+      s"with CBO the stats-based estimate must broadcast the filtered side:\n$pOn")
+  }
 }
