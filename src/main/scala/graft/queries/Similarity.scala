@@ -415,6 +415,34 @@ object Similarity {
         .groupBy("bucket").agg(count(lit(1)).as("c"))
         .groupBy(col("c").as("bucket_size")).agg(count(lit(1)).as("n_buckets"))
         .orderBy("bucket_size")
+    },
+
+    // ── Per-label embedding centroids (class prototypes — what an IVF
+    //    trainer, a few-shot classifier, or a cluster-quality audit
+    //    computes first): element-wise mean per label via posexplode →
+    //    (label, dim) aggregate. The explode looks expensive but the plan
+    //    is the right one at scale: partial aggregation runs MAP-SIDE, so
+    //    each task emits at most labels×64 partial rows into the shuffle
+    //    — corpus-sized input, centroid-sized exchange, no driver
+    //    collect. The float avg is the one order-sensitive step;
+    //    micro-rounding at 1e-6 sits ~6 orders of magnitude above the
+    //    accumulated double error on unit-scale values, identical in both
+    //    engines.
+    Q("q135_label_centroids",
+      """WITH e AS (SELECT label,
+        |                  unnest(embedding) AS v,
+        |                  unnest(range(0, len(embedding))) AS pos
+        |           FROM embeddings)
+        |SELECT label, pos, count(*) AS n_vecs,
+        |       round(1e6 * avg(CAST(v AS DOUBLE))) / 1e6 AS centroid
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      emb(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          (round(lit(1e6) * avg(col("v").cast("double"))) / 1e6).as("centroid"))
+        .orderBy("label", "pos")
     }
   )
 }

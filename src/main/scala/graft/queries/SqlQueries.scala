@@ -122,6 +122,45 @@ object SqlQueries {
       |                    AND l_discount > CAST(0.09 AS DOUBLE))
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** WITH RECURSIVE through Catalyst's UnionLoop (Spark 4's recursive CTE
+    * support) — a month spine generated by recursion from the orders
+    * table's own bounds, LEFT-joined to monthly revenue. Same mechanism a
+    * pasted Postgres/DuckDB recursive query relies on; the recursion here
+    * is bounded by the data's date range (~80 iterations), each iteration
+    * a single-row step relation, so the loop is driver-cheap at any fact
+    * scale. q130 computes the same densification with sequence+explode —
+    * this entry pins the RECURSIVE SQL surface specifically. */
+  private val RecursiveMonthsSql =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)
+      |  UNION ALL
+      |  SELECT CAST((m + INTERVAL 1 MONTH) AS DATE) FROM months
+      |  WHERE m < CAST(date_trunc('month', (SELECT max(o_orderdate) FROM orders)) AS DATE)
+      |),
+      |rev AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |        FROM orders GROUP BY 1)
+      |SELECT months.m AS month, coalesce(rev.cents, 0) / CAST(100 AS DOUBLE) AS revenue
+      |FROM months LEFT JOIN rev ON rev.m = months.m
+      |ORDER BY month""".stripMargin
+
+  /** Correlated LATERAL subquery with aggregate + ORDER BY + LIMIT —
+    * top-2 revenue days per supplier, the "per-row subquery" a SQL user
+    * writes naturally. Catalyst decorrelates it into a window-ranked
+    * join (DecorrelateInnerQuery handles the correlated LIMIT); nothing
+    * executes per-row, so the pasted shape is scale-safe. The supplier
+    * slice bounds the output, not the plan. */
+  private val LateralTopKSql =
+    """SELECT s.s_suppkey, t.day, t.rev
+      |FROM supplier s, LATERAL (
+      |  SELECT CAST(l_shipdate AS DATE) AS day,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |           / CAST(100 AS DOUBLE) AS rev
+      |  FROM lineitem WHERE l_suppkey = s.s_suppkey
+      |  GROUP BY 1 ORDER BY rev DESC, day LIMIT 2) t
+      |WHERE s.s_suppkey < 20
+      |ORDER BY s.s_suppkey, rev DESC, day""".stripMargin
+
   val defs: Vector[Q] = Vector(
     Q("q90_sql_supplier_revenue", SupplierRevenueSql) { (s, d) =>
       Tables.registerAll(s, d)
@@ -146,6 +185,14 @@ object SqlQueries {
     Q("q118_sql_exists_semi_anti", ExistsSemiAntiSql) { (s, d) =>
       Tables.registerAll(s, d)
       s.sql(ExistsSemiAntiSql)
+    },
+    Q("q136_sql_recursive_months", RecursiveMonthsSql) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(RecursiveMonthsSql)
+    },
+    Q("q137_sql_lateral_topk", LateralTopKSql) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(LateralTopKSql)
     }
   )
 }
