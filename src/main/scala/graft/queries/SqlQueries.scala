@@ -123,23 +123,33 @@ object SqlQueries {
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
   /** WITH RECURSIVE through Catalyst's UnionLoop (Spark 4's recursive CTE
-    * support) — a month spine generated by recursion from the orders
-    * table's own bounds, LEFT-joined to monthly revenue. Same mechanism a
-    * pasted Postgres/DuckDB recursive query relies on; the recursion here
-    * is bounded by the data's date range (~80 iterations), each iteration
-    * a single-row step relation, so the loop is driver-cheap at any fact
-    * scale. q130 computes the same densification with sequence+explode —
-    * this entry pins the RECURSIVE SQL surface specifically. */
+    * support) — a month spine generated by recursion, LEFT-joined to
+    * monthly revenue. Same mechanism a pasted Postgres/DuckDB recursive
+    * query relies on. Cost note, learned from the first cut: every
+    * UnionLoop iteration is its own Spark job, and any non-literal
+    * expression in the step (a data-derived loop bound) re-executes per
+    * iteration — an ~80-iteration spine with a scalar-subquery bound
+    * benched at 13 s of pure per-step overhead. So the recursion here is
+    * LITERAL-bounded (12 steps over 1995, anchor and horizon constants,
+    * nothing scanned inside the loop) and the revenue scan carries the
+    * matching pushed date filter. That is also the honest 100 TB
+    * guidance this entry documents: recursive CTEs pay per-iteration
+    * scheduling on a distributed engine — pin their depth, and prefer
+    * the set-based spine (q130's sequence+explode) when the recursion is
+    * just a generator. */
   private val RecursiveMonthsSql =
     """WITH RECURSIVE months(m) AS (
-      |  SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)
+      |  SELECT DATE '1995-01-01'
       |  UNION ALL
       |  SELECT CAST((m + INTERVAL 1 MONTH) AS DATE) FROM months
-      |  WHERE m < CAST(date_trunc('month', (SELECT max(o_orderdate) FROM orders)) AS DATE)
+      |  WHERE m < DATE '1995-12-01'
       |),
       |rev AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
       |               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-      |        FROM orders GROUP BY 1)
+      |        FROM orders
+      |        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |          AND o_orderdate < TIMESTAMP '1996-01-01'
+      |        GROUP BY 1)
       |SELECT months.m AS month, coalesce(rev.cents, 0) / CAST(100 AS DOUBLE) AS revenue
       |FROM months LEFT JOIN rev ON rev.m = months.m
       |ORDER BY month""".stripMargin
