@@ -72,6 +72,63 @@ object Extended {
 
   val defs: Vector[Q] = Vector(
 
+    // ── Ordered string aggregation (LISTAGG / string_agg): the
+    //    report-building aggregate that turns a group into a readable
+    //    list. Determinism is the whole trick — collect_list order is
+    //    partition-dependent, so the Spark side sorts the collected array
+    //    BEFORE concatenation (array_sort ∘ collect_list ∘ concat_ws),
+    //    matching the oracle's string_agg(... ORDER BY). Per-group state
+    //    is the member list: fine for dim-sized groups like these
+    //    (suppliers per nation); for unbounded groups cap with
+    //    slice(array_sort(...), 1, k) and say so.
+    Q("q138_listagg_suppliers",
+      """SELECT n_name,
+        |       count(*) AS n_suppliers,
+        |       string_agg(s_name, ',' ORDER BY s_name) AS supplier_list
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("n_suppliers"),
+          concat_ws(",", array_sort(collect_list(col("s_name"))))
+            .as("supplier_list"))
+        .orderBy("n_name")
+    },
+
+    // ── Sequence islands & gaps (the "are my ids contiguous?" audit a
+    //    CDC or event-ingest pipeline runs to spot dropped batches):
+    //    classic id − row_number() island grouping over the distinct key
+    //    set, then the top islands by length. Runs on lineitem's order
+    //    keys — the set with REAL gaps (orders that never shipped a
+    //    line), unlike the contiguous orders surrogate key. The global-ORDER window is
+    //    the textbook form and is what's shown here over the dim-sized
+    //    distinct keys; at fact scale the same expression runs inside
+    //    each day/partition slice (the id space is partition-local) —
+    //    same plan, partitioned window.
+    Q("q141_sequence_islands",
+      """WITH k AS (SELECT DISTINCT l_orderkey AS id FROM lineitem),
+        |g AS (SELECT id, id - row_number() OVER (ORDER BY id) AS grp FROM k),
+        |isl AS (SELECT grp, min(id) AS start_id, max(id) AS end_id,
+        |               count(*) AS len
+        |        FROM g GROUP BY 1)
+        |SELECT start_id, end_id, CAST(len AS BIGINT) AS len
+        |FROM isl ORDER BY len DESC, start_id LIMIT 10""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      li(s, d)
+        .select(col("l_orderkey").as("id")).distinct()
+        .withColumn("grp",
+          col("id") - row_number().over(Window.orderBy("id")))
+        .groupBy("grp")
+        .agg(min("id").as("start_id"), max("id").as("end_id"),
+          count(lit(1)).cast("long").as("len"))
+        .select("start_id", "end_id", "len")
+        .orderBy(col("len").desc, col("start_id"))
+        .limit(10)
+    },
+
     // ── Cost-based-optimizer statistics: ANALYZE TABLE (table + column
     //    stats) on a catalog-registered lineitem, then a filtered
     //    self-join where the BROADCAST DECISION COMES FROM THE STATS —

@@ -121,6 +121,66 @@ object Graph {
         .select(col("p_partkey"), col("p_name"), col("r").cast("long").as("rank_scaled"))
         .orderBy(col("rank_scaled").desc, col("p_partkey"))
         .limit(10)
+    },
+
+    // ── Triangle counting + global clustering coefficient over the part
+    //    co-occurrence graph — the graph-quality metric next to q105's
+    //    centrality (how clique-ish are the baskets?). The algorithm is
+    //    the degree-safe ORIENTED form: edges stored once as src < dst,
+    //    wedges enumerated as e1(a,b)⋈e2(b,c) (so a<b<c and each triangle
+    //    is counted exactly once), then closed by a hash join against the
+    //    edge set. Intermediate size is the wedge count — bounded here by
+    //    the documented p_partkey < 300 eval slice (q105 runs the full
+    //    graph as the scale sibling); at production scale the standard
+    //    orientation-by-degree bound applies unchanged, and every step is
+    //    a hash join + aggregate, nothing per-node. Wedge total comes
+    //    from degrees (Σ d·(d−1)/2, exact integer); the one float is the
+    //    final clustering ratio, micro-rounded.
+    Q("q139_triangle_count",
+      """WITH pairs AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |               FROM lineitem WHERE l_partkey < 300),
+        |edges AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |          FROM pairs a JOIN pairs b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT pk, count(*) AS d FROM (
+        |          SELECT src AS pk FROM edges
+        |          UNION ALL SELECT dst AS pk FROM edges) GROUP BY 1),
+        |wedge AS (SELECT CAST(sum(d * (d - 1)) AS BIGINT) // 2 AS wedges,
+        |                 count(*) AS n_nodes FROM deg),
+        |tri AS (SELECT count(*) AS triangles
+        |        FROM edges e1
+        |        JOIN edges e2 ON e1.dst = e2.src
+        |        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |ne AS (SELECT count(*) AS n_edges FROM edges)
+        |SELECT wedge.n_nodes, ne.n_edges, wedge.wedges, tri.triangles,
+        |       round(1e6 * 3 * tri.triangles / CAST(wedge.wedges AS DOUBLE)) / 1e6
+        |         AS clustering
+        |FROM wedge CROSS JOIN tri CROSS JOIN ne""".stripMargin) { (s, d) =>
+      val pairs = li(s, d)
+        .filter(col("l_partkey") < 300)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = pairs.alias("a")
+        .join(pairs.alias("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+        .localCheckpoint()
+      val deg = edges.select(col("src").as("pk"))
+        .unionByName(edges.select(col("dst").as("pk")))
+        .groupBy("pk").agg(count(lit(1)).as("d"))
+      val wedge = deg.agg(
+        expr("CAST(sum(d * (d - 1)) AS BIGINT) div 2").as("wedges"),
+        count(lit(1)).as("n_nodes"))
+      val tri = edges.alias("e1")
+        .join(edges.alias("e2"), col("e1.dst") === col("e2.src"))
+        .join(edges.alias("e3"),
+          col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+        .agg(count(lit(1)).as("triangles"))
+      val ne = edges.agg(count(lit(1)).as("n_edges"))
+      wedge.crossJoin(tri).crossJoin(ne)
+        .select(col("n_nodes"), col("n_edges"), col("wedges"), col("triangles"),
+          (round(lit(1e6) * lit(3) * col("triangles") / col("wedges").cast("double")) / 1e6)
+            .as("clustering"))
     }
   )
 }

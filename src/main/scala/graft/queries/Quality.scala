@@ -348,6 +348,52 @@ object Quality {
       cdf.withColumn("ks_stat",
           max(abs(col("cdf_gap"))).over(Window.partitionBy()))
         .orderBy("bucket")
+    },
+
+    // ── Referential-integrity audit (the FK check q100's single-table
+    //    suite can't see): orphan counts for the three star-schema FKs,
+    //    each a LEFT ANTI join — null-safe NOT EXISTS semantics, never
+    //    NOT IN (the q80 oracle lesson), and each anti join broadcasts
+    //    its parent KEY SET, not the parent table (keys are dim-sized
+    //    even when the parent is a fact). One row per FK with the orphan
+    //    count and an intact verdict; the oracle recomputes with
+    //    NOT EXISTS. At 100 TB this is the publish gate that catches a
+    //    dropped dimension load before consumers do.
+    Q("q140_fk_orphan_audit",
+      """WITH fk1 AS (
+        |  SELECT count(*) AS n FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |fk2 AS (
+        |  SELECT count(*) AS n FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |fk3 AS (
+        |  SELECT count(*) AS n FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |SELECT fk, n_orphans, n_orphans = 0 AS intact FROM (
+        |  SELECT 'lineitem->orders' AS fk, fk1.n AS n_orphans FROM fk1
+        |  UNION ALL SELECT 'lineitem->part', fk3.n FROM fk3
+        |  UNION ALL SELECT 'orders->customer', fk2.n FROM fk2)
+        |ORDER BY fk""".stripMargin) { (s, d) =>
+      val li_ = li(s, d)
+      val fk1 = li_.join(Tables.orders(s, d).select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      val fk2 = Tables.orders(s, d).join(Tables.customer(s, d).select("c_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      val fk3 = li_.join(pa(s, d).select("p_partkey"),
+          col("l_partkey") === col("p_partkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      fk1.crossJoin(fk2.withColumnRenamed("n", "n2"))
+        .crossJoin(fk3.withColumnRenamed("n", "n3"))
+        .selectExpr(
+          """stack(3,
+            |  'lineitem->orders', n,
+            |  'lineitem->part', n3,
+            |  'orders->customer', n2) AS (fk, n_orphans)""".stripMargin)
+        .select(col("fk"), col("n_orphans"),
+          (col("n_orphans") === 0).as("intact"))
+        .orderBy("fk")
     }
   )
 }

@@ -33,7 +33,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q105_pagerank"          -> "per-iteration cross join of the single-row node count",
     "q96_ann_rerank"         -> "5-row quantized query batch (recall stage of the rerank)",
     "q126_bm25_topk"         -> "cross join of the single-row corpus length/count stats",
-    "q128_distribution_drift" -> "cross join of the single-row period totals onto the ~12-bucket histogram")
+    "q128_distribution_drift" -> "cross join of the single-row period totals onto the ~12-bucket histogram",
+    "q139_triangle_count"    -> "cross join of three single-row graph-metric aggregates",
+    "q140_fk_orphan_audit"   -> "cross join of three single-row orphan counts")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no unexpected nested-loop or cartesian join") {
