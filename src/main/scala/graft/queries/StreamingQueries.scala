@@ -47,30 +47,63 @@ object StreamingQueries {
       tmp
     }
 
+  /** Staged events plus a FLUSH SENTINEL: one far-future purchase and one
+    * far-future click (user_id −1, max(ts) + 10 days) appended as a
+    * second write. The production "heartbeat event" pattern: an outer
+    * stream-stream join can only emit its unmatched rows once the
+    * watermark PROVES no match can still arrive, so a bounded drain needs
+    * something to push both sides' watermarks past all real data. The
+    * sentinels do exactly that — and sit an hour inside their own
+    * watermark, so they are never emitted themselves. Memoized per
+    * (session, sf dir). */
+  private val stagedSentinel = new graft.etl.Memo[(SparkSession, String), String]
+  private def sentinelEventsDir(s: SparkSession, d: String): String =
+    stagedSentinel((s, d)) {
+      val tmp = graft.etl.Scratch.tempDir("graft-stream-sentinel").toString
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      ev.write.mode("overwrite").parquet(tmp)
+      ev.agg(max("ts").as("mx"))
+        .select(explode(array(
+          struct(lit(-1L).as("event_id"),
+            (col("mx") + expr("INTERVAL 10 DAYS")).as("ts"),
+            lit(-1L).as("user_id"), lit("purchase").as("event_type"),
+            lit(0.0).as("value")),
+          struct(lit(-2L).as("event_id"),
+            (col("mx") + expr("INTERVAL 10 DAYS")).as("ts"),
+            lit(-1L).as("user_id"), lit("click").as("event_type"),
+            lit(0.0).as("value")))).as("r"))
+        .select("r.*")
+        .write.mode("append").parquet(tmp)
+      tmp
+    }
+
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Run a streaming drain with stateful-op sizing: state-store commits
     * scale with (partitions × stores per operator) per micro-batch, so a
     * drain's partition count must follow its STATE volume, not the
-    * session's batch-shuffle default; and every drain here either emits
-    * eagerly (append-mode dedup/inner join), re-emits everything per batch
-    * (complete mode), or folds monotone counters (update mode), so the
+    * session's batch-shuffle default; and most drains here emit eagerly
+    * (append-mode dedup/inner join), re-emit everything per batch
+    * (complete mode), or fold monotone counters (update mode), so the
     * trailing no-data finalization batch — a full re-run of the stateful
     * plan purely to advance the watermark — buys nothing. Outer joins are
-    * the shape that DOES need it (StreamingSpec's left-outer test). Both
-    * knobs are read at stream start on the stream's own thread, so the
-    * restore waits until `body` (which must drain to termination) returns. */
-  private def withStreamTuning[A](s: SparkSession, partitions: Int)(body: => A): A = {
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    val savedNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      body
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", savedParts)
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
-    }
+    * the shape that DOES need it (`noDataBatches = true`, q142).
+    *
+    * The knobs live on a CHILD session (shared context, own SQLConf)
+    * handed to `body`, never on the caller's session: a temporary
+    * set/restore on the shared session is a conf RACE against anything
+    * planning concurrently (parallel test suites caught exactly that —
+    * a broadcast-shape assertion planned inside another drain's window
+    * and saw its 8-partition, broadcast-off world). Streams, sinks, and
+    * the post-drain read must all use the session `body` receives. */
+  private def withStreamTuning[A](s: SparkSession, partitions: Int,
+                                  noDataBatches: Boolean = false)
+                                 (body: SparkSession => A): A = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches.toString)
+    body(s2)
   }
 
   val defs: Vector[Q] = Vector(
@@ -83,9 +116,9 @@ object StreamingQueries {
         |       CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val sink = s"q63_sink_${sinkSeq.getAndIncrement()}"
-      withStreamTuning(s, partitions = 8) {
+      withStreamTuning(s, partitions = 8) { st =>
         val query = StreamingJobs
-          .hourlyWindowsComplete(StreamingJobs.eventsStream(s, stagedEventsDir(s, d)))
+          .hourlyWindowsComplete(StreamingJobs.eventsStream(st, stagedEventsDir(s, d)))
           .writeStream
           .format("memory")
           .queryName(sink)
@@ -93,8 +126,8 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .start()
         query.awaitTermination()
+        st.table(sink).orderBy("window_start")
       }
-      s.table(sink).orderBy("window_start")
     },
 
     // ── Streaming exact-dedup (§2.9 × the dedup family): the staged source
@@ -111,9 +144,9 @@ object StreamingQueries {
         |       CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val sink = s"q78_sink_${sinkSeq.getAndIncrement()}"
-      withStreamTuning(s, partitions = 8) {
+      withStreamTuning(s, partitions = 8) { st =>
         val query = StreamingJobs
-          .dedupStream(StreamingJobs.eventsStream(s, dupEventsDir(s, d)))
+          .dedupStream(StreamingJobs.eventsStream(st, dupEventsDir(s, d)))
           .writeStream
           .format("memory")
           .queryName(sink)
@@ -121,13 +154,13 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .start()
         query.awaitTermination()
+        st.table(sink)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+          .orderBy("event_type")
       }
-      s.table(sink)
-        .groupBy("event_type")
-        .agg(
-          count(lit(1)).as("n"),
-          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
-        .orderBy("event_type")
     },
 
     // ── Stateful sessionization through the actual streaming engine
@@ -155,13 +188,14 @@ object StreamingQueries {
          |       CAST(max(n) AS BIGINT) AS max_events,
          |       CAST(sum(n) AS BIGINT) AS total_events
          |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
-      import s.implicits._
       val sink = s"q93_sink_${sinkSeq.getAndIncrement()}"
-      val stream = StreamingJobs.eventsStream(s, stagedEventsDir(s, d))
-        .filter(col("ts").isNotNull)
-        .select(col("user_id"), col("ts"), col("event_id"))
-        .as[StreamingJobs.SessionEvent]
-      withStreamTuning(s, partitions = 8) {
+      val src = stagedEventsDir(s, d)
+      withStreamTuning(s, partitions = 8) { st =>
+        import st.implicits._
+        val stream = StreamingJobs.eventsStream(st, src)
+          .filter(col("ts").isNotNull)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .as[StreamingJobs.SessionEvent]
         val query = StreamingJobs.sessionize(stream, Temporal.GapMicros)
           .writeStream
           .format("memory")
@@ -170,14 +204,14 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .start()
         query.awaitTermination()
+        st.table(sink)
+          .groupBy("user_id")
+          .agg(
+            max("n_sessions").as("n_sessions"),
+            max("max_events").cast("long").as("max_events"),
+            max("total_events").cast("long").as("total_events"))
+          .orderBy("user_id")
       }
-      s.table(sink)
-        .groupBy("user_id")
-        .agg(
-          max("n_sessions").as("n_sessions"),
-          max("max_events").cast("long").as("max_events"),
-          max("total_events").cast("long").as("total_events"))
-        .orderBy("user_id")
     },
 
     // ── Stream-stream interval join through the actual streaming engine:
@@ -201,14 +235,14 @@ object StreamingQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val sink = s"q102_sink_${sinkSeq.getAndIncrement()}"
       val src = stagedEventsDir(s, d)
-      val purchases = StreamingJobs.eventsStream(s, src)
-        .filter(col("event_type") === "purchase" && col("ts").isNotNull)
-      val clicks = StreamingJobs.eventsStream(s, src)
-        .filter(col("event_type") === "click" && col("ts").isNotNull)
       // A stream-stream join commits (partitions × 4 state stores per
       // side) per batch — the drain that most needs withStreamTuning's
       // state-volume-sized partitions (profiled: 6.4s → 3.1s at sf0.1).
-      withStreamTuning(s, partitions = 8) {
+      withStreamTuning(s, partitions = 8) { st =>
+        val purchases = StreamingJobs.eventsStream(st, src)
+          .filter(col("event_type") === "purchase" && col("ts").isNotNull)
+        val clicks = StreamingJobs.eventsStream(st, src)
+          .filter(col("event_type") === "click" && col("ts").isNotNull)
         val query = StreamingJobs
           .attributionJoin(purchases, clicks,
             windowMicros = 30L * 60 * 1000000, watermark = "1 hour")
@@ -219,13 +253,67 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .start()
         query.awaitTermination()
+        st.table(sink)
+          .groupBy(date_trunc("hour", col("purchase_ts")).as("hour"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            countDistinct(col("purchase_id")).as("n_purchases"))
+          .orderBy("hour")
       }
-      s.table(sink)
-        .groupBy(date_trunc("hour", col("purchase_ts")).as("hour"))
-        .agg(
-          count(lit(1)).as("n_pairs"),
-          countDistinct(col("purchase_id")).as("n_purchases"))
-        .orderBy("hour")
+    },
+
+    // ── Stream-stream LEFT OUTER interval join: the semantic q102's inner
+    //    join can't show — "purchases with NO click in the window" must be
+    //    emitted as null-click rows, and ONLY once the watermark proves no
+    //    late click can still arrive. A bounded drain therefore needs the
+    //    flush-sentinel staging (far-future heartbeat rows advance both
+    //    sides' watermarks past all real data; the trailing no-data batch
+    //    then evicts-and-emits the whole unmatched tail), after which the
+    //    drained result equals the batch LEFT JOIN the oracle computes —
+    //    matched and unmatched alike, invariant to micro-batch
+    //    boundaries. The sentinels sit inside their own watermark and are
+    //    never emitted; the p_user ≥ 0 filter is defense in depth.
+    Q("q142_streaming_left_outer",
+      """SELECT date_trunc('hour', p.ts) AS hour,
+        |       count(*) AS n_rows,
+        |       count(c.event_id) AS n_matched,
+        |       count(*) FILTER (WHERE c.event_id IS NULL) AS n_unmatched,
+        |       count(DISTINCT p.event_id) AS n_purchases
+        |FROM events p LEFT JOIN events c
+        |  ON p.user_id = c.user_id AND c.event_type = 'click'
+        | AND c.ts IS NOT NULL
+        | AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 30 MINUTE
+        |WHERE p.event_type = 'purchase' AND p.ts IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val sink = s"q142_sink_${sinkSeq.getAndIncrement()}"
+      val src = sentinelEventsDir(s, d)
+      withStreamTuning(s, partitions = 8, noDataBatches = true) { st =>
+        val purchases = StreamingJobs.eventsStream(st, src)
+          .filter(col("event_type") === "purchase" && col("ts").isNotNull)
+        val clicks = StreamingJobs.eventsStream(st, src)
+          .filter(col("event_type") === "click" && col("ts").isNotNull)
+        val query = StreamingJobs
+          .attributionJoin(purchases, clicks,
+            windowMicros = 30L * 60 * 1000000, watermark = "1 hour",
+            joinType = "left_outer")
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        st.table(sink)
+          .filter(col("p_user") >= 0)
+          .groupBy(date_trunc("hour", col("purchase_ts")).as("hour"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("click_id")).as("n_matched"),
+            sum(when(col("click_id").isNull, 1).otherwise(0)).cast("long")
+              .as("n_unmatched"),
+            countDistinct(col("purchase_id")).as("n_purchases"))
+          .orderBy("hour")
+      }
     },
 
     // ── Stream-static enrichment join: the event stream joined per
@@ -242,12 +330,13 @@ object StreamingQueries {
         |WHERE user_id % 3 <= 1
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val sink = s"q109_sink_${sinkSeq.getAndIncrement()}"
-      val dim = Tables.events(s, d).select(col("user_id")).distinct()
-        .select(col("user_id").as("uid"), pmod(col("user_id"), lit(3L)).as("segment"))
-        .filter(col("segment") <= 1)
-      withStreamTuning(s, partitions = 8) {
+      val src = stagedEventsDir(s, d)
+      withStreamTuning(s, partitions = 8) { st =>
+        val dim = Tables.events(st, d).select(col("user_id")).distinct()
+          .select(col("user_id").as("uid"), pmod(col("user_id"), lit(3L)).as("segment"))
+          .filter(col("segment") <= 1)
         val query = StreamingJobs
-          .enrichWithDim(StreamingJobs.eventsStream(s, stagedEventsDir(s, d)),
+          .enrichWithDim(StreamingJobs.eventsStream(st, src),
             dim, "user_id", "uid")
           .writeStream
           .format("memory")
@@ -256,13 +345,13 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .start()
         query.awaitTermination()
+        st.table(sink)
+          .groupBy("segment")
+          .agg(
+            count(lit(1)).as("n"),
+            (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+          .orderBy("segment")
       }
-      s.table(sink)
-        .groupBy("segment")
-        .agg(
-          count(lit(1)).as("n"),
-          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
-        .orderBy("segment")
     }
   )
 }
