@@ -796,6 +796,165 @@ object Extended {
           sum(when(col("cents") === 0, 1).otherwise(0)).cast("long").as("zero_days"),
           (sum("cents").cast("long") / 100.0).as("revenue"))
         .orderBy("month")
+    },
+
+    // ── Map-typed columns as a first-class shape: per-user event profile
+    //    built as a real MapType (map_from_entries over the grouped
+    //    counts — keys unique by construction), then consumed entirely
+    //    through the map/lambda function family: map_filter (busy types),
+    //    transform_values (key-length weighting), map_keys/map_values +
+    //    aggregate lambdas (order-independent folds), array_sort +
+    //    array_join (deterministic key listing — the map's own iteration
+    //    order is never exposed). All codegen'd collection expressions,
+    //    zero UDFs; one shuffle to the user grain. The oracle computes
+    //    the same profile relationally — DuckDB never sees a map.
+    Q("q144_user_type_profile_map",
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+        |SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(count(*) FILTER (WHERE n >= 15) AS BIGINT) AS n_busy,
+        |       coalesce(string_agg(event_type, ',' ORDER BY event_type)
+        |                  FILTER (WHERE n >= 15), '') AS busy_types,
+        |       CAST(sum(n) AS BIGINT) AS total_events,
+        |       CAST(sum(n * length(event_type)) AS BIGINT) AS weighted_len
+        |FROM c GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      ev(s, d).filter(col("user_id").isNotNull)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("n"))))
+          .as("m"))
+        .select(col("user_id"),
+          size(col("m")).cast("long").as("n_types"),
+          expr("map_filter(m, (k, v) -> v >= 15)").as("busy"),
+          expr("aggregate(map_values(m), 0L, (acc, x) -> acc + x)")
+            .as("total_events"),
+          expr("""aggregate(map_values(transform_values(m,
+                 |  (k, v) -> v * length(k))), 0L, (acc, x) -> acc + x)"""
+            .stripMargin).as("weighted_len"))
+        .select(col("user_id"), col("n_types"),
+          size(col("busy")).cast("long").as("n_busy"),
+          array_join(array_sort(map_keys(col("busy"))), ",").as("busy_types"),
+          col("total_events"), col("weighted_len"))
+        .orderBy("user_id")
+    },
+
+    // ── LOCF gap fill (last observation carried forward) — q130's spine
+    //    join filled with the PREVIOUS known value instead of zero: the
+    //    sensor/price-series semantics, done as `last(col, ignoreNulls)`
+    //    over a running window. The global (unpartitioned) window is safe
+    //    HERE because it scans the day spine, whose length is bounded by
+    //    the calendar (~2.5k rows for 7 years), never by data volume —
+    //    the daily aggregate beneath it is the only data-sized stage and
+    //    shuffles on day as usual. Carried sums stay exact BIGINTs.
+    Q("q146_locf_gapfill",
+      """WITH bounds AS (SELECT min(CAST(l_shipdate AS DATE)) AS d0,
+        |                       max(CAST(l_shipdate AS DATE)) AS d1 FROM lineitem),
+        |spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |          FROM bounds),
+        |daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |          FROM lineitem GROUP BY 1),
+        |joined AS (SELECT s.day, d.cents FROM spine s LEFT JOIN daily d USING (day)),
+        |locf AS (SELECT day,
+        |                coalesce(last_value(cents IGNORE NULLS)
+        |                  OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0) AS filled,
+        |                CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS gap
+        |         FROM joined)
+        |SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+        |       count(*) AS n_days,
+        |       CAST(sum(gap) AS BIGINT) AS filled_days,
+        |       CAST(sum(filled) AS BIGINT) / 100.0 AS carried_revenue
+        |FROM locf GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val liDf = li(s, d)
+      val bounds = liDf.agg(
+        min(to_date(col("l_shipdate"))).as("d0"),
+        max(to_date(col("l_shipdate"))).as("d1"))
+      val spine = bounds.select(
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val daily = liDf
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).cast("long").as("cents"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("day"), "left")
+        .withColumn("filled",
+          coalesce(last(col("cents"), ignoreNulls = true).over(w), lit(0L)))
+        .withColumn("gap", when(col("cents").isNull, 1).otherwise(0))
+        .groupBy(trunc(col("day"), "month").as("month"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum("gap").cast("long").as("filled_days"),
+          (sum("filled").cast("long") / 100.0).as("carried_revenue"))
+        .orderBy("month")
+    },
+
+    // ── Multi-aggregate PIVOT: q62 pivots one COUNT; here each pinned
+    //    event_type fans into TWO measures (count + money sum), the
+    //    reshape every cohort dashboard asks for. Still ONE hash
+    //    aggregate — Catalyst rewrites pinned-value pivot into
+    //    conditional aggregates, exactly the oracle's relational
+    //    spelling; no second shuffle, no row explosion. Missing cells are
+    //    coalesced to 0 so the frame is total (pivot SUM yields null on
+    //    an empty cell, the oracle's ELSE 0 never does).
+    Q("q148_cohort_pivot_multi",
+      """WITH e AS (SELECT user_id % 10 AS cohort, event_type,
+        |                  CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE user_id IS NOT NULL)
+        |SELECT cohort,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_n,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END) AS BIGINT) / 100.0 AS click_value,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_n,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) / 100.0 AS purchase_value,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_n,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN cents ELSE 0 END) AS BIGINT) / 100.0 AS error_value
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val piv = ev(s, d).filter(col("user_id").isNotNull)
+        .select((col("user_id") % 10).as("cohort"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("cohort")
+        .pivot("event_type", Seq("click", "purchase", "error"))
+        .agg(count(lit(1)).as("n"), (sum("cents").cast("long") / 100.0).as("value"))
+      piv.select(
+        col("cohort") +:
+          Seq("click", "purchase", "error").flatMap(t => Seq(
+            coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+            coalesce(col(s"${t}_value"), lit(0.0)).as(s"${t}_value"))): _*)
+        .orderBy("cohort")
+    },
+
+    // ── Nested record assembly: per-user top-3 purchases packed as an
+    //    ARRAY of STRUCTs (the training-record shape — one row per
+    //    entity, repeated group nested inside), then flattened back out
+    //    with posexplode. Order inside the array is pinned by
+    //    array_sort's lexicographic (cents, event_id) struct ordering +
+    //    reverse — never by collect_list's nondeterministic arrival
+    //    order — so the emitted (pos, value, event_id) triples are
+    //    stable under any partitioning. One shuffle to the user grain;
+    //    the oracle is the ranked-window spelling of the same records.
+    Q("q150_nested_topk_records",
+      """WITH p AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents, event_id
+        |           FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |r AS (SELECT user_id, cents, event_id,
+        |             row_number() OVER (PARTITION BY user_id
+        |                                ORDER BY cents DESC, event_id DESC) AS rk
+        |      FROM p)
+        |SELECT user_id, CAST(rk - 1 AS INTEGER) AS pos,
+        |       cents / 100.0 AS value, event_id
+        |FROM r WHERE rk <= 3 ORDER BY user_id, pos""".stripMargin) { (s, d) =>
+      ev(s, d)
+        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+        .select(col("user_id"),
+          struct(round(col("value") * 100).cast("long").as("cents"),
+            col("event_id")).as("rec"))
+        .groupBy("user_id")
+        .agg(slice(reverse(array_sort(collect_list(col("rec")))), 1, 3).as("top3"))
+        .select(col("user_id"), posexplode(col("top3")))
+        .select(col("user_id"), col("pos"),
+          (col("col.cents") / 100.0).as("value"),
+          col("col.event_id").as("event_id"))
+        .orderBy("user_id", "pos")
     }
   )
 }

@@ -711,6 +711,38 @@ object Relational {
         .unionByName(y95.intersect(y96).agg(count(lit(1)).as("n_customers"))
           .select(lit("retained_both_years").as("cohort"), col("n_customers")))
         .orderBy("cohort")
+    },
+
+    // ── Multiset (bag) set operations — q121's SET semantics keep one
+    //    occurrence per key; EXCEPT ALL / INTERSECT ALL keep
+    //    MULTIPLICITY (a customer with 5 orders in 1996 and 2 in 1997
+    //    contributes 3 rows to the difference, 2 to the intersection —
+    //    the "order-count delta as rows" algebra). Spark plans both as a
+    //    single shuffle on the key with a count-compare generate, never a
+    //    join per duplicate; the oracle is DuckDB's native EXCEPT ALL /
+    //    INTERSECT ALL over the same bags.
+    Q("q149_order_multiset_ops",
+      """WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |SELECT 'except_all' AS op, count(*) AS n_rows,
+        |       count(DISTINCT o_custkey) AS n_keys
+        |FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT 'intersect_all', count(*), count(DISTINCT o_custkey)
+        |FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+        |ORDER BY op""".stripMargin) { (s, d) =>
+      def bag(yr: Int) = ord(s, d)
+        .filter(year(col("o_orderdate")) === yr)
+        .select("o_custkey")
+      val a = bag(1996)
+      val b = bag(1997)
+      def stats(df: DataFrame, label: String) = df.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_keys"))
+        .select(lit(label).as("op"), col("n_rows"), col("n_keys"))
+      stats(a.exceptAll(b), "except_all")
+        .unionByName(stats(a.intersectAll(b), "intersect_all"))
+        .orderBy("op")
     }
   )
 

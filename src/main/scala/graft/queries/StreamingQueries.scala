@@ -163,6 +163,44 @@ object StreamingQueries {
       }
     },
 
+    // ── Bounded-state streaming dedup: dropDuplicatesWithinWatermark —
+    //    the 100 TB dedup shape, because q78's plain dropDuplicates keys
+    //    state FOREVER while this one evicts each key once the watermark
+    //    passes its event time (O(horizon) state at any stream length).
+    //    The semantic price: a duplicate redelivered LATER than the
+    //    watermark delay is not caught. Here the delay (41 days) exceeds
+    //    the staged corpus's whole span, so the drained result provably
+    //    equals the exact-dedup oracle REGARDLESS of how the files split
+    //    into micro-batches — the oracle equivalence never depends on
+    //    batch layout; production sizes the delay to the source's
+    //    redelivery window instead (StreamingSpec covers the
+    //    short-horizon eviction path).
+    Q("q147_streaming_bounded_dedup",
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val sink = s"q147_sink_${sinkSeq.getAndIncrement()}"
+      withStreamTuning(s, partitions = 8) { st =>
+        val query = StreamingJobs
+          .dedupStreamWithinWatermark(
+            StreamingJobs.eventsStream(st, dupEventsDir(s, d)), "41 days")
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        st.table(sink)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+          .orderBy("event_type")
+      }
+    },
+
     // ── Stateful sessionization through the actual streaming engine
     //    (§2.9 × the temporal family): gap-based sessions via
     //    mapGroupsWithState with O(1) per-user state, drained with

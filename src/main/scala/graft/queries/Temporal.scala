@@ -265,6 +265,60 @@ object Temporal {
             .as("twa_value"))
         .orderBy(col("twa_value").desc, col("user_id"))
         .limit(20)
+    },
+
+    // ── Exponentially weighted moving average (α = 1/2, adjust=true —
+    //    the pandas `ewm` smoother every metrics pipeline reaches for)
+    //    over the daily revenue series, last 30 days per event type. The
+    //    recurrence is rewritten to its closed form so it is ONE window
+    //    scan, not an iterative loop: ewma_d = Σ cents_i·2^rn_i / Σ 2^rn_i
+    //    over the expanding window — and because α = 1/2 makes every
+    //    weight a power of two, numerator and denominator are EXACT
+    //    BIGINTs (bounded: rn ≤ 30 ⇒ weight ≤ 2^30, cents ≤ ~2^24 per
+    //    type-day ⇒ |Σ| < 2^56), order-independent under partial
+    //    aggregation, and the single float step is the final divide —
+    //    identical IEEE ops on both engines. One shuffle on event_type;
+    //    per-group state is two running longs.
+    Q("q143_ewma_daily_revenue",
+      """WITH dly AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |bounded AS (
+        |  SELECT * FROM dly
+        |  WHERE day >= (SELECT max(day) FROM dly) - INTERVAL 29 DAYS),
+        |wtd AS (
+        |  SELECT event_type, day, cents,
+        |         CAST(power(2, row_number() OVER (PARTITION BY event_type
+        |                                          ORDER BY day)) AS BIGINT) AS w
+        |  FROM bounded),
+        |cum AS (
+        |  SELECT event_type, day, cents,
+        |         CAST(sum(cents * w) OVER cw AS BIGINT) AS num,
+        |         CAST(sum(w) OVER cw AS BIGINT) AS den
+        |  FROM wtd WINDOW cw AS (PARTITION BY event_type ORDER BY day
+        |                         ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type, day,
+        |       cents / 100.0 AS daily_value,
+        |       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0 AS ewma_value
+        |FROM cum ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val dly = ev(s, d).filter(col("ts").isNotNull)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("cents"))
+      val mx = dly.agg(max("day").as("mxd"))
+      val wRank = Window.partitionBy("event_type").orderBy("day")
+      val cw = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dly.crossJoin(broadcast(mx))
+        .filter(col("day") >= col("mxd") - expr("INTERVAL 29 DAYS"))
+        .drop("mxd")
+        .withColumn("w", pow(lit(2), row_number().over(wRank)).cast("long"))
+        .withColumn("num", sum(col("cents") * col("w")).over(cw).cast("long"))
+        .withColumn("den", sum(col("w")).over(cw).cast("long"))
+        .select(col("event_type"), col("day"),
+          (col("cents") / 100.0).as("daily_value"),
+          (col("num").cast("double") / col("den").cast("double") / 100.0)
+            .as("ewma_value"))
+        .orderBy("event_type", "day")
     }
   )
 }

@@ -35,7 +35,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q126_bm25_topk"         -> "cross join of the single-row corpus length/count stats",
     "q128_distribution_drift" -> "cross join of the single-row period totals onto the ~12-bucket histogram",
     "q139_triangle_count"    -> "cross join of three single-row graph-metric aggregates",
-    "q140_fk_orphan_audit"   -> "cross join of three single-row orphan counts")
+    "q140_fk_orphan_audit"   -> "cross join of three single-row orphan counts",
+    "q143_ewma_daily_revenue" -> "cross join of the single-row max-day bound")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no unexpected nested-loop or cartesian join") {

@@ -22,11 +22,15 @@ class BucketedJoinSpec extends AnyFunSuite {
     PartitionedLake.writeBucketed(spark, li, "li_bucketed", s"$dir/li", 8, "l_orderkey")
     PartitionedLake.writeBucketed(spark, ord, "ord_bucketed", s"$dir/ord", 8, "o_orderkey")
 
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    // Force SMJ on a CHILD session (shared context + catalog, own conf):
+    // a set/restore on the shared session is a conf race against any
+    // suite planning concurrently under testForkedParallel — PlanShape's
+    // broadcast assertions would intermittently see the -1 world.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = spark.table("li_bucketed")
-        .join(spark.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val joined = s2.table("li_bucketed")
+        .join(s2.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
       val agg = joined.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
       val rows = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       // the AQE string appends the pre-execution "Initial Plan" — assert
@@ -46,7 +50,6 @@ class BucketedJoinSpec extends AnyFunSuite {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(rows == expected)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }

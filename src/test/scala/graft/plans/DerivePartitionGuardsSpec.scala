@@ -26,19 +26,17 @@ class DerivePartitionGuardsSpec extends AnyFunSuite {
   }
 
   test("the kill switch disables the rule") {
-    val saved = spark.conf.getOption(DerivePartitionGuards.EnabledKey)
-    try {
-      spark.conf.set(DerivePartitionGuards.EnabledKey, "false")
-      val df = lake.filter(col("ts") >= lit("2024-01-15 06:30:00").cast("timestamp"))
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!TestSpark.hasPartitionGuard(plan),
-        s"with the flag off, no guard may be injected:\n$plan")
-    } finally {
-      saved match {
-        case Some(v) => spark.conf.set(DerivePartitionGuards.EnabledKey, v)
-        case None => spark.conf.unset(DerivePartitionGuards.EnabledKey)
-      }
-    }
+    // Flip the switch on a CHILD session only: disabling it on the shared
+    // session would race concurrently-planning suites (q114's
+    // PartitionFilters assertion) under testForkedParallel.
+    val s2 = spark.newSession()
+    s2.conf.set(DerivePartitionGuards.EnabledKey, "false")
+    val lake2 =
+      s2.read.parquet(PartitionedLake.ensureEventsLake(spark, TestSpark.Sf))
+    val df = lake2.filter(col("ts") >= lit("2024-01-15 06:30:00").cast("timestamp"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!TestSpark.hasPartitionGuard(plan),
+      s"with the flag off, no guard may be injected:\n$plan")
   }
 
   test("guarded results equal the raw table on both bound directions") {
