@@ -955,6 +955,98 @@ object Extended {
           (col("col.cents") / 100.0).as("value"),
           col("col.event_id").as("event_id"))
         .orderBy("user_id", "pos")
+    },
+
+    // ── Ratio-to-report window: each supplier's share of ITS NATION's
+    //    revenue plus a per-nation rank — the whole-partition window
+    //    frame (sum OVER (PARTITION BY) with no ORDER BY) that q03's
+    //    scalar-subquery global share can't express. The fact table
+    //    collapses to supplier grain FIRST (one data-sized shuffle);
+    //    both dims broadcast onto the aggregate; the windows then scan a
+    //    dim-sized relation — at 100 TB the window cost is bounded by
+    //    supplier cardinality, not fact rows. Shares are exact cents
+    //    until the one final divide.
+    Q("q151_nation_share_window",
+      """WITH rev AS (SELECT l_suppkey,
+        |                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |             FROM lineitem GROUP BY 1),
+        |j AS (SELECT n_name, s_name, cents
+        |      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN nation ON s_nationkey = n_nationkey),
+        |w AS (SELECT n_name, s_name, cents,
+        |             CAST(sum(cents) OVER (PARTITION BY n_name) AS BIGINT) AS nation_cents,
+        |             row_number() OVER (PARTITION BY n_name
+        |                                ORDER BY cents DESC, s_name) AS rk
+        |      FROM j)
+        |SELECT n_name, s_name, cents / 100.0 AS revenue,
+        |       round(CAST(10000 AS DOUBLE) * cents / CAST(nation_cents AS DOUBLE))
+        |         / CAST(100 AS DOUBLE) AS nation_share_pct,
+        |       CAST(rk AS BIGINT) AS rk
+        |FROM w WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin) { (s, d) =>
+      val rev = li(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).cast("long").as("cents"))
+      val j = rev
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select("n_name", "s_name", "cents")
+      val wSum = Window.partitionBy("n_name")
+      val wRk = Window.partitionBy("n_name").orderBy(col("cents").desc, col("s_name"))
+      j.withColumn("nation_cents", sum("cents").over(wSum).cast("long"))
+        .withColumn("rk", row_number().over(wRk))
+        .filter(col("rk") <= 3)
+        .select(col("n_name"), col("s_name"), (col("cents") / 100.0).as("revenue"),
+          (round(lit(10000.0) * col("cents") / col("nation_cents").cast("double"))
+            / 100.0).as("nation_share_pct"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("n_name", "rk")
+    },
+
+    // ── Pareto / 80-20 concentration: how many top suppliers cover 80%
+    //    of revenue, and the exact share they cover. The 80% threshold
+    //    is tested in EXACT integer arithmetic (5·cum ≥ 4·total — no
+    //    float compare can misplace the boundary supplier); the ranked
+    //    cumulative window runs over the supplier-grain aggregate, so
+    //    its single-partition sort is bounded by dim cardinality, never
+    //    fact rows (same discipline as q151). The one float step is the
+    //    final share divide.
+    Q("q152_pareto_revenue",
+      """WITH rev AS (SELECT l_suppkey,
+        |                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |             FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+        |r AS (SELECT cents, l_suppkey,
+        |             CAST(sum(cents) OVER (ORDER BY cents DESC, l_suppkey
+        |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |             row_number() OVER (ORDER BY cents DESC, l_suppkey) AS rk
+        |      FROM rev),
+        |q AS (SELECT min(rk) AS n80, min(cum) AS cum80, max(total) AS total
+        |      FROM r, tot WHERE 5 * cum >= 4 * total)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM rev) AS n_suppliers,
+        |       CAST(n80 AS BIGINT) AS n_top80,
+        |       round(CAST(10000 AS DOUBLE) * cum80 / CAST(total AS DOUBLE))
+        |         / CAST(100 AS DOUBLE) AS top80_share_pct
+        |FROM q""".stripMargin) { (s, d) =>
+      val rev = li(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).cast("long").as("cents"))
+      val tot = rev.agg(sum("cents").cast("long").as("total"))
+      val cnt = rev.agg(count(lit(1)).as("n_suppliers"))
+      val wCum = Window.orderBy(col("cents").desc, col("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wRk = Window.orderBy(col("cents").desc, col("l_suppkey"))
+      rev
+        .withColumn("cum", sum("cents").over(wCum).cast("long"))
+        .withColumn("rk", row_number().over(wRk))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") * 5 >= col("total") * 4)
+        .agg(min("rk").cast("long").as("n_top80"),
+          min("cum").cast("long").as("cum80"),
+          max("total").as("total"))
+        .crossJoin(broadcast(cnt))
+        .select(col("n_suppliers"), col("n_top80"),
+          (round(lit(10000.0) * col("cum80") / col("total").cast("double"))
+            / 100.0).as("top80_share_pct"))
     }
   )
 }

@@ -171,6 +171,27 @@ object SqlQueries {
       |WHERE s.s_suppkey < 20
       |ORDER BY s.s_suppkey, rev DESC, day""".stripMargin
 
+  /** The NOT IN null trap, pinned across both engines: a NULL in the
+    * subquery list makes `NOT IN` three-valued-UNKNOWN for every probe
+    * row (zero rows survive), while `NOT EXISTS` keeps its anti-join
+    * semantics — the single most common silent-wrong-answer migration
+    * bug. One text, two engines: both must agree on the standard's
+    * three-valued logic, so the 'not_in' branch counts 0 and the
+    * 'not_exists' branch counts the suppkey-3 lineitems (probe holds
+    * NULLIF(s_suppkey, 3)). Spark plans the NOT IN as a null-aware
+    * anti-join against the broadcast supplier-sized list — constant
+    * build side, no quadratic shape. */
+  private val NotInNullTrapSql =
+    """WITH probe AS (SELECT NULLIF(s_suppkey, 3) AS k FROM supplier)
+      |SELECT 'not_in' AS variant,
+      |       (SELECT count(*) FROM lineitem
+      |        WHERE l_suppkey NOT IN (SELECT k FROM probe)) AS n
+      |UNION ALL
+      |SELECT 'not_exists',
+      |       (SELECT count(*) FROM lineitem l
+      |        WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = l.l_suppkey))
+      |ORDER BY variant""".stripMargin
+
   val defs: Vector[Q] = Vector(
     Q("q90_sql_supplier_revenue", SupplierRevenueSql) { (s, d) =>
       Tables.registerAll(s, d)
@@ -203,6 +224,10 @@ object SqlQueries {
     Q("q137_sql_lateral_topk", LateralTopKSql) { (s, d) =>
       Tables.registerAll(s, d)
       s.sql(LateralTopKSql)
+    },
+    Q("q153_sql_not_in_null_trap", NotInNullTrapSql) { (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql(NotInNullTrapSql)
     }
   )
 }

@@ -36,7 +36,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q128_distribution_drift" -> "cross join of the single-row period totals onto the ~12-bucket histogram",
     "q139_triangle_count"    -> "cross join of three single-row graph-metric aggregates",
     "q140_fk_orphan_audit"   -> "cross join of three single-row orphan counts",
-    "q143_ewma_daily_revenue" -> "cross join of the single-row max-day bound")
+    "q143_ewma_daily_revenue" -> "cross join of the single-row max-day bound",
+    "q152_pareto_revenue"    -> "cross joins of the single-row total and count aggregates",
+    "q153_sql_not_in_null_trap" -> "null-aware NOT IN against the supplier-sized broadcast list")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no unexpected nested-loop or cartesian join") {
