@@ -394,6 +394,62 @@ object Quality {
         .select(col("fk"), col("n_orphans"),
           (col("n_orphans") === 0).as("intact"))
         .orderBy("fk")
+    },
+
+    // ── Correlation parity guard (the q124/q125 pattern on second-moment
+    //    statistics): Spark's built-in `corr` accumulates floating-point
+    //    co-moments whose value depends on partial-aggregation order —
+    //    un-hashable across engines — so the oracle instead pins the
+    //    EXACT correlation derived from integer power sums (Σx, Σy, Σxy,
+    //    Σx², Σy² are exact BIGINTs — cents ≤ ~2^16 per row keeps Σx²
+    //    < 2^48 at any plausible SF — and the closed form is the same
+    //    IEEE expression tree on both engines, bit-identical), while the
+    //    same Spark plan computes the built-in next to it and emits a
+    //    within-1e-6 verdict the oracle expects to be uniformly true. At
+    //    100 TB the built-in is the production path (single pass,
+    //    mergeable state); the power-sum formula is the harness proving
+    //    it trustworthy.
+    Q("q154_corr_guard",
+      """WITH b AS (SELECT event_type,
+        |                  CAST(round(value * 100) AS BIGINT) AS x,
+        |                  CAST(hour(ts) AS BIGINT) AS y
+        |           FROM events WHERE ts IS NOT NULL),
+        |a AS (SELECT event_type,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x * y) AS BIGINT) AS sxy,
+        |             CAST(sum(x * x) AS BIGINT) AS sxx,
+        |             CAST(sum(y * y) AS BIGINT) AS syy
+        |      FROM b GROUP BY 1)
+        |SELECT event_type, n,
+        |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |         AS exact_corr,
+        |       TRUE AS builtin_matches
+        |FROM a ORDER BY event_type""".stripMargin) { (s, d) =>
+      val b = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("x"),
+          hour(col("ts")).cast("long").as("y"))
+      def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+      b.groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("y") * col("y")).cast("long").as("syy"),
+          corr(col("x").cast("double"), col("y").cast("double")).as("builtin"))
+        .select(col("event_type"), col("n"),
+          ((d2(col("n")) * d2(col("sxy")) - d2(col("sx")) * d2(col("sy")))
+            / (sqrt(d2(col("n")) * d2(col("sxx")) - d2(col("sx")) * d2(col("sx")))
+              * sqrt(d2(col("n")) * d2(col("syy")) - d2(col("sy")) * d2(col("sy")))))
+            .as("exact_corr"),
+          col("builtin"))
+        .select(col("event_type"), col("n"), col("exact_corr"),
+          (abs(col("builtin") - col("exact_corr")) < 1e-6).as("builtin_matches"))
+        .orderBy("event_type")
     }
   )
 }

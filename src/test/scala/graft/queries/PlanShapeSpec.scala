@@ -208,4 +208,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pOn.contains("BroadcastHashJoin"),
       s"with CBO the stats-based estimate must broadcast the filtered side:\n$pOn")
   }
+
+  test("q145: the spatial join is an equi-join on the cell key, never a product") {
+    // The whole point of the grid bucketing: candidate generation must be
+    // a hash/sort-merge join on (jcx, jcy) — a nested-loop product over
+    // the distance predicate would be the O(n²) shape the query exists
+    // to avoid.
+    val p = plan("q145_grid_spatial_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"spatial candidates must come from the cell equi-join:\n$p")
+    assert(p.contains("jcx") && p.contains("jcy"),
+      s"join keys must be the grid cell coordinates:\n$p")
+  }
+
+  test("q151: the share windows partition by nation, not globally") {
+    val p = plan("q151_nation_share_window")
+    assert(p.contains("hashpartitioning(n_name"),
+      s"ratio-to-report windows must shuffle on the nation key:\n$p")
+  }
+
+  test("q143: the EWMA windows partition by event_type, not globally") {
+    val p = plan("q143_ewma_daily_revenue")
+    assert(p.contains("hashpartitioning(event_type"),
+      s"EWMA windows must shuffle on the series key:\n$p")
+  }
 }
