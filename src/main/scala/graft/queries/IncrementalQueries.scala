@@ -114,6 +114,34 @@ object IncrementalQueries {
           (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"),
           max("ts").as("max_ts"))
         .orderBy("event_type")
+    },
+
+    // ── Schema evolution across lake generations: half the corpus is
+    //    written WITHOUT the `value` column (the v1 schema), half with it
+    //    (v2), side by side in one directory tree — exactly what a lake
+    //    looks like mid-migration after a column is added. The
+    //    `mergeSchema` read reconciles the footers by name, v1 rows
+    //    surface `value` as NULL, and the aggregate must treat them as
+    //    such. The oracle recomputes the same view from the raw table by
+    //    NULLing the column on the v1 half. At 100 TB, schema-on-read
+    //    evolution is what lets a column land without rewriting a
+    //    petabyte of history.
+    Q("q156_schema_evolution_read",
+      """WITH m AS (SELECT event_type,
+        |                  CASE WHEN event_id % 2 = 0 THEN NULL ELSE value END AS value
+        |           FROM events)
+        |SELECT event_type,
+        |       count(*) AS n_rows,
+        |       CAST(count(value) AS BIGINT) AS n_with_value,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      s.read.option("mergeSchema", "true").parquet(evolvedLake(s, d))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("value")).as("n_with_value"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+        .orderBy("event_type")
     }
   )
 
@@ -134,6 +162,24 @@ object IncrementalQueries {
             ev.filter(pmod(col("event_id"), lit(3)) === i), "ts"),
           root)
       graft.etl.PartitionedLake.compact(s, root)
+      root
+    }
+
+  /** One two-generation lake per (session, sf dir): even event_ids written
+    * on the v1 schema (no `value` column), odd on v2 (with it), as two
+    * subdirectories of one root. Memoized — the layout is the fixture;
+    * the mergeSchema read is the operator under test. */
+  private val evolved = new graft.etl.Memo[(SparkSession, String), String]
+
+  private def evolvedLake(s: SparkSession, d: String): String =
+    evolved((s, d)) {
+      val root = graft.etl.Scratch.tempDir("graft-evolve-rt").toString
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      ev.filter(pmod(col("event_id"), lit(2)) === 0).drop("value")
+        .write.mode("overwrite").parquet(s"$root/gen=v1")
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .write.mode("overwrite").parquet(s"$root/gen=v2")
       root
     }
 }

@@ -743,6 +743,43 @@ object Relational {
       stats(a.exceptAll(b), "except_all")
         .unionByName(stats(a.intersectAll(b), "intersect_all"))
         .orderBy("op")
+    },
+
+    // ── DECIMAL-typed money pipeline: the spelling users bring from
+    //    banking SQL (DECIMAL columns, not this repo's integer-cents
+    //    idiom). Cast-to-decimal is exact on both engines (a true
+    //    half-cent tie is unrepresentable in a binary double, so the
+    //    nearest-cent rounding never disagrees), every product and sum
+    //    stays an exact decimal — Spark's DECIMAL(38,·) accumulator and
+    //    DuckDB's HUGEINT-backed one hold the same VALUE even though the
+    //    precision metadata differs — and the final CAST to DOUBLE of
+    //    identical exact values is bit-identical. ANSI mode turns any
+    //    silent overflow into a hard error.
+    Q("q155_decimal_exact",
+      """WITH d AS (SELECT l_returnflag AS flag,
+        |                  CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |                  CAST(l_discount AS DECIMAL(9,4)) AS disc
+        |           FROM lineitem)
+        |SELECT flag,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(price) AS DOUBLE) AS gross,
+        |       CAST(sum(price * disc) AS DOUBLE) AS discount_given,
+        |       CAST(sum(price) - sum(price * disc) AS DOUBLE) AS net
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      li(s, d)
+        .select(col("l_returnflag").as("flag"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"),
+          col("l_discount").cast("decimal(9,4)").as("disc"))
+        .groupBy("flag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("price")).as("sp"),
+          sum(col("price") * col("disc")).as("spd"))
+        .select(col("flag"), col("n"),
+          col("sp").cast("double").as("gross"),
+          col("spd").cast("double").as("discount_given"),
+          (col("sp") - col("spd")).cast("double").as("net"))
+        .orderBy("flag")
     }
   )
 

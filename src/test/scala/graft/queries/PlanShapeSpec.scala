@@ -232,4 +232,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(event_type"),
       s"EWMA windows must shuffle on the series key:\n$p")
   }
+
+  test("user broadcast hints override the size-based join strategy") {
+    // With auto-broadcast off (child session — no shared-conf race), the
+    // join defaults to sort-merge; the user's .hint("broadcast") must
+    // still flip it. This is the manual override every tuning guide
+    // reaches for when statistics mislead the planner.
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = graft.model.Tables.lineitem(s2, TestSpark.Sf)
+      .select("l_orderkey", "l_extendedprice")
+    val ord = graft.model.Tables.orders(s2, TestSpark.Sf)
+      .select("o_orderkey", "o_orderpriority")
+
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(plain.contains("SortMergeJoin"),
+      s"with broadcast off the unhinted join must sort-merge:\n$plain")
+
+    val hinted = li.join(ord.hint("broadcast"), col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(hinted.contains("BroadcastHashJoin"),
+      s"the broadcast hint must override the disabled threshold:\n$hinted")
+  }
+
+  test("DISTRIBUTE BY in pasted SQL becomes a hash-partitioned exchange") {
+    // The SQL surface for pre-shuffling ahead of a co-partitioned
+    // consumer: DISTRIBUTE BY must plan the same hashpartitioning
+    // exchange repartition() does in the DSL.
+    graft.model.Tables.registerAll(spark, TestSpark.Sf)
+    val p = spark.sql(
+      "SELECT l_suppkey, l_extendedprice FROM lineitem DISTRIBUTE BY l_suppkey")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(l_suppkey"),
+      s"DISTRIBUTE BY must hash-partition on the named key:\n$p")
+  }
 }
