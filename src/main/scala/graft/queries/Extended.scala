@@ -29,6 +29,20 @@ object Extended {
       tmp
     }
 
+  /** One POISONED CSV per (session, sf dir) for q157: every 7th event's
+    * `value` field replaced by an unparseable token before the write —
+    * the dirty landing file every ingestion pipeline eventually meets. */
+  private val csvPoisoned = new graft.etl.Memo[(SparkSession, String), String]
+  private def csvPoisonedDir(s: SparkSession, d: String): String =
+    csvPoisoned((s, d)) {
+      val tmp = graft.etl.Scratch.tempDir("graft-csv-poison").toString
+      graft.etl.Csv.write(
+        ev(s, d).select(col("event_id"), col("event_type"),
+          when(col("event_id") % 7 === 0, lit("garbage"))
+            .otherwise(col("value").cast("string")).as("value")), tmp)
+      tmp
+    }
+
   /** Catalog-registered lineitem with table + column statistics, created
     * once per (session, sf dir): the ANALYZE TABLE surface (S11's missing
     * half — registration without statistics leaves the cost-based
@@ -1047,6 +1061,104 @@ object Extended {
         .select(col("n_suppliers"), col("n_top80"),
           (round(lit(10000.0) * col("cum80") / col("total").cast("double"))
             / 100.0).as("top80_share_pct"))
+    },
+
+    // ── Malformed-record ingestion: the poisoned CSV read back in
+    //    PERMISSIVE mode with a _corrupt_record column — bad rows
+    //    surface the raw line instead of killing the job (DROPMALFORMED
+    //    and FAILFAST are the same reader one option away). Typed fields
+    //    that DID parse survive on corrupt rows, so the audit can group
+    //    by event_type while counting corruption. The oracle recomputes
+    //    the expected damage from the raw table (every 7th event): any
+    //    quarantine miscount or a good row misparsed hash-mismatches. At
+    //    100 TB the corrupt-record column is the quarantine path — land
+    //    everything, route rejects to a dead-letter table, never stall
+    //    ingestion on one bad file.
+    Q("q157_csv_malformed_ingest",
+      """WITH m AS (SELECT event_type,
+        |                  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value,
+        |                  CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS corrupt
+        |           FROM events)
+        |SELECT event_type,
+        |       count(*) AS n_rows,
+        |       CAST(sum(corrupt) AS BIGINT) AS n_corrupt,
+        |       CAST(count(value) AS BIGINT) AS n_good,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS good_value
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(csvPoisonedDir(s, d))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          count(col("value")).as("n_good"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("good_value"))
+        .orderBy("event_type")
+    },
+
+    // ── String-function battery over the supplier dim: the everyday
+    //    text-wrangling surface (case, slice, pad, split, replace,
+    //    reverse) executed identically by both engines on every row and
+    //    hash-compared — function-semantics parity evidence, not a plan
+    //    exercise (all map-side, codegen'd, no shuffle but the ORDER BY).
+    //    Portable subset only: names AND semantics agree (substr's
+    //    1-based indexing, split_part's 1-based field, lpad truncation).
+    Q("q158_string_battery",
+      """SELECT s_suppkey,
+        |       upper(s_name) AS up,
+        |       lower(s_name) AS lo,
+        |       CAST(length(s_name) AS BIGINT) AS len,
+        |       substr(s_name, 3, 8) AS sub,
+        |       replace(s_name, '#', '-') AS repl,
+        |       reverse(s_name) AS rev,
+        |       lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS padded,
+        |       split_part(s_name, '#', 2) AS serial,
+        |       concat(trim(s_name), '!') AS banged
+        |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d).select(
+        col("s_suppkey"),
+        upper(col("s_name")).as("up"),
+        lower(col("s_name")).as("lo"),
+        length(col("s_name")).cast("long").as("len"),
+        substring(col("s_name"), 3, 8).as("sub"),
+        expr("replace(s_name, '#', '-')").as("repl"),
+        reverse(col("s_name")).as("rev"),
+        lpad(col("s_suppkey").cast("string"), 6, "0").as("padded"),
+        expr("split_part(s_name, '#', 2)").as("serial"),
+        concat(trim(col("s_name")), lit("!")).as("banged"))
+        .orderBy("s_suppkey")
+    },
+
+    // ── Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the
+    //    dimension key NULLified on both sides, and the join must still
+    //    pair the NULL bucket (plain `=` silently drops it — the classic
+    //    "where did my unattributed rows go"). Spark hashes null-safe
+    //    keys like any equi-key, so this broadcasts; no fallback to a
+    //    nested-loop.
+    Q("q159_null_safe_join",
+      """WITH e AS (SELECT NULLIF(user_id, 3) AS uid, event_type FROM events),
+        |d AS (SELECT DISTINCT NULLIF(user_id, 3) AS uid FROM events
+        |      WHERE user_id % 2 = 1)
+        |SELECT event_type, count(*) AS n_matched
+        |FROM e JOIN d ON e.uid IS NOT DISTINCT FROM d.uid
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val e = ev(s, d)
+        .select(nullif(col("user_id"), lit(3)).as("uid"), col("event_type"))
+      val dim = ev(s, d).filter(col("user_id") % 2 === 1)
+        .select(nullif(col("user_id"), lit(3)).as("duid")).distinct()
+      e.join(broadcast(dim), col("uid") <=> col("duid"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_matched"))
+        .orderBy("event_type")
     }
   )
 }
