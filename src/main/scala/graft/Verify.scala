@@ -11,12 +11,22 @@ object Verify {
     // (prefix match) — local-iteration lever, the driver sets nothing.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // Emitted-schema record (name → col:type), written alongside the
+    // results and diffed against the committed golden
+    // (tools/schema_golden.json) by tools/check.py: a testdata
+    // regeneration that shifts an output type (round 6: events.parquet
+    // µs→ns) surfaces as a reviewable schema diff BEFORE the driver's
+    // hash gate goes red.
+    val schemas = scala.collection.mutable.TreeMap.empty[String, Seq[String]]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        schemas(name) = df.schema.fields.toSeq
+          .map(f => s"${f.name}:${f.dataType.sql}")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // per-query intermediates must not accumulate
@@ -36,6 +46,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val schemaJson = schemas
+      .map { case (k, cols) =>
+        s"${q(k)}: ${cols.map(q).mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/schemas.json"), schemaJson)
     spark.stop()
   }
 }

@@ -306,9 +306,14 @@ object Dedup {
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("component", "prev"), "doc_id")
         .filter(col("component") =!= col("prev")).count()
+      // drop the superseded round's checkpoint blocks NOW rather than
+      // whenever the ContextCleaner gets to the unreferenced Dataset —
+      // bounds executor storage to two rounds deterministically (ADVICE r6)
+      labels.unpersist()
       labels = next
       converged = changed == 0
     }
+    edges.unpersist()
     labels
   }
 
@@ -395,14 +400,21 @@ object Dedup {
         .localCheckpoint(true)
 
       val nextSig = signature(afterSmall)
+      // deterministic storage bound: release the superseded round's
+      // checkpoint blocks (and the intra-round intermediate) immediately
+      // instead of waiting on the ContextCleaner (ADVICE r6)
+      edges.unpersist()
+      afterLarge.unpersist()
       edges = afterSmall
       converged = nextSig == sig
       sig = nextSig
     }
     // stable state = stars rooted at each component minimum
-    sym(edges).groupBy("u").agg(min(col("v")).as("mn"))
+    val out = sym(edges).groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u").as("doc_id"), least(col("u"), col("mn")).as("component"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // eager: safe to drop edges right after
+    edges.unpersist()
+    out
   }
 
   /** Transitive near-dedup: survivors = each connected component's minimum

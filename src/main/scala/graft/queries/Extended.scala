@@ -224,14 +224,14 @@ object Extended {
       """SELECT event_type,
         |       count(*) AS n,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
-        |       max(ts) AS max_ts
+        |       epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       graft.etl.Csv.read(s, csvEventsDir(s, d), graft.streaming.StreamingJobs.eventsSchema)
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),
           (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"),
-          max("ts").as("max_ts"))
+          unix_micros(max("ts")).as("max_ts_us"))
         .orderBy("event_type")
     },
 

@@ -80,14 +80,14 @@ object IncrementalQueries {
          |SELECT event_type,
          |       count(*) AS n_rows,
          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
-         |       max(ts) AS max_ts
+         |       epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us
          |FROM lake GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       s.read.parquet(roundTripLake(s, d))
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n_rows"),
           (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"),
-          max("ts").as("max_ts"))
+          unix_micros(max("ts")).as("max_ts_us"))
         .orderBy("event_type")
     },
 
@@ -105,14 +105,14 @@ object IncrementalQueries {
       """SELECT event_type,
         |       count(*) AS n_rows,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
-        |       max(ts) AS max_ts
+        |       epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       s.read.parquet(compactedLake(s, d))
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n_rows"),
           (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"),
-          max("ts").as("max_ts"))
+          unix_micros(max("ts")).as("max_ts_us"))
         .orderBy("event_type")
     },
 

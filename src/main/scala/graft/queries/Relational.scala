@@ -254,8 +254,15 @@ object Relational {
     // ── A12: dedup-by-key-subset keep-first, made deterministic with
     //    row_number over an explicit order (SURVEY.md §7.4 trap 1;
     //    reference transform.py:29-37 relies on pandas input order).
+    // Output timestamps ride as BIGINT epoch-micros (`ts_us`): the raw
+    // events parquet is nanos-typed, so a raw timestamp output column
+    // carries engine-native precision (ns in DuckDB, µs in Spark) and
+    // type-misses the driver's schema gate even when values agree
+    // (VERDICT r6 item 1). Same idiom everywhere an events-derived
+    // instant is emitted.
     Q("q14_dedup_keep_first",
-      """SELECT user_id, event_type, event_id, ts
+      """SELECT user_id, event_type, event_id,
+        |       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
         |FROM (SELECT user_id, event_type, event_id, ts,
         |             row_number() OVER (PARTITION BY user_id, event_type
         |                                ORDER BY ts, event_id) AS rn
@@ -266,7 +273,8 @@ object Relational {
       ev(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select("user_id", "event_type", "event_id", "ts")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
         .orderBy("user_id", "event_type")
     },
 
@@ -523,31 +531,32 @@ object Relational {
     // ── §2.9d: tumbling-window aggregation over the event stream — batch
     //    twin of graft.streaming.StreamingJobs.hourlyWindows.
     Q("q28_hourly_event_windows",
-      s"""SELECT date_trunc('hour', ts) AS window_start,
+      s"""SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS window_start,
          |       count(*) AS n, ${moneySumSql("value")} AS total_value
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       ev(s, d)
-        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("window_start"))
         .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
-        .select(col("w.start").as("window_start"), col("n"), col("total_value"))
         .orderBy("window_start")
     },
 
     // ── P11+S2+S9: incremental extraction — strict lower bound at
     //    watermark+1s (extract.py:51-57,104-105; SURVEY.md §7.4 trap 2)
     Q("q29_incremental_since_watermark",
-      """SELECT count(*) AS n_new, max(ts) AS max_ts
+      """SELECT count(*) AS n_new,
+        |       epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us
         |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:01'""".stripMargin) { (s, d) =>
       ev(s, d)
         .filter(col("ts") > lit("2024-01-15 00:00:01").cast("timestamp"))
-        .agg(count(lit(1)).as("n_new"), max("ts").as("max_ts"))
+        .agg(count(lit(1)).as("n_new"), unix_micros(max("ts")).as("max_ts_us"))
     },
 
     // ── P2-P7+A12+F4: the full ETL cleaning pipeline as ONE lazy plan
     //    (transform.py:10-46 runs it as 7 eager pandas steps). Stage order
     //    preserved: null/zero filter → dedup keep-first → derive y/m/d.
     Q("q30_etl_clean",
-      s"""SELECT event_id, ts, user_id, event_type,
+      s"""SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |       user_id, event_type,
          |       ${round2Sql("value")} AS value,
          |       CAST(year(ts) AS INTEGER) AS "year",
          |       CAST(month(ts) AS INTEGER) AS "month",
@@ -560,7 +569,9 @@ object Relational {
          |        AND event_id IS NOT NULL AND ts IS NOT NULL
          |        AND user_id IS NOT NULL AND event_type IS NOT NULL)
          |WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
-      graft.etl.Clean.cleanEvents(ev(s, d)).orderBy("event_id")
+      graft.etl.Clean.cleanEvents(ev(s, d))
+        .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+        .orderBy("event_id")
     },
 
     // ── P7: boolean cast + group-by-boolean (transform.py:27 casts

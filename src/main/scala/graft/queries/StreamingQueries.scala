@@ -111,7 +111,7 @@ object StreamingQueries {
     // ── §2.9d through the actual streaming engine: same oracle text as
     //    the batch twin q28 — the stream must reproduce it bit-for-bit.
     Q("q63_streaming_hourly_windows",
-      """SELECT date_trunc('hour', ts) AS window_start,
+      """SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS window_start,
         |       count(*) AS n,
         |       CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
@@ -126,7 +126,9 @@ object StreamingQueries {
           .trigger(Trigger.AvailableNow())
           .start()
         query.awaitTermination()
-        st.table(sink).orderBy("window_start")
+        st.table(sink)
+          .withColumn("window_start", unix_micros(col("window_start")))
+          .orderBy("window_start")
       }
     },
 
@@ -262,7 +264,7 @@ object StreamingQueries {
     //    distinct purchases per hour) is a deterministic roll-up of the
     //    emitted matches regardless of micro-batch boundaries.
     Q("q102_streaming_attribution",
-      """SELECT date_trunc('hour', p.ts) AS hour,
+      """SELECT epoch_us(CAST(date_trunc('hour', p.ts) AS TIMESTAMP)) AS hour_us,
         |       count(*) AS n_pairs,
         |       count(DISTINCT p.event_id) AS n_purchases
         |FROM events p JOIN events c
@@ -292,11 +294,11 @@ object StreamingQueries {
           .start()
         query.awaitTermination()
         st.table(sink)
-          .groupBy(date_trunc("hour", col("purchase_ts")).as("hour"))
+          .groupBy(unix_micros(date_trunc("hour", col("purchase_ts"))).as("hour_us"))
           .agg(
             count(lit(1)).as("n_pairs"),
             countDistinct(col("purchase_id")).as("n_purchases"))
-          .orderBy("hour")
+          .orderBy("hour_us")
       }
     },
 
@@ -312,7 +314,7 @@ object StreamingQueries {
     //    boundaries. The sentinels sit inside their own watermark and are
     //    never emitted; the p_user ≥ 0 filter is defense in depth.
     Q("q142_streaming_left_outer",
-      """SELECT date_trunc('hour', p.ts) AS hour,
+      """SELECT epoch_us(CAST(date_trunc('hour', p.ts) AS TIMESTAMP)) AS hour_us,
         |       count(*) AS n_rows,
         |       count(c.event_id) AS n_matched,
         |       count(*) FILTER (WHERE c.event_id IS NULL) AS n_unmatched,
@@ -343,14 +345,14 @@ object StreamingQueries {
         query.awaitTermination()
         st.table(sink)
           .filter(col("p_user") >= 0)
-          .groupBy(date_trunc("hour", col("purchase_ts")).as("hour"))
+          .groupBy(unix_micros(date_trunc("hour", col("purchase_ts"))).as("hour_us"))
           .agg(
             count(lit(1)).as("n_rows"),
             count(col("click_id")).as("n_matched"),
             sum(when(col("click_id").isNull, 1).otherwise(0)).cast("long")
               .as("n_unmatched"),
             countDistinct(col("purchase_id")).as("n_purchases"))
-          .orderBy("hour")
+          .orderBy("hour_us")
       }
     },
 

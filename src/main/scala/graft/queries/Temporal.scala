@@ -114,9 +114,10 @@ object Temporal {
         |                                         ORDER BY event_id) AS rn
         |            FROM p0)
         |          WHERE rn = 1)
-        |SELECT c.event_id, c.user_id, c.ts,
+        |SELECT c.event_id, c.user_id,
+        |       epoch_us(CAST(c.ts AS TIMESTAMP)) AS ts_us,
         |       p.event_id AS asof_event_id,
-        |       epoch_us(p.ts) AS asof_ts_us
+        |       epoch_us(CAST(p.ts AS TIMESTAMP)) AS asof_ts_us
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin) { (s, d) =>
@@ -129,8 +130,9 @@ object Temporal {
       AsOfJoin.asof(clicks, purchases,
         key = "user_id", ts = "ts", leftOrder = "event_id",
         rightVals = Seq("event_id", "ts"))
-        // nullable timestamp as explicit epoch-micros: the nullable column
-        // otherwise reaches the comparator in engine-native epoch units
+        // timestamps as explicit epoch-micros: the raw columns otherwise
+        // reach the comparator in engine-native epoch units (ns vs µs)
+        .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
         .withColumn("asof_ts_us", unix_micros(col("asof_ts")))
         .drop("asof_ts")
         .orderBy("event_id")
@@ -202,15 +204,19 @@ object Temporal {
         |  SELECT user_id, event_type AS cur,
         |         lag(event_type) OVER (PARTITION BY user_id
         |                               ORDER BY ts, event_id) AS prev
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |t AS (SELECT prev, cur, count(*) AS n
         |      FROM p WHERE prev IS NOT NULL GROUP BY 1, 2)
         |SELECT prev, cur, n,
         |       round(1e6 * n / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE)) / 1e6
         |         AS p_transition
         |FROM t ORDER BY prev, cur""".stripMargin) { (s, d) =>
+      // ts IS NOT NULL pins the lag ordering: Spark sorts nulls first,
+      // DuckDB last, so a null-ts row would silently shift (prev, cur)
+      // pairs between engines (ADVICE r6).
       val wSeq = Window.partitionBy("user_id").orderBy("ts", "event_id")
       ev(s, d)
+        .filter(col("ts").isNotNull)
         .select(col("user_id"), col("event_type").as("cur"),
           lag(col("event_type"), 1).over(wSeq).as("prev"))
         .filter(col("prev").isNotNull)
@@ -298,10 +304,12 @@ object Temporal {
         |         CAST(sum(w) OVER cw AS BIGINT) AS den
         |  FROM wtd WINDOW cw AS (PARTITION BY event_type ORDER BY day
         |                         ROWS UNBOUNDED PRECEDING))
-        |SELECT event_type, day,
+        |SELECT event_type, CAST(day AS DATE) AS day,
         |       cents / 100.0 AS daily_value,
         |       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0 AS ewma_value
         |FROM cum ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      // `day` is day-grained, so it surfaces as DATE — the one output type
+      // both engines agree on regardless of the source's timestamp unit.
       val dly = ev(s, d).filter(col("ts").isNotNull)
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
         .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("cents"))
@@ -314,7 +322,7 @@ object Temporal {
         .withColumn("w", pow(lit(2), row_number().over(wRank)).cast("long"))
         .withColumn("num", sum(col("cents") * col("w")).over(cw).cast("long"))
         .withColumn("den", sum(col("w")).over(cw).cast("long"))
-        .select(col("event_type"), col("day"),
+        .select(col("event_type"), col("day").cast("date").as("day"),
           (col("cents") / 100.0).as("daily_value"),
           (col("num").cast("double") / col("den").cast("double") / 100.0)
             .as("ewma_value"))

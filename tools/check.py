@@ -18,6 +18,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def logical_types(df: pd.DataFrame) -> dict:
+    """Column → dtype string, tz stripped but UNIT KEPT: the driver's gate
+    is unit-sensitive (round 6: ns-typed DuckDB output vs µs Spark output
+    failed schema_match while values agreed), so datetime64[ns] vs
+    datetime64[us] must be a mismatch here too."""
+    out = {}
+    for c in df.columns:
+        dt = df[c].dtype
+        if isinstance(dt, pd.DatetimeTZDtype):
+            out[c] = f"datetime64[{dt.unit}]"
+        else:
+            out[c] = str(dt)
+    return out
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize datetimes to ns, strip tz
@@ -62,6 +77,15 @@ def main():
             print(f"FAIL {name}: columns spark={list(g.columns)} duck={list(e.columns)}")
             n_fail += 1
             continue
+        tg, te = logical_types(got), logical_types(exp)
+        mism = {c: (tg[c], te[c]) for c in tg
+                if c in te and tg[c] != te[c]
+                # object covers str/date/list indistinctly; values catch those
+                and "object" not in (tg[c], te[c])}
+        if mism:
+            print(f"FAIL {name}: dtype mismatch {mism}")
+            n_fail += 1
+            continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows spark={len(g)} duck={len(e)}")
             n_fail += 1
@@ -83,6 +107,27 @@ def main():
                 msg = str(e2).splitlines()
                 print(f"FAIL {name}: value mismatch: " + " | ".join(msg[:6]))
                 n_fail += 1
+    # Golden-schema drift report: Verify dumps every query's emitted Spark
+    # schema; diffing against the committed golden turns a testdata
+    # regeneration (round 6: events µs→ns) into a visible, reviewable
+    # change instead of a silently red round.
+    import os
+    golden_path = os.path.join(os.path.dirname(__file__), "schema_golden.json")
+    schemas_path = f"{out_dir}/schemas.json"
+    if os.path.exists(golden_path) and os.path.exists(schemas_path):
+        golden = json.load(open(golden_path))
+        current = json.load(open(schemas_path))
+        drift = {k: (golden.get(k), current.get(k))
+                 for k in set(golden) & set(current)
+                 if golden[k] != current[k]}
+        if drift:
+            print(f"\nSCHEMA DRIFT vs tools/schema_golden.json "
+                  f"({len(drift)} queries):")
+            for k, (g, c) in sorted(drift.items()):
+                print(f"  {k}: golden={g} current={c}")
+        else:
+            print(f"\nschema golden: OK "
+                  f"({len(set(golden) & set(current))} queries compared)")
     print(f"\n{n_pass} pass / {n_fail} fail of {len(oracle)}")
     sys.exit(1 if n_fail else 0)
 

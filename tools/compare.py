@@ -51,6 +51,21 @@ def main(outdir, sfdir, only):
             print(f"FAIL {name}: schema mismatch spark={s_cols} oracle={o_cols}")
             n_fail += 1
             continue
+        # type-sensitive (round 6: the driver's schema gate failed ns-typed
+        # oracle output vs µs Spark output while names and values agreed) —
+        # tz stripped, unit kept; 'object' covers str/date/list indistinctly
+        # so those fall through to the value compare.
+        def ltype(df, c):
+            dt = df[c].dtype
+            u = getattr(dt, "unit", None)
+            return f"datetime64[{u}]" if u else str(dt)
+        mism = {c: (ltype(sdf, c), ltype(odf, c)) for c in o_cols
+                if ltype(sdf, c) != ltype(odf, c)
+                and "object" not in (ltype(sdf, c), ltype(odf, c))}
+        if mism:
+            print(f"FAIL {name}: dtype mismatch {mism}")
+            n_fail += 1
+            continue
         orows = sorted(tuple(norm(v) for v in r) for r in odf[o_cols].itertuples(index=False))
         srows = sorted(tuple(norm(v) for v in r) for r in sdf[s_cols].itertuples(index=False))
         if len(orows) != len(srows):
