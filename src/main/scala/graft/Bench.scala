@@ -51,7 +51,8 @@ object Bench {
       "q60_incremental_roundtrip", // runs the two incremental batches
       "q65_decontamination",       // materializes the shared shingle relation
       "q70_vocab_topk",            // materializes the tokenized-corpus relation
-      "q119_compacted_lake_roundtrip" // appends 3 batches + compacts the lake
+      "q119_compacted_lake_roundtrip", // appends 3 batches + compacts the lake
+      "q160_jdbc_roundtrip"        // stages events into the embedded Derby db
     )
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     // SPARK_GRAFT_BENCH_ONLY=q79,q35 → bench only the named queries
@@ -61,6 +62,28 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(_.exists(name.startsWith))
     }
+    // Per-query JVM telemetry (VERDICT r6 item 2): GC-time delta and
+    // post-query heap, appended to target/bench_detail.jsonl — the full
+    // per-query record the one-line driver JSON has no width for. In-suite
+    // numbers 10-40× the isolated cost with identical plans are a JVM/
+    // harness condition; this file is what tells heap pressure apart from
+    // state accumulation when it happens.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime.max(0L)).sum
+    def heapMb: Long = {
+      val h = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+      h.getUsed >> 20
+    }
+    val detailPath = java.nio.file.Paths.get("target/bench_detail.jsonl")
+    java.nio.file.Files.createDirectories(detailPath.getParent)
+    val detail = new StringBuilder
+    // per-query full GC keeps one query's garbage from billing the NEXT
+    // query's measurement (collection happens outside every timed window;
+    // at 159 queries the alphabetical tail otherwise pays the q1xx block's
+    // accumulated debt). Opt out with SPARK_GRAFT_BENCH_GC=0 to A/B.
+    val gcEachQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") == "1"
     case class R(name: String, best: Double, worst: Double, n: Int, err: Option[String])
     val results = selected.map { case (name, fn) =>
       val n = if (oneShot(name)) 1 else runs
@@ -68,6 +91,8 @@ object Bench {
       var worst = 0.0
       var err: Option[String] = None
       var i = 0
+      val gc0 = gcMs
+      val wall0 = System.nanoTime()
       while (i < n && err.isEmpty) {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
@@ -91,8 +116,14 @@ object Bench {
           .foreach(t => spark.catalog.dropTempView(t.name))
         i += 1
       }
+      if (gcEachQuery) System.gc()
+      val wallS = (System.nanoTime() - wall0) / 1e9
+      detail.append(
+        s"""{"q":${jstr(name)},"best":${"%.3f".formatLocal(java.util.Locale.ROOT, best)},"worst":${"%.3f".formatLocal(java.util.Locale.ROOT, worst)},"wall":${"%.3f".formatLocal(java.util.Locale.ROOT, wallS)},"gc_ms":${gcMs - gc0},"heap_mb":$heapMb}""")
+        .append('\n')
       R(name, best, worst, n, err)
     }
+    java.nio.file.Files.writeString(detailPath, detail.toString)
     // 3-decimal seconds: ~70 full-precision doubles push the line past the
     // harness's stdout-tail window and truncate the leading fields (the
     // total and the first ~16 queries vanished from BENCH_r04); millisecond
@@ -126,7 +157,7 @@ object Bench {
     // cost (they run once; repeats would measure the warm amortized path)
     val oneShots = selected.map(_._1).filter(oneShot)
       .map(n => jstr(short(n))).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"spread":$spread,"one_shot":$oneShots,"sf":"$sfDir","n_queries":${results.size},"total_sec":${sec(total)}}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"spread":$spread,"one_shot":$oneShots,"gc_sec":${sec(gcMs / 1000.0)},"heap_mb":$heapMb,"sf":"$sfDir","n_queries":${results.size},"total_sec":${sec(total)}}""")
     spark.stop()
     if (results.exists(_.err.nonEmpty)) sys.exit(1)
   }

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Jdbc, Tables}
+
+/** End-to-end evidence for the JDBC source (S1) — the reference's
+  * extraction path (ref: pipeline/ETL/extract.py:84-109, `pd.read_sql`
+  * over a live MySQL connection).
+  *
+  * No network database exists in this environment, but Spark ships the
+  * embedded Derby engine for its own metastore — so the events table is
+  * staged INTO a real database file via Spark's JDBC writer, then read
+  * back through the exact production path under test:
+  * `spark.read.format("jdbc")` via [[graft.model.Jdbc.table]], range-
+  * partitioned on `event_id` (N concurrent range queries — the parallel
+  * extraction shape a 1000-executor cluster needs against a sharded
+  * source) with the incremental timestamp bound pushed down into the
+  * database's WHERE clause (JdbcSpec asserts the PushedFilters). The
+  * DuckDB oracle recomputes the same aggregate from the raw parquet, so
+  * any loss on the double hop (DDL type mapping, timestamp precision,
+  * partition-range gaps/overlaps at the stride boundaries) hash-
+  * mismatches.
+  */
+object JdbcQueries {
+
+  /** Incremental lower bound pushed into the database — mid-month of the
+    * synthetic event stream, so both sides of the bound are non-trivial. */
+  private val SinceTs = "2024-01-10 00:00:00"
+
+  private val dbs = new graft.etl.Memo[(SparkSession, String), (String, Long, Long)]
+
+  /** Stage events into an embedded Derby database once per (session, sf
+    * dir); returns (jdbc url, min event_id, max event_id) — the bounds a
+    * real ingest discovers with the same one-row query before range-
+    * partitioning the pull. */
+  private[queries] def derbyDb(s: SparkSession, d: String): (String, Long, Long) =
+    dbs((s, d)) {
+      val dir = graft.etl.Scratch.tempDir("graft-derby").toString
+      // keep derby.log (and any lock recovery files) inside the scratch
+      // dir instead of the process CWD
+      System.setProperty("derby.system.home", dir)
+      val url = s"jdbc:derby:$dir/eventsdb;create=true"
+      val src = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      src.write.format("jdbc")
+        .option("url", url)
+        .option("driver", Derby.Driver)
+        .option("dbtable", Derby.Table)
+        // Derby's dialect maps StringType to CLOB, which the database
+        // refuses to compare or index; pin a comparable VARCHAR
+        .option("createTableColumnTypes", "event_type VARCHAR(32)")
+        .mode("overwrite")
+        .save()
+      val bounds = src.agg(min("event_id"), max("event_id")).collect()(0)
+      (url, bounds.getLong(0), bounds.getLong(1))
+    }
+
+  object Derby {
+    val Driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val Table = "events_db"
+  }
+
+  /** The read side, exposed for IoSpec's plan assertions: range-
+    * partitioned parallel scan with the incremental bound composed as a
+    * normal `.filter` — JDBCRelation compiles it into the remote WHERE. */
+  def jdbcEvents(s: SparkSession, d: String): DataFrame = {
+    val (url, lo, hi) = derbyDb(s, d)
+    Jdbc.table(s, Jdbc.Conn(url, user = "app", password = "", driver = Derby.Driver),
+        Derby.Table, partitioning = Some(("event_id", lo, hi + 1, 8)))
+      .filter(col("ts") >= lit(SinceTs).cast("timestamp"))
+  }
+
+  val defs: Vector[Q] = Vector(
+
+    // ── S1+S2 live: stage → database → partitioned JDBC read with the
+    //    incremental bound pushed DB-side → aggregate, against the raw-
+    //    parquet oracle.
+    Q("q160_jdbc_roundtrip",
+      s"""SELECT event_type,
+         |       count(*) AS n,
+         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
+         |       epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us
+         |FROM events
+         |WHERE ts >= TIMESTAMP '$SinceTs'
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      jdbcEvents(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"),
+          unix_micros(max("ts")).as("max_ts_us"))
+        .orderBy("event_type")
+    }
+  )
+}

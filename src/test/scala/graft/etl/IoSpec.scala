@@ -34,6 +34,23 @@ class IoSpec extends AnyFunSuite {
     assert(inc.contains("WHERE ft.at > '2024-03-01 10:11:12"))
   }
 
+  test("live JDBC round-trip: range-partitioned read with the timestamp bound pushed into the database") {
+    val df = graft.queries.JdbcQueries.jdbcEvents(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("JDBCRelation"), "must read through the real JDBC relation")
+    assert(plan.contains("numPartitions=8"), "must be a range-partitioned parallel pull")
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts".r.findFirstIn(plan).nonEmpty,
+      s"incremental ts bound must reach the database's WHERE clause; plan:\n$plan")
+    assert(df.rdd.getNumPartitions == 8)
+    val expected = graft.model.Tables.events(spark, TestSpark.Sf)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp"))
+    assert(df.count() == expected.count())
+    val a = df.agg(sum("event_id"), max("ts")).collect()(0)
+    val b = expected.agg(sum("event_id"), max("ts")).collect()(0)
+    assert(a.getLong(0) == b.getLong(0), "event_id sum must survive the database hop")
+    assert(a.getTimestamp(1) == b.getTimestamp(1), "µs timestamps must survive the database hop")
+  }
+
   test("catalog-registered lake table answers SQL with partition pruning") {
     val root = PartitionedLake.ensureLineitemLake(spark, TestSpark.Sf)
     PartitionedLake.registerTable(spark, "lineitem_lake", new java.io.File(root).getAbsolutePath)
