@@ -99,11 +99,7 @@ object Dedup {
     * (a < b). The join key is the slice array itself — Spark hashes array
     * values natively for the shuffle, no extra band-hash needed. */
   def candidatePairs(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(
-        col("doc_id"),
-        posexplode(array((0 until Bands).map(b =>
-          slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)): _*)))
-      .toDF("doc_id", "band", "slice")
+    val bands = bandsOf(sigs)
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") &&
@@ -112,6 +108,31 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** Signature → exploded (doc_id, band, slice) relation — the LSH band
+    * index both the self-join ([[candidatePairs]]) and the cross-corpus
+    * join ([[crossCandidates]]) bucket on. */
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(
+        col("doc_id"),
+        posexplode(array((0 until Bands).map(b =>
+          slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)): _*)))
+      .toDF("doc_id", "band", "slice")
+
+  /** LSH candidates BETWEEN two disjoint corpora — a NEW batch bucket-
+    * joined against the EXISTING corpus's band index, never corpus ×
+    * corpus. This is the incremental-ingest shape at scale: the corpus
+    * side is a precomputed lake relation that only ever grows by appending
+    * the accepted batch's bands, so deduping a day's crawl against a
+    * 100 TB corpus shuffles the BATCH (small) against a band-bucketed
+    * index join, not the corpus against itself. Returns (doc_a = new,
+    * doc_b = corpus) candidate pairs for [[verifiedJaccard]]. */
+  def crossCandidates(newSigs: DataFrame, corpusSigs: DataFrame): DataFrame =
+    bandsOf(newSigs).alias("a")
+      .join(bandsOf(corpusSigs).alias("b"),
+        col("a.band") === col("b.band") && col("a.slice") === col("b.slice"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
 
   /** Exact word-`shingleN`-gram Jaccard for a pair relation (doc_a, doc_b),
     * joined back to the shingle sets; rounded to 6dp identically to the

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, TextOps}
+import graft.model.Tables
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between crawls (beyond the reference's surface, next to
+  * [[LlmPipeline]]/[[TextCorpus]]): incremental batch-vs-corpus dedup,
+  * one BPE merge step, and cross-document repeated-n-gram (boilerplate)
+  * measurement. Shared idioms: whitespace tokens = DuckDB
+  * `string_split`, exact integer counts everywhere, ratios as one IEEE
+  * divide + 6dp round.
+  */
+object CurationOps {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def fanned(s: SparkSession, d: String) =
+    graft.etl.FanOut.fanOut(docs(s, d), col("doc_id"))
+
+  /** The corpus/batch split point — last ~20% of doc_ids is "today's
+    * crawl". Derived from the data (0.8 · max id) so the split scales
+    * with the sf dir on both engines. */
+  private val thrSql =
+    "SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS v FROM documents"
+
+  val defs: Vector[Q] = Vector(
+
+    // ── Incremental near-dedup: dedupe a NEW batch against the EXISTING
+    //    corpus — the nightly-ingest variant of q35/q36 (which dedupe a
+    //    corpus against itself). Spark path: MinHash band index per side,
+    //    cross-corpus bucket join (Dedup.crossCandidates — the batch
+    //    shuffles against an index the lake already holds; the corpus
+    //    NEVER self-joins), exact-Jaccard verify, anti-join survivors.
+    //    Oracle: all-pairs exact Jaccard between the halves — feasible at
+    //    test scale, and independently proves the band index's recall on
+    //    cross pairs, not just the arithmetic.
+    Q("q161_incremental_dedup",
+      s"""WITH t AS (${LlmPipeline.toksCte}),
+         |sh AS (${LlmPipeline.shinglesCte}),
+         |thr AS ($thrSql),
+         |dup AS (SELECT DISTINCT b.doc_id AS nd
+         |        FROM sh a JOIN sh b
+         |          ON a.doc_id < (SELECT v FROM thr)
+         |         AND b.doc_id >= (SELECT v FROM thr)
+         |        WHERE round(1e6 * len(list_intersect(a.s, b.s))
+         |                    / len(list_distinct(a.s || b.s))) / 1e6
+         |              >= ${LlmPipeline.JaccardThreshold})
+         |SELECT lang,
+         |       CAST(count(*) AS BIGINT) AS n_new,
+         |       CAST(sum(CASE WHEN doc_id IN (SELECT nd FROM dup)
+         |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+         |FROM documents WHERE doc_id >= (SELECT v FROM thr)
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val dd = docs(s, d)
+      val thr = dd.agg(floor(max("doc_id") * 0.8).cast("long").as("thr"))
+      val withThr = dd.crossJoin(broadcast(thr))
+      val corpus = withThr.filter(col("doc_id") < col("thr")).drop("thr")
+      val batch  = withThr.filter(col("doc_id") >= col("thr")).drop("thr")
+      val cands = Dedup.crossCandidates(
+        Dedup.minhashSignatures(batch), Dedup.minhashSignatures(corpus))
+      val dupNew = Dedup.verifiedJaccard(cands, Dedup.shingleSets(dd))
+        .filter(col("jaccard") >= LlmPipeline.JaccardThreshold)
+        .select(col("doc_a").as("doc_id")).distinct()
+      batch
+        .join(dupNew.withColumn("is_dup", lit(1)), Seq("doc_id"), "left_outer")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"),
+          sum(when(col("is_dup").isNull, 1).otherwise(0)).cast("long").as("n_kept"))
+        .orderBy("lang")
+    },
+
+    // ── One BPE merge step: corpus-wide adjacent-symbol pair frequencies,
+    //    top 20 — the inner loop of byte-pair-encoding tokenizer training
+    //    (find the most frequent adjacent pair, merge, repeat) expressed as
+    //    a map-side slide + ONE hash-agg shuffle on the pair. At 100 TB
+    //    the pair relation is partial-aggregated map-side (counts are
+    //    associative), so the shuffle carries |vocab|² keys at most, not
+    //    the corpus. Total order (n DESC, pair ASC) makes the top-20 cut
+    //    deterministic on both engines.
+    Q("q162_bpe_pair_step",
+      s"""WITH t AS (${LlmPipeline.toksCte}),
+         |p AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |                                   i -> toks[i] || ' ' || toks[i+1])) AS pair
+         |      FROM t WHERE len(toks) >= 2)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY pair
+         |ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, d) =>
+      fanned(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
+    // ── Cross-document repeated-n-gram measurement: the boilerplate
+    //    detector (headers, licence blocks, templated spans repeat across
+    //    documents; original prose does not). Per-doc DISTINCT word-4-grams
+    //    → corpus-wide document frequency (one shuffle on the gram) →
+    //    per-language share of grams that recur in ≥2 documents. Exact
+    //    integer numerators/denominators; the division is the only float.
+    //    At 100 TB the gram relation partial-aggregates map-side and the
+    //    join back is a plain hash join on the gram — nothing quadratic,
+    //    no driver state.
+    Q("q163_boilerplate_ngrams",
+      s"""WITH t AS (${LlmPipeline.toksCte}),
+         |g AS (SELECT doc_id, lang,
+         |             unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+         |                    i -> array_to_string(toks[i:i+3], ' ')))) AS gram
+         |      FROM t WHERE len(toks) >= 4),
+         |df AS (SELECT gram, count(*) AS d FROM g GROUP BY 1),
+         |j AS (SELECT g.lang, CASE WHEN df.d >= 2 THEN 1 ELSE 0 END AS rep
+         |      FROM g JOIN df USING (gram))
+         |SELECT lang,
+         |       CAST(count(*) AS BIGINT) AS n_grams,
+         |       CAST(sum(rep) AS BIGINT) AS n_repeated,
+         |       round(1e6 * sum(rep) / count(*)) / 1e6 AS repeated_ratio
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val g = fanned(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .filter(size(col("toks")) >= 4)
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(expr(
+            """transform(sequence(0, size(toks) - 4),
+              |          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))"""
+              .stripMargin))).as("gram"))
+      // grams are distinct per doc, so count(*) per gram IS the document
+      // frequency — no countDistinct shuffle needed
+      val dfreq = g.groupBy("gram").agg(count(lit(1)).as("d"))
+      g.join(dfreq, "gram")
+        .select(col("lang"), when(col("d") >= 2, 1).otherwise(0).as("rep"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_grams"),
+          sum("rep").cast("long").as("n_repeated"),
+          (round(lit(1e6) * sum("rep") / count(lit(1))) / 1e6).as("repeated_ratio"))
+        .orderBy("lang")
+    }
+  )
+}

@@ -37,11 +37,11 @@ object LlmPipeline {
     })
 
   /** Shared DuckDB CTE: tokenized documents. */
-  private val toksCte =
+  private[queries] val toksCte =
     "SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS toks FROM documents"
 
   /** Shared DuckDB CTE: distinct word-3-gram shingle sets. */
-  private val shinglesCte =
+  private[queries] val shinglesCte =
     """SELECT doc_id,
       |       list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
       |                                    i -> array_to_string(toks[i:i+2], ' '))) AS s

@@ -38,7 +38,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q140_fk_orphan_audit"   -> "cross join of three single-row orphan counts",
     "q143_ewma_daily_revenue" -> "cross join of the single-row max-day bound",
     "q152_pareto_revenue"    -> "cross joins of the single-row total and count aggregates",
-    "q153_sql_not_in_null_trap" -> "null-aware NOT IN against the supplier-sized broadcast list")
+    "q153_sql_not_in_null_trap" -> "null-aware NOT IN against the supplier-sized broadcast list",
+    "q161_incremental_dedup" -> "cross join of the single-row corpus/batch split bound")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no unexpected nested-loop or cartesian join") {
