@@ -23,9 +23,11 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // recorded only AFTER the successful write: a failed write must not
+        // leave a clean schema entry for a query with no comparable output
         schemas(name) = df.schema.fields.toSeq
           .map(f => s"${f.name}:${f.dataType.sql}")
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

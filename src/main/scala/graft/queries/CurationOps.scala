@@ -37,6 +37,17 @@ object CurationOps {
     //    Oracle: all-pairs exact Jaccard between the halves — feasible at
     //    test scale, and independently proves the band index's recall on
     //    cross pairs, not just the arithmetic.
+    //    RECALL BOUND (accepted exposure, same as q35/q36): the oracle sees
+    //    every true pair; the Spark side only sees band-colliding ones. At
+    //    the Dedup band parameters (b bands of r rows), a pair at Jaccard j
+    //    misses every band with probability (1 - j^r)^b — at the dedup
+    //    threshold j used here this is ≲1e-4, i.e. a *testdata
+    //    regeneration* could in principle mint a pair the index misses and
+    //    flip the hash gate. Observed duplicate pairs in the generated
+    //    corpora are near-identical (j ≈ 1), where the miss probability is
+    //    ~0, so the gate is stable on real regenerations; documenting the
+    //    bound here is the sanctioned alternative to weakening the oracle
+    //    to band-colliding pairs only (which would stop testing recall).
     Q("q161_incremental_dedup",
       s"""WITH t AS (${LlmPipeline.toksCte}),
          |sh AS (${LlmPipeline.shinglesCte}),
