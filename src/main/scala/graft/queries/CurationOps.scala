@@ -26,6 +26,47 @@ object CurationOps {
   private val thrSql =
     "SELECT CAST(floor(0.8 * max(doc_id)) AS BIGINT) AS v FROM documents"
 
+  /** Number of merge steps the q164 BPE training loop runs. */
+  val BpeSteps = 10
+
+  /** DuckDB replay of the K-step BPE training loop (q164): the same
+    * chained word-frequency → pair-count → argmax → merge-apply steps,
+    * generated as one CTE chain (v0 → sy1/pc1/b1 → v1 → … → b{K}).
+    * The symbol-string representation and the greedy merge-by-`replace`
+    * are shared with the Spark side — see the q164 comment. */
+  private def bpeOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH t AS (${LlmPipeline.toksCte}),\n")
+    sb.append("w AS (SELECT unnest(toks) AS word FROM t),\n")
+    // v0: word-frequency table; symbol string = chars joined by TWO
+    // spaces, padded with ONE space each side (see q164 comment).
+    // Every chain CTE is MATERIALIZED: v_i references b_i twice and
+    // v_{i-1} once, so DuckDB's default inlining would expand the
+    // documents scan 3^K times.
+    sb.append("v0 AS MATERIALIZED (SELECT count(*) AS n, " +
+      "' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s " +
+      "FROM w WHERE regexp_full_match(word, '[a-z]+') GROUP BY word),\n")
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb.append(s"pc$i AS MATERIALIZED (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM " +
+        s"(SELECT unnest(list_transform(range(1, len(sy)), j -> sy[j] || ' ' || sy[j+1])) AS pair, n " +
+        s"FROM (SELECT n, string_split(trim(s), '  ') AS sy FROM v$p) " +
+        s"WHERE len(sy) >= 2) GROUP BY pair),\n")
+      val last = i == k
+      sb.append(s"b$i AS MATERIALIZED (SELECT pair, cnt FROM pc$i ORDER BY cnt DESC, pair LIMIT 1)" +
+        (if (last) "\n" else ",\n"))
+      if (!last)
+        sb.append(s"v$i AS MATERIALIZED (SELECT n, replace(s, " +
+          s"' ' || replace((SELECT pair FROM b$i), ' ', '  ') || ' ', " +
+          s"' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ') AS s FROM v$p),\n")
+    }
+    sb.append((1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS step, pair, cnt AS n FROM b$i")
+      .mkString("", " UNION ALL ", ""))
+    sb.append(" ORDER BY step")
+    sb.toString
+  }
+
   val defs: Vector[Q] = Vector(
 
     // ── Incremental near-dedup: dedupe a NEW batch against the EXISTING
@@ -151,6 +192,74 @@ object CurationOps {
           sum("rep").cast("long").as("n_repeated"),
           (round(lit(1e6) * sum("rep") / count(lit(1))) / 1e6).as("repeated_ratio"))
         .orderBy("lang")
+    },
+
+    // ── Full BPE training loop (K = 10 merge steps) — q162's single pair
+    //    count promoted to the real tokenizer-training inner loop
+    //    (find most-frequent adjacent pair → merge it everywhere →
+    //    recount), the standard BPE trainer shape.
+    //
+    //    Scale design: the corpus is touched EXACTLY ONCE — one shuffle
+    //    folds it into the word-frequency relation (word, n, symbol
+    //    string), and all K iterations run on that vocab relation alone
+    //    (at 100 TB the word-count table is ~millions of rows, so
+    //    iteration cost is independent of corpus size). Each iteration is
+    //    one map-side pair slide + ONE hash-agg shuffle (|symbols|² keys
+    //    max) + a 1-row argmax action; the only driver state is the K
+    //    (pair, count) merge rows. The vocab relation is persisted and
+    //    rolled forward iteration-to-iteration (persist → materialize →
+    //    unpersist parent, the PageRank lineage discipline).
+    //
+    //    Merge application uses built-in string `replace` (codegen'd, no
+    //    UDF) on a symbol-string representation chosen so non-overlapping
+    //    left-to-right replace IS greedy BPE merging: symbols joined by
+    //    TWO spaces, padded with ONE space each side. The pair (a,b)
+    //    appears as ' a  b ' — each replacement consumes one space of
+    //    each flanking separator and its ' ab ' output restores both, so
+    //    back-to-back pairs ([a,b,a,b] → [ab,ab]) merge in one pass and
+    //    overlapping triples ([a,a,a] → [aa,a]) resolve left-greedy,
+    //    identically in Spark and DuckDB. Restricted to lowercase-alpha
+    //    words so the char split is engine-identical on any corpus.
+    //    Total order (n DESC, pair ASC) at every argmax keeps all K
+    //    steps deterministic; all counts are exact integers.
+    Q("q164_bpe_train_loop", bpeOracleSql(BpeSteps)) { (s, d) =>
+      val words = fanned(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .select(col("n"), concat(lit(" "),
+          array_join(expr("filter(split(word, ''), x -> x <> '')"), "  "),
+          lit(" ")).as("s"))
+      var vocab = words.persist()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= BpeSteps && !exhausted) {
+        val best = vocab
+          .select(col("n"), split(trim(col("s")), "  ").as("sy"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("n"), explode(expr(
+            "transform(sequence(0, size(sy) - 2), i -> concat(sy[i], ' ', sy[i+1]))")).as("pair"))
+          .groupBy("pair").agg(sum("n").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val pair = best(0).getString(0)
+          merges += ((step.toLong, pair, best(0).getLong(1)))
+          val next = vocab.withColumn("s", call_function("replace", col("s"),
+              lit(" " + pair.replace(" ", "  ") + " "),
+              lit(" " + pair.replace(" ", "") + " ")))
+            .persist()
+          next.count() // materialize before dropping the parent's cache
+          vocab.unpersist()
+          vocab = next
+          step += 1
+        }
+      }
+      vocab.unpersist()
+      import s.implicits._
+      merges.toSeq.toDF("step", "pair", "n").orderBy("step")
     }
   )
 }
