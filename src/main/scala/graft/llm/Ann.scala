@@ -125,6 +125,95 @@ object Ann {
       .select(col("key").as("qid"), col("rank"), col("id").as("vec_id"), col("cos"))
   }
 
+  // ── K-means (Lloyd) codebook training in scaled-integer space ────────────
+
+  /** Vectors quantized to exact integer micro-units: x[d] = round(1e6·v[d])
+    * as a long array. All Lloyd arithmetic below runs on these longs —
+    * squared distances ≤ 64·(6e6)² ≈ 2.3e15 fit a long exactly, so
+    * assignment and centroid updates are bit-identical in any engine and
+    * any partition order (the scheme the PageRank query uses for ranks). */
+  def quantized(corpus: DataFrame): DataFrame =
+    corpus.select(col("id"),
+      transform(col("vec"), x => round(x.cast("double") * 1e6).cast("long")).as("x"))
+
+  /** Exact integer squared L2 distance between two long arrays. */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Nearest-centroid assignment: for each (g, id) the cell minimizing
+    * integer ‖x−c‖², ties to the smallest cell id. Centroids broadcast
+    * (k rows per group); the corpus streams through a k-way scored
+    * window partitioned by vector — one shuffle on (g, id). Keeps x so
+    * the update step needs no join back. */
+  private def assignStep(vectors: DataFrame, cents: DataFrame): DataFrame =
+    vectors.join(broadcast(cents.select(col("g"), col("cell"), col("c"))), Seq("g"))
+      .withColumn("d2", dist2(col("x"), col("c")))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("g", "id").orderBy(col("d2"), col("cell"))))
+      .filter(col("r") === 1)
+      .select(col("g"), col("id"), col("x"), col("cell"), col("d2"))
+
+  /** (g, id, cell) for each vector against trained centroids — the encode
+    * step (IVF cell routing / PQ code assignment). */
+  def assignCells(vectors: DataFrame, cents: DataFrame): DataFrame =
+    assignStep(vectors, cents).select("g", "id", "cell")
+
+  /** Total integer squared quantization error of the corpus against its
+    * nearest centroids — the objective Lloyd descends; the training-
+    * quality number a codebook ships with. */
+  def sseOf(vectors: DataFrame, cents: DataFrame): Long =
+    assignStep(vectors, cents).agg(sum(col("d2"))).head.getLong(0)
+
+  /** Lloyd k-means over (g, id, x: array<long>) — one independent
+    * codebook per group g (g = 0 for plain k-means; g = subvector index
+    * for PQ). Init: the k lowest-id vectors of each group seed the
+    * cells. Each iteration: broadcast-centroid argmin assignment, then
+    * a centroid update as a (g, cell, pos) hash aggregate — map-side
+    * partial agg absorbs the corpus, the shuffle carries ≤ groups·k·dim
+    * rows. New components are exact integer floor(sum/count)
+    * (sum − pmod(sum, n))/n, so every iteration is bit-replayable by
+    * the oracle; an emptied cell keeps its previous centroid. State is
+    * rolled forward persist → materialize → unpersist (the PageRank
+    * lineage discipline); the only driver action is the per-iteration
+    * materialization count.
+    *
+    * Returns (g, cell, c: array<long>, n_members) where n_members is the
+    * cell's population in the final assignment (0 for an emptied cell).
+    * `iters = 0` returns the untrained seed centroids — the baseline the
+    * recall spec measures training against. */
+  def lloyd(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = vectors.filter(col("id") < k)
+      .select(col("g"), col("id").as("cell"), col("x").as("c"))
+      .withColumn("n_members", lit(0L))
+      .persist()
+    cents.count()
+    for (_ <- 1 to iters) {
+      val assigned = assignStep(vectors, cents)
+      val upd = assigned
+        .select(col("g"), col("cell"), posexplode(col("x")))
+        .groupBy("g", "cell", "pos")
+        .agg(count(lit(1)).as("n"), sum("col").as("sv"))
+        .withColumn("cv",
+          ((col("sv") - pmod(col("sv"), col("n"))) / col("n")).cast("long"))
+        .groupBy("g", "cell")
+        .agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+            s => s.getField("cv")).as("cnew"),
+          max("n").as("nn"))
+      val prev = cents
+      cents = prev.select(col("g"), col("cell"), col("c"))
+        .join(upd, Seq("g", "cell"), "left")
+        .select(col("g"), col("cell"),
+          coalesce(col("cnew"), col("c")).as("c"),
+          coalesce(col("nn"), lit(0L)).as("n_members"))
+        .persist()
+      cents.count()
+      prev.unpersist()
+    }
+    cents
+  }
+
   // ── Random-hyperplane LSH ────────────────────────────────────────────────
 
   val LshBits = 16

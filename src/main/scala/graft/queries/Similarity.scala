@@ -35,6 +35,55 @@ object Similarity {
 
   private val dotSelfSql = Ann.dotSql("embedding", "embedding")
 
+  /** DuckDB replay of [[Ann.lloyd]]: a CTE chain training per-group
+    * k-means codebooks in scaled-integer space. Emits CTEs `e` (micro-
+    * quantized vectors), `v` (per-group subvectors), `c0` (seed
+    * centroids), and per iteration `a{i}` (assignment), `u{i}`/`n{i}`
+    * (update), `c{i}` (next centroids, emptied cells carried forward).
+    * Every CTE is MATERIALIZED — c{i} references c{i-1} twice, so
+    * DuckDB's default inlining would expand the scan exponentially in
+    * the iteration count (the q164 lesson). Ends with ",\n" so callers
+    * append their own CTEs / final SELECT. */
+  private def lloydSql(m: Int, subDim: Int, k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("e AS MATERIALIZED (SELECT vec_id AS id, " +
+      "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vfull " +
+      "FROM embeddings),\n")
+    sb.append(s"v AS MATERIALIZED (SELECT id, g, vfull[g * $subDim + 1 : (g + 1) * $subDim] AS x " +
+      s"FROM e CROSS JOIN (SELECT unnest(range(0, $m)) AS g)),\n")
+    sb.append(s"c0 AS MATERIALIZED (SELECT g, id AS cell, x AS c FROM v WHERE id < $k),\n")
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb.append(s"a$i AS MATERIALIZED (SELECT id, g, x, cell FROM (" +
+        s"SELECT v.id, v.g, v.x, c.cell, row_number() OVER (PARTITION BY v.g, v.id ORDER BY " +
+        s"CAST(list_sum(list_transform(range(1, $subDim + 1), " +
+        s"j -> (v.x[j] - c.c[j]) * (v.x[j] - c.c[j]))) AS BIGINT), c.cell) AS r " +
+        s"FROM v JOIN c$p c ON c.g = v.g) WHERE r = 1),\n")
+      sb.append(s"u$i AS MATERIALIZED (SELECT g, cell, pos, CAST(count(*) AS BIGINT) AS n, " +
+        s"CAST(sum(vv) AS BIGINT) AS sv FROM " +
+        s"(SELECT g, cell, unnest(x) AS vv, unnest(range(1, len(x) + 1)) AS pos FROM a$i) " +
+        s"GROUP BY 1, 2, 3),\n")
+      sb.append(s"n$i AS MATERIALIZED (SELECT g, cell, max(n) AS nm, " +
+        s"list(CAST((sv - ((sv % n) + n) % n) / n AS BIGINT) ORDER BY pos) AS c " +
+        s"FROM u$i GROUP BY g, cell),\n")
+      sb.append(s"c$i AS MATERIALIZED (SELECT p.g, p.cell, coalesce(u.c, p.c) AS c " +
+        s"FROM c$p p LEFT JOIN n$i u ON u.g = p.g AND u.cell = p.cell),\n")
+    }
+    sb.toString
+  }
+
+  /** Nearest-final-centroid assignment CTE (the encode step), over the
+    * chain emitted by [[lloydSql]]. */
+  private def encSql(subDim: Int, iters: Int): String =
+    s"enc AS MATERIALIZED (SELECT id, g, cell FROM (" +
+      s"SELECT v.id, v.g, c.cell, row_number() OVER (PARTITION BY v.g, v.id ORDER BY " +
+      s"CAST(list_sum(list_transform(range(1, $subDim + 1), " +
+      s"j -> (v.x[j] - c.c[j]) * (v.x[j] - c.c[j]))) AS BIGINT), c.cell) AS r " +
+      s"FROM v JOIN c$iters c ON c.g = v.g) WHERE r = 1)"
+
+  private val LloydIters = 3
+  private val KmeansK    = 10
+
   val defs: Vector[Q] = Vector(
 
     // ── Array-column math: L2 norms via the codegen'd vec_dot expression,
@@ -443,6 +492,97 @@ object Similarity {
           count(lit(1)).as("n_vecs"),
           (round(lit(1e6) * avg(col("v").cast("double"))) / 1e6).as("centroid"))
         .orderBy("label", "pos")
+    },
+
+    // ── K-means (Lloyd) centroid training, 3 iterations, k = 10 — the
+    //    trainer that turns q40's label-cell stand-in into a real IVF
+    //    coarse quantizer. Runs entirely in scaled-integer space
+    //    (micro-quantized vectors, integer squared distances, exact
+    //    floor(sum/count) centroid updates), so every iteration —
+    //    assignment ties, emptied-cell carry-forward, all of it — is
+    //    bit-replayed by the oracle's CTE chain. Scale shape per
+    //    iteration: centroids broadcast (k rows), corpus streams through
+    //    one (g, id)-partitioned argmin window, update is a map-side
+    //    partial hash-agg whose shuffle carries ≤ k·dim rows. Output:
+    //    the trained codebook, exploded to (cell, pos) grain with final
+    //    cell populations.
+    Q("q165_kmeans_centroids",
+      s"""WITH ${lloydSql(1, Dim, KmeansK, LloydIters)}mfin AS (SELECT g, cell, CAST(count(*) AS BIGINT) AS n_members FROM a$LloydIters GROUP BY 1, 2)
+         |SELECT cell, n_members, pos, c FROM (
+         |  SELECT cf.cell AS cell, coalesce(m.n_members, 0) AS n_members,
+         |         unnest(range(1, len(cf.c) + 1)) AS pos, unnest(cf.c) AS c
+         |  FROM c$LloydIters cf LEFT JOIN mfin m ON m.g = cf.g AND m.cell = cf.cell
+         |) ORDER BY cell, pos""".stripMargin) { (s, d) =>
+      val vecs = Ann.quantized(corpus(s, d))
+        .withColumn("g", lit(0L)).select("g", "id", "x")
+      Ann.lloyd(vecs, KmeansK, LloydIters)
+        .select(col("cell"), col("n_members"), posexplode(col("c")))
+        .select(col("cell"), col("n_members"),
+          (col("pos") + 1).cast("long").as("pos"), col("col").as("c"))
+        .orderBy("cell", "pos")
+    },
+
+    // ── ANN recall harness over the TRAINED index — q77 re-run with
+    //    k-means cells instead of label cells: train (q165's Lloyd loop),
+    //    encode every vector to its nearest trained centroid, then
+    //    measure IVF (nprobe = 2) recall@10 against the exact brute-force
+    //    baseline. The oracle replays the full pipeline — training chain,
+    //    integer encode, float micro-rounded cell centroids, probe
+    //    routing, both top-10s — so a drift anywhere from the trainer to
+    //    the tie-breaks hash-fails. AnnTrainingSpec asserts the trained
+    //    index beats the untrained-seed baseline (lloyd iters = 0) on
+    //    mean recall — the "measurably above" evidence for the training.
+    Q("q166_ann_recall_kmeans", {
+      val centTerms = (1 to Dim).map(i =>
+        s"round(1e6 * avg(CAST(emb.embedding[$i] AS DOUBLE))) / 1e6").mkString(", ")
+      s"""WITH ${lloydSql(1, Dim, KmeansK, LloydIters)}${encSql(Dim, LloydIters)},
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |bs AS (SELECT qid, vec_id, ${Ann.cosMicrosSql("qv", "embedding")} AS cm
+         |       FROM q CROSS JOIN embeddings WHERE vec_id <> qid),
+         |bt AS (SELECT qid, vec_id FROM (
+         |         SELECT qid, vec_id,
+         |                row_number() OVER (PARTITION BY qid ORDER BY cm DESC, vec_id) AS r
+         |         FROM bs) WHERE r <= 10),
+         |cent AS MATERIALIZED (SELECT enc.cell AS cell, list_value($centTerms) AS cvec
+         |        FROM embeddings emb JOIN enc ON enc.id = emb.vec_id GROUP BY enc.cell),
+         |centf AS (SELECT cell, list_transform(cvec, x -> CAST(x AS FLOAT)) AS cvf FROM cent),
+         |probes AS (SELECT qid, cell FROM (
+         |    SELECT q.qid, c.cell,
+         |           row_number() OVER (PARTITION BY q.qid
+         |             ORDER BY ${Ann.cosMicrosSql("q.qv", "c.cvf")} DESC, c.cell) AS r
+         |    FROM q CROSS JOIN centf c)
+         |  WHERE r <= 2),
+         |ivs AS (SELECT p.qid, e2.vec_id, ${Ann.cosMicrosSql("q.qv", "e2.embedding")} AS cm
+         |        FROM probes p
+         |        JOIN enc ON enc.cell = p.cell
+         |        JOIN embeddings e2 ON e2.vec_id = enc.id
+         |        JOIN q ON q.qid = p.qid
+         |        WHERE e2.vec_id <> p.qid),
+         |it AS (SELECT qid, vec_id FROM (
+         |         SELECT qid, vec_id,
+         |                row_number() OVER (PARTITION BY qid ORDER BY cm DESC, vec_id) AS r
+         |         FROM ivs) WHERE r <= 10)
+         |SELECT bt.qid,
+         |       CAST(count(it.vec_id) AS BIGINT) AS n_hits,
+         |       count(it.vec_id) / 10.0 AS recall_at_10
+         |FROM bt LEFT JOIN it ON it.qid = bt.qid AND it.vec_id = bt.vec_id
+         |GROUP BY bt.qid ORDER BY bt.qid""".stripMargin
+    }) { (s, d) =>
+      val c = corpus(s, d)
+      val vecs = Ann.quantized(c).withColumn("g", lit(0L)).select("g", "id", "x")
+      val cents = Ann.lloyd(vecs, KmeansK, LloydIters)
+      val cells = Ann.assignCells(vecs, cents).select(col("id"), col("cell"))
+      val c2 = c.select("id", "vec").join(cells, "id")
+      val qs = c2.filter(col("id") < 5).select("id", "vec")
+      val bt = Ann.bruteForceTopK(c2, qs, 10).select("qid", "vec_id")
+      val it = Ann.ivfTopK(c2, qs, cellCol = "cell", dim = Dim, nprobe = 2, k = 10)
+        .select(col("qid"), col("vec_id")).withColumn("hit", lit(1))
+      bt.join(it, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(
+          count(col("hit")).as("n_hits"),
+          (count(col("hit")) / 10.0).as("recall_at_10"))
+        .orderBy("qid")
     }
   )
 }

@@ -19,6 +19,49 @@ class AnnSpec extends AnyFunSuite {
       .persist()
   }
 
+  /** Mean IVF recall@10 vs the exact baseline, with cells from a Lloyd
+    * run of `iters` iterations (0 = untrained seed centroids). */
+  private def meanRecall(iters: Int): Double = {
+    val vecs = Ann.quantized(corpus).withColumn("g", lit(0L)).select("g", "id", "x")
+    val cents = Ann.lloyd(vecs, k = 10, iters = iters)
+    val cells = Ann.assignCells(vecs, cents).select(col("id"), col("cell"))
+    val c2 = corpus.select("id", "vec").join(cells, "id")
+    val qs = c2.filter(col("id") < 5).select("id", "vec")
+    val bt = Ann.bruteForceTopK(c2, qs, 10).select("qid", "vec_id")
+    val it = Ann.ivfTopK(c2, qs, cellCol = "cell", dim = 64, nprobe = 2, k = 10)
+      .select(col("qid"), col("vec_id")).withColumn("hit", lit(1))
+    bt.join(it, Seq("qid", "vec_id"), "left")
+      .agg((count(col("hit")).cast("double") / count(lit(1))).as("r"))
+      .head.getDouble(0)
+  }
+
+  test("Lloyd training measurably improves the IVF index vs untrained seeds") {
+    // The synthetic embeddings are UNCLUSTERED (near-uniform): measured
+    // here, untrained seed cells are already balanced (max cell ≈ 12% of
+    // corpus) and recall@10 at nprobe=2 is seed-insensitive (0.90 vs
+    // 0.84-0.88 across 0/1/3/5 iterations) — on structureless data a
+    // query's true neighbors scatter across cells no matter where the
+    // centroids sit, so recall cannot register the training. What DOES
+    // register it is the objective Lloyd descends: total integer
+    // quantization error. Training must cut it strictly and
+    // substantially (measured: 796e12 → 460e12, −42%), monotonically
+    // per Lloyd's guarantee, while recall stays within noise of the
+    // seed baseline. On clustered production embeddings the same SSE
+    // drop is what turns into the recall win.
+    def vecsOf = Ann.quantized(corpus).withColumn("g", lit(0L)).select("g", "id", "x")
+    val sse0 = Ann.sseOf(vecsOf, Ann.lloyd(vecsOf, k = 10, iters = 0))
+    val sse1 = Ann.sseOf(vecsOf, Ann.lloyd(vecsOf, k = 10, iters = 1))
+    val sse3 = Ann.sseOf(vecsOf, Ann.lloyd(vecsOf, k = 10, iters = 3))
+    info(s"SSE: seeds=$sse0, 1 iter=$sse1, 3 iters=$sse3")
+    assert(sse1 < (sse0 * 0.75).toLong, "one Lloyd iteration must cut quantization error substantially")
+    assert(sse3 <= sse1, "Lloyd's objective is non-increasing in the iteration count")
+    val untrained = meanRecall(0)
+    val trained = meanRecall(3)
+    info(f"recall@10: untrained seeds = $untrained%.3f, 3 Lloyd iters = $trained%.3f")
+    assert(trained >= untrained - 0.1,
+      "trained-cell recall must stay within noise of the seed baseline on unclustered data")
+  }
+
   test("vec_dot equals the higher-order-function formulation on real vectors") {
     val hof = aggregate(
       zip_with(col("vec"), col("vec"), (x, y) => x.cast("double") * y.cast("double")),
