@@ -84,6 +84,13 @@ object Similarity {
   private val LloydIters = 3
   private val KmeansK    = 10
 
+  // product quantization: 4 subvectors × 16 dims, 16 codewords each,
+  // trained with 2 Lloyd iterations of the same grouped trainer
+  private val PqM     = 4
+  private val PqSub   = Dim / PqM
+  private val PqK     = 16
+  private val PqIters = 2
+
   val defs: Vector[Q] = Vector(
 
     // ── Array-column math: L2 norms via the codegen'd vec_dot expression,
@@ -583,6 +590,82 @@ object Similarity {
           count(col("hit")).as("n_hits"),
           (count(col("hit")) / 10.0).as("recall_at_10"))
         .orderBy("qid")
+    },
+
+    // ── Product-quantization ANN, end to end — the compression story's
+    //    third tier next to int8 (q95/q96): 4 per-subvector codebooks
+    //    (16 dims × 16 codewords) trained with the SAME grouped Lloyd
+    //    trainer as q165 (g = subvector index), every vector encoded to
+    //    4 bytes of codes (64× smaller than the float vectors; int8 is
+    //    4×), then two-phase search: asymmetric-distance recall of
+    //    top-20 candidates via a per-query lookup table (integer
+    //    dot(query-subvector, codeword), summed across the 4 codes — the
+    //    classic ADC of Jégou et al.'s IVFADC, as one broadcast hash
+    //    join + a 4-row-per-pair hash agg, never a full-vector scan),
+    //    and a full-precision cosine rerank of only those candidates
+    //    (the q96 pattern). PQ-vs-int8 trade: 16× less candidate-scan IO
+    //    at lower stage-1 fidelity — which is why the rerank exists. All
+    //    stage-1 arithmetic is exact BIGINT (codebooks and queries in
+    //    micro-units), so training, encode, LUT, candidate cut, and
+    //    rerank are each bit-replayed by the oracle.
+    Q("q167_ann_pq_rerank", {
+      s"""WITH ${lloydSql(PqM, PqSub, PqK, PqIters)}${encSql(PqSub, PqIters)},
+         |qsub AS (SELECT id AS qid, g, x FROM v WHERE id < 5),
+         |lut AS MATERIALIZED (SELECT q.qid, c.g, c.cell,
+         |        CAST(list_sum(list_transform(range(1, ${PqSub + 1}), j -> q.x[j] * c.c[j])) AS BIGINT) AS part
+         |      FROM qsub q JOIN c$PqIters c ON c.g = q.g),
+         |sc AS (SELECT l.qid, en.id AS vec_id, CAST(sum(l.part) AS BIGINT) AS ip
+         |       FROM enc en JOIN lut l ON l.g = en.g AND l.cell = en.cell
+         |       WHERE en.id <> l.qid GROUP BY 1, 2),
+         |cand AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY ip DESC, vec_id) AS rn
+         |    FROM sc) WHERE rn <= 20),
+         |qf AS (SELECT vec_id AS qid, embedding AS fqv FROM embeddings WHERE vec_id < 5),
+         |rr AS (SELECT cand.qid, cand.vec_id,
+         |              ${Ann.cosMicrosSql("qf.fqv", "e3.embedding")} AS cm
+         |       FROM cand
+         |       JOIN qf ON qf.qid = cand.qid
+         |       JOIN embeddings e3 ON e3.vec_id = cand.vec_id),
+         |r AS (SELECT qid, vec_id, cm,
+         |             row_number() OVER (PARTITION BY qid ORDER BY cm DESC, vec_id) AS rank
+         |      FROM rr)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cm / 1e6 AS cos
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    }) { (s, d) =>
+      val c = corpus(s, d)
+      val sub = Ann.quantized(c).select(col("id"), explode(expr(
+          s"transform(sequence(0, ${PqM - 1}), g -> struct(CAST(g AS BIGINT) AS g, slice(x, g * $PqSub + 1, $PqSub) AS x))")).as("e"))
+        .select(col("e.g").as("g"), col("id"), col("e.x").as("x"))
+      val cents = Ann.lloyd(sub, k = PqK, iters = PqIters)
+      val codes = Ann.assignCells(sub, cents)
+      val lut = sub.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("g"), col("x").as("qx"))
+        .join(broadcast(cents.select(col("g"), col("cell"), col("c"))), Seq("g"))
+        .select(col("qid"), col("g"), col("cell"),
+          aggregate(zip_with(col("qx"), col("c"), (a, b) => a * b),
+            lit(0L), (acc, v) => acc + v).as("part"))
+      val scored = codes.join(broadcast(lut), Seq("g", "cell"))
+        .filter(col("id") =!= col("qid"))
+        .groupBy(col("qid"), col("id"))
+        .agg(sum("part").cast("long").as("ip"))
+      val cand = Ann.topKPerKey(
+          scored.select(col("qid").as("key"), col("id"), col("ip").as("score")), k = 20)
+        .select(col("key").as("qid"), col("id").as("vec_id"))
+      val fullQ = emb(s, d).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("fqv"))
+      emb(s, d).select(col("vec_id"), col("embedding"))
+        .join(broadcast(cand), "vec_id")
+        .join(broadcast(fullQ), "qid")
+        .select(col("qid"), col("vec_id"),
+          Ann.cosMicros(col("fqv"), col("embedding")).as("cm"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("cm").desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          (col("cm") / 1e6).as("cos"))
+        .orderBy("qid", "rank")
     }
   )
 }
