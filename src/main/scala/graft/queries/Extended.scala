@@ -63,6 +63,46 @@ object Extended {
       name
     }
 
+  /** The q168 plan, parameterized so PlanShapeSpec can run the
+    * skew-on/skew-off counterfactual: q106's hot-key fact ⋈ dim as a
+    * PLAIN join in a child session where broadcast is disabled (AQE can
+    * only split a shuffled join) and the AQE skew thresholds are scaled
+    * to test-data sizes — 16 KiB hot-partition floor, 8 KiB advisory
+    * target, 2× median factor (at cluster scale the same knobs default
+    * to 256 MiB / 5×). AQE decides the split from the shuffle's RUNTIME
+    * partition-size map — no foreknowledge of which key is hot. */
+  def aqeSkewJoin(s: SparkSession, d: String, skewEnabled: Boolean = true): DataFrame =
+    aqeSkewJoin2(s, d, "16KB", "8KB", skewEnabled)
+
+  def aqeSkewJoin2(s: SparkSession, d: String, thr: String, adv: String,
+                   skewEnabled: Boolean = true): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", skewEnabled.toString)
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", thr)
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", adv)
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE splits a skewed reduce partition by MAP-OUTPUT ranges, so the
+    // join shuffle needs >1 mapper to have anything to split. At cluster
+    // scale the scan naturally has thousands of map tasks; the toy-scale
+    // parquet is ONE row group = one mapper, so this round-robin
+    // repartition stands in for the real scan parallelism.
+    val fact = Tables.lineitem(s2, d).select(
+      when(col("l_suppkey") % 4 =!= 0, lit(0L)).otherwise(col("l_suppkey")).as("hk"),
+      col("l_extendedprice"), col("l_discount"))
+      .repartition(8)
+    val dim = Tables.supplier(s2, d)
+      .select(col("s_suppkey").as("hk"), col("s_nationkey"))
+    fact.join(dim, "hk")
+      .groupBy("s_nationkey")
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")) / 100.0).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
   /** The q132 join body, parameterized by an already-configured session so
     * PlanShapeSpec can run the stats-on/stats-off counterfactual: orders
     * containing a small-id supplier (the filtered self-side dim), joined
@@ -516,6 +556,34 @@ object Extended {
           (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
             .cast("long")) / 100.0).as("revenue"))
         .orderBy("s_nationkey")
+    },
+
+    // ── The SAME skewed join, mitigated by the ENGINE instead of the
+    //    salt: q106's 75%-hot-key fact ⋈ dim, run as a plain join in an
+    //    AQE-configured child session — broadcast disabled (forcing the
+    //    shuffled join AQE can operate on) and the skew thresholds
+    //    scaled to the test data (the production DEFAULTS, 256 MB/factor
+    //    5, are the same knobs at cluster scale). At runtime AQE reads
+    //    the shuffle's actual partition sizes, sees the hot key's
+    //    partition dwarf the median, and splits it across reducers while
+    //    replicating the matching dim rows — exactly what q106's salt
+    //    does by hand, decided from runtime statistics instead of
+    //    foreknowledge of the hot key. Identical oracle to q106: both
+    //    mitigations must be bit-equal to the plain join. PlanShapeSpec
+    //    pins the skew=true marker on the executed join (and its absence
+    //    with skewJoin disabled), so the query can't silently regress to
+    //    an unsplit hot partition.
+    Q("q168_aqe_skew_join",
+      """WITH f AS (SELECT CASE WHEN l_suppkey % 4 <> 0 THEN 0 ELSE l_suppkey END AS hk,
+        |                  l_orderkey, l_extendedprice, l_discount FROM lineitem),
+        |dim AS (SELECT s_suppkey AS hk, s_nationkey FROM supplier),
+        |j AS (SELECT f.hk, f.l_extendedprice, f.l_discount, dim.s_nationkey
+        |      FROM f JOIN dim ON f.hk = dim.hk)
+        |SELECT s_nationkey, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |         / 100.0 AS revenue
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      aqeSkewJoin(s, d)
     },
 
     // ── Two-dimension box scan over the Z-ORDERED lineitem lake

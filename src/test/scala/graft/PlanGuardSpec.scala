@@ -39,7 +39,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q143_ewma_daily_revenue" -> "cross join of the single-row max-day bound",
     "q152_pareto_revenue"    -> "cross joins of the single-row total and count aggregates",
     "q153_sql_not_in_null_trap" -> "null-aware NOT IN against the supplier-sized broadcast list",
-    "q161_incremental_dedup" -> "cross join of the single-row corpus/batch split bound")
+    "q161_incremental_dedup" -> "cross join of the single-row corpus/batch split bound",
+    "q165_kmeans_centroids"  -> "Lloyd assignment: corpus × broadcast k=10 centroid table, argmin via window",
+    "q166_ann_recall_kmeans" -> "Lloyd assignment (k=10 centroids) + 5-row query batch × corpus exact baseline")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no unexpected nested-loop or cartesian join") {

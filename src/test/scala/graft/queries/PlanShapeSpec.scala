@@ -186,6 +186,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the check-per-row unpivot must be an Expand/Generate, driver-free:\n$p")
   }
 
+  test("q168: AQE splits the hot-key join partition at runtime") {
+    // the skew marker only exists in the FINAL adaptive plan — execute,
+    // then read the plan back
+    val on = Extended.aqeSkewJoin(spark, TestSpark.Sf)
+    on.collect()
+    val pOn = on.queryExecution.executedPlan.toString
+    assert(pOn.contains("skew=true"),
+      s"AQE must split the 75%-hot-key partition (skew=true marker missing):\n$pOn")
+    val off = Extended.aqeSkewJoin(spark, TestSpark.Sf, skewEnabled = false)
+    off.collect()
+    val pOff = off.queryExecution.executedPlan.toString
+    assert(!pOff.contains("skew=true"),
+      s"counterfactual: with skewJoin disabled the join must stay unsplit:\n$pOff")
+  }
+
   test("q132: ANALYZE column stats, not file size, price the filtered side") {
     // Counterfactual pair on the SAME catalog table and the SAME 16 KiB
     // broadcast threshold: without CBO the filtered self-side is priced
