@@ -145,6 +145,58 @@ class StreamingSpec extends AnyFunSuite {
       s"each restart must join only ITS new offsets against the dim as of start: $collected")
   }
 
+  test("toLake resumes from its checkpoint after a mid-drain crash, exactly-once") {
+    // The restart-evidence half of the exactly-once story: the existing
+    // toLake test proves a COMPLETED drain is not double-applied; this one
+    // proves a KILLED drain recovers. Run 1 commits batch 0 to the lake,
+    // then dies at batch 1 (injected crash BETWEEN batches — the offset
+    // log has batch 0, the commit log nothing in flight). Run 2 is the
+    // REAL production writer on the same checkpoint: it must resume at
+    // batch 1 — never re-reading batch 0's files — and complete the tail,
+    // leaving the lake bit-equal to the batch oracle.
+    val work = Files.createTempDirectory("graft-stream-recover").toString
+    val src = s"$work/src"
+    val lake = s"$work/lake"
+    val cp = s"$work/cp"
+    // 4 source files → 4 micro-batches at maxFilesPerTrigger=1
+    // (AvailableNow honors source rate limits, unlike Trigger.Once)
+    graft.model.Tables.events(spark, TestSpark.Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(4).write.mode("overwrite").parquet(src)
+    def stream = spark.readStream
+      .schema(StreamingJobs.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+
+    val crashed = stream.writeStream
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id >= 1) throw new RuntimeException("injected crash before batch 1 writes")
+        graft.etl.PartitionedLake.append(graft.etl.Clean.cleanEvents(b), lake)
+      }
+      .start()
+    intercept[Exception] { crashed.awaitTermination(120000) }
+
+    val expected = graft.etl.Clean.cleanEvents(
+      graft.model.Tables.events(spark, TestSpark.Sf))
+    val expectedN = expected.count()
+    val afterCrash = PartitionedLake.read(spark, lake).count()
+    assert(afterCrash > 0 && afterCrash < expectedN,
+      s"crashed run must leave exactly the committed prefix: $afterCrash of $expectedN")
+
+    val q = StreamingJobs.toLake(stream, lake, cp).start()
+    q.awaitTermination(120000)
+    val lakeDf = PartitionedLake.read(spark, lake)
+    assert(lakeDf.count() == expectedN,
+      "resumed drain must complete the tail without re-writing batch 0")
+    // content equality, not just count: per-key multiset match vs the oracle
+    val lakeIds = lakeDf.groupBy("event_id").count()
+    val oracleIds = expected.groupBy("event_id").count()
+    assert(lakeIds.except(oracleIds).isEmpty && oracleIds.except(lakeIds).isEmpty,
+      "recovered lake must be row-for-row equal to the batch oracle")
+  }
+
   test("left-outer stream join emits unmatched rows only after the watermark passes") {
     import java.sql.Timestamp
     val work = Files.createTempDirectory("graft-stream-outer").toString
