@@ -34,7 +34,16 @@ object CurationOps {
     * generated as one CTE chain (v0 → sy1/pc1/b1 → v1 → … → b{K}).
     * The symbol-string representation and the greedy merge-by-`replace`
     * are shared with the Spark side — see the q164 comment. */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeOracleSql(k: Int): String =
+    bpeChainSql(k, withFinalVocab = false) +
+      (1 to k)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS step, pair, cnt AS n FROM b$i")
+        .mkString("", " UNION ALL ", "") +
+      " ORDER BY step"
+
+  /** The shared CTE chain, optionally extended with v{K} (the fully
+    * merged vocabulary — what the ENCODE query q169 aggregates). */
+  private def bpeChainSql(k: Int, withFinalVocab: Boolean): String = {
     val sb = new StringBuilder
     sb.append(s"WITH t AS (${LlmPipeline.toksCte}),\n")
     sb.append("w AS (SELECT unnest(toks) AS word FROM t),\n")
@@ -53,19 +62,66 @@ object CurationOps {
         s"FROM (SELECT n, string_split(trim(s), '  ') AS sy FROM v$p) " +
         s"WHERE len(sy) >= 2) GROUP BY pair),\n")
       val last = i == k
+      val emitV = !last || withFinalVocab
       sb.append(s"b$i AS MATERIALIZED (SELECT pair, cnt FROM pc$i ORDER BY cnt DESC, pair LIMIT 1)" +
-        (if (last) "\n" else ",\n"))
-      if (!last)
+        (if (emitV) ",\n" else "\n"))
+      if (emitV)
         sb.append(s"v$i AS MATERIALIZED (SELECT n, replace(s, " +
           s"' ' || replace((SELECT pair FROM b$i), ' ', '  ') || ' ', " +
-          s"' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ') AS s FROM v$p),\n")
+          s"' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ') AS s FROM v$p)" +
+          (if (last) "\n" else ",\n"))
     }
-    sb.append((1 to k)
-      .map(i => s"SELECT CAST($i AS BIGINT) AS step, pair, cnt AS n FROM b$i")
-      .mkString("", " UNION ALL ", ""))
-    sb.append(" ORDER BY step")
     sb.toString
   }
+
+  /** The trained state both BPE queries consume — memoized per (session,
+    * sf dir) so q164 (the merge table) and q169 (the encoded vocabulary)
+    * run ONE training pass between them, the way a production pipeline
+    * trains once and applies everywhere. Returns the K merge rows and the
+    * final vocab relation with all K merges applied. The vocab DataFrame
+    * stays persisted; its lineage embeds the chosen pairs as literals, so
+    * a cache drop recomputes it deterministically with no re-collect. */
+  private val bpeTrained =
+    new graft.etl.Memo[(SparkSession, String), (Seq[(Long, String, Long)], DataFrame)]
+
+  private def trainBpe(s: SparkSession, d: String): (Seq[(Long, String, Long)], DataFrame) =
+    bpeTrained((s, d)) {
+      val words = fanned(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .select(col("n"), concat(lit(" "),
+          array_join(expr("filter(split(word, ''), x -> x <> '')"), "  "),
+          lit(" ")).as("s"))
+      var vocab = words.persist()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= BpeSteps && !exhausted) {
+        val best = vocab
+          .select(col("n"), split(trim(col("s")), "  ").as("sy"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("n"), explode(expr(
+            "transform(sequence(0, size(sy) - 2), i -> concat(sy[i], ' ', sy[i+1]))")).as("pair"))
+          .groupBy("pair").agg(sum("n").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val pair = best(0).getString(0)
+          merges += ((step.toLong, pair, best(0).getLong(1)))
+          val next = vocab.withColumn("s", call_function("replace", col("s"),
+              lit(" " + pair.replace(" ", "  ") + " "),
+              lit(" " + pair.replace(" ", "") + " ")))
+            .persist()
+          next.count() // materialize before dropping the parent's cache
+          vocab.unpersist()
+          vocab = next
+          step += 1
+        }
+      }
+      (merges.toSeq, vocab)
+    }
 
   val defs: Vector[Q] = Vector(
 
@@ -223,43 +279,94 @@ object CurationOps {
     //    Total order (n DESC, pair ASC) at every argmax keeps all K
     //    steps deterministic; all counts are exact integers.
     Q("q164_bpe_train_loop", bpeOracleSql(BpeSteps)) { (s, d) =>
-      val words = fanned(s, d)
-        .select(explode(TextOps.tokens(col("text"))).as("word"))
-        .filter(col("word").rlike("^[a-z]+$"))
-        .groupBy("word").agg(count(lit(1)).as("n"))
-        .select(col("n"), concat(lit(" "),
-          array_join(expr("filter(split(word, ''), x -> x <> '')"), "  "),
-          lit(" ")).as("s"))
-      var vocab = words.persist()
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-      var step = 1
-      var exhausted = false
-      while (step <= BpeSteps && !exhausted) {
-        val best = vocab
-          .select(col("n"), split(trim(col("s")), "  ").as("sy"))
-          .filter(size(col("sy")) >= 2)
-          .select(col("n"), explode(expr(
-            "transform(sequence(0, size(sy) - 2), i -> concat(sy[i], ' ', sy[i+1]))")).as("pair"))
-          .groupBy("pair").agg(sum("n").as("cnt"))
-          .orderBy(col("cnt").desc, col("pair"))
-          .limit(1).collect()
-        if (best.isEmpty) exhausted = true
-        else {
-          val pair = best(0).getString(0)
-          merges += ((step.toLong, pair, best(0).getLong(1)))
-          val next = vocab.withColumn("s", call_function("replace", col("s"),
-              lit(" " + pair.replace(" ", "  ") + " "),
-              lit(" " + pair.replace(" ", "") + " ")))
-            .persist()
-          next.count() // materialize before dropping the parent's cache
-          vocab.unpersist()
-          vocab = next
-          step += 1
-        }
-      }
-      vocab.unpersist()
       import s.implicits._
-      merges.toSeq.toDF("step", "pair", "n").orderBy("step")
+      trainBpe(s, d)._1.toDF("step", "pair", "n").orderBy("step")
+    },
+
+    // ── BPE tokenizer APPLICATION — the other half of the train→apply
+    //    loop: the q164-trained merge table applied to the corpus, then
+    //    the resulting subword vocabulary measured (top-20 subwords by
+    //    corpus-weighted occurrences). The "apply" is already latent in
+    //    the trainer's final vocab relation (all K merges replayed over
+    //    the word-frequency table), so encoding the corpus costs ONE
+    //    aggregate over that vocab-sized relation — at 100 TB this is
+    //    the tokenize-everything pass: the merge table is a broadcast-
+    //    sized artifact, application is map-side string replace, and the
+    //    histogram shuffle carries subword-vocabulary keys, never corpus
+    //    rows. Shares the memoized training pass with q164 (train once,
+    //    apply everywhere). `occurrences` weights by corpus frequency;
+    //    `vocab_occ` counts occurrences across distinct word forms.
+    Q("q169_bpe_encode",
+      bpeChainSql(BpeSteps, withFinalVocab = true) +
+        s"""SELECT sym, CAST(sum(n) AS BIGINT) AS occurrences,
+           |       CAST(count(*) AS BIGINT) AS vocab_occ
+           |FROM (SELECT n, unnest(string_split(trim(s), '  ')) AS sym FROM v$BpeSteps)
+           |GROUP BY sym ORDER BY occurrences DESC, sym LIMIT 20""".stripMargin) { (s, d) =>
+      trainBpe(s, d)._2
+        .select(col("n"), explode(split(trim(col("s")), "  ")).as("sym"))
+        .groupBy("sym")
+        .agg(sum("n").cast("long").as("occurrences"),
+          count(lit(1)).cast("long").as("vocab_occ"))
+        .orderBy(col("occurrences").desc, col("sym"))
+        .limit(20)
+    },
+
+    // ── Temperature-scaled domain mixture (α = 0.5) — the data-mixing
+    //    step that turns raw per-source counts into a training mixture:
+    //    sampling weight ∝ n_i^α flattens the source distribution
+    //    (α = 1 keeps it, α = 0 makes it uniform), the standard knob for
+    //    up-weighting small high-quality sources. Per-source acceptance
+    //    rates land as exact ppm integers (per-source sqrt micro-rounded
+    //    BEFORE the sum, so the tiny-relation double reduction has a
+    //    fixed value in both engines regardless of row order), and
+    //    per-doc acceptance is the q98 md5-uniform integer compare —
+    //    deterministic, coordination-free, identical at any parallelism.
+    //    Scale shape: one dim-sized aggregate (sources), one broadcast
+    //    join of rates onto the corpus, one map-side filter — the corpus
+    //    is touched once and never shuffled.
+    Q("q171_temperature_mixture",
+      """WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n,
+        |             CAST(round(1e6 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wi
+        |      FROM s),
+        |tot AS (SELECT CAST(sum(wi) AS BIGINT) AS sw,
+        |               CAST(sum(n) AS BIGINT) AS total FROM w),
+        |r AS (SELECT lang, n,
+        |             least(CAST(1000000 AS BIGINT),
+        |                   CAST(floor(1e6 * (CAST((total // 2) * wi AS DOUBLE)
+        |                                     / CAST(sw * n AS DOUBLE))) AS BIGINT)) AS rate_ppm
+        |      FROM w CROSS JOIN tot),
+        |d AS (SELECT doc_id, lang,
+        |             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+        |      FROM documents)
+        |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       max(r.rate_ppm) AS rate_ppm,
+        |       CAST(count(*) FILTER (WHERE u * 1000000 < rate_ppm * 4294967296)
+        |            AS BIGINT) AS n_sampled
+        |FROM d JOIN r ON r.lang = d.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, d) =>
+      val bySource = docs(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
+      val w = bySource.withColumn("wi",
+        round(lit(1e6) * sqrt(col("n").cast("double"))).cast("long"))
+      val tot = w.agg(sum("wi").cast("long").as("sw"),
+        sum("n").cast("long").as("total"))
+      val rates = w.crossJoin(tot)
+        .withColumn("rate_ppm", least(lit(1000000L),
+          floor(lit(1e6) * ((expr("total div 2") * col("wi")).cast("double")
+            / (col("sw") * col("n")).cast("double"))).cast("long")))
+        .select(col("lang"), col("rate_ppm"))
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long").as("u"))
+        .join(broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          max("rate_ppm").as("rate_ppm"),
+          count(when(col("u") * lit(1000000L) < col("rate_ppm") * lit(4294967296L), 1))
+            .as("n_sampled"))
+        .orderBy("lang")
     }
   )
 }

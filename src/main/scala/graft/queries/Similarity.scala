@@ -666,6 +666,69 @@ object Similarity {
         .select(col("qid"), col("rank"), col("vec_id"),
           (col("cm") / 1e6).as("cos"))
         .orderBy("qid", "rank")
+    },
+
+    // ── Semantic dedup (SemDeDup): duplicates found by MEANING, not by
+    //    text overlap — cluster the embedding corpus with the trained
+    //    k-means codebook (q165's Lloyd machinery), then look for
+    //    high-cosine pairs only WITHIN each cell and keep the lowest-id
+    //    member of every found pair (q36's survivor rule, cosine instead
+    //    of Jaccard). The within-cell restriction is the entire scale
+    //    story: candidate work is Σ|cell|² instead of n² — at 100 TB k
+    //    grows with the corpus so cells stay bounded, and the pair pass
+    //    is one equi-join shuffle on the cell id. Cosines ride the exact
+    //    micro-quantized integers end-to-end (long dot products, double
+    //    only at the final divide), so training, assignment, and every
+    //    pair verdict are bit-replayed by the oracle's CTE chain. The
+    //    0.4 micro-cos cutoff matches q45/q54's near-dup notion.
+    Q("q170_semantic_dedup", {
+      s"""WITH ${lloydSql(1, Dim, KmeansK, LloydIters)}${encSql(Dim, LloydIters)},
+         |nrm AS MATERIALIZED (SELECT id,
+         |        sqrt(CAST(list_sum(list_transform(vfull, x -> x * x)) AS DOUBLE)) AS nm
+         |      FROM e),
+         |pr AS (SELECT a.id AS ia, b.id AS ib,
+         |              round(1e6 * (CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |                             j -> ea.vfull[j] * eb.vfull[j])) AS DOUBLE)
+         |                           / (na.nm * nb.nm))) AS cm
+         |       FROM enc a JOIN enc b ON a.cell = b.cell AND a.id < b.id
+         |       JOIN e ea ON ea.id = a.id
+         |       JOIN e eb ON eb.id = b.id
+         |       JOIN nrm na ON na.id = a.id
+         |       JOIN nrm nb ON nb.id = b.id),
+         |dropped AS (SELECT DISTINCT ib AS id FROM pr WHERE cm >= 400000)
+         |SELECT em.label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(sum(CASE WHEN dr.id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+         |       CAST(sum(CASE WHEN dr.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM embeddings em LEFT JOIN dropped dr ON dr.id = em.vec_id
+         |GROUP BY em.label ORDER BY em.label""".stripMargin
+    }) { (s, d) =>
+      val vecs = Ann.quantized(corpus(s, d))
+        .withColumn("g", lit(0L)).select("g", "id", "x")
+      val cents = Ann.lloyd(vecs, KmeansK, LloydIters)
+      val withVec = Ann.assignCells(vecs, cents)
+        .join(vecs.select("id", "x"), "id")
+        .withColumn("nm", sqrt(
+          aggregate(zip_with(col("x"), col("x"), (p, q) => p * q),
+            lit(0L), (acc, v) => acc + v).cast("double")))
+      val a = withVec.select(col("cell"), col("id").as("ia"),
+        col("x").as("xa"), col("nm").as("na"))
+      val b = withVec.select(col("cell"), col("id").as("ib"),
+        col("x").as("xb"), col("nm").as("nb"))
+      val dropped = a.join(b, Seq("cell"))
+        .filter(col("ia") < col("ib"))
+        .withColumn("cm", round(lit(1e6) *
+          (aggregate(zip_with(col("xa"), col("xb"), (p, q) => p * q),
+            lit(0L), (acc, v) => acc + v).cast("double")
+            / (col("na") * col("nb")))))
+        .filter(col("cm") >= 400000L)
+        .select(col("ib").as("vec_id")).distinct()
+        .withColumn("dr", lit(1L))
+      emb(s, d).join(dropped, Seq("vec_id"), "left")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(coalesce(col("dr"), lit(0L))).cast("long").as("n_dropped"),
+          sum(when(col("dr").isNull, 1L).otherwise(0L)).cast("long").as("n_kept"))
+        .orderBy("label")
     }
   )
 }

@@ -41,7 +41,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q153_sql_not_in_null_trap" -> "null-aware NOT IN against the supplier-sized broadcast list",
     "q161_incremental_dedup" -> "cross join of the single-row corpus/batch split bound",
     "q165_kmeans_centroids"  -> "Lloyd assignment: corpus × broadcast k=10 centroid table, argmin via window",
-    "q166_ann_recall_kmeans" -> "Lloyd assignment (k=10 centroids) + 5-row query batch × corpus exact baseline")
+    "q166_ann_recall_kmeans" -> "Lloyd assignment (k=10 centroids) + 5-row query batch × corpus exact baseline",
+    "q170_semantic_dedup"    -> "Lloyd assignment: corpus × broadcast k=10 centroid table, argmin via window",
+    "q171_temperature_mixture" -> "cross join of the single-row weight-sum/total aggregate onto the source dim")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no unexpected nested-loop or cartesian join") {
