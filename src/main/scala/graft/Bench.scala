@@ -52,7 +52,8 @@ object Bench {
       "q65_decontamination",       // materializes the shared shingle relation
       "q70_vocab_topk",            // materializes the tokenized-corpus relation
       "q119_compacted_lake_roundtrip", // appends 3 batches + compacts the lake
-      "q160_jdbc_roundtrip"        // stages events into the embedded Derby db
+      "q160_jdbc_roundtrip",       // stages events into the embedded Derby db
+      "q164_bpe_train_loop"        // runs the memoized BPE training pass q169 shares
     )
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     // SPARK_GRAFT_BENCH_ONLY=q79,q35 → bench only the named queries

@@ -367,6 +367,112 @@ object CurationOps {
           count(when(col("u") * lit(1000000L) < col("rate_ppm") * lit(4294967296L), 1))
             .as("n_sampled"))
         .orderBy("lang")
+    },
+
+    // ── Split-leakage audit: near-dup pairs CROSSING the deterministic
+    //    train/val/test split (q68's md5 buckets) — the contamination a
+    //    pipeline that splits before deduping ships silently: a test doc
+    //    whose near-twin sits in train inflates every eval. Composes two
+    //    existing artifacts — the checkpointed LSH pair relation
+    //    (q35/q36/q53's, built once per session) and the split rule —
+    //    into a per-split-combo pair count; the `train|test` and
+    //    `train|val` rows ARE the leak report. Scale: the pair relation
+    //    is duplicate-sized (≪ corpus), split assignment is a map-side
+    //    md5, and the two doc_id joins are plain hash joins. Oracle:
+    //    all-pairs exact Jaccard + the same split replay (the q35 recall
+    //    bound applies, documented at q161).
+    Q("q172_split_leakage",
+      s"""${LlmPipeline.nearDupPairsSql},
+         |sp AS (SELECT doc_id,
+         |              CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |                   ELSE 'test' END AS split
+         |       FROM (SELECT doc_id,
+         |                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
+         |             FROM documents))
+         |SELECT least(sa.split, sb.split) AS split_a,
+         |       greatest(sa.split, sb.split) AS split_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       max(jaccard) AS max_jaccard
+         |FROM p JOIN sp sa ON sa.doc_id = p.doc_a
+         |       JOIN sp sb ON sb.doc_id = p.doc_b
+         |WHERE p.jaccard >= ${LlmPipeline.JaccardThreshold}
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val sp = docs(s, d).select(col("doc_id"),
+        when(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100 < 80, "train")
+          .when(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 100 < 90, "val")
+          .otherwise("test").as("split"))
+      Dedup.nearDupPairsCkpt(docs(s, d), d, LlmPipeline.JaccardThreshold)
+        .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+        .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"), col("jaccard"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"), max("jaccard").as("max_jaccard"))
+        .orderBy("split_a", "split_b")
+    },
+
+    // ── Bigram-LM perplexity filter — q92's unigram surprisal upgraded
+    //    to the real LM-style quality gate: fit the corpus's own bigram
+    //    model with add-one smoothing, P(w2|w1) = (c(w1w2)+1)/(c(w1·)+V),
+    //    score each doc by mean bigram surprisal, surface the top-20
+    //    most surprising (the worst LM fit — boilerplate soup, wrong-
+    //    language fragments, mojibake). Determinism is the q92 scheme:
+    //    each bigram's −ln P is micro-rounded to a BIGINT BEFORE the
+    //    per-doc sum, so the reduction is exact-integer and order-free;
+    //    one IEEE divide + round at the end. Scale shape: the model
+    //    relations are vocab-/bigram-vocab-sized (never corpus-sized),
+    //    the score join is a hash join on the bigram key, and the corpus
+    //    is touched twice (count pass, score pass) — the standard
+    //    two-pass LM filter layout.
+    Q("q173_bigram_perplexity",
+      s"""WITH t AS (${LlmPipeline.toksCte}),
+         |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+         |bgs AS (SELECT doc_id,
+         |               unnest(list_transform(range(1, len(toks)),
+         |                      j -> toks[j] || ' ' || toks[j+1])) AS bg
+         |        FROM t2),
+         |cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS n2 FROM bgs GROUP BY 1),
+         |cw AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(count(*) AS BIGINT) AS n1
+         |       FROM bgs GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+         |       FROM (SELECT unnest(toks) AS tok FROM t2)),
+         |st AS (SELECT b.doc_id,
+         |              CAST(round(1e6 * -ln(CAST(n2 + 1 AS DOUBLE) / (n1 + v))) AS BIGINT) AS s
+         |       FROM bgs b JOIN cb ON cb.bg = b.bg
+         |       JOIN cw ON cw.w1 = split_part(b.bg, ' ', 1)
+         |       CROSS JOIN vv),
+         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |             CAST(sum(s) AS BIGINT) AS ssum
+         |      FROM st GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |       round(CAST(ssum AS DOUBLE) / n_bigrams) / 1e6 AS avg_surprisal
+         |FROM d ORDER BY avg_surprisal DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+      val t2 = fanned(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .filter(size(col("toks")) >= 2)
+      val bgs = t2.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bg"))
+      val cb = bgs.groupBy("bg").agg(count(lit(1)).as("n2"))
+      val cw = bgs.select(expr("split_part(bg, ' ', 1)").as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("n1"))
+      val vv = t2.select(explode(col("toks")).as("tok"))
+        .agg(countDistinct("tok").as("v"))
+      bgs.join(cb, "bg")
+        .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+        .join(cw, "w1")
+        .crossJoin(broadcast(vv))
+        .select(col("doc_id"),
+          round(lit(1e6) * -log((col("n2") + 1).cast("double") / (col("n1") + col("v"))))
+            .cast("long").as("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          sum("s").cast("long").as("ssum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (round(col("ssum").cast("double") / col("n_bigrams")) / 1e6).as("avg_surprisal"))
+        .orderBy(col("avg_surprisal").desc, col("doc_id"))
+        .limit(20)
     }
   )
 }

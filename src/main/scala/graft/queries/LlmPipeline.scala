@@ -49,7 +49,7 @@ object LlmPipeline {
 
   /** Shared DuckDB CTE chain: exact all-pairs 3-gram Jaccard ≥ 0.5 — the
     * oracle twin of the MinHash-LSH candidate + verify pipeline. */
-  private val nearDupPairsSql =
+  private[queries] val nearDupPairsSql =
     s"""WITH t AS ($toksCte),
        |sh AS ($shinglesCte),
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
