@@ -450,6 +450,88 @@ object Quality {
         .select(col("event_type"), col("n"), col("exact_corr"),
           (abs(col("builtin") - col("exact_corr")) < 1e-6).as("builtin_matches"))
         .orderBy("event_type")
+    },
+
+    // ── KMV sketch MERGE across lake partitions — the property that
+    //    makes sketches the 100 TB answer: each partition (here: event
+    //    day) keeps only its k smallest distinct hashes, and the
+    //    partition sketches merge by taking the k smallest of the union
+    //    — k longs of state per partition, k longs for the whole lake,
+    //    no re-scan. The merge is EXACT, not approximate: a hash in the
+    //    global k-smallest is within its own day's k-smallest by
+    //    definition, so merged ≡ direct-global sketch bit-for-bit
+    //    (QualitySpec asserts the identity against a from-scratch global
+    //    sketch). Per-day rows report each partition's own estimate
+    //    (exact |sketch| when the day never filled its k slots — the
+    //    KMV small-cardinality convention); the 'ALL' row is the merged
+    //    estimate next to the true global distinct, so the sketch's
+    //    error is itself verified data (the q97 discipline, now
+    //    per-partition).
+    Q("q174_kmv_partition_merge",
+      s"""WITH hd AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         |                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+         |                   user_id
+         |            FROM events WHERE user_id IS NOT NULL),
+         |dh AS (SELECT DISTINCT day, h FROM hd),
+         |pd AS (SELECT day, h FROM (
+         |         SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS r
+         |         FROM dh) WHERE r <= $K),
+         |ds AS (SELECT day, CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS kth_hash
+         |       FROM pd GROUP BY 1),
+         |de AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         |       FROM hd GROUP BY 1),
+         |mg AS (SELECT CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS kth_hash
+         |       FROM (SELECT DISTINCT h FROM pd ORDER BY h LIMIT $K)),
+         |ge AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct FROM hd),
+         |u AS (SELECT day, n_sketch, kth_hash, exact_distinct
+         |      FROM ds JOIN de USING (day)
+         |      UNION ALL
+         |      SELECT 'ALL', mg.n_sketch, mg.kth_hash, ge.exact_distinct FROM mg, ge)
+         |SELECT day, n_sketch, kth_hash,
+         |       CASE WHEN n_sketch < $K THEN n_sketch
+         |            ELSE CAST(round(${K - 1}.0 * $HashSpace / kth_hash) AS BIGINT) END
+         |         AS est_distinct,
+         |       exact_distinct
+         |FROM u ORDER BY day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val hd = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("ts").cast("date").cast("string").as("day"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"),
+          col("user_id"))
+      val perDay = kmvPerDaySketch(hd)
+      val dayRows = perDay.groupBy("day")
+        .agg(count(lit(1)).as("n_sketch"), max("h").as("kth_hash"))
+        .join(hd.groupBy("day").agg(countDistinct("user_id").as("exact_distinct")), "day")
+      val allRow = kmvMergeSketch(perDay)
+        .crossJoin(broadcast(hd.agg(countDistinct("user_id").as("exact_distinct"))))
+        .withColumn("day", lit("ALL"))
+        .select("day", "n_sketch", "kth_hash", "exact_distinct")
+      dayRows.unionByName(allRow)
+        .select(col("day"), col("n_sketch"), col("kth_hash"),
+          when(col("n_sketch") < K, col("n_sketch").cast("long"))
+            .otherwise(round(lit((K - 1).toDouble) * lit(HashSpace) / col("kth_hash"))
+              .cast("long")).as("est_distinct"),
+          col("exact_distinct"))
+        .orderBy("day")
     }
   )
+
+  /** Per-day KMV sketch relation (day, h): each day's k smallest
+    * distinct hashes — the bounded per-partition summary q174 merges. */
+  private[queries] def kmvPerDaySketch(hd: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    hd.select("day", "h").distinct()
+      .withColumn("r", row_number().over(Window.partitionBy("day").orderBy("h")))
+      .filter(col("r") <= K)
+      .select("day", "h")
+  }
+
+  /** k smallest distinct hashes of the UNION of sketches → single-row
+    * (n_sketch, kth_hash). Feeding it the raw hash relation instead
+    * yields the direct global sketch — QualitySpec asserts both paths
+    * agree bit-for-bit (sketch mergeability). */
+  private[queries] def kmvMergeSketch(sketches: DataFrame): DataFrame =
+    sketches.select("h").distinct().orderBy("h").limit(K)
+      .agg(count(lit(1)).as("n_sketch"), max("h").as("kth_hash"))
 }

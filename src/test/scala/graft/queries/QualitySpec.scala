@@ -27,6 +27,22 @@ class QualitySpec extends AnyFunSuite {
     assert(relErr < 5.0 / math.sqrt(k - 2.0), s"relative error $relErr too large")
   }
 
+  test("q174: merged per-day KMV sketches equal the direct global sketch bit-for-bit") {
+    // THE mergeability property: k-smallest-of-union-of-partition-sketches
+    // must be identical to k-smallest-of-everything — the reason a 100 TB
+    // lake can keep k longs per partition and still answer global
+    // distincts without a re-scan.
+    val hd = graft.model.Tables.events(spark, TestSpark.Sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("ts").cast("date").cast("string").as("day"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val merged = Quality.kmvMergeSketch(Quality.kmvPerDaySketch(hd)).collect().head
+    val direct = Quality.kmvMergeSketch(hd).collect().head
+    assert(merged.getLong(0) == direct.getLong(0) && merged.getLong(1) == direct.getLong(1),
+      s"merged sketch (${merged.mkString(",")}) must equal direct (${direct.mkString(",")})")
+  }
+
   test("quality suite counts exactly the injected violations") {
     val rows = run("q100_quality_suite").collect()
       .map(r => r.getAs[String]("check_name") ->
