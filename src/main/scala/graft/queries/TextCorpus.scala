@@ -607,6 +607,86 @@ object TextCorpus {
             + coalesce(col("sm"), lit(0.0)))) / 1e6).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // ── Hybrid retrieval by reciprocal-rank fusion: the standard way a
+    //    RAG / data-mining stack combines a lexical ranker with a dense
+    //    one (score = Σ 1/(60 + rank), each ranker contributing its
+    //    rank or nothing). Query batch = docs 0-4, retrieved two ways:
+    //    (a) LEXICAL — shared-distinct-token overlap in the inverted-
+    //    index probe shape (the corpus token relation joins the
+    //    BROADCAST query-token list, so post-join cardinality is the
+    //    query terms' postings, never corpus×corpus); (b) DENSE —
+    //    the q39 brute-force cosine (queries broadcast, corpus streams
+    //    once). Both rankings and the fused one go through the
+    //    bounded-state two-stage top-k (Ann.topKPerKey), never a
+    //    whole-corpus row_number reducer. Determinism: ranks are
+    //    integers with doc_id tie-breaks, RRF contributions are
+    //    round(1e6/(60+rank)) BIGINTs, so the fused score is an exact
+    //    integer sum — order-free and bit-equal across engines.
+    Q("q175_hybrid_rrf",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |sd AS (SELECT qid, vec_id AS doc_id,
+         |              ${graft.llm.Ann.cosMicrosSql("qv", "embedding")} AS cm
+         |       FROM q CROSS JOIN embeddings WHERE vec_id <> qid),
+         |dtop AS (SELECT qid, doc_id, drank FROM (
+         |           SELECT qid, doc_id,
+         |                  CAST(row_number() OVER (PARTITION BY qid
+         |                    ORDER BY cm DESC, doc_id) AS INTEGER) AS drank
+         |           FROM sd) WHERE drank <= 30),
+         |tok AS ($tokCte),
+         |dt AS (SELECT DISTINCT doc_id, tok FROM tok),
+         |qt AS (SELECT doc_id AS qid, tok FROM dt WHERE doc_id < 5),
+         |ov AS (SELECT qt.qid, dt.doc_id, count(*) AS ov
+         |       FROM dt JOIN qt USING (tok) WHERE dt.doc_id <> qt.qid
+         |       GROUP BY 1, 2),
+         |ltop AS (SELECT qid, doc_id, lrank FROM (
+         |           SELECT qid, doc_id,
+         |                  CAST(row_number() OVER (PARTITION BY qid
+         |                    ORDER BY ov DESC, doc_id) AS INTEGER) AS lrank
+         |           FROM ov) WHERE lrank <= 30),
+         |f AS (SELECT coalesce(d.qid, l.qid) AS qid,
+         |             coalesce(d.doc_id, l.doc_id) AS doc_id,
+         |             d.drank AS dense_rank, l.lrank AS lex_rank,
+         |             coalesce(CAST(round(1e6 / (60 + d.drank)) AS BIGINT), 0)
+         |               + coalesce(CAST(round(1e6 / (60 + l.lrank)) AS BIGINT), 0)
+         |               AS rrf_ppm
+         |      FROM dtop d FULL JOIN ltop l
+         |        ON d.qid = l.qid AND d.doc_id = l.doc_id),
+         |r AS (SELECT qid, doc_id, dense_rank, lex_rank, rrf_ppm,
+         |             CAST(row_number() OVER (PARTITION BY qid
+         |               ORDER BY rrf_ppm DESC, doc_id) AS INTEGER) AS rank
+         |      FROM f)
+         |SELECT qid, rank, doc_id, rrf_ppm, dense_rank, lex_rank
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      import graft.llm.Ann
+      val embC = graft.etl.FanOut.fanOut(
+        Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        col("id"))
+      val dense = Ann
+        .bruteForceTopK(embC, embC.filter(col("id") < 5).select("id", "vec"), 30)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("rank").as("dense_rank"))
+      val dt = tokenized(s, d).select("doc_id", "tok").distinct()
+      val qt = dt.filter(col("doc_id") < 5).select(col("doc_id").as("qid"), col("tok"))
+      val overlap = dt.join(broadcast(qt), "tok")
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("ov"))
+      val lex = Ann
+        .topKPerKey(overlap.select(col("qid").as("key"), col("doc_id").as("id"),
+          col("ov").as("score")), 30)
+        .select(col("key").as("qid"), col("id").as("doc_id"), col("rank").as("lex_rank"))
+      val fused = dense.join(lex, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"), col("dense_rank"), col("lex_rank"),
+          (coalesce(round(lit(1e6) / (lit(60) + col("dense_rank"))).cast("long"), lit(0L))
+            + coalesce(round(lit(1e6) / (lit(60) + col("lex_rank"))).cast("long"), lit(0L)))
+            .as("rrf_ppm"))
+      Ann.topKPerKey(fused.select(col("qid").as("key"), col("doc_id").as("id"),
+          col("rrf_ppm").as("score")), 10)
+        .select(col("key").as("qid"), col("rank"), col("id").as("doc_id"))
+        .join(fused, Seq("qid", "doc_id"))
+        .select("qid", "rank", "doc_id", "rrf_ppm", "dense_rank", "lex_rank")
+        .orderBy("qid", "rank")
     }
   )
 }

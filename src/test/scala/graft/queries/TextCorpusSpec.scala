@@ -112,4 +112,24 @@ class TextCorpusSpec extends AnyFunSuite {
       .agg(sum("n_sampled")).collect()(0).getLong(0)
     assert(got == expect)
   }
+
+  test("q175: RRF score decomposes into its rank contributions and descends per query") {
+    val rows = run("q175_hybrid_rrf").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      // the fused score must be EXACTLY the sum of the two published
+      // contributions — no hidden third signal, no float drift
+      val expect =
+        Option(r.getAs[Integer]("dense_rank")).map(dr => math.round(1e6 / (60 + dr))).getOrElse(0L) +
+        Option(r.getAs[Integer]("lex_rank")).map(lr => math.round(1e6 / (60 + lr))).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_ppm") == expect, s"row $r")
+      // a fused row must come from at least one ranking
+      assert(r.get(r.fieldIndex("dense_rank")) != null || r.get(r.fieldIndex("lex_rank")) != null)
+    }
+    for ((_, rs) <- rows.groupBy(_.getAs[Long]("qid"))) {
+      assert(rs.length == 10)
+      val scores = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("rrf_ppm")).toSeq
+      assert(scores == scores.sortBy(-(_: Long)), "rrf_ppm must descend with rank")
+    }
+  }
 }
