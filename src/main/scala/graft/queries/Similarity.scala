@@ -729,6 +729,45 @@ object Similarity {
           sum(coalesce(col("dr"), lit(0L))).cast("long").as("n_dropped"),
           sum(when(col("dr").isNull, 1L).otherwise(0L)).cast("long").as("n_kept"))
         .orderBy("label")
+    },
+
+    // ── Hard-negative mining — the contrastive-training data primitive:
+    //    for each query vector, the top-10 most-similar vectors whose
+    //    LABEL DIFFERS (similar-looking but semantically wrong — the
+    //    negatives a retrieval/embedding model learns the most from).
+    //    Same plan shape as q39 (queries broadcast, corpus streams once,
+    //    bounded-state two-stage top-k), with the label-mismatch
+    //    predicate applied BEFORE scoring so excluded candidates never
+    //    reach the dot product. At 100 TB the label filter rides the
+    //    scan and the per-query state stays O(k). Determinism: cosine
+    //    micro-rounded to BIGINT, ties by vec_id.
+    Q("q176_hard_negative_mining",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS q_label
+         |           FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT qid, q_label, vec_id, label AS neg_label,
+         |             ${Ann.cosMicrosSql("qv", "embedding")} AS cm
+         |      FROM q CROSS JOIN embeddings WHERE label <> q_label),
+         |r AS (SELECT qid, q_label, vec_id, neg_label, cm,
+         |             CAST(row_number() OVER (PARTITION BY qid
+         |               ORDER BY cm DESC, vec_id) AS INTEGER) AS rank
+         |      FROM s)
+         |SELECT qid, rank, vec_id, cm / 1e6 AS cos, q_label, neg_label
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val c = corpus(s, d)
+      val q = c.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("vec").as("qv"), col("label").as("q_label"))
+      val scored = c.select(col("id").as("cid"), col("vec").as("cv"),
+          col("label").as("neg_label"))
+        .join(broadcast(q), col("neg_label") =!= col("q_label"))
+        .select(col("qid").as("key"), col("cid").as("id"),
+          Ann.cosMicros(col("qv"), col("cv")).as("score"))
+      Ann.topKPerKey(scored, k = 10)
+        .select(col("key").as("qid"), col("rank"), col("id").as("vec_id"), col("cos"))
+        .join(broadcast(emb(s, d).select(col("vec_id"), col("label").as("neg_label"))),
+          "vec_id")
+        .join(broadcast(q.select(col("qid"), col("q_label"))), "qid")
+        .select("qid", "rank", "vec_id", "cos", "q_label", "neg_label")
+        .orderBy("qid", "rank")
     }
   )
 }

@@ -46,7 +46,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q171_temperature_mixture" -> "cross join of the single-row weight-sum/total aggregate onto the source dim",
     "q173_bigram_perplexity" -> "cross join of the single-row vocabulary-size aggregate",
     "q174_kmv_partition_merge" -> "cross join of the single-row global exact-distinct onto the single-row merged sketch",
-    "q175_hybrid_rrf" -> "5-row query batch broadcast onto the corpus (dense ranking stage)")
+    "q175_hybrid_rrf" -> "5-row query batch broadcast onto the corpus (dense ranking stage)",
+    "q176_hard_negative_mining" -> "5-row query batch broadcast onto the corpus under the label-mismatch predicate")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no unexpected nested-loop or cartesian join") {

@@ -145,4 +145,21 @@ class AnnSpec extends AnyFunSuite {
     val mustHave = exact.filter { case (x, y) => buckets(x) == buckets(y) }
     assert(mustHave.subsetOf(got), "full-bucket-equal pairs must be recalled")
   }
+
+  test("q176: mined hard negatives always cross labels and never beat the unrestricted best") {
+    val rows = graft.SparkEntry.queries("q176_hard_negative_mining")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows)
+      assert(r.getAs[Int]("neg_label") != r.getAs[Int]("q_label"), s"same-label negative: $r")
+    val best39 = graft.SparkEntry.queries("q39_ann_brute_topk")(spark, TestSpark.Sf)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("cos")).toMap
+    for ((qid, rs) <- rows.groupBy(_.getAs[Long]("qid"))) {
+      assert(rs.length == 10)
+      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos")).toSeq
+      assert(cs == cs.sortBy(-(_: Double)), "cos must descend with rank")
+      // restricting candidates (labels must differ) can only lower the top score
+      assert(cs.head <= best39(qid) + 1e-9, s"negative beats unrestricted best for q$qid")
+    }
+  }
 }
