@@ -52,11 +52,26 @@ object Schemas {
     "l_returnflag" -> StringType, "l_linestatus" -> StringType,
     "l_shipdate" -> TimestampNTZType)
 
-  /** Raw at-rest view: ts is TIMESTAMP(NANOS) read as long under
-    * `spark.sql.legacy.parquet.nanosAsLong` (see graft.Sessions). */
-  val eventsRaw: StructType = st(
-    "event_id" -> LongType, "ts" -> LongType, "user_id" -> LongType,
+  /** `events.ts` has more than one physically-equivalent legal at-rest
+    * encoding of the same instants, because the upstream generator has
+    * shipped both over time:
+    *   - TIMESTAMP(NANOS), surfaced as LongType nanos under
+    *     `spark.sql.legacy.parquet.nanosAsLong` (see graft.Sessions);
+    *   - plain parquet timestamp[us], surfaced as TimestampNTZType (or
+    *     TimestampType when isAdjustedToUTC is set).
+    * [[Tables.events]] branches on the observed footer type and normalizes
+    * all three to microsecond TimestampType; any OTHER shape is still hard
+    * drift. Input data the engine does not control must not crash it when
+    * the encoding is semantically identical. */
+  val eventsTsEncodings: Seq[DataType] =
+    Seq(LongType, TimestampNTZType, TimestampType)
+
+  def eventsRawWith(ts: DataType): StructType = st(
+    "event_id" -> LongType, "ts" -> ts, "user_id" -> LongType,
     "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
+
+  /** Legacy nanos-as-long at-rest view (kept for the old generator). */
+  val eventsRaw: StructType = eventsRawWith(LongType)
 
   val documents: StructType = st(
     "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
@@ -68,7 +83,7 @@ object Schemas {
   val byName: Map[String, StructType] = Map(
     "region" -> region, "nation" -> nation, "customer" -> customer,
     "supplier" -> supplier, "part" -> part, "orders" -> orders,
-    "lineitem" -> lineitem, "events" -> eventsRaw,
+    "lineitem" -> lineitem, "events" -> eventsRawWith(TimestampNTZType),
     "documents" -> documents, "embeddings" -> embeddings)
 
   /** Fail fast with the exact drift when `actual` departs from `expected`

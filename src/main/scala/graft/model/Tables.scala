@@ -41,16 +41,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). The session must be
-    * built with `spark.sql.legacy.parquet.nanosAsLong=true` (set once in
-    * [[graft.Sessions]], not here — readers are side-effect free); the
-    * nanos-as-long column is truncated to microsecond timestamps, the
-    * precision the DuckDB oracle compares at. */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** `events.parquet`'s `ts` column has shipped in multiple at-rest
+    * encodings across testdata generations (see [[Schemas.eventsTsEncodings]]):
+    * TIMESTAMP(NANOS) — which Spark's vectorized reader rejects unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` surfaces it as LongType
+    * nanos (the flag is set once in [[graft.Sessions]]) — and plain
+    * timestamp[us], surfaced as TimestampNTZType/TimestampType. All are
+    * the same instants; this reader branches on the observed footer type
+    * and normalizes every legal encoding to microsecond TimestampType
+    * (session timezone is UTC, so the NTZ→TZ cast is exact), the precision
+    * the DuckDB oracle compares at. Any other shape still fails fast with
+    * the exact drift. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    val df = s.read.parquet(s"$d/events.parquet")
+    val observed = df.schema.fields.find(_.name == "ts").map(_.dataType)
+    val tsType = observed.filter(Schemas.eventsTsEncodings.contains)
+      .getOrElse(TimestampNTZType) // unknown shape: validate names the drift
+    Schemas.validate("events", Schemas.eventsRawWith(tsType), df.schema)
+    tsType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
