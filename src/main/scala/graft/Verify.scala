@@ -18,6 +18,17 @@ object Verify {
     // µs→ns) surfaces as a reviewable schema diff BEFORE the driver's
     // hash gate goes red.
     val schemas = scala.collection.mutable.TreeMap.empty[String, Seq[String]]
+    // Input-table footer schemas, recorded as they arrive at rest (raw
+    // spark.read, BEFORE any reader normalization such as Tables.events'
+    // ts handling): a driver-side testdata regeneration (round 8: events
+    // ts nanos→micros) surfaces here as a reviewable `input:` diff even
+    // when the engine tolerates the change.
+    graft.model.Tables.names.foreach { t =>
+      try schemas(s"input:$t") = spark.read.parquet(s"$sfDir/$t.parquet")
+        .schema.fields.toSeq.map(f => s"${f.name}:${f.dataType.sql}")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] input:$t unreadable: ${e.getMessage}") }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>

@@ -120,6 +120,10 @@ def main():
         drift = {k: (golden.get(k), current.get(k))
                  for k in set(golden) & set(current)
                  if golden[k] != current[k]}
+        # A golden entry absent from the current dump means the query
+        # errored or an input table vanished — as much a drift signal as
+        # a type change (verify-only partial runs excepted).
+        absent = sorted(set(golden) - set(current))
         if drift:
             print(f"\nSCHEMA DRIFT vs tools/schema_golden.json "
                   f"({len(drift)} queries):")
@@ -128,6 +132,10 @@ def main():
         else:
             print(f"\nschema golden: OK "
                   f"({len(set(golden) & set(current))} queries compared)")
+        if absent:
+            print(f"schema golden: {len(absent)} entries ABSENT from this "
+                  f"dump: {', '.join(absent[:10])}"
+                  + (" …" if len(absent) > 10 else ""))
     print(f"\n{n_pass} pass / {n_fail} fail of {len(oracle)}")
     sys.exit(1 if n_fail else 0)
 
