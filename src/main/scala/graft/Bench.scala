@@ -141,6 +141,12 @@ object Bench {
         spark.catalog.listTables().collect()
           .filter(t => t.isTemporary && t.name.contains("_sink_"))
           .foreach(t => spark.catalog.dropTempView(t.name))
+        // anything still persisted after clearCache is a localCheckpoint
+        // stray (checkpoint blocks are RDD-level — clearCache cannot see
+        // them, and the async ContextCleaner reclaims them too late for a
+        // 176-query suite; all cross-query memoized state is parquet- or
+        // local-rows-backed, so a sweep here releases only dead blocks).
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         i += 1
       }
       // gc_ms = GC incurred during this query's timed runs ONLY — read the

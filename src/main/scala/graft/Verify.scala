@@ -43,6 +43,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // per-query intermediates must not accumulate
+      // localCheckpoint strays are RDD-level and invisible to clearCache;
+      // released here so 176 queries don't accumulate dead blocks (all
+      // cross-query memoized state is parquet- or local-rows-backed).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -329,12 +329,14 @@ object Dedup {
         .filter(col("component") =!= col("prev")).count()
       // drop the superseded round's checkpoint blocks NOW rather than
       // whenever the ContextCleaner gets to the unreferenced Dataset —
-      // bounds executor storage to two rounds deterministically (ADVICE r6)
-      labels.unpersist()
+      // bounds executor storage to two rounds deterministically (ADVICE
+      // r6). Must go through Ckpt.release: Dataset.unpersist is a no-op
+      // on checkpoint blocks (they are RDD-level, not CacheManager).
+      graft.etl.Ckpt.release(labels)
       labels = next
       converged = changed == 0
     }
-    edges.unpersist()
+    graft.etl.Ckpt.release(edges)
     labels
   }
 
@@ -423,9 +425,10 @@ object Dedup {
       val nextSig = signature(afterSmall)
       // deterministic storage bound: release the superseded round's
       // checkpoint blocks (and the intra-round intermediate) immediately
-      // instead of waiting on the ContextCleaner (ADVICE r6)
-      edges.unpersist()
-      afterLarge.unpersist()
+      // instead of waiting on the ContextCleaner (ADVICE r6). Via
+      // Ckpt.release — Dataset.unpersist cannot reach checkpoint blocks.
+      graft.etl.Ckpt.release(edges)
+      graft.etl.Ckpt.release(afterLarge)
       edges = afterSmall
       converged = nextSig == sig
       sig = nextSig
@@ -434,7 +437,7 @@ object Dedup {
     val out = sym(edges).groupBy("u").agg(min(col("v")).as("mn"))
       .select(col("u").as("doc_id"), least(col("u"), col("mn")).as("component"))
       .localCheckpoint(true) // eager: safe to drop edges right after
-    edges.unpersist()
+    graft.etl.Ckpt.release(edges)
     out
   }
 

@@ -91,6 +91,14 @@ object Graph {
           col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
         .select(col("a.pk").as("src"), col("b.pk").as("dst"))
         .distinct()
+      // localCheckpoint (eager) for the static relations and each rank
+      // round: truncated leaf plans keep per-iteration analyze/optimize
+      // cost flat (a persist variant benched 1.6× slower — Catalyst
+      // re-walks the full cached lineage every round). Checkpoint blocks
+      // are RDD-level, invisible to Dataset.unpersist/clearCache, so
+      // superseded rounds are released deterministically via
+      // graft.etl.Ckpt.release; the FINAL round's blocks back the
+      // returned plan and are swept by the harness after consumption.
       val nodes = pairs.select("pk").distinct().localCheckpoint()
       val nn = nodes.agg(count(lit(1)).as("n"))
       // deg re-references the edges subplan; its distinct's exchange is
@@ -100,6 +108,7 @@ object Graph {
       val edgesD = edges.join(broadcast(deg), "src").localCheckpoint()
       var ranks = nodes.crossJoin(broadcast(nn))
         .select(col("pk"), expr(s"$Mass div n").as("r"))
+      var prev: Option[DataFrame] = None
       for (_ <- 1 to Iterations) {
         val inbound = edgesD
           .join(broadcast(ranks.withColumnRenamed("pk", "src")), "src")
@@ -107,8 +116,8 @@ object Graph {
           .agg(sum(expr("r div d")).cast("long").as("m"))
         // checkpoint the node-sized rank relation each round: iteration
         // k's plan then contains exactly ONE edges⋈ranks join instead of
-        // the whole k-deep lineage — the per-iteration cut every
-        // Pregel-style runner makes.
+        // the whole k-deep lineage, and storage holds at most two rank
+        // copies — the per-iteration cut every Pregel runner makes.
         ranks = nodes
           .join(inbound, Seq("pk"), "left")
           .crossJoin(broadcast(nn))
@@ -116,7 +125,13 @@ object Graph {
             (expr(s"$Teleport div n") +
               expr("(COALESCE(m, 0) * 17) div 20")).as("r"))
           .localCheckpoint()
+        prev.foreach(graft.etl.Ckpt.release)
+        prev = Some(ranks)
       }
+      // the last checkpoint (still in `prev`) backs the returned plan;
+      // everything else was superseded and is releasable now
+      graft.etl.Ckpt.release(nodes)
+      graft.etl.Ckpt.release(edgesD)
       ranks.join(Tables.part(s, d), col("pk") === col("p_partkey"))
         .select(col("p_partkey"), col("p_name"), col("r").cast("long").as("rank_scaled"))
         .orderBy(col("rank_scaled").desc, col("p_partkey"))
@@ -164,7 +179,7 @@ object Graph {
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("src"), col("b.pk").as("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint() // leaf plan; blocks swept by the harness (see q105)
       val deg = edges.select(col("src").as("pk"))
         .unionByName(edges.select(col("dst").as("pk")))
         .groupBy("pk").agg(count(lit(1)).as("d"))
