@@ -7,12 +7,14 @@ import org.apache.spark.sql.SparkSession
   * side effects — ADVICE.md round 1).
   *
   * Config notes:
-  *   - `spark.sql.legacy.parquet.nanosAsLong`: the driver-generated
-  *     `events.parquet` carries TIMESTAMP(NANOS), which Spark's vectorized
-  *     reader rejects ([PARQUET_TYPE_ILLEGAL]). Reading nanos as long and
-  *     truncating to micros in [[graft.model.Tables.events]] matches the
-  *     microsecond precision the DuckDB oracle compares at (test data has
-  *     no sub-microsecond components; documented assumption).
+  *   - `spark.sql.legacy.parquet.nanosAsLong`: some generations of the
+  *     driver-generated `events.parquet` carry TIMESTAMP(NANOS), which
+  *     Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]) unless
+  *     this flag surfaces the column as long nanos. [[graft.model.Tables
+  *     .events]] normalizes every legal at-rest encoding (nanos-as-long,
+  *     timestamp[us] NTZ/UTC — the current testdata) to microsecond
+  *     TimestampType, the precision the DuckDB oracle compares at. The
+  *     flag is harmless when the data is already micros.
   *   - shuffle partitions = executor threads: local mode has no reason for
   *     the 200 default; at cluster scale this knob is sized to data volume
   *     (~128 MB per shuffle partition), not hardcoded.

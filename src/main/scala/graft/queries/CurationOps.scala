@@ -29,6 +29,9 @@ object CurationOps {
   /** Number of merge steps the q164 BPE training loop runs. */
   val BpeSteps = 10
 
+  /** Tokens per packed training sequence (q177). */
+  val PackBudget = 2048
+
   /** DuckDB replay of the K-step BPE training loop (q164): the same
     * chained word-frequency → pair-count → argmax → merge-apply steps,
     * generated as one CTE chain (v0 → sy1/pc1/b1 → v1 → … → b{K}).
@@ -473,6 +476,54 @@ object CurationOps {
           (round(col("ssum").cast("double") / col("n_bigrams")) / 1e6).as("avg_surprisal"))
         .orderBy(col("avg_surprisal").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // ── Sequence packing (concatenate-and-chunk) — the final assembly
+    //    step of a pre-training pipeline: documents are laid out in a
+    //    deterministic order (doc_id), token counts accumulate, and the
+    //    stream is cut into fixed 2048-token training sequences; each
+    //    document is attributed to the bin where it STARTS. The global
+    //    running sum is the scale hazard: a bare `sum() OVER (ORDER BY
+    //    doc_id)` has no PARTITION BY, so Spark moves the whole corpus
+    //    into ONE task. Here the prefix sum is two-phase: per-bucket
+    //    subtotals (hash agg on doc_id div 1024), exact bucket offsets
+    //    via a window over the BUCKET relation (n_docs/1024 rows —
+    //    bounded, broadcast back), then a within-bucket cumulative sum
+    //    partitioned by bucket (parallel across buckets). The bucket key
+    //    is monotone in doc_id, so bucket-offset + within-bucket prefix
+    //    equals the global prefix exactly — bit-identical to the
+    //    oracle's single window. 100 TB: every shuffle is on the coarse
+    //    bucket key and no task ever holds more than one ~1k-doc bucket.
+    Q("q177_sequence_packing",
+      s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS tc FROM documents),
+         |c AS (SELECT doc_id, tc,
+         |             COALESCE(sum(tc) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |      FROM t)
+         |SELECT CAST(off // $PackBudget AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(tc) AS BIGINT) AS total_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tc = fanned(s, d).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("tc"))
+        .withColumn("bkt", expr("doc_id div 1024"))
+      val offsets = tc.groupBy("bkt").agg(sum("tc").as("btot"))
+        .withColumn("boff", coalesce(
+          sum("btot").over(Window.orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "boff")
+      tc.join(broadcast(offsets), "bkt")
+        .withColumn("woff", coalesce(
+          sum("tc").over(Window.partitionBy("bkt").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("doc_id"), col("tc"),
+          expr(s"(boff + woff) div $PackBudget").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("tc").cast("long").as("total_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("bin")
     }
   )
 }
