@@ -60,11 +60,19 @@ object ScaleLake {
     replicate("lineitem") { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * ordSpan)) }
 
+    // events goes through Tables.events (not the raw load): the at-rest ts
+    // encoding varies by testdata generation (nanos-as-long, timestamp[us]
+    // NTZ/UTC) and the reader normalizes all of them to micros
+    // TimestampType; the replicated lake is written back as micros, one of
+    // the legal encodings. Shift arithmetic rides exact unix micros.
     val evSpan = span("events", "event_id")
-    val monthNanos = 30L * 86400L * 1000000000L
-    replicate("events") { (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i * evSpan))
-        .withColumn("ts", col("ts") + lit(i * monthNanos)) }
+    val monthMicros = 30L * 86400L * 1000000L
+    val evBase = Tables.events(spark, src)
+    (0 until n).map { i =>
+      evBase.withColumn("event_id", col("event_id") + lit(i * evSpan))
+        .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + lit(i * monthMicros)))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     val docSpan = span("documents", "doc_id")
     replicate("documents") { (df, i) =>
