@@ -478,23 +478,27 @@ object CurationOps {
         .limit(20)
     },
 
-    // ── Sequence packing (concatenate-and-chunk) — the final assembly
-    //    step of a pre-training pipeline: documents are laid out in a
-    //    deterministic order (doc_id), token counts accumulate, and the
-    //    stream is cut into fixed 2048-token training sequences; each
-    //    document is attributed to the bin where it STARTS. The global
-    //    running sum is the scale hazard: a bare `sum() OVER (ORDER BY
-    //    doc_id)` has no PARTITION BY, so Spark moves the whole corpus
-    //    into ONE task. Here the prefix sum is two-phase: per-bucket
-    //    subtotals (hash agg on doc_id div 1024), exact bucket offsets
-    //    via a window over the BUCKET relation (n_docs/1024 rows —
-    //    bounded, broadcast back), then a within-bucket cumulative sum
-    //    partitioned by bucket (parallel across buckets). The bucket key
-    //    is monotone in doc_id, so bucket-offset + within-bucket prefix
-    //    equals the global prefix exactly — bit-identical to the
-    //    oracle's single window. 100 TB: every shuffle is on the coarse
-    //    bucket key and no task ever holds more than one ~1k-doc bucket.
-    Q("q177_sequence_packing",
+    // ── EXACT GLOBAL sequence packing (concatenate-and-chunk) — the
+    //    final assembly step of a pre-training pipeline: documents laid
+    //    out in one deterministic order (doc_id), token counts
+    //    accumulate, the stream is cut into fixed 2048-token training
+    //    sequences; each document is attributed to the bin where it
+    //    STARTS. q85 is the bucketed production packer — 32 independent
+    //    hash buckets, paying per-bucket (not global) packing density
+    //    for parallelism. This query removes that trade: the global
+    //    running sum is computed as a two-phase distributed prefix sum —
+    //    per-bucket subtotals (hash agg on doc_id div 1024), exact
+    //    bucket offsets via a window over the BUCKET relation
+    //    (n_docs/1024 rows — bounded, broadcast back), then a
+    //    within-bucket cumulative sum partitioned by bucket (parallel
+    //    across buckets). The bucket key is monotone in doc_id, so
+    //    bucket-offset + within-bucket prefix equals the single global
+    //    stream exactly — bit-identical to the oracle's one-window
+    //    replay, without the one-task `sum() OVER (ORDER BY doc_id)`
+    //    that a naive global pack executes. 100 TB: every shuffle rides
+    //    the coarse bucket key; no task holds more than one ~1k-doc
+    //    bucket.
+    Q("q177_exact_global_packing",
       s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS tc FROM documents),
          |c AS (SELECT doc_id, tc,
          |             COALESCE(sum(tc) OVER (ORDER BY doc_id

@@ -12,7 +12,7 @@ class PackingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private lazy val rows =
-    graft.SparkEntry.queries("q177_sequence_packing")(spark, TestSpark.Sf)
+    graft.SparkEntry.queries("q177_exact_global_packing")(spark, TestSpark.Sf)
       .collect()
 
   test("bins start at 0, strictly increase, and doc ranges do not overlap") {
