@@ -44,30 +44,38 @@ object Similarity {
     * DuckDB's default inlining would expand the scan exponentially in
     * the iteration count (the q164 lesson). Ends with ",\n" so callers
     * append their own CTEs / final SELECT. */
-  private def lloydSql(m: Int, subDim: Int, k: Int, iters: Int): String = {
-    val sb = new StringBuilder
-    sb.append("e AS MATERIALIZED (SELECT vec_id AS id, " +
+  private def lloydSql(m: Int, subDim: Int, k: Int, iters: Int): String =
+    "e AS MATERIALIZED (SELECT vec_id AS id, " +
       "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vfull " +
-      "FROM embeddings),\n")
-    sb.append(s"v AS MATERIALIZED (SELECT id, g, vfull[g * $subDim + 1 : (g + 1) * $subDim] AS x " +
-      s"FROM e CROSS JOIN (SELECT unnest(range(0, $m)) AS g)),\n")
-    sb.append(s"c0 AS MATERIALIZED (SELECT g, id AS cell, x AS c FROM v WHERE id < $k),\n")
+      "FROM embeddings),\n" +
+      s"v AS MATERIALIZED (SELECT id, g, vfull[g * $subDim + 1 : (g + 1) * $subDim] AS x " +
+      s"FROM e CROSS JOIN (SELECT unnest(range(0, $m)) AS g)),\n" +
+      lloydChainSql("", "v", subDim, k, iters)
+
+  /** The Lloyd iteration chain over an arbitrary existing (id, g, x)
+    * relation `src`, with every CTE name prefixed by `p` — so TWO
+    * trainings (e.g. q178's coarse quantizer + residual-PQ codebooks)
+    * compose in one oracle without name collisions. Emits
+    * {p}c0…{p}c{iters} (+ per-iteration {p}a/{p}u/{p}n). */
+  private def lloydChainSql(p: String, src: String, subDim: Int, k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"${p}c0 AS MATERIALIZED (SELECT g, id AS cell, x AS c FROM $src WHERE id < $k),\n")
     for (i <- 1 to iters) {
-      val p = i - 1
-      sb.append(s"a$i AS MATERIALIZED (SELECT id, g, x, cell FROM (" +
+      val pr = i - 1
+      sb.append(s"${p}a$i AS MATERIALIZED (SELECT id, g, x, cell FROM (" +
         s"SELECT v.id, v.g, v.x, c.cell, row_number() OVER (PARTITION BY v.g, v.id ORDER BY " +
         s"CAST(list_sum(list_transform(range(1, $subDim + 1), " +
         s"j -> (v.x[j] - c.c[j]) * (v.x[j] - c.c[j]))) AS BIGINT), c.cell) AS r " +
-        s"FROM v JOIN c$p c ON c.g = v.g) WHERE r = 1),\n")
-      sb.append(s"u$i AS MATERIALIZED (SELECT g, cell, pos, CAST(count(*) AS BIGINT) AS n, " +
+        s"FROM $src v JOIN ${p}c$pr c ON c.g = v.g) WHERE r = 1),\n")
+      sb.append(s"${p}u$i AS MATERIALIZED (SELECT g, cell, pos, CAST(count(*) AS BIGINT) AS n, " +
         s"CAST(sum(vv) AS BIGINT) AS sv FROM " +
-        s"(SELECT g, cell, unnest(x) AS vv, unnest(range(1, len(x) + 1)) AS pos FROM a$i) " +
+        s"(SELECT g, cell, unnest(x) AS vv, unnest(range(1, len(x) + 1)) AS pos FROM ${p}a$i) " +
         s"GROUP BY 1, 2, 3),\n")
-      sb.append(s"n$i AS MATERIALIZED (SELECT g, cell, max(n) AS nm, " +
+      sb.append(s"${p}n$i AS MATERIALIZED (SELECT g, cell, max(n) AS nm, " +
         s"list(CAST((sv - ((sv % n) + n) % n) / n AS BIGINT) ORDER BY pos) AS c " +
-        s"FROM u$i GROUP BY g, cell),\n")
-      sb.append(s"c$i AS MATERIALIZED (SELECT p.g, p.cell, coalesce(u.c, p.c) AS c " +
-        s"FROM c$p p LEFT JOIN n$i u ON u.g = p.g AND u.cell = p.cell),\n")
+        s"FROM ${p}u$i GROUP BY g, cell),\n")
+      sb.append(s"${p}c$i AS MATERIALIZED (SELECT p.g, p.cell, coalesce(u.c, p.c) AS c " +
+        s"FROM ${p}c$pr p LEFT JOIN ${p}n$i u ON u.g = p.g AND u.cell = p.cell),\n")
     }
     sb.toString
   }
@@ -75,11 +83,16 @@ object Similarity {
   /** Nearest-final-centroid assignment CTE (the encode step), over the
     * chain emitted by [[lloydSql]]. */
   private def encSql(subDim: Int, iters: Int): String =
-    s"enc AS MATERIALIZED (SELECT id, g, cell FROM (" +
+    encChainSql("enc", "v", "c", subDim, iters)
+
+  /** Prefixed encode CTE over arbitrary source/centroid-chain names. */
+  private def encChainSql(out: String, src: String, cchain: String,
+      subDim: Int, iters: Int): String =
+    s"$out AS MATERIALIZED (SELECT id, g, cell FROM (" +
       s"SELECT v.id, v.g, c.cell, row_number() OVER (PARTITION BY v.g, v.id ORDER BY " +
       s"CAST(list_sum(list_transform(range(1, $subDim + 1), " +
       s"j -> (v.x[j] - c.c[j]) * (v.x[j] - c.c[j]))) AS BIGINT), c.cell) AS r " +
-      s"FROM v JOIN c$iters c ON c.g = v.g) WHERE r = 1)"
+      s"FROM $src v JOIN $cchain$iters c ON c.g = v.g) WHERE r = 1)"
 
   private val LloydIters = 3
   private val KmeansK    = 10
@@ -90,6 +103,8 @@ object Similarity {
   private val PqSub   = Dim / PqM
   private val PqK     = 16
   private val PqIters = 2
+  /** Coarse cells probed per query in IVFADC search (q178). */
+  private val IvfNprobe = 2
 
   /** Trained-codebook cache. [[Ann.lloyd]] is deterministic in (corpus
     * dir, vector split, k, iters), and its output is a model artifact of
@@ -794,6 +809,134 @@ object Similarity {
           "vec_id")
         .join(broadcast(q.select(col("qid"), col("q_label"))), "qid")
         .select("qid", "rank", "vec_id", "cos", "q_label", "neg_label")
+        .orderBy("qid", "rank")
+    },
+
+    // ── IVFADC proper (Jégou et al., "Product Quantization for Nearest
+    //    Neighbor Search") — the two trained indexes composed the way the
+    //    paper (and faiss's IndexIVFPQ) does: the q165 coarse quantizer
+    //    routes each vector to a cell, PQ codebooks are trained on the
+    //    RESIDUALS x − c_cell (not raw vectors — residual energy is what
+    //    the 4-byte codes must capture once the cell explains the rest),
+    //    and search probes the nprobe=2 nearest coarse cells, scoring
+    //    only their members by asymmetric squared-L2 ADC against a
+    //    per-(query, probed-cell) LUT built from the QUERY's residual in
+    //    that cell, then reranks the top-20 candidates with exact
+    //    cosine (q96/q167's two-phase contract). Scale story: candidate
+    //    work is the probed cells' population (never the corpus), the
+    //    LUT is nprobe·m·k rows broadcast, codes are 4 bytes/vector, and
+    //    both trainings are memoized model artifacts. Everything before
+    //    the final rerank divide is exact BIGINT in micro space —
+    //    training, residuals, LUT, ADC sums, candidate cut — so the
+    //    oracle bit-replays the full pipeline through two prefixed Lloyd
+    //    CTE chains.
+    Q("q178_ivfadc", {
+      val qResSub = (0 until PqM).map(g =>
+        s"SELECT qid, cell, CAST($g AS BIGINT) AS g, " +
+          s"qr[$g * $PqSub + 1 : ${g + 1} * $PqSub] AS x FROM qres")
+        .mkString(" UNION ALL ")
+      s"""WITH ${lloydSql(1, Dim, KmeansK, LloydIters)}${encSql(Dim, LloydIters)},
+         |res AS MATERIALIZED (SELECT e.id, enc.cell AS ccell,
+         |        list_transform(range(1, ${Dim + 1}), j -> e.vfull[j] - c.c[j]) AS r
+         |      FROM e JOIN enc ON enc.id = e.id
+         |      JOIN c$LloydIters c ON c.g = 0 AND c.cell = enc.cell),
+         |rv AS MATERIALIZED (SELECT id, g, r[g * $PqSub + 1 : (g + 1) * $PqSub] AS x
+         |      FROM res CROSS JOIN (SELECT unnest(range(0, $PqM)) AS g)),
+         |${lloydChainSql("p", "rv", PqSub, PqK, PqIters)}${encChainSql("penc", "rv", "pc", PqSub, PqIters)},
+         |q AS (SELECT id AS qid, vfull AS qx FROM e WHERE id < 5),
+         |probes AS (SELECT qid, cell FROM (
+         |    SELECT q.qid, c.cell, row_number() OVER (PARTITION BY q.qid ORDER BY
+         |      CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |        j -> (q.qx[j] - c.c[j]) * (q.qx[j] - c.c[j]))) AS BIGINT), c.cell) AS r
+         |    FROM q CROSS JOIN c$LloydIters c) WHERE r <= $IvfNprobe),
+         |qres AS MATERIALIZED (SELECT p.qid, p.cell,
+         |        list_transform(range(1, ${Dim + 1}), j -> q.qx[j] - c.c[j]) AS qr
+         |      FROM probes p JOIN q ON q.qid = p.qid
+         |      JOIN c$LloydIters c ON c.g = 0 AND c.cell = p.cell),
+         |qrs AS ($qResSub),
+         |lut AS MATERIALIZED (SELECT s.qid, s.cell, s.g, c.cell AS pqcell,
+         |        CAST(list_sum(list_transform(range(1, ${PqSub + 1}),
+         |          j -> (s.x[j] - c.c[j]) * (s.x[j] - c.c[j]))) AS BIGINT) AS part
+         |      FROM qrs s JOIN pc$PqIters c ON c.g = s.g),
+         |sc AS (SELECT l.qid, pe.id AS vec_id, CAST(sum(l.part) AS BIGINT) AS d2
+         |       FROM penc pe
+         |       JOIN res ON res.id = pe.id
+         |       JOIN lut l ON l.cell = res.ccell AND l.g = pe.g AND l.pqcell = pe.cell
+         |       WHERE pe.id <> l.qid GROUP BY 1, 2),
+         |cand AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn
+         |    FROM sc) WHERE rn <= 20),
+         |qf AS (SELECT vec_id AS qid, embedding AS fqv FROM embeddings WHERE vec_id < 5),
+         |rr AS (SELECT cand.qid, cand.vec_id,
+         |              ${Ann.cosMicrosSql("qf.fqv", "e3.embedding")} AS cm
+         |       FROM cand
+         |       JOIN qf ON qf.qid = cand.qid
+         |       JOIN embeddings e3 ON e3.vec_id = cand.vec_id),
+         |r AS (SELECT qid, vec_id, cm,
+         |             row_number() OVER (PARTITION BY qid ORDER BY cm DESC, vec_id) AS rank
+         |      FROM rr)
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cm / 1e6 AS cos
+         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+      val c = corpus(s, d)
+      val vecs = Ann.quantized(c).withColumn("g", lit(0L)).select("g", "id", "x")
+      val cents = trainedCents(s, d, "full", KmeansK, LloydIters)(vecs)
+      val coarse = cents.select(col("cell").as("ccell"), col("c").as("cc"))
+      // residuals against the assigned coarse centroid — exact long math
+      val res = Ann.assignCells(vecs, cents)
+        .join(vecs.select("id", "x"), "id")
+        .withColumnRenamed("cell", "ccell")
+        .join(broadcast(coarse), "ccell")
+        .select(col("id"), col("ccell"),
+          zip_with(col("x"), col("cc"), (a, b) => a - b).as("r"))
+      val rsub = res.select(col("id"), explode(expr(
+          s"transform(sequence(0, ${PqM - 1}), g -> struct(CAST(g AS BIGINT) AS g, slice(r, g * $PqSub + 1, $PqSub) AS x))")).as("e"))
+        .select(col("e.g").as("g"), col("id"), col("e.x").as("x"))
+      val pqCents = trainedCents(s, d, "ivfpq-res", PqK, PqIters)(rsub)
+      val codes = Ann.assignCells(rsub, pqCents)
+      // query side: probe the 2 nearest coarse cells by exact integer L2
+      val qs = vecs.filter(col("id") < 5).select(col("id").as("qid"), col("x").as("qx"))
+      val probes = qs.crossJoin(broadcast(coarse))
+        .withColumn("rn", row_number().over(Window.partitionBy("qid")
+          .orderBy(d2(col("qx"), col("cc")), col("ccell"))))
+        .filter(col("rn") <= IvfNprobe)
+        .select(col("qid"), col("ccell"),
+          zip_with(col("qx"), col("cc"), (a, b) => a - b).as("qr"))
+      // per-(query, probed cell) ADC lookup table: nprobe·m·k rows
+      val lut = probes.select(col("qid"), col("ccell"), explode(expr(
+          s"transform(sequence(0, ${PqM - 1}), g -> struct(CAST(g AS BIGINT) AS g, slice(qr, g * $PqSub + 1, $PqSub) AS x))")).as("e"))
+        .select(col("qid"), col("ccell"), col("e.g").as("g"), col("e.x").as("qsr"))
+        .join(broadcast(pqCents.select(col("g"), col("cell").as("pqcell"), col("c"))), Seq("g"))
+        .select(col("qid"), col("ccell"), col("g"), col("pqcell"),
+          d2(col("qsr"), col("c")).as("part"))
+      val lutR = lut.select(col("qid"), col("ccell").as("lcell"),
+        col("g").as("lg"), col("pqcell"), col("part"))
+      val scored = codes
+        .join(res.select("id", "ccell"), "id")
+        .join(broadcast(lutR),
+          col("ccell") === col("lcell") && col("g") === col("lg") &&
+            col("cell") === col("pqcell"))
+        .filter(col("id") =!= col("qid"))
+        .groupBy(col("qid"), col("id"))
+        .agg(sum("part").cast("long").as("d2adc"))
+      val cand = Ann.topKPerKey(
+          scored.select(col("qid").as("key"), col("id"), (-col("d2adc")).as("score")), k = 20)
+        .select(col("key").as("qid"), col("id").as("vec_id"))
+      val fullQ = emb(s, d).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("fqv"))
+      emb(s, d).select(col("vec_id"), col("embedding"))
+        .join(broadcast(cand), "vec_id")
+        .join(broadcast(fullQ), "qid")
+        .select(col("qid"), col("vec_id"),
+          Ann.cosMicros(col("fqv"), col("embedding")).as("cm"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cm").desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("vec_id"), (col("cm") / 1e6).as("cos"))
         .orderBy("qid", "rank")
     }
   )

@@ -162,4 +162,25 @@ class AnnSpec extends AnyFunSuite {
       assert(cs.head <= best39(qid) + 1e-9, s"negative beats unrestricted best for q$qid")
     }
   }
+
+  test("q178: IVFADC returns 10 ranked results per query with real recall vs brute force") {
+    val rows = graft.SparkEntry.queries("q178_ivfadc")(spark, TestSpark.Sf).collect()
+    val exact = graft.SparkEntry.queries("q39_ann_brute_topk")(spark, TestSpark.Sf).collect()
+    val exactTop = exact.groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == exactTop.keySet)
+    var hits = 0
+    for ((qid, rs) <- byQ) {
+      assert(rs.length == 10, s"q$qid returned ${rs.length} results")
+      val cs = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos")).toSeq
+      assert(cs == cs.sortBy(-(_: Double)), "cos must descend with rank")
+      hits += rs.map(_.getAs[Long]("vec_id")).count(exactTop(qid))
+    }
+    // a 2-probe compressed index must still find a meaningful share of the
+    // exact top-10 — guards against a broken LUT/residual pipeline that
+    // would still produce 10 well-formed rows of noise
+    val recall = hits.toDouble / (byQ.size * 10)
+    assert(recall >= 0.3, f"IVFADC mean recall@10 $recall%.2f below floor 0.30")
+  }
 }
