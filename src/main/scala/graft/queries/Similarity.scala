@@ -106,6 +106,16 @@ object Similarity {
   /** Coarse cells probed per query in IVFADC search (q178). */
   private val IvfNprobe = 2
 
+  /** q179 ranking-metric weights, precomputed ONCE in exact integer
+    * micro-units and emitted as literals into BOTH engines — so NDCG/MRR
+    * never depend on either engine's log2/division: position i carries
+    * round(1e6/log2(i+1)) micro-gain, reciprocal rank r carries
+    * round(1e6/r). */
+  private val NdcgW: IndexedSeq[Long] =
+    (1 to 10).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+  private val NdcgIdeal: Long = NdcgW.sum
+  private val MrrW: IndexedSeq[Long] = (1 to 10).map(i => math.round(1e6.toDouble / i))
+
   /** Trained-codebook cache. [[Ann.lloyd]] is deterministic in (corpus
     * dir, vector split, k, iters), and its output is a model artifact of
     * k·dim longs, not a dataset — so the four consumers (q165 ships the
@@ -938,6 +948,138 @@ object Similarity {
         .filter(col("rank") <= 10)
         .select(col("qid"), col("rank"), col("vec_id"), (col("cm") / 1e6).as("cos"))
         .orderBy("qid", "rank")
+    },
+
+    // ── Retrieval-quality eval harness — the metric layer every index in
+    //    the ladder is judged by: NDCG@10 and MRR of the trained-IVF
+    //    ranking (q166's index) against the exact brute-force top-10 as
+    //    binary relevance. Position gains and reciprocal ranks are
+    //    PRECOMPUTED integer micro-weights emitted as literals into both
+    //    engines (NdcgW/MrrW above), so neither engine's log2 is in the
+    //    replay path: DCG/IDCG/MRR are exact integer sums with one final
+    //    IEEE divide each. Scale: metrics ride the eval slice (queries ×
+    //    k rows), never the corpus — this is the query you run on every
+    //    index build to catch silent retrieval regressions.
+    Q("q179_retrieval_metrics", {
+      val centTerms = (1 to Dim).map(i =>
+        s"round(1e6 * avg(CAST(emb.embedding[$i] AS DOUBLE))) / 1e6").mkString(", ")
+      val dcgCase = (1 to 10).map(i => s"WHEN $i THEN ${NdcgW(i - 1)}").mkString(" ")
+      val mrrCase = (1 to 10).map(i => s"WHEN $i THEN ${MrrW(i - 1)}").mkString(" ")
+      s"""WITH ${lloydSql(1, Dim, KmeansK, LloydIters)}${encSql(Dim, LloydIters)},
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |bs AS (SELECT qid, vec_id, ${Ann.cosMicrosSql("qv", "embedding")} AS cm
+         |       FROM q CROSS JOIN embeddings WHERE vec_id <> qid),
+         |bt AS (SELECT qid, vec_id FROM (
+         |         SELECT qid, vec_id,
+         |                row_number() OVER (PARTITION BY qid ORDER BY cm DESC, vec_id) AS r
+         |         FROM bs) WHERE r <= 10),
+         |cent AS MATERIALIZED (SELECT enc.cell AS cell, list_value($centTerms) AS cvec
+         |        FROM embeddings emb JOIN enc ON enc.id = emb.vec_id GROUP BY enc.cell),
+         |centf AS (SELECT cell, list_transform(cvec, x -> CAST(x AS FLOAT)) AS cvf FROM cent),
+         |probes AS (SELECT qid, cell FROM (
+         |    SELECT q.qid, c.cell,
+         |           row_number() OVER (PARTITION BY q.qid
+         |             ORDER BY ${Ann.cosMicrosSql("q.qv", "c.cvf")} DESC, c.cell) AS r
+         |    FROM q CROSS JOIN centf c)
+         |  WHERE r <= 2),
+         |ivs AS (SELECT p.qid, e2.vec_id, ${Ann.cosMicrosSql("q.qv", "e2.embedding")} AS cm
+         |        FROM probes p
+         |        JOIN enc ON enc.cell = p.cell
+         |        JOIN embeddings e2 ON e2.vec_id = enc.id
+         |        JOIN q ON q.qid = p.qid
+         |        WHERE e2.vec_id <> p.qid),
+         |it AS (SELECT qid, vec_id, r FROM (
+         |         SELECT qid, vec_id,
+         |                row_number() OVER (PARTITION BY qid ORDER BY cm DESC, vec_id) AS r
+         |         FROM ivs) WHERE r <= 10),
+         |j AS (SELECT it.qid, it.r FROM it
+         |      JOIN bt ON bt.qid = it.qid AND bt.vec_id = it.vec_id),
+         |m AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_hits,
+         |             CAST(sum(CASE r $dcgCase END) AS BIGINT) AS dcg,
+         |             min(r) AS minr
+         |      FROM j GROUP BY qid)
+         |SELECT q.qid, coalesce(m.n_hits, 0) AS n_hits,
+         |       round(1e6 * coalesce(m.dcg, 0) / $NdcgIdeal) / 1e6 AS ndcg_at_10,
+         |       coalesce(CASE m.minr $mrrCase END, 0) / 1e6 AS mrr
+         |FROM q LEFT JOIN m ON m.qid = q.qid ORDER BY q.qid""".stripMargin
+    }) { (s, d) =>
+      val c = corpus(s, d)
+      val vecs = Ann.quantized(c).withColumn("g", lit(0L)).select("g", "id", "x")
+      val cents = trainedCents(s, d, "full", KmeansK, LloydIters)(vecs)
+      val cells = Ann.assignCells(vecs, cents).select(col("id"), col("cell"))
+      val c2 = c.select("id", "vec").join(cells, "id")
+      val qs = c2.filter(col("id") < 5).select("id", "vec")
+      val bt = Ann.bruteForceTopK(c2, qs, 10).select("qid", "vec_id")
+      val it = Ann.ivfTopK(c2, qs, cellCol = "cell", dim = Dim, nprobe = 2, k = 10)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("r"))
+      val wArr = array(NdcgW.map(lit): _*)
+      val mArr = array(MrrW.map(lit): _*)
+      val m = it.join(bt, Seq("qid", "vec_id"))
+        .groupBy("qid")
+        .agg(count(lit(1)).as("n_hits"),
+          sum(element_at(wArr, col("r").cast("int"))).cast("long").as("dcg"),
+          min("r").as("minr"))
+      qs.select(col("id").as("qid")).distinct()
+        .join(m, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (round(lit(1e6) * coalesce(col("dcg"), lit(0L)) / NdcgIdeal) / 1e6).as("ndcg_at_10"),
+          (coalesce(element_at(mArr, col("minr").cast("int")), lit(0L)) / 1e6).as("mrr"))
+        .orderBy("qid")
+    },
+
+    // ── ANN index refresh audit — the production lifecycle question q166
+    //    never asks: an index is trained on yesterday's corpus, today's
+    //    batch arrives, and you do NOT retrain — new vectors are assigned
+    //    to the FROZEN centroids and the audit reports how the batch
+    //    lands across cells. A skewed batch_share is the retrain signal
+    //    (the index's partition of space no longer matches the data).
+    //    Training runs on the corpus slice only (vec_id < 0.8·max — the
+    //    q161 split idiom), memoized like every codebook; the batch
+    //    never influences the centroids, which is the point. Scale: one
+    //    broadcast-centroid assignment pass over each slice, one k-row
+    //    output — the audit is free next to the index it guards.
+    Q("q180_ann_index_refresh",
+      s"""WITH e AS MATERIALIZED (SELECT vec_id AS id,
+         |        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS vfull
+         |      FROM embeddings),
+         |thr AS (SELECT CAST(floor(0.8 * max(vec_id)) AS BIGINT) AS v FROM embeddings),
+         |vc AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS g, vfull AS x
+         |      FROM e WHERE id < (SELECT v FROM thr)),
+         |${lloydChainSql("f", "vc", Dim, KmeansK, LloydIters)}va AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS g, vfull AS x FROM e),
+         |${encChainSql("fenc", "va", "fc", Dim, LloydIters)},
+         |m AS (SELECT cell,
+         |             CAST(sum(CASE WHEN id < (SELECT v FROM thr) THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
+         |             CAST(sum(CASE WHEN id >= (SELECT v FROM thr) THEN 1 ELSE 0 END) AS BIGINT) AS n_batch
+         |      FROM fenc GROUP BY cell)
+         |SELECT c.cell, coalesce(m.n_corpus, 0) AS n_corpus,
+         |       coalesce(m.n_batch, 0) AS n_batch,
+         |       round(1e6 * coalesce(m.n_batch, 0)
+         |             / greatest(coalesce(m.n_corpus, 0) + coalesce(m.n_batch, 0), 1)) / 1e6
+         |         AS batch_share
+         |FROM (SELECT DISTINCT cell FROM fc$LloydIters) c
+         |LEFT JOIN m ON m.cell = c.cell
+         |ORDER BY c.cell""".stripMargin) { (s, d) =>
+      val all = Ann.quantized(corpus(s, d))
+        .withColumn("g", lit(0L)).select("g", "id", "x")
+      val thr = emb(s, d).agg(floor(max("vec_id") * 0.8).cast("long").as("thr"))
+      val corpusVecs = all.crossJoin(broadcast(thr))
+        .filter(col("id") < col("thr")).drop("thr")
+      val cents = trainedCents(s, d, "refresh-corpus", KmeansK, LloydIters)(corpusVecs)
+      val m = Ann.assignCells(all, cents)
+        .crossJoin(broadcast(thr))
+        .groupBy("cell")
+        .agg(sum(when(col("id") < col("thr"), 1L).otherwise(0L)).cast("long").as("n_corpus"),
+          sum(when(col("id") >= col("thr"), 1L).otherwise(0L)).cast("long").as("n_batch"))
+      cents.select("cell").distinct()
+        .join(m, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("n_corpus"), lit(0L)).as("n_corpus"),
+          coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+          (round(lit(1e6) * coalesce(col("n_batch"), lit(0L)) /
+            greatest(coalesce(col("n_corpus"), lit(0L)) + coalesce(col("n_batch"), lit(0L)),
+              lit(1L))) / 1e6).as("batch_share"))
+        .orderBy("cell")
     }
   )
 }

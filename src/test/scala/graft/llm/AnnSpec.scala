@@ -183,4 +183,33 @@ class AnnSpec extends AnyFunSuite {
     val recall = hits.toDouble / (byQ.size * 10)
     assert(recall >= 0.3, f"IVFADC mean recall@10 $recall%.2f below floor 0.30")
   }
+
+  test("q179: NDCG/MRR bounded in [0,1] and consistent with hit counts") {
+    val rows = graft.SparkEntry.queries("q179_retrieval_metrics")(spark, TestSpark.Sf).collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val hits = r.getAs[Long]("n_hits"); val ndcg = r.getAs[Double]("ndcg_at_10")
+      val mrr = r.getAs[Double]("mrr")
+      assert(hits >= 0 && hits <= 10)
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      assert(mrr >= 0.0 && mrr <= 1.0 + 1e-9)
+      assert((hits == 0) == (ndcg == 0.0), "zero hits iff zero NDCG")
+      assert((hits == 0) == (mrr == 0.0), "zero hits iff zero MRR")
+      if (hits == 10) assert(ndcg >= 0.999, "all 10 hits must give NDCG 1 under binary relevance")
+    }
+  }
+
+  test("q180: index-refresh audit partitions both slices exactly") {
+    val rows = graft.SparkEntry.queries("q180_ann_index_refresh")(spark, TestSpark.Sf).collect()
+    val emb = graft.model.Tables.embeddings(spark, TestSpark.Sf)
+    val thr = math.floor(0.8 * emb.agg(max("vec_id")).head.getLong(0)).toLong
+    val nCorpus = emb.filter(col("vec_id") < thr).count()
+    val nBatch = emb.filter(col("vec_id") >= thr).count()
+    assert(rows.map(_.getAs[Long]("n_corpus")).sum == nCorpus)
+    assert(rows.map(_.getAs[Long]("n_batch")).sum == nBatch)
+    for (r <- rows) {
+      val share = r.getAs[Double]("batch_share")
+      assert(share >= 0.0 && share <= 1.0 + 1e-9)
+    }
+  }
 }
