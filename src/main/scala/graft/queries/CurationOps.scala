@@ -528,6 +528,56 @@ object CurationOps {
           sum("tc").cast("long").as("total_tokens"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("bin")
+    },
+
+    // ── Chunk-level (sub-document) exact dedup — the boilerplate-removal
+    //    stage document-level dedup cannot express: repeated 64-token
+    //    blocks (headers, navboxes, license stubs) recur across otherwise
+    //    distinct documents, and the pipeline drops every repeat while
+    //    keeping each document's unique remainder. Chunks are q84's
+    //    non-overlapping 64-token windows; identity is md5 of the
+    //    re-joined chunk text; the keep-first policy is the global
+    //    (doc_id, chunk_idx) order — one row_number per fingerprint, a
+    //    single shuffle on the (high-cardinality) fingerprint key, so at
+    //    100 TB this is embarrassingly parallel and never compares chunk
+    //    text pairwise. Output = per-language removal accounting, the
+    //    number the curation dashboard tracks crawl over crawl.
+    Q("q181_chunk_dedup",
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |ch AS (SELECT doc_id, lang, CAST((st - 1) // 64 AS BIGINT) AS ci,
+        |              array_to_string(toks[st:st+63], ' ') AS ctext,
+        |              len(toks[st:st+63]) AS clen
+        |       FROM (SELECT doc_id, lang, toks,
+        |                    unnest(range(1, len(toks) + 1, 64)) AS st
+        |             FROM t WHERE len(toks) >= 1)),
+        |r AS (SELECT lang, clen,
+        |             row_number() OVER (PARTITION BY md5(ctext)
+        |                                ORDER BY doc_id, ci) AS rn
+        |      FROM ch)
+        |SELECT lang,
+        |       CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dups,
+        |       CAST(coalesce(sum(clen) FILTER (WHERE rn > 1), 0) AS BIGINT) AS tokens_removed
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ch = fanned(s, d)
+        .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(toks), 64), st -> struct(CAST((st - 1) div 64 AS BIGINT) AS ci, slice(toks, st, 64) AS c))")).as("e"))
+        .select(col("doc_id"), col("lang"), col("e.ci").as("ci"),
+          md5(array_join(col("e.c"), " ")).as("fp"),
+          size(col("e.c")).cast("long").as("clen"))
+      ch.withColumn("rn", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id", "ci")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("rn") === 1, 1)).cast("long").as("n_kept"),
+          count(when(col("rn") > 1, 1)).cast("long").as("n_dups"),
+          coalesce(sum(when(col("rn") > 1, col("clen"))), lit(0L))
+            .cast("long").as("tokens_removed"))
+        .orderBy("lang")
     }
   )
 }
