@@ -203,6 +203,39 @@ object LlmPipeline {
         .orderBy("lang")
     },
 
+    // ── Duplicate-cluster size histogram — the crawl-pathology signal on
+    //    top of q53's transitive clusters: how many near-dup clusters of
+    //    each size does the corpus carry? A healthy crawl shows a thin
+    //    tail of small clusters; mirror farms and template spam show up
+    //    as mass at large sizes (and would make pairwise-only dedup
+    //    quadratically wasteful — the q36 vs q53 policy gap, quantified).
+    //    Shares the session pair checkpoint and the O(log n) star CC;
+    //    the histogram itself is two tiny aggregates over the
+    //    component-sized label relation. Oracle: the q53 recursive CTE,
+    //    re-aggregated.
+    Q("q182_dup_cluster_histogram",
+      s"""${nearDupPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p WHERE jaccard >= $JaccardThreshold
+         |      UNION ALL
+         |      SELECT doc_b, doc_a FROM p WHERE jaccard >= $JaccardThreshold),
+         |r(id, m) AS (
+         |      SELECT src, src FROM e
+         |      UNION
+         |      SELECT e.src, r.m FROM e JOIN r ON r.id = e.dst),
+         |lab AS (SELECT id, min(m) AS component FROM r GROUP BY id),
+         |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS csize FROM lab GROUP BY 1)
+         |SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(sum(csize) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY csize ORDER BY csize""".stripMargin) { (s, d) =>
+      Dedup.connectedComponentsLogN(
+          Dedup.nearDupPairsCkpt(docs(s, d), d, JaccardThreshold)
+            .filter(col("jaccard") >= JaccardThreshold))
+        .groupBy("component").agg(count(lit(1)).cast("long").as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_clusters"),
+          sum("csize").cast("long").as("n_docs"))
+        .orderBy("csize")
+    },
+
     // ── EXACT n-gram Jaccard pairs via inverted-index join — the third
     //    algorithm over the same pair relation (q35 = LSH candidates +
     //    verify; the oracle = all-pairs; this = candidates from sharing ≥1
