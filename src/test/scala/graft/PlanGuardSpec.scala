@@ -47,7 +47,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q173_bigram_perplexity" -> "cross join of the single-row vocabulary-size aggregate",
     "q174_kmv_partition_merge" -> "cross join of the single-row global exact-distinct onto the single-row merged sketch",
     "q175_hybrid_rrf" -> "5-row query batch broadcast onto the corpus (dense ranking stage)",
-    "q176_hard_negative_mining" -> "5-row query batch broadcast onto the corpus under the label-mismatch predicate")
+    "q176_hard_negative_mining" -> "5-row query batch broadcast onto the corpus under the label-mismatch predicate",
+    "q178_ivfadc" -> "Lloyd assignment (k-row centroid broadcasts) + 5-query probe cross join (nprobe·k rows)",
+    "q179_retrieval_metrics" -> "q166's shapes: Lloyd assignment + 5-row query batch × corpus exact baseline",
+    "q180_ann_index_refresh" -> "cross joins of the single-row split bound + k=10 frozen-centroid assignment")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no unexpected nested-loop or cartesian join") {
