@@ -26,10 +26,10 @@ object Quality {
   /** KMV sketch size. Standard error ≈ 1/sqrt(k-2) ≈ 6.3% at k=256 —
     * the estimate column in q97 shows the real error against the exact
     * count on the same data. */
-  private val K = 256
+  private[queries] val K = 256
 
   /** 2^60 as an exact double (15 hex digits of md5 span [0, 2^60)). */
-  private val HashSpace = 1152921504606846976.0
+  private[queries] val HashSpace = 1152921504606846976.0
 
   val defs: Vector[Q] = Vector(
 

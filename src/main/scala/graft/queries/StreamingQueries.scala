@@ -392,6 +392,58 @@ object StreamingQueries {
             (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
           .orderBy("segment")
       }
+    },
+
+    // ── Streaming KMV distinct-count sketch (§2.9 × the q97/q174 sketch
+    //    family): per-day distinct-user estimation with EXACTLY k longs of
+    //    state per day — the bounded-state streaming distinct-counter a
+    //    100 TB/day stream needs where a plain streaming COUNT(DISTINCT)
+    //    would key state per user forever. The k-smallest-of-a-union fold
+    //    is order-independent and idempotent, so the drained final sketch
+    //    is byte-identical regardless of micro-batch boundaries — the
+    //    oracle replays it as one batch expression. Update mode emits
+    //    per-batch snapshots; the final row per day is the fullest, then
+    //    tightest, sketch (n_sketch monotone up, kth_hash monotone down
+    //    once the sketch fills).
+    Q("q183_streaming_kmv_sketch",
+      s"""WITH hd AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         |                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         |            FROM events WHERE user_id IS NOT NULL),
+         |dh AS (SELECT DISTINCT day, h FROM hd),
+         |pd AS (SELECT day, h FROM (
+         |         SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS r
+         |         FROM dh) WHERE r <= ${Quality.K}),
+         |ds AS (SELECT day, CAST(count(*) AS BIGINT) AS n_sketch, max(h) AS kth_hash
+         |       FROM pd GROUP BY 1)
+         |SELECT day, n_sketch, kth_hash,
+         |       CASE WHEN n_sketch < ${Quality.K} THEN n_sketch
+         |            ELSE CAST(round(${Quality.K - 1}.0 * ${Quality.HashSpace} / kth_hash) AS BIGINT) END
+         |         AS est_distinct
+         |FROM ds ORDER BY day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sink = s"q183_sink_${sinkSeq.getAndIncrement()}"
+      val src = stagedEventsDir(s, d)
+      withStreamTuning(s, partitions = 8) { st =>
+        val query = StreamingJobs
+          .kmvPerDayStream(StreamingJobs.eventsStream(st, src), Quality.K)
+          .toDF("day", "n_sketch", "kth_hash")
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        st.table(sink)
+          .withColumn("rn", row_number().over(Window.partitionBy("day")
+            .orderBy(col("n_sketch").desc, col("kth_hash").asc)))
+          .filter(col("rn") === 1)
+          .select(col("day"), col("n_sketch"), col("kth_hash"),
+            when(col("n_sketch") < Quality.K, col("n_sketch"))
+              .otherwise(round(lit((Quality.K - 1).toDouble) * lit(Quality.HashSpace)
+                / col("kth_hash")).cast("long")).as("est_distinct"))
+          .orderBy("day")
+      }
     }
   )
 }

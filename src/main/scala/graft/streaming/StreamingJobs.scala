@@ -124,6 +124,37 @@ object StreamingJobs {
       }
   }
 
+  /** Streaming KMV distinct-count sketch per day — the §2.9 twin of the
+    * q174 batch sketch family. State per day is the k smallest DISTINCT
+    * md5 hashes of the user ids seen so far: exactly k longs, never
+    * more, regardless of input volume — the bounded-state property that
+    * makes a sketch the right streaming distinct-counter at 100 TB/day
+    * (a plain streaming COUNT(DISTINCT) keys state per user forever).
+    * The fold is order-independent and idempotent (k-smallest of a
+    * union), so the drained final state is byte-identical no matter how
+    * the source files split into micro-batches — which is what lets the
+    * batch oracle replay it exactly. Emits the state after every batch
+    * (update mode); the final row per day is the one with the fullest,
+    * then tightest, sketch. */
+  def kmvPerDayStream(events: DataFrame, k: Int): org.apache.spark.sql.Dataset[(String, Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.filter(col("user_id").isNotNull)
+      .select(col("ts").cast("date").cast("string").as("day"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Long, Long)](GroupStateTimeout.NoTimeout) {
+        (day: String, it: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
+          val merged = (state.getOption.getOrElse(Array.empty[Long]).iterator ++ it.map(_._2))
+            .toArray.distinct.sorted.take(k)
+          state.update(merged)
+          (day, merged.length.toLong, merged.last)
+      }
+  }
+
   /** Stream-stream interval join (click→purchase attribution): every
     * purchase joined to the same user's clicks in the preceding
     * `windowMicros`. Both sides carry event-time watermarks, and the join

@@ -260,4 +260,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((1L, None)),
       s"unmatched purchase must surface as a null-click row after the watermark: $rows")
   }
+
+  test("streaming KMV sketch is batch-boundary independent and equals the batch sketch") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    // 4 files + maxFilesPerTrigger=1 → the drain MUST cross ≥4 micro-batch
+    // boundaries, so agreement with the batch sketch proves the fold is
+    // split-invariant, not just correct on a single batch
+    val dir = Files.createTempDirectory("graft-kmv-stream").toString
+    graft.model.Tables.events(spark, TestSpark.Sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(StreamingJobs.eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = StreamingJobs.kmvPerDayStream(stream, k)
+      .toDF("day", "n_sketch", "kth_hash")
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.recentProgress.map(_.batchId).distinct.length >= 4,
+      "drain must have crossed multiple micro-batches")
+    val fin = spark.table("kmv_stream")
+      .withColumn("rn", row_number().over(Window.partitionBy("day")
+        .orderBy(col("n_sketch").desc, col("kth_hash").asc)))
+      .filter(col("rn") === 1)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val ref = graft.model.Tables.events(spark, TestSpark.Sf)
+      .filter(col("user_id").isNotNull)
+      .select(col("ts").cast("date").cast("string").as("day"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+      .withColumn("r", row_number().over(Window.partitionBy("day").orderBy("h")))
+      .filter(col("r") <= k)
+      .groupBy("day").agg(count(lit(1)).as("n_sketch"), max("h").as("kth_hash"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(fin == ref, "streamed final sketch must equal the batch sketch per day")
+  }
 }
