@@ -236,6 +236,44 @@ object LlmPipeline {
         .orderBy("csize")
     },
 
+    // ── Cross-source contamination matrix — WHERE the near-duplication
+    //    lives: every verified pair labeled with its two documents'
+    //    sources (unordered), counted per source pair. Within-source mass
+    //    is ordinary crawl redundancy; cross-source mass is one corpus
+    //    leaking into another (a mirror, a scraped re-host, an
+    //    aggregator) — the signal that decides which SOURCE to drop,
+    //    which per-document dedup alone never surfaces. Rides the shared
+    //    pair checkpoint; two broadcast dim joins (documents' (doc_id,
+    //    source) projection) and one hash agg on the source pair.
+    Q("q184_cross_source_contamination",
+      s"""$nearDupPairsSql,
+         |src AS (SELECT doc_id, source FROM documents),
+         |lp AS (SELECT least(sa.source, sb.source) AS source_a,
+         |              greatest(sa.source, sb.source) AS source_b,
+         |              p.jaccard
+         |       FROM p JOIN src sa ON sa.doc_id = p.doc_a
+         |              JOIN src sb ON sb.doc_id = p.doc_b
+         |       WHERE p.jaccard >= $JaccardThreshold)
+         |SELECT source_a, source_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(CASE WHEN source_a = source_b THEN 0 ELSE 1 END) AS BIGINT)
+         |         AS n_cross,
+         |       max(jaccard) AS max_jaccard
+         |FROM lp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      Dedup.nearDupPairsCkpt(docs(s, d), d, JaccardThreshold)
+        .join(broadcast(src.select(col("doc_id").as("doc_a"), col("source").as("sa"))), "doc_a")
+        .join(broadcast(src.select(col("doc_id").as("doc_b"), col("source").as("sb"))), "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("source_a") === col("source_b"), 0L).otherwise(1L))
+            .cast("long").as("n_cross"),
+          max("jaccard").as("max_jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+
     // ── EXACT n-gram Jaccard pairs via inverted-index join — the third
     //    algorithm over the same pair relation (q35 = LSH candidates +
     //    verify; the oracle = all-pairs; this = candidates from sharing ≥1
