@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashAgg, ShingleHashes, SimHashAgg, VecDot}
+import graft.functions.{MinHashAgg, ShingleHashes, SimHashAgg, VecDot, VecDotI, VecL2I}
 
 /** Session extensions — the supported injection point for the engine's
   * custom Catalyst surface. Installing via
@@ -22,6 +22,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (es: Seq[Expression]) => VecDot(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_l2i"),
+      new ExpressionInfo(classOf[VecL2I].getName, "vec_l2i"),
+      (es: Seq[Expression]) => VecL2I(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_doti"),
+      new ExpressionInfo(classOf[VecDotI].getName, "vec_doti"),
+      (es: Seq[Expression]) => VecDotI(es.head, es(1))))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sig"),

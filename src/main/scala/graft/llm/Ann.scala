@@ -136,9 +136,12 @@ object Ann {
     corpus.select(col("id"),
       transform(col("vec"), x => round(x.cast("double") * 1e6).cast("long")).as("x"))
 
-  /** Exact integer squared L2 distance between two long arrays. */
+  /** Exact integer squared L2 distance between two long arrays — the
+    * codegen'd [[graft.functions.VecL2I]] kernel: the assignment scan's
+    * per-row work is corpus × k × dim multiplies, and the HOF
+    * formulation (`aggregate(zip_with(...))`) runs it interpreted. */
   private def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    graft.functions.VecIntOps.l2(a, b)
 
   /** Nearest-centroid assignment: for each (g, id) the cell minimizing
     * integer ‖x−c‖², ties to the smallest cell id. Centroids broadcast

@@ -695,8 +695,7 @@ object Similarity {
         .select(col("id").as("qid"), col("g"), col("x").as("qx"))
         .join(broadcast(cents.select(col("g"), col("cell"), col("c"))), Seq("g"))
         .select(col("qid"), col("g"), col("cell"),
-          aggregate(zip_with(col("qx"), col("c"), (a, b) => a * b),
-            lit(0L), (acc, v) => acc + v).as("part"))
+          graft.functions.VecIntOps.dot(col("qx"), col("c")).as("part"))
       val scored = codes.join(broadcast(lut), Seq("g", "cell"))
         .filter(col("id") =!= col("qid"))
         .groupBy(col("qid"), col("id"))
@@ -760,8 +759,7 @@ object Similarity {
       val withVec = Ann.assignCells(vecs, cents)
         .join(vecs.select("id", "x"), "id")
         .withColumn("nm", sqrt(
-          aggregate(zip_with(col("x"), col("x"), (p, q) => p * q),
-            lit(0L), (acc, v) => acc + v).cast("double")))
+          graft.functions.VecIntOps.dot(col("x"), col("x")).cast("double")))
       val a = withVec.select(col("cell"), col("id").as("ia"),
         col("x").as("xa"), col("nm").as("na"))
       val b = withVec.select(col("cell"), col("id").as("ib"),
@@ -769,8 +767,7 @@ object Similarity {
       val dropped = a.join(b, Seq("cell"))
         .filter(col("ia") < col("ib"))
         .withColumn("cm", round(lit(1e6) *
-          (aggregate(zip_with(col("xa"), col("xb"), (p, q) => p * q),
-            lit(0L), (acc, v) => acc + v).cast("double")
+          (graft.functions.VecIntOps.dot(col("xa"), col("xb")).cast("double")
             / (col("na") * col("nb")))))
         .filter(col("cm") >= 400000L)
         .select(col("ib").as("vec_id")).distinct()
@@ -891,7 +888,7 @@ object Similarity {
     }) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+        graft.functions.VecIntOps.l2(a, b)
       val c = corpus(s, d)
       val vecs = Ann.quantized(c).withColumn("g", lit(0L)).select("g", "id", "x")
       val cents = trainedCents(s, d, "full", KmeansK, LloydIters)(vecs)

@@ -62,6 +62,29 @@ class AnnSpec extends AnyFunSuite {
       "trained-cell recall must stay within noise of the seed baseline on unclustered data")
   }
 
+  test("vec_l2i / vec_doti equal their higher-order-function formulations on quantized vectors") {
+    import graft.functions.VecIntOps
+    val q = Ann.quantized(corpus).select(col("id"), col("x"))
+    val pairs = q.select(col("id"), col("x"))
+      .join(q.select((col("id") + 1).as("id"), col("x").as("y")), "id")
+    val l2Hof = aggregate(zip_with(col("x"), col("y"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    val dotHof = aggregate(zip_with(col("x"), col("y"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val bad = pairs.select(
+        VecIntOps.l2(col("x"), col("y")).as("l2f"), l2Hof.as("l2s"),
+        VecIntOps.dot(col("x"), col("y")).as("dotf"), dotHof.as("dots"))
+      .filter(col("l2f") =!= col("l2s") || col("dotf") =!= col("dots"))
+      .count()
+    assert(bad == 0, "integer kernels must be bit-identical to zip_with/aggregate")
+    // known values + length mismatch (common-prefix semantics)
+    import spark.implicits._
+    val row = Seq((Array(1L, 2L, 3L), Array(4L, 5L))).toDF("a", "b")
+      .select(VecIntOps.l2($"a", $"b").as("l2"), VecIntOps.dot($"a", $"b").as("dot"))
+      .head()
+    assert(row.getLong(0) == 9L + 9L && row.getLong(1) == 4L + 10L)
+  }
+
   test("vec_dot equals the higher-order-function formulation on real vectors") {
     val hof = aggregate(
       zip_with(col("vec"), col("vec"), (x, y) => x.cast("double") * y.cast("double")),
