@@ -65,9 +65,9 @@ object ScaleLake {
     // NTZ/UTC) and the reader normalizes all of them to micros
     // TimestampType; the replicated lake is written back as micros, one of
     // the legal encodings. Shift arithmetic rides exact unix micros.
-    val evSpan = span("events", "event_id")
     val monthMicros = 30L * 86400L * 1000000L
     val evBase = Tables.events(spark, src)
+    val evSpan = evBase.agg(max(col("event_id"))).head.getLong(0) + 1L
     (0 until n).map { i =>
       evBase.withColumn("event_id", col("event_id") + lit(i * evSpan))
         .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + lit(i * monthMicros)))

@@ -14,11 +14,14 @@ import org.apache.spark.sql.Column
   * on the interpreted path, and in a k-way assignment scan that pairwise
   * kernel IS the per-row work (corpus × k centroids × dim multiplies).
   * Both kernels accumulate in longs exactly as the HOF formulation does —
-  * left-to-right, wrap-on-overflow — so swapping them in changes no
-  * result bit and the DuckDB oracles are untouched.
-  *
-  * Null-intolerant on array arguments; null elements read as 0 (the
-  * quantized relations carry none).
+  * left-to-right, wrap-on-overflow — so on EQUAL-LENGTH, NULL-FREE arrays
+  * (which is all the quantized relations ever produce: fixed `dim`/`m`
+  * vectors built by `transform` over literals) swapping them in changes no
+  * result bit and the DuckDB oracles are untouched. The equivalence does
+  * NOT extend to ragged or null-carrying inputs: `aggregate(zip_with(...))`
+  * null-pads the shorter array and returns NULL on any null element,
+  * whereas these kernels sum the common prefix and read null elements as 0
+  * — a caller with such inputs must use the HOF form (or pre-clean).
   */
 private[functions] trait LongArrayBinary extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = {

@@ -8,10 +8,10 @@ import org.apache.spark.sql.types._
   * re-interprets drifted data; here every scan is validated against the
   * contract below and drift is an error naming the exact columns.
   *
-  * Types mirror the driver-generated parquet exactly (timestamps arrive as
-  * TimestampType after Spark's reader; `events.ts` is TIMESTAMP(NANOS) at
-  * rest and is handled by [[Tables.events]] — its pinned type below is the
-  * post-read LongType of the nanosAsLong legacy mode).
+  * Types mirror the driver-generated parquet exactly. `events.ts` has more
+  * than one legal at-rest encoding (see [[eventsTsEncodings]]), so events
+  * validates encoding-aware through [[eventsRawWith]] rather than a single
+  * pinned entry in [[byName]].
   */
 object Schemas {
 
@@ -70,9 +70,6 @@ object Schemas {
     "event_id" -> LongType, "ts" -> ts, "user_id" -> LongType,
     "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
 
-  /** Legacy nanos-as-long at-rest view (kept for the old generator). */
-  val eventsRaw: StructType = eventsRawWith(LongType)
-
   val documents: StructType = st(
     "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
     "source" -> StringType, "n_chars" -> LongType)
@@ -83,7 +80,9 @@ object Schemas {
   val byName: Map[String, StructType] = Map(
     "region" -> region, "nation" -> nation, "customer" -> customer,
     "supplier" -> supplier, "part" -> part, "orders" -> orders,
-    "lineitem" -> lineitem, "events" -> eventsRawWith(TimestampNTZType),
+    "lineitem" -> lineitem,
+    // no "events" entry: its at-rest ts encoding varies legally, so
+    // Tables.load validates it encoding-aware against eventsRawWith.
     "documents" -> documents, "embeddings" -> embeddings)
 
   /** Fail fast with the exact drift when `actual` departs from `expected`

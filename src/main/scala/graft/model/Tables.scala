@@ -30,8 +30,18 @@ object Tables {
     * reference's silent per-hop re-inference (SURVEY §1.3). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    Schemas.byName.get(name).foreach(Schemas.validate(name, _, df.schema))
+    if (name == "events") Schemas.validate(name, Schemas.eventsRawWith(eventsTsType(df)), df.schema)
+    else Schemas.byName.get(name).foreach(Schemas.validate(name, _, df.schema))
     df
+  }
+
+  /** Observed at-rest `ts` encoding of an events scan, restricted to the
+    * legal set — any other shape falls through to the NTZ contract so
+    * [[Schemas.validate]] names the drift. */
+  private def eventsTsType(df: DataFrame) = {
+    import org.apache.spark.sql.types.TimestampNTZType
+    df.schema.fields.find(_.name == "ts").map(_.dataType)
+      .filter(Schemas.eventsTsEncodings.contains).getOrElse(TimestampNTZType)
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
@@ -55,12 +65,8 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types._
-    val df = s.read.parquet(s"$d/events.parquet")
-    val observed = df.schema.fields.find(_.name == "ts").map(_.dataType)
-    val tsType = observed.filter(Schemas.eventsTsEncodings.contains)
-      .getOrElse(TimestampNTZType) // unknown shape: validate names the drift
-    Schemas.validate("events", Schemas.eventsRawWith(tsType), df.schema)
-    tsType match {
+    val df = load(s, d, "events") // encoding-aware validation lives in load
+    eventsTsType(df) match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _                => df

@@ -124,34 +124,109 @@ object StreamingJobs {
       }
   }
 
+  /** O(k) KMV merge step: folds a hash iterator into a size-bounded sorted
+    * set seeded from the prior sketch. A hash enters only if the sketch is
+    * under-full or it beats the current k-th smallest; the set then evicts
+    * its max — so the WORKING SET is O(k), independent of how many rows the
+    * micro-batch delivers for the day (the earlier
+    * `(state ++ it).toArray.distinct.sorted.take(k)` materialized the whole
+    * per-(day, batch) group first, the exact overload a bounded-state
+    * sketch exists to avoid). Output is the k smallest distinct hashes
+    * ascending — bit-identical to the materializing fold for any input
+    * order or batch split. */
+  private[graft] def kmvFold(prior: Array[Long], hashes: Iterator[Long], k: Int): Array[Long] = {
+    val s = scala.collection.mutable.TreeSet.empty[Long]
+    s ++= prior // invariant: prior sketches carry ≤ k entries
+    hashes.foreach { h =>
+      if (s.size < k) s += h
+      else if (h < s.last && s.add(h)) s.remove(s.last)
+    }
+    s.toArray
+  }
+
+  private def perDayUserHash(events: DataFrame): DataFrame =
+    events.filter(col("user_id").isNotNull)
+      .select(col("ts").cast("date").cast("string").as("day"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+
   /** Streaming KMV distinct-count sketch per day — the §2.9 twin of the
     * q174 batch sketch family. State per day is the k smallest DISTINCT
     * md5 hashes of the user ids seen so far: exactly k longs, never
     * more, regardless of input volume — the bounded-state property that
     * makes a sketch the right streaming distinct-counter at 100 TB/day
     * (a plain streaming COUNT(DISTINCT) keys state per user forever).
-    * The fold is order-independent and idempotent (k-smallest of a
-    * union), so the drained final state is byte-identical no matter how
-    * the source files split into micro-batches — which is what lets the
-    * batch oracle replay it exactly. Emits the state after every batch
-    * (update mode); the final row per day is the one with the fullest,
-    * then tightest, sketch. */
+    * Per-batch working memory is ALSO O(k) via [[kmvFold]], so a single
+    * giant micro-batch costs k longs, not the batch. The fold is
+    * order-independent and idempotent (k-smallest of a union), so the
+    * drained final state is byte-identical no matter how the source files
+    * split into micro-batches — which is what lets the batch oracle replay
+    * it exactly. Emits the state after every batch (update mode); the
+    * final row per day is the one with the fullest, then tightest, sketch.
+    *
+    * Day keys never expire here (NoTimeout): that is what makes a finite
+    * drain equal the whole-history batch oracle. An unbounded production
+    * stream accumulates k longs per day forever — tiny, but unbounded in
+    * days — so the deployment shape is [[kmvPerDayStreamExpiring]], which
+    * retires a day's state once the watermark proves it final. */
   def kmvPerDayStream(events: DataFrame, k: Int): org.apache.spark.sql.Dataset[(String, Long, Long)] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupState
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    events.filter(col("user_id").isNotNull)
-      .select(col("ts").cast("date").cast("string").as("day"),
-        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+    perDayUserHash(events)
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[Array[Long], (String, Long, Long)](GroupStateTimeout.NoTimeout) {
         (day: String, it: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
-          val merged = (state.getOption.getOrElse(Array.empty[Long]).iterator ++ it.map(_._2))
-            .toArray.distinct.sorted.take(k)
+          val merged = kmvFold(state.getOption.getOrElse(Array.empty[Long]), it.map(_._2), k)
           state.update(merged)
           (day, merged.length.toLong, merged.last)
+      }
+  }
+
+  /** Production variant of [[kmvPerDayStream]]: same sketch, same O(k)
+    * fold, plus EVENT-TIME EXPIRY of day-key state. Each update arms an
+    * event-time timeout at the day's end-of-day instant (UTC — the session
+    * timezone the `day` key was derived in); once the watermark (event
+    * time − `horizon`) passes it, the group times out, its state is
+    * removed, and nothing further is emitted — the last in-day snapshot
+    * already was the final sketch. Total state is therefore O(active days
+    * within the watermark horizon), not O(stream-lifetime days). Events
+    * later than the horizon would re-create a retired day from scratch;
+    * correctness of the retire therefore has the standard watermark
+    * contract (lateness ≤ horizon), which is the same promise every
+    * watermarked aggregation in this file makes. */
+  def kmvPerDayStreamExpiring(events: DataFrame, k: Int, horizon: String): org.apache.spark.sql.Dataset[(String, Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // the watermarked event-time column must survive projection all the way
+    // into the stateful operator, or the analyzer (rightly) rejects the
+    // event-time timeout — hence the 3-column shape vs perDayUserHash
+    events.withWatermark("ts", horizon)
+      .filter(col("user_id").isNotNull)
+      .select(col("ts").cast("date").cast("string").as("day"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"),
+        col("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (String, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (day: String, it: Iterator[(String, Long, java.sql.Timestamp)], state: GroupState[Array[Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val merged = kmvFold(state.getOption.getOrElse(Array.empty[Long]), it.map(_._2), k)
+            state.update(merged)
+            val endOfDay = java.time.LocalDate.parse(day).plusDays(1)
+              .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+            // timeout timestamps must sit beyond the current watermark; a
+            // straggler inside the horizon that arrives after its day's
+            // boundary just re-arms one batch ahead
+            state.setTimeoutTimestamp(math.max(endOfDay, state.getCurrentWatermarkMs + 1))
+            Iterator.single((day, merged.length.toLong, merged.last))
+          }
       }
   }
 
