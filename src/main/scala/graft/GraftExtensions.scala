@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashAgg, ShingleHashes, SimHashAgg, VecDot, VecDotI, VecL2I}
+import graft.functions.{MinHashAgg, ShingleHashes, SimHashAgg, VecDot, VecDotI, VecL2I, WindowHashes}
 
 /** Session extensions — the supported injection point for the engine's
   * custom Catalyst surface. Installing via
@@ -42,5 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (es: Seq[Expression]) => ShingleHashes(es.head, 3)))
+    ext.injectFunction((
+      FunctionIdentifier("window_hashes"),
+      new ExpressionInfo(classOf[WindowHashes].getName, "window_hashes"),
+      (es: Seq[Expression]) =>
+        WindowHashes(es.head, es(1).eval().asInstanceOf[Number].intValue())))
   }
 }

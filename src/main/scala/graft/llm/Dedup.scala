@@ -492,4 +492,72 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Variable-length repeated-substring detection — the exact-substring
+    * dedup of pretraining pipelines (the public ExactSubstr operator of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed relationally): every maximal token span of
+    * length ≥ n whose every n-window recurs somewhere in the corpus.
+    * Generalizes fixed-chunk dedup (q181): boilerplate that straddles a
+    * chunk boundary or differs in alignment is invisible to chunk
+    * fingerprints but is still a run of repeated n-windows here.
+    *
+    * Characterization doing the work: a token position lies inside some
+    * repeated substring of length ≥ n  ⇔  it is covered by an n-window
+    * that occurs ≥ 2 times corpus-wide; maximal runs of consecutive
+    * repeated window STARTS [i..j] are exactly the maximal repeated spans
+    * [i .. j+n−1]. So the operator is: per-position window fingerprints →
+    * occurrence counts → gaps-and-islands. No suffix array needed — the
+    * suffix array in the single-node formulation exists to FIND recurring
+    * windows, which a distributed hash-shuffle does natively.
+    *
+    * Plan shape (two-phase, recall-1 at each step):
+    *   1. anchors: one O(tokens) [[graft.functions.WindowHashes]] rolling
+    *      pass per document → narrow (doc_id, pos, hash:long) rows; one
+    *      shuffle on the hash counts occurrences. Equal windows ⇒ equal
+    *      rolling hash, so no repeat is ever missed.
+    *   2. verify: only positions whose rolling hash recurs re-materialize
+    *      their window TEXT (md5 over an n-token slice) — 64-bit wrap
+    *      collisions die here, and the expensive per-position string work
+    *      happens on the (tiny) candidate set, not the corpus. Window
+    *      md5s shuffle once to count true occurrences; consecutive
+    *      repeated starts then merge into maximal spans per document.
+    * At 100 TB both shuffles carry uniformly-hashed narrow keys (no skew
+    * by construction; a pathological planet-scale boilerplate makes one
+    * hot fingerprint group whose COUNT is still a partial-aggregate).
+    *
+    * Returns one row per maximal repeated span: (doc_id, span_start
+    * 1-based, span_len ≥ n, span_md5 of the space-joined span tokens).
+    */
+  def repeatedSpans(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = fanOut(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+    val anchors = fanOut(docs)
+      .select(col("doc_id"),
+        posexplode(graft.functions.WindowHashes.of(col("text"), n)))
+      .toDF("doc_id", "pos", "rh")
+    val candPerDoc = anchors
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("rh")))
+      .filter(col("c") >= 2)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("ps"))
+    val verified = candPerDoc.join(toks, "doc_id")
+      .select(col("doc_id"), explode(expr(
+        s"transform(ps, p -> struct(p AS pos, md5(array_join(slice(toks, p + 1, $n), ' ')) AS fp))")).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.fp").as("fp"))
+    val repeated = verified
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("c") >= 2)
+    repeated
+      .withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("pos").as("s0"), (max("pos") - min("pos") + n).as("span_len"))
+      .join(toks, "doc_id")
+      .select(col("doc_id"),
+        (col("s0") + 1).cast("long").as("span_start"),
+        col("span_len").cast("long").as("span_len"),
+        md5(array_join(expr("slice(toks, s0 + 1, span_len)"), " ")).as("span_md5"))
+  }
 }

@@ -32,6 +32,11 @@ object CurationOps {
   /** Tokens per packed training sequence (q177). */
   val PackBudget = 2048
 
+  /** Minimum repeated-substring length (tokens) for q185 — the ExactSubstr
+    * threshold; public pipelines use 50 BPE tokens, scaled here to the
+    * corpus's ≤99-token documents. */
+  val MinRepeatTokens = 16
+
   /** DuckDB replay of the K-step BPE training loop (q164): the same
     * chained word-frequency → pair-count → argmax → merge-apply steps,
     * generated as one CTE chain (v0 → sy1/pc1/b1 → v1 → … → b{K}).
@@ -578,6 +583,42 @@ object CurationOps {
           coalesce(sum(when(col("rn") > 1, col("clen"))), lit(0L))
             .cast("long").as("tokens_removed"))
         .orderBy("lang")
+    },
+
+    // ── Variable-length repeated-substring dedup (ExactSubstr): every
+    //    MAXIMAL token span of length ≥ MinRepeatTokens whose windows all
+    //    recur corpus-wide — the boilerplate q181's fixed aligned chunks
+    //    cannot see (a repeat straddling a chunk boundary, or at a
+    //    different alignment, never produces equal chunks). Spark path is
+    //    the two-phase rolling-anchor pipeline in Dedup.repeatedSpans
+    //    (O(tokens) window_hashes kernel → occurrence count → md5 verify
+    //    of candidates only → gaps-and-islands). The oracle recomputes
+    //    from scratch with per-position md5 windows — so the rolling
+    //    anchor phase's recall-1 claim, the exact-verify phase, and the
+    //    span merge are all independently checked, and the kernel's hash
+    //    constants stay out of the contract.
+    Q("q185_repeated_substring_spans",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, p,
+         |             md5(array_to_string(toks[p:p+$MinRepeatTokens-1], ' ')) AS fp
+         |      FROM t, unnest(range(1, len(toks) - $MinRepeatTokens + 2)) AS u(p)
+         |      WHERE len(toks) >= $MinRepeatTokens),
+         |r AS (SELECT doc_id, p FROM (
+         |        SELECT doc_id, p, count(*) OVER (PARTITION BY fp) AS c FROM w)
+         |      WHERE c >= 2),
+         |g AS (SELECT doc_id, p,
+         |             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         |      FROM r),
+         |sp AS (SELECT doc_id, min(p) AS s,
+         |              max(p) - min(p) + $MinRepeatTokens AS span_len
+         |       FROM g GROUP BY doc_id, grp)
+         |SELECT sp.doc_id, CAST(s AS BIGINT) AS span_start,
+         |       CAST(span_len AS BIGINT) AS span_len,
+         |       md5(array_to_string(t.toks[s:s+span_len-1], ' ')) AS span_md5
+         |FROM sp JOIN t ON sp.doc_id = t.doc_id
+         |ORDER BY sp.doc_id, span_start""".stripMargin) { (s, d) =>
+      graft.llm.Dedup.repeatedSpans(docs(s, d), MinRepeatTokens)
+        .orderBy("doc_id", "span_start")
     }
   )
 }

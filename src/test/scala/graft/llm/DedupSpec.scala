@@ -156,6 +156,64 @@ class DedupSpec extends AnyFunSuite {
     assert(changed.isEmpty, "regenerated corpus under the same key must recompute")
   }
 
+  /** The case fixed-chunk dedup (q181) structurally misses: a 40-token
+    * boilerplate block straddling the 64-token chunk boundary in one doc
+    * and sitting at a different alignment in the other — no 64-token
+    * chunk is ever equal, but repeatedSpans must recover the exact span
+    * in both docs, maximal (not split, not extended). */
+  test("repeatedSpans catches boundary-straddling boilerplate fixed chunks miss") {
+    val boiler = (0 until 40).map(i => s"boiler$i")
+    // doc 1: 50 unique fillers, boilerplate at 0-based 50..89, 10 more fillers
+    val d1 = ((0 until 50).map(i => s"one$i") ++ boiler ++ (0 until 10).map(i => s"tail$i")).mkString(" ")
+    // doc 2: boilerplate at 0-based 10..49 amid different unique fillers
+    val d2 = ((0 until 10).map(i => s"two$i") ++ boiler ++ (0 until 50).map(i => s"other$i")).mkString(" ")
+    val d = docsOf((1L, d1), (2L, d2))
+
+    // q181-style aligned 64-token chunk fingerprints share NOTHING
+    val chunkFps = d
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(split(text, ' ')), 64), st -> md5(array_join(slice(split(text, ' '), st, 64), ' ')))")).as("fp"))
+    val shared = chunkFps.alias("a").join(chunkFps.alias("b"),
+      col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id")).count()
+    assert(shared == 0L, "aligned chunks must NOT detect the straddling repeat")
+
+    val spans = Dedup.repeatedSpans(d, n = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(spans.length == 2, s"exactly one maximal span per doc, got ${spans.toSeq}")
+    val byDoc = spans.map(s => s._1 -> s).toMap
+    assert(byDoc(1L)._2 == 51L && byDoc(1L)._3 == 40L, s"doc1 span wrong: ${byDoc(1L)}")
+    assert(byDoc(2L)._2 == 11L && byDoc(2L)._3 == 40L, s"doc2 span wrong: ${byDoc(2L)}")
+    assert(byDoc(1L)._4 == byDoc(2L)._4, "equal spans must share the span_md5")
+  }
+
+  test("repeatedSpans: intra-document repeats count, sub-n repeats don't") {
+    val rep = (0 until 20).map(i => s"r$i")
+    // the 20-token block occurs twice INSIDE one doc; a 10-token block
+    // (sub-n) repeats across docs and must be invisible at n=16
+    val small = (0 until 10).map(i => s"s$i")
+    val d = docsOf(
+      (1L, (rep ++ (0 until 30).map(i => s"mid$i") ++ rep).mkString(" ")),
+      (2L, (small ++ (0 until 40).map(i => s"pad$i")).mkString(" ")),
+      (3L, ((0 until 40).map(i => s"alt$i") ++ small).mkString(" ")))
+    val spans = Dedup.repeatedSpans(d, n = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSet == Set((1L, 1L, 20L), (1L, 51L, 20L)),
+      s"expected the two intra-doc occurrences only, got ${spans.toSeq}")
+  }
+
+  test("window_hashes: rolling values equal direct per-window polynomials, equal windows collide") {
+    val out = spark.range(1)
+      .select(graft.functions.WindowHashes.of(lit("a b c a b c d"), 3).as("h"))
+      .collect()(0).getSeq[Long](0)
+    assert(out.length == 5, "7 tokens, n=3 → 5 windows")
+    assert(out(0) == out(3), "equal windows 'a b c' must hash equal")
+    assert(Set(out: _*).size == 4, "the 4 distinct windows should (here) hash distinct")
+    val short = spark.range(1)
+      .select(graft.functions.WindowHashes.of(lit("a b"), 3).as("h"))
+      .collect()(0).getSeq[Long](0)
+    assert(short.isEmpty, "doc shorter than n has no windows")
+  }
+
   test("simhash: identical docs collide at hamming 0") {
     val d = docsOf(
       (1L, "spark spark catalyst tungsten codegen shuffle"),
