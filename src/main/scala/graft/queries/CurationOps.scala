@@ -37,6 +37,21 @@ object CurationOps {
     * corpus's ≤99-token documents. */
   val MinRepeatTokens = 16
 
+  // ── Unigram-LM (EM) tokenizer trainer constants (q186/q187) ──────────
+  /** EM iterations for the unigram trainer. */
+  val EmSteps = 2
+  /** Multi-character seed pieces kept (all single chars always stay).
+    * 250 ≈ every substring this corpus produces — the standard unigram
+    * seed (all frequent substrings, then let EM prune): at 40 the seed
+    * was all 2-grams and compression stalled at 1.4×; with the full
+    * seed the EM settles on word-level pieces and >2× vs characters. */
+  val SeedMulti = 250
+  /** Word-length cap for the enumerated segmentation lattice: a word of
+    * length L has 2^(L−1) segmentations, so the relational lattice is
+    * only materialized for words up to this bound (this corpus's words
+    * are ≤8 chars; the cap documents the guard, it doesn't bite). */
+  val MaxUnigramWordLen = 12
+
   /** DuckDB replay of the K-step BPE training loop (q164): the same
     * chained word-frequency → pair-count → argmax → merge-apply steps,
     * generated as one CTE chain (v0 → sy1/pc1/b1 → v1 → … → b{K}).
@@ -130,6 +145,163 @@ object CurationOps {
       }
       (merges.toSeq, vocab)
     }
+
+  // ── Unigram-LM (EM) tokenizer trainer — the OTHER mainstream subword
+  //    tokenizer next to BPE (the public SentencePiece unigram model,
+  //    Kudo 2018), on the same fold-once word-frequency relation. Hard-EM
+  //    (Viterbi) variant, fully relational so DuckDB replays it bit-wise:
+  //      seed   all word substrings, scored by corpus frequency; keep
+  //             every single char (coverage guarantee) + top SeedMulti
+  //             multi-char pieces; init integer micro-log-probs
+  //             lp = round(1e6·ln(total/cnt)).
+  //      E-step best segmentation per word over the full segmentation
+  //             lattice: each cut-mask of a word is materialized as rows,
+  //             pieces join the (broadcast) model, infeasible masks (any
+  //             piece out of vocab) drop, argmin by (cost, n_pieces,
+  //             mask) — a total deterministic order both engines share.
+  //      M-step piece counts from the best segmentations (weighted by
+  //             word frequency); re-normalize lp; zero-count pieces
+  //             prune (every word's own best pieces survive, so
+  //             feasibility is preserved inductively).
+  //    Scale shape: everything runs on the VOCAB-sized word-frequency
+  //    relation, never the corpus — the corpus is touched once by the
+  //    initial word count (map-side + one hash-agg shuffle), exactly
+  //    like trainBpe. The enumerated lattice (2^(L−1) masks per word,
+  //    capped at MaxUnigramWordLen) is the oracle-replayable
+  //    materialization of the Viterbi DP; a 100 TB deployment with long
+  //    words swaps the E-step for a per-word DP against the broadcast
+  //    model (map-side, same argmin semantics) — the train/apply
+  //    dataflow and all shuffles stay identical.
+  //    ln determinism: the ONE float op; both engines round the same
+  //    (total, cnt) integer pair through IEEE-double ln at 1e-6
+  //    granularity — the q171 sqrt idiom.
+
+  /** (word, n, wl) corpus word-frequency relation for the unigram trainer. */
+  private[graft] def unigramWords(s: SparkSession, d: String): DataFrame =
+    fanned(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("wl", length(col("word")).cast("int"))
+      .filter(col("wl") <= MaxUnigramWordLen)
+
+  /** Best (Viterbi) segmentation per word under `model` (piece, lp):
+    * returns the winning (word, n, mask, piece) rows — one row per piece
+    * of each word's best segmentation. */
+  private[graft] def viterbiSeg(words: DataFrame, model: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seg = words
+      .withColumn("mask", explode(expr("sequence(0, shiftleft(1, wl - 1) - 1)")))
+      .withColumn("cuts", expr(
+        "concat(array(0), filter(sequence(1, wl), b -> b < wl AND (shiftright(mask, b - 1) % 2) = 1), array(wl))"))
+      .withColumn("piece", explode(expr(
+        "transform(sequence(0, size(cuts) - 2), j -> substring(word, cuts[j] + 1, cuts[j + 1] - cuts[j]))")))
+      .select(col("word"), col("n"), col("mask"), col("piece"))
+    val best = seg
+      .join(broadcast(model.select("piece", "lp")), Seq("piece"), "left_outer")
+      .groupBy("word", "mask")
+      .agg(count(lit(1)).as("np"), count(col("lp")).as("nok"), sum("lp").as("cost"))
+      .filter(col("nok") === col("np"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("word").orderBy(col("cost"), col("np"), col("mask"))))
+      .filter(col("rn") === 1)
+      .select("word", "mask")
+    seg.join(best, Seq("word", "mask"))
+  }
+
+  /** M-step: piece counts from the best segmentations → re-normalized
+    * integer micro-log-probs (piece, cnt, lp). */
+  private def unigramMStep(segBest: DataFrame): DataFrame = {
+    val cnts = segBest.groupBy("piece").agg(sum("n").cast("long").as("cnt"))
+    cnts.crossJoin(broadcast(cnts.agg(sum("cnt").cast("long").as("tot"))))
+      .withColumn("lp",
+        round(lit(1e6) * log(col("tot").cast("double") / col("cnt"))).cast("long"))
+      .select("piece", "cnt", "lp")
+  }
+
+  /** Trained unigram model rows (piece, cnt, lp) after EmSteps EM
+    * iterations — memoized per (session, sf dir) like [[bpeTrained]];
+    * vocab-sized driver state by design (the Lloyd-codebook pattern). */
+  private val unigramTrained =
+    new graft.etl.Memo[(SparkSession, String), Seq[(String, Long, Long)]]
+
+  private def trainUnigram(s: SparkSession, d: String): Seq[(String, Long, Long)] =
+    unigramTrained((s, d)) {
+      val words = unigramWords(s, d).persist()
+      words.count()
+      var model = unigramSeedModel(words)
+      for (_ <- 1 to EmSteps)
+        model = unigramMStep(viterbiSeg(words, model))
+      val rows = model.orderBy(col("cnt").desc, col("piece")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      words.unpersist()
+      rows
+    }
+
+  /** Substring-frequency seed + initial micro-log-probs (piece, cnt, lp). */
+  private[graft] def unigramSeedModel(words: DataFrame): DataFrame = {
+    val subs = words
+      .select(col("n"), explode(expr(
+        "flatten(transform(sequence(1, wl), i -> transform(sequence(i, wl), j -> substring(word, i, j - i + 1))))"))
+        .as("piece"))
+      .groupBy("piece").agg(sum("n").cast("long").as("cnt"))
+    val seed = subs.filter(length(col("piece")) === 1).unionAll(
+      subs.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(SeedMulti))
+    seed
+      .crossJoin(broadcast(seed.agg(sum("cnt").cast("long").as("tot"))))
+      .withColumn("lp",
+        round(lit(1e6) * log(col("tot").cast("double") / col("cnt"))).cast("long"))
+      .select("piece", "cnt", "lp")
+  }
+
+  /** Literal relation of the memoized model — what the encode query
+    * broadcasts; lineage-free, immune to cache drops. */
+  private[graft] def unigramModel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    trainUnigram(s, d).toDF("piece", "cnt", "lp")
+  }
+
+  /** DuckDB replay of the whole trainer: seed → v0 → (seg/cost/best/cnt/
+    * v)×k — one generated CTE chain, bpeChainSql's pattern. `extraSeg`
+    * appends one more E-pass (seg/cost/best k+1) under the final model,
+    * which is what the ENCODE query aggregates. */
+  private def unigramChainSql(k: Int, extraSeg: Boolean): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH t AS (${LlmPipeline.toksCte}),\n")
+    sb.append("w AS (SELECT unnest(toks) AS word FROM t),\n")
+    sb.append("wf AS MATERIALIZED (SELECT word, count(*) AS n, len(word) AS wl FROM w " +
+      s"WHERE regexp_full_match(word, '[a-z]+') AND len(word) <= $MaxUnigramWordLen GROUP BY word),\n")
+    sb.append("sub AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (" +
+      "SELECT n, unnest(flatten(list_transform(range(1, wl + 1), i -> " +
+      "list_transform(range(i, wl + 1), j -> word[i:j])))) AS piece FROM wf) GROUP BY piece),\n")
+    sb.append("seed AS MATERIALIZED (SELECT piece, cnt FROM sub WHERE len(piece) = 1 " +
+      "UNION ALL SELECT piece, cnt FROM (SELECT piece, cnt FROM sub WHERE len(piece) >= 2 " +
+      s"ORDER BY cnt DESC, piece LIMIT $SeedMulti)),\n")
+    sb.append("v0 AS MATERIALIZED (SELECT piece, CAST(round(1e6 * ln(" +
+      "CAST((SELECT sum(cnt) FROM seed) AS DOUBLE) / cnt)) AS BIGINT) AS lp FROM seed),\n")
+    val last = k + (if (extraSeg) 1 else 0)
+    for (i <- 1 to last) {
+      val p = i - 1
+      sb.append(s"seg$i AS MATERIALIZED (SELECT word, n, mask, " +
+        "unnest(list_transform(range(1, len(cuts)), j -> word[cuts[j] + 1:cuts[j + 1]])) AS piece " +
+        "FROM (SELECT word, n, mask, [0] || list_filter(range(1, wl), b -> ((mask >> (b - 1)) & 1) = 1) || [wl] AS cuts " +
+        "FROM (SELECT word, n, wl, unnest(range(0, 1 << (wl - 1))) AS mask FROM wf))),\n")
+      sb.append(s"cost$i AS MATERIALIZED (SELECT word, mask, count(*) AS np, CAST(sum(v.lp) AS BIGINT) AS cost " +
+        s"FROM seg$i s LEFT JOIN v$p v USING (piece) GROUP BY word, mask HAVING count(v.lp) = count(*)),\n")
+      sb.append(s"best$i AS MATERIALIZED (SELECT word, mask FROM (SELECT word, mask, " +
+        s"row_number() OVER (PARTITION BY word ORDER BY cost, np, mask) AS rn FROM cost$i) WHERE rn = 1)" +
+        (if (i == last && extraSeg) "\n" else ",\n"))
+      if (i <= k) {
+        sb.append(s"cnt$i AS MATERIALIZED (SELECT piece, CAST(sum(s.n) AS BIGINT) AS cnt " +
+          s"FROM seg$i s JOIN best$i b USING (word, mask) GROUP BY piece),\n")
+        sb.append(s"v$i AS MATERIALIZED (SELECT piece, CAST(round(1e6 * ln(" +
+          s"CAST((SELECT sum(cnt) FROM cnt$i) AS DOUBLE) / cnt)) AS BIGINT) AS lp FROM cnt$i)" +
+          (if (i == last) "\n" else ",\n"))
+      }
+    }
+    sb.toString
+  }
 
   val defs: Vector[Q] = Vector(
 
@@ -619,6 +791,40 @@ object CurationOps {
          |ORDER BY sp.doc_id, span_start""".stripMargin) { (s, d) =>
       graft.llm.Dedup.repeatedSpans(docs(s, d), MinRepeatTokens)
         .orderBy("doc_id", "span_start")
+    },
+
+    // ── Unigram-LM tokenizer TRAINING (see the trainer comment above):
+    //    the final EM model — every surviving piece with its Viterbi
+    //    count and integer micro-log-prob. The oracle replays the whole
+    //    seed→init→(E→M)^k chain from scratch, so the lattice
+    //    enumeration, the (cost, np, mask) argmin order, the pruning,
+    //    and the re-normalization are all independently verified.
+    Q("q186_unigram_train",
+      unigramChainSql(EmSteps, extraSeg = false) +
+        s"""SELECT piece, cnt, lp FROM cnt$EmSteps JOIN v$EmSteps USING (piece)
+           |ORDER BY cnt DESC, piece""".stripMargin) { (s, d) =>
+      unigramModel(s, d).orderBy(col("cnt").desc, col("piece"))
+    },
+
+    // ── Unigram-LM tokenizer APPLICATION: the q186 model segmenting the
+    //    corpus (one more Viterbi pass under the final lp), measured as
+    //    the top-20 subword histogram — q169's encode surface for the
+    //    OTHER tokenizer family. Shares the memoized training with q186
+    //    (train once, apply everywhere); at 100 TB the model is a
+    //    broadcast artifact and encoding is map-side against it, with
+    //    the histogram shuffle carrying vocabulary keys only.
+    Q("q187_unigram_encode",
+      unigramChainSql(EmSteps, extraSeg = true) +
+        s"""SELECT piece, CAST(sum(s.n) AS BIGINT) AS occurrences,
+           |       CAST(count(DISTINCT s.word) AS BIGINT) AS vocab_occ
+           |FROM seg${EmSteps + 1} s JOIN best${EmSteps + 1} b USING (word, mask)
+           |GROUP BY piece ORDER BY occurrences DESC, piece LIMIT 20""".stripMargin) { (s, d) =>
+      viterbiSeg(unigramWords(s, d), unigramModel(s, d))
+        .groupBy("piece")
+        .agg(sum("n").cast("long").as("occurrences"),
+          countDistinct("word").as("vocab_occ"))
+        .orderBy(col("occurrences").desc, col("piece"))
+        .limit(20)
     }
   )
 }
