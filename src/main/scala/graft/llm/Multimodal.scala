@@ -149,6 +149,76 @@ object Multimodal {
       .mapPartitions(_.map(r => r.copy(payload = resizeStub(r.payload, targetBytes))))
   }
 
+  // ── Perceptual-hash near-dup (dedup × multimodal) ───────────────────
+
+  /** Difference-hash (dHash) parameters: a 33-sample stride grid gives a
+    * 32-bit signature — the public perceptual-hash recipe (resize to a
+    * tiny grid, hash the adjacent-sample gradient signs), over the same
+    * stride "resize" contract as [[resizeStub]]. */
+  val DhashGrid = 33
+  /** 4 × 8-bit pigeonhole bands: a pair at Hamming ≤ 3 differs in at most
+    * 3 bands, so it collides in ≥ 1 — recall 1 to Hamming DhashBands−1,
+    * the SimHash (q37) banding argument verbatim. */
+  val DhashBands = 4
+
+  final case class MediaHash(doc_id: Long, dhash: Long)
+
+  /** 32-bit dHash of a payload: stride-sample down to [[DhashGrid]] bytes
+    * (identity when the payload is shorter — [[resizeStub]]'s contract),
+    * bit i set iff sample i < sample i+1. Deterministic pure-byte math, so
+    * the DuckDB oracle recomputes it from the text payload (ASCII in this
+    * corpus — q67's byte/char equivalence); a real image pipeline swaps
+    * the stride sample for a grayscale resize at this seam and keeps the
+    * gradient-sign hash unchanged. */
+  def dHash(payload: Array[Byte], grid: Int = DhashGrid): Long = {
+    val len = payload.length
+    val g = math.min(len, grid)
+    @inline def at(i: Int): Int =
+      if (len > grid) payload(((i.toLong * len) / grid).toInt) & 0xff
+      else payload(i) & 0xff
+    var h = 0L
+    var i = 0
+    while (i < g - 1) {
+      if (at(i) < at(i + 1)) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** (doc_id, dhash) signatures via the decode seam — map-side, payloads
+    * never shuffle; only the 12-byte hash row leaves the executor. */
+  def dhashes(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.select("doc_id", "source", "payload").as[MediaRecord]
+      .mapPartitions(_.map(r => MediaHash(r.doc_id, dHash(r.payload))))
+  }
+
+  /** Perceptual near-dup pairs at Hamming ≤ maxHamming: banded candidate
+    * join (never all-pairs) + exact bit_count(xor) verify — the media twin
+    * of [[Dedup.simhashPairs]], completing the dedup × multimodal cell. */
+  def dhashPairs(media: DataFrame, maxHamming: Int)
+                (implicit spark: SparkSession): DataFrame = {
+    require(maxHamming <= DhashBands - 1,
+      s"bands guarantee recall only to hamming ${DhashBands - 1}")
+    val sigs = dhashes(media).toDF()
+    val bandBits = 32 / DhashBands
+    val bands = sigs.select(
+        col("doc_id"), col("dhash"),
+        posexplode(array((0 until DhashBands).map(b =>
+          shiftright(col("dhash"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      .toDF("doc_id", "dhash", "band", "key")
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ── Waveform analysis (audio twin of the frame sampler) ─────────────
 
   /** Per-frame waveform statistics: payload bytes read as unsigned 8-bit

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.llm.{Dedup, TextOps}
+import graft.llm.{Dedup, Multimodal, TextOps}
 import graft.model.Tables
 
 /** The LLM-training-data-pipeline operator inventory over the `documents`
@@ -326,6 +326,35 @@ object LlmPipeline {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
       Dedup.simhashPairs(docs(s, d), MaxHamming).orderBy("doc_a", "doc_b")
+    },
+
+    // ── Perceptual-hash (dHash) media near-dup — the dedup × multimodal
+    //    cell: payloads stride-"resized" to a 33-sample grid at the q42
+    //    decode seam, 32-bit gradient-sign signature, 4×8-bit pigeonhole
+    //    bands (recall 1 to Hamming 3), exact bit_count(xor) verify.
+    //    Oracle: the identically-derived signature per doc (byte math on
+    //    the ASCII payload — q67's byte/char equivalence), then ALL-PAIRS
+    //    Hamming — so the banding recall claim is independently checked,
+    //    not just the hash arithmetic. Payloads never shuffle: only the
+    //    12-byte (doc_id, dhash) rows reach the band join.
+    Q("q188_phash_media_pairs",
+      s"""WITH g AS (SELECT doc_id, len(text) AS L, text FROM documents),
+         |s AS (SELECT doc_id, i,
+         |        ascii(text[CASE WHEN L > ${Multimodal.DhashGrid} THEN (i * L) // ${Multimodal.DhashGrid} + 1 ELSE i + 1 END :
+         |                   CASE WHEN L > ${Multimodal.DhashGrid} THEN (i * L) // ${Multimodal.DhashGrid} + 1 ELSE i + 1 END]) AS v
+         |      FROM g, unnest(range(0, least(L, ${Multimodal.DhashGrid}))) AS u(i)),
+         |b AS (SELECT a.doc_id,
+         |             CASE WHEN a.v < c.v THEN CAST(1 AS BIGINT) << a.i ELSE 0 END AS bit
+         |      FROM s a JOIN s c ON a.doc_id = c.doc_id AND c.i = a.i + 1),
+         |sig AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash FROM b GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.dhash, c.dhash)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+         |WHERE bit_count(xor(a.dhash, c.dhash)) <= ${Multimodal.DhashBands - 1}
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      implicit val sp: SparkSession = s
+      Multimodal.dhashPairs(Multimodal.asMedia(docs(s, d)), Multimodal.DhashBands - 1)
+        .orderBy("doc_a", "doc_b")
     },
 
     // ── Rolling-hash document fingerprinting: order-sensitive polynomial

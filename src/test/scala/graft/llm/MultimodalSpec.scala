@@ -66,6 +66,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.map(_.doc_id) == records.map(_.doc_id), "order-preserving")
   }
 
+  test("dHash: identical payloads collide, a localized brightness edit stays near, scramble goes far") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    // sawtooth payload: alternating low/high bytes give a gradient-rich
+    // signature (a uniform payload has a near-empty dhash and everything
+    // "collides" — the perceptual-hash analogue of a blank image)
+    val base = Array.tabulate(104)(i => (if (i % 2 == 0) 50 else 200).toByte)
+    // byte 40 is dhash sample 13 ((13*104)/33); its left neighbor sample
+    // (byte 37) is high, so raising it to 255 flips exactly bit 12
+    val near = base.clone(); near(40) = 255.toByte
+    // phase-swapped sawtooth inverts every defined gradient bit
+    val far = Array.tabulate(104)(i => (if (i % 2 == 0) 200 else 50).toByte)
+    val media = Seq(
+      (1L, "s", base), (2L, "s", base), (3L, "s", near), (4L, "s", far))
+      .toDF("doc_id", "source", "payload")
+    val h = Multimodal.dhashes(media).collect().map(r => r.doc_id -> r.dhash).toMap
+    assert(h(1L) == h(2L), "identical payloads must share the dhash")
+    val nearHam = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    assert(nearHam >= 1 && nearHam <= Multimodal.DhashBands - 1,
+      s"localized edit should move few bits, got $nearHam")
+    val pairs = Multimodal.dhashPairs(media, Multimodal.DhashBands - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)),
+      s"banding must surface the exact and near pairs: $pairs")
+    assert(!pairs.contains((1L, 4L)), "scrambled payload must not pair")
+  }
+
+  test("dHash banding recall is exact on the real corpus: pairs == all-pairs <= maxHamming") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val media = Multimodal.asMedia(docs)
+    val maxHamming = Multimodal.DhashBands - 1
+    val banded = Multimodal.dhashPairs(media, maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Multimodal.dhashes(media).collect()
+    val brute = (for {
+      a <- sigs; b <- sigs if a.doc_id < b.doc_id
+      ham = java.lang.Long.bitCount(a.dhash ^ b.dhash) if ham <= maxHamming
+    } yield (a.doc_id, b.doc_id, ham)).toSet
+    assert(banded == brute,
+      s"banded pairs must equal brute-force pairs: ${banded.size} vs ${brute.size}")
+    assert(brute.nonEmpty, "corpus should contain at least one perceptual near-dup pair")
+  }
+
   test("waveform frames carry exact integer energy/peak per frame") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
