@@ -44,4 +44,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // exceed HotSpot's 8000-bytecode DontCompileHugeMethods limit and would
   // otherwise run interpreted FOREVER (q37 benched 56s -> 2s with this).
   "-XX:-DontCompileHugeMethods",
+  // ~190 queries of whole-stage codegen saturate the default C2 compile
+  // queue (sized for ~4 compiler threads): a query whose generated code
+  // is stuck in queue runs interpreted for its entire measurement, which
+  // showed up as 5-10x first-run cliffs IN-SUITE that vanish isolated
+  // (r10: q191 13.5s in-suite vs 1.1s isolated, q105 6.6 vs 3.0). 16
+  // compiler threads on this 32-core box drain the queue in time: same
+  // suite total, per-query spread collapses to <2x suite-wide. (-Xbatch
+  // also cures the cliffs but costs +30% total; measured, rejected.)
+  "-XX:CICompilerCount=16",
 ) ++ sys.env.get("GRAFT_EXTRA_JVM").toSeq.flatMap(_.split(" "))

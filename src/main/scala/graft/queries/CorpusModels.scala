@@ -106,6 +106,10 @@ object CorpusModels {
   /** Hashed-feature space size for DSIR. */
   private val DsirBuckets = 256
 
+  /** q194 epoch-shuffle parameters: salt names the epoch; 8 shards. */
+  private val EpochSalt = "epoch7:"
+  private val NShards   = 8
+
   /** round(1e6·ln(x)) micro-units — both engines compute ln over the same
     * IEEE double, one terminal rounding (the q173/q186 idiom). */
   private def microLn(x: Column): Column = round(lit(1e6) * log(x)).cast("long")
@@ -337,6 +341,53 @@ object CorpusModels {
         .agg(count(lit(1)).as("n_survivors"),
           (round(lit(100.0) * sum("qp") / count(lit(1))) / 100.0).as("avg_q_ppm"))
         .orderBy("lang")
+    },
+
+    // ── Deterministic epoch shuffle + sharding: the last hop before
+    //    training. Shuffle key = md5(epoch_salt ‖ doc_id) — a new salt
+    //    reshuffles every epoch, the same salt replays byte-identically;
+    //    shard = key-prefix mod NShards. At 100 TB the operator is
+    //    `repartitionByRange(shard, key).sortWithinPartitions` into shard
+    //    files (one range shuffle, no global sort); what is VERIFIABLE
+    //    cross-engine is its contract, which this query pins: shard
+    //    balance (n_docs per shard ≈ uniform), shard key ranges
+    //    (min/max), and — on the bounded q75-style slice, because an
+    //    ordered fingerprint is the one agg partial aggregation cannot
+    //    save — the md5 of the slice's ids in shuffle order, proving
+    //    both engines derive the identical permutation.
+    Q("q194_epoch_shards",
+      s"""WITH k AS (SELECT doc_id,
+         |                  md5('$EpochSalt' || CAST(doc_id AS VARCHAR)) AS key
+         |           FROM documents),
+         |s AS (SELECT doc_id, key,
+         |             ('0x' || substr(key, 1, 4))::BIGINT % $NShards AS shard
+         |      FROM k)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       min(key) AS min_key, max(key) AS max_key,
+         |       md5(coalesce(string_agg(CAST(doc_id AS VARCHAR), ','
+         |                               ORDER BY key, doc_id)
+         |                      FILTER (WHERE doc_id < 1000), '')) AS slice_order_md5
+         |FROM s GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      epochShards(docs(s, d), EpochSalt, NShards).orderBy("shard")
     }
   )
+
+  /** Per-shard epoch-shuffle stats for any (doc_id) relation — the q194
+    * engine, parameterized on the epoch salt so specs can show a new salt
+    * yields a new permutation while the same salt replays identically. */
+  private[queries] def epochShards(docsDf: DataFrame, salt: String, nShards: Int): DataFrame = {
+    val key = md5(concat(lit(salt), col("doc_id").cast("string")))
+    docsDf
+      .select(col("doc_id"), key.as("key"),
+        (conv(substring(key, 1, 4), 16, 10).cast("long") % nShards).as("shard"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("key").as("min_key"), max("key").as("max_key"),
+        md5(concat_ws(",",
+          transform(
+            array_sort(collect_list(when(col("doc_id") < 1000,
+              struct(col("key"), col("doc_id"))))),
+            x => x.getField("doc_id").cast("string")))).as("slice_order_md5"))
+  }
 }

@@ -1077,6 +1077,65 @@ object Similarity {
             greatest(coalesce(col("n_corpus"), lit(0L)) + coalesce(col("n_batch"), lit(0L)),
               lit(1L))) / 1e6).as("batch_share"))
         .orderBy("cell")
+    },
+
+    // ── Semantic split leakage — q172's audit lifted from token space to
+    //    embedding space: near-identical EMBEDDINGS (banded sign-LSH
+    //    candidates + exact cosine ≥ 0.4 verify, the q54 machinery)
+    //    crossing the deterministic train/val/test split. Token-level
+    //    dedup misses paraphrases and translations; cosine-near pairs
+    //    straddling train|test are exactly the eval contamination a
+    //    semantic dedup pass exists to prevent. Scale: the pair relation
+    //    is duplicate-sized, split assignment is a map-side md5, the two
+    //    id joins are hash joins — identical plan shape at any corpus
+    //    size. Oracle: the identical banded algorithm replayed (q54's
+    //    recall-trade documentation applies verbatim).
+    Q("q193_semantic_leakage", {
+      val bits = (0 until Ann.LshBits).map { j =>
+        s"(CASE WHEN ${Ann.dotSql("embedding", Ann.planeSql(Dim, j))} > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val bandBits = Ann.LshBits / Ann.LshBands
+      s"""WITH sig AS (SELECT vec_id, ($bits) AS bucket FROM embeddings),
+         |b AS (SELECT vec_id, band, (bucket >> (band * $bandBits)) & ${(1 << bandBits) - 1} AS key
+         |      FROM sig CROSS JOIN (SELECT unnest([${(0 until Ann.LshBands).mkString(", ")}]) AS band)),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+         |         FROM b a JOIN b b2
+         |           ON a.band = b2.band AND a.key = b2.key AND a.vec_id < b2.vec_id),
+         |p AS (SELECT c.vec_a, c.vec_b,
+         |             ${Ann.cosMicrosSql("ea.embedding", "eb.embedding")} AS cm
+         |      FROM cand c
+         |      JOIN embeddings ea ON ea.vec_id = c.vec_a
+         |      JOIN embeddings eb ON eb.vec_id = c.vec_b),
+         |sp AS (SELECT vec_id,
+         |              CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |                   ELSE 'test' END AS split
+         |       FROM (SELECT vec_id,
+         |                    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS b
+         |             FROM embeddings))
+         |SELECT least(sa.split, sb.split) AS split_a,
+         |       greatest(sa.split, sb.split) AS split_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       max(p.cm) / 1e6 AS max_cos
+         |FROM p JOIN sp sa ON sa.vec_id = p.vec_a
+         |       JOIN sp sb ON sb.vec_id = p.vec_b
+         |WHERE p.cm >= 400000
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      def split(idAs: String, splitAs: String) = emb(s, d).select(
+        col("vec_id").as(idAs),
+        when(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100 < 80, "train")
+          .when(conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 100 < 90, "val")
+          .otherwise("test").as(splitAs))
+      Ann.lshNearDupPairs(corpus(s, d), Dim, 400000L)
+        .join(split("vec_a", "sa"), "vec_a")
+        .join(split("vec_b", "sb"), "vec_b")
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"), col("cm"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"), (max("cm") / 1e6).as("max_cos"))
+        .orderBy("split_a", "split_b")
     }
   )
 }

@@ -124,4 +124,34 @@ class CorpusModelsSpec extends AnyFunSuite {
       s"quality-aware survivors must not lose to keep-min: $qualQ vs $keepMinQ")
     surv.unpersist()
   }
+
+  // ── q193: semantic leakage is an exact re-bucketing of the q54 pairs ─
+
+  test("q193: split-combo pair counts sum to the full embedding near-dup pair count") {
+    val corpus = graft.model.Tables.embeddings(spark, TestSpark.Sf)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val nPairs = graft.llm.Ann.lshNearDupPairs(corpus, 64, 400000L).count()
+    val byCombo = SparkEntry.queries("q193_semantic_leakage")(spark, TestSpark.Sf)
+      .agg(sum("n_pairs")).head().getLong(0)
+    assert(byCombo == nPairs,
+      s"split bucketing must partition the pair relation: $byCombo vs $nPairs")
+  }
+
+  // ── q194: epoch shuffle determinism and re-shuffle across epochs ────
+
+  test("q194: shards partition the corpus; same salt replays, new salt permutes") {
+    val docsDf = graft.model.Tables.documents(spark, TestSpark.Sf)
+    val n = docsDf.count()
+    val e7a = CorpusModels.epochShards(docsDf, "epoch7:", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).sortBy(_._1)
+    val e7b = CorpusModels.epochShards(docsDf, "epoch7:", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).sortBy(_._1)
+    val e8 = CorpusModels.epochShards(docsDf, "epoch8:", 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).sortBy(_._1)
+    assert(e7a.map(_._2).sum == n, "every doc lands in exactly one shard")
+    assert(e7a.sameElements(e7b), "identical salt must replay byte-identically")
+    assert(e7a.map(_._3).toSeq != e8.map(_._3).toSeq,
+      "a new epoch salt must produce a different permutation")
+    assert(e8.map(_._2).sum == n, "reshuffle preserves the corpus")
+  }
 }
