@@ -50,7 +50,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q176_hard_negative_mining" -> "5-row query batch broadcast onto the corpus under the label-mismatch predicate",
     "q178_ivfadc" -> "Lloyd assignment (k-row centroid broadcasts) + 5-query probe cross join (nprobe·k rows)",
     "q179_retrieval_metrics" -> "q166's shapes: Lloyd assignment + 5-row query batch × corpus exact baseline",
-    "q180_ann_index_refresh" -> "cross joins of the single-row split bound + k=10 frozen-centroid assignment")
+    "q180_ann_index_refresh" -> "cross joins of the single-row split bound + k=10 frozen-centroid assignment",
+    "q190_nb_quality_classifier" -> "cross join of the single-row class-prior aggregate onto the scored docs",
+    "q191_dsir_importance" -> "cross join of the single-row target/raw hashed-bucket totals onto the bucket weight table")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no unexpected nested-loop or cartesian join") {

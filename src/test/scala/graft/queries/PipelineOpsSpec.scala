@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-10 pipeline operators: line-dedup-with-reassembly semantics on
+  * controlled inputs, and byte-fidelity of the ORC / JSON-lines stage
+  * hops. */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "lang", "text")
+
+  test("line dedup removes a repeated line from EVERY document, not keep-first") {
+    // 10-token boilerplate line shared by docs 1 and 2; each also has a
+    // unique tail shorter than a full line (the boundary remainder).
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val d = docsOf(
+      (1L, "en", s"$boiler one two three"),
+      (2L, "en", s"$boiler four five"),
+      (3L, "en", "alpha beta gamma"))
+    val out = PipelineOps.lineDedupRebuild(d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    // Both copies of the boilerplate line are dropped (MassiveText policy:
+    // no survivor), each doc keeps only its unique remainder line.
+    assert(out(1L) == ((2L, 1L, 10L, md5Hex("one two three"))))
+    assert(out(2L) == ((2L, 1L, 10L, md5Hex("four five"))))
+    // A doc with no repeated lines is rebuilt verbatim.
+    assert(out(3L) == ((1L, 1L, 0L, md5Hex("alpha beta gamma"))))
+  }
+
+  test("line dedup: a doc made entirely of boilerplate rebuilds to the empty text") {
+    val boiler = (1 to 10).map(i => s"x$i").mkString(" ")
+    val d = docsOf((1L, "en", boiler), (2L, "en", boiler))
+    val out = PipelineOps.lineDedupRebuild(d).collect()
+    assert(out.forall(_.getLong(3) == 0L), "no line survives")
+    assert(out.forall(_.getString(5) == md5Hex("")),
+      "fully-deduped docs hash the empty rebuild, not NULL")
+  }
+
+  test("line dedup catches a repeat at a different document position (alignment-free policy check)") {
+    // The same 10-token line appears as line 0 of doc 1 and line 1 of
+    // doc 2 — line identity is the TEXT, not the (position, text) pair.
+    val boiler = (1 to 10).map(i => s"y$i").mkString(" ")
+    val pad = (1 to 10).map(i => s"p$i").mkString(" ")
+    val d = docsOf(
+      (1L, "en", s"$boiler tail one two"),
+      (2L, "en", s"$pad $boiler end"))
+    val out = PipelineOps.lineDedupRebuild(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getString(5))).toMap
+    assert(out(1L) == ((10L, md5Hex("tail one two"))))
+    assert(out(2L) == ((10L, md5Hex(s"$pad end"))))
+  }
+
+  test("ORC hop preserves rows, cents, and timestamp micros") {
+    val dir = graft.etl.Scratch.tempDir("spec-orc").toString
+    val src = graft.model.Tables.lineitem(spark, TestSpark.Sf)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    def sig(df: org.apache.spark.sql.DataFrame) = df.agg(
+      count(lit(1)), sum(round(col("l_extendedprice") * 100).cast("long")),
+      max(unix_micros(col("l_shipdate").cast("timestamp"))),
+      min(unix_micros(col("l_shipdate").cast("timestamp")))).collect()(0)
+    assert(sig(back) == sig(src))
+  }
+
+  test("JSON-lines hop is byte-faithful on hostile text (quotes, backslash, unicode, tab)") {
+    val hostile = "he said \"hi\" \\ path\tc:\\x ünïcode é end"
+    val d = Seq((1L, hostile, "en", "src0", hostile.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.etl.Scratch.tempDir("spec-jsonl").toString
+    d.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(graft.model.Schemas.documents).json(dir)
+      .collect()(0)
+    assert(back.getString(1) == hostile, "text must survive the JSON hop unchanged")
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+}
