@@ -47,5 +47,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WindowHashes].getName, "window_hashes"),
       (es: Seq[Expression]) =>
         WindowHashes(es.head, es(1).eval().asInstanceOf[Number].intValue())))
+    // Spark's OWN bloom-filter expressions (the pair behind runtime join
+    // filters — spark/sql/catalyst/expressions/aggregate/BloomFilterAggregate
+    // .scala), surfaced as callable functions so an application-level bloom
+    // (build over a small relation, prune a huge one map-side) can be
+    // planned explicitly; see graft.functions.BloomOps.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          es.head, es(1), es(2))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es.head, es(1))))
   }
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.TextOps
+import graft.functions.BloomOps
+import graft.llm.{Ann, TextOps}
 import graft.model.Tables
 
 /** Round-10 pipeline operators: sub-document line-granularity dedup with
@@ -56,6 +57,64 @@ object PipelineOps {
       docs(s, d).write.mode("overwrite").json(tmp)
       tmp
     }
+
+  /** Neighbors per node in the q198 kNN graph. */
+  val KnnK = 3
+
+  /** Bloom sizing for q199: the eval set's distinct 3-gram count is a few
+    * thousand at any test SF; 2^19 bits (64 KiB) holds it at a sub-percent
+    * FP rate, and at 100 TB the eval side is still benchmark-sized, so
+    * the bloom stays a trivially-broadcast literal. */
+  val DecontamEstItems = 1L << 12
+  val DecontamNumBits  = 1L << 19
+
+  /** (doc_id, lang, g) — one row per distinct word-3-gram per document. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    fanned(s, d).select(col("doc_id"), col("lang"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("g"))
+
+  /** One bloom filter of the eval slice's hashed shingles per (session,
+    * sf dir): built distributed, collected as a small binary (the model
+    * artifact every decontamination task broadcasts), then carried as a
+    * plan literal by q199's map-side prune. */
+  private val evalBloomMemo = new graft.etl.Memo[(SparkSession, String), Array[Byte]]
+  private def evalBloom(s: SparkSession, d: String): Array[Byte] =
+    evalBloomMemo((s, d)) {
+      shingled(s, d).filter(col("doc_id") < 20)
+        .agg(BloomOps.bloomAgg(xxhash64(col("g")),
+          DecontamEstItems, DecontamNumBits).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+    }
+
+  /** The q198 operator over any (id, vec, label) relation: per-cell exact
+    * kNN edges (top-`k` cosine within the `label` cell, ties by id),
+    * reduced to per-cell graph statistics — node count, directed edge
+    * count, mutual (reciprocated) pair count, and the exact integer sum
+    * of mutual cosine micros. */
+  def knnGraphStats(e: DataFrame, k: Int): DataFrame = {
+    val scored = e.select(col("id").as("cid"), col("vec").as("cv"), col("label"))
+      .join(e.select(col("id").as("qid"), col("vec").as("qv"), col("label")), Seq("label"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid").as("key"), col("cid").as("id"),
+        Ann.cosMicros(col("qv"), col("cv")).as("score"))
+    val edges = Ann.topKPerKey(scored, k)
+      .select(col("key").as("qid"), col("id").as("cid"),
+        round(col("cos") * 1e6).cast("long").as("cm"))
+    val ed = edges.join(e.select(col("id").as("qid"), col("label")), "qid")
+    val mutual = ed
+      .join(edges.select(col("cid").as("qid"), col("qid").as("cid")),
+        Seq("qid", "cid"))
+      .filter(col("qid") < col("cid"))
+    val perCell = ed.groupBy("label")
+      .agg(countDistinct("qid").as("n_nodes"), count(lit(1)).as("n_edges"))
+    val perMutual = mutual.groupBy("label")
+      .agg(count(lit(1)).as("n_mutual"), sum("cm").cast("long").as("mutual_cm_sum"))
+    perCell.join(perMutual, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"), col("n_edges"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
+        coalesce(col("mutual_cm_sum"), lit(0L)).as("mutual_cm_sum"))
+      .orderBy("label")
+  }
 
   /** The q195 operator over any (doc_id, lang, text) relation: remove
     * every [[LineW]]-token line whose exact text recurs anywhere in the
@@ -168,6 +227,81 @@ object PipelineOps {
           sum(length(col("text"))).cast("long").as("sum_len"),
           min(md5(col("text"))).as("min_md5"))
         .orderBy("lang", "source")
+    },
+
+    // ── Mutual-kNN graph over the embedding lake: each vector's exact
+    //    top-3 cosine neighbors WITHIN its coarse cell (here the label
+    //    column; at scale the trained quantizer cell of q165-q167 — the
+    //    routing that keeps the self-join per-cell instead of corpus²),
+    //    then the graph statistics diversity sampling and graph
+    //    clustering start from: directed edge count, mutual
+    //    (reciprocated) pair count, and the exact integer sum of mutual
+    //    cosines. Plan: one equi-join on the cell key (never a cartesian),
+    //    bounded-state two-stage top-k (Ann.topKPerKey — no single-reducer
+    //    window), mutual edges by self-joining the k·n-sized edge
+    //    relation on the swapped key pair. The oracle replays the whole
+    //    graph from scratch with a rank window.
+    Q("q198_knn_graph", {
+      val cm = Ann.cosMicrosSql("a.embedding", "b.embedding")
+      s"""WITH p AS (SELECT a.label, a.vec_id AS qid, b.vec_id AS cid, $cm AS cm
+         |           FROM embeddings a JOIN embeddings b
+         |             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |                                   ORDER BY cm DESC, cid) AS rk FROM p),
+         |ed AS (SELECT label, qid, cid, cm FROM r WHERE rk <= $KnnK),
+         |m AS (SELECT x.label, x.cm FROM ed x JOIN ed y
+         |        ON x.qid = y.cid AND x.cid = y.qid WHERE x.qid < x.cid),
+         |n AS (SELECT label, count(DISTINCT qid) AS n_nodes,
+         |             count(*) AS n_edges FROM ed GROUP BY 1),
+         |mm AS (SELECT label, count(*) AS n_mutual,
+         |              sum(cm) AS mutual_cm_sum FROM m GROUP BY 1)
+         |SELECT n.label, CAST(n_nodes AS BIGINT) AS n_nodes,
+         |       CAST(n_edges AS BIGINT) AS n_edges,
+         |       CAST(coalesce(mm.n_mutual, 0) AS BIGINT) AS n_mutual,
+         |       CAST(coalesce(mm.mutual_cm_sum, 0) AS BIGINT) AS mutual_cm_sum
+         |FROM n LEFT JOIN mm USING (label) ORDER BY label""".stripMargin
+    }) { (s, d) =>
+      knnGraphStats(Tables.embeddings(s, d)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label")),
+        KnnK)
+    },
+
+    // ── Bloom-pruned decontamination — q65's semantics on the 100 TB
+    //    plan: the eval slice's hashed 3-grams are aggregated into ONE
+    //    small bloom (Spark's own BloomFilterAggregate, built distributed,
+    //    carried as a plan literal), and the corpus's exploded shingles
+    //    are pruned MAP-SIDE by bloom_might_contain before any exchange —
+    //    so the verify join's shuffle carries only the (rare) survivors
+    //    instead of every corpus shingle, which is the entire cost of
+    //    exact decontamination at scale. The bloom is correctness-free
+    //    machinery: no false negatives, and false positives die in the
+    //    exact string-equality join — so the oracle replays plain exact
+    //    decontamination and the hash compare proves the bloom path
+    //    changes nothing.
+    Q("q199_bloom_decontamination",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |                                           i -> array_to_string(toks[i:i+2], ' '))) AS s
+        |       FROM t WHERE len(toks) >= 3),
+        |e AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 20),
+        |c AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 20),
+        |bad AS (SELECT DISTINCT doc_id FROM c JOIN e USING (g))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM bad))
+        |            AS BIGINT) AS n_contaminated
+        |FROM documents WHERE doc_id >= 20
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val evalG = shingled(s, d).filter(col("doc_id") < 20).select("g").distinct()
+      val survivors = shingled(s, d).filter(col("doc_id") >= 20)
+        .filter(BloomOps.mightContain(lit(evalBloom(s, d)), xxhash64(col("g"))))
+      val bad = survivors.join(evalG, "g").select("doc_id").distinct()
+      docs(s, d).filter(col("doc_id") >= 20)
+        .join(bad.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("hit")).cast("long").as("n_contaminated"))
+        .orderBy("lang")
     }
   )
 }

@@ -81,6 +81,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(back.getString(1) == hostile, "text must survive the JSON hop unchanged")
   }
 
+  test("knn graph: mutual pairs are reciprocated top-k edges, cells never mix") {
+    // One cell with a tight pair (v1≈v2) plus two far points; k=1 so the
+    // only mutual pair is (1,2). A second cell is a copy shifted in id —
+    // its stats must come out identical and separate.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (1L, v(1, 0, 0), 0), (2L, v(0.99, 0.14, 0), 0),
+      (3L, v(0, 1, 0), 0), (4L, v(0, 0, 1), 0),
+      (11L, v(1, 0, 0), 1), (12L, v(0.99, 0.14, 0), 1),
+      (13L, v(0, 1, 0), 1), (14L, v(0, 0, 1), 1))
+    val e = rows.toDF("id", "vec", "label")
+    val out = PipelineOps.knnGraphStats(e, 1).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // 4 nodes, 4 directed edges (k=1 each); v1↔v2 is the only mutual
+    // pair; v3 and v4 point INTO the tight pair without reciprocation.
+    assert(out(0)._1 == 4L && out(0)._2 == 4L && out(0)._3 == 1L)
+    assert(out(0) == out(1), "identical cells must produce identical stats")
+    // The mutual cosine is cos(v1,v2) in micros, symmetric by construction.
+    val expected = math.round(1e6 * (1 * 0.99f + 0 * 0.14f) /
+      (1.0 * math.sqrt(0.99f * 0.99f + 0.14f * 0.14f)))
+    assert(out(0)._4 == expected, s"got ${out(0)._4}, want $expected")
+  }
+
+  test("bloom: no false negatives, and real pruning on disjoint probes") {
+    import graft.functions.BloomOps
+    val n = 5000L
+    val bloom = spark.range(n)
+      .agg(BloomOps.bloomAgg(xxhash64(col("id")), 1L << 13, 1L << 19).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    // Every inserted key must pass (bloom contract: zero false negatives).
+    val inHits = spark.range(n)
+      .filter(BloomOps.mightContain(lit(bloom), xxhash64(col("id"))))
+      .count()
+    assert(inHits == n, s"false negatives: only $inHits of $n inserted keys pass")
+    // Disjoint probes mostly fail — the map-side prune is real.
+    val outHits = spark.range(1000000L, 1000000L + n)
+      .filter(BloomOps.mightContain(lit(bloom), xxhash64(col("id"))))
+      .count()
+    assert(outHits < n / 20,
+      s"bloom passed $outHits of $n disjoint probes — no pruning power at this sizing")
+  }
+
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
