@@ -302,6 +302,47 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_docs"),
           count(col("hit")).cast("long").as("n_contaminated"))
         .orderBy("lang")
+    },
+
+    // ── Token-budget mixture plan: the pre-training planning step q171's
+    //    doc-count sampler doesn't cover — weights over TOKEN mass, and
+    //    the output is the training recipe itself: per-source sampling
+    //    weight and the number of epochs of that source consumed when a
+    //    fixed token budget (half the corpus here) is drawn at
+    //    temperature 0.5. epochs > 1e6 micro marks a source the mixture
+    //    UPSAMPLES — the known failure mode temperature mixing must
+    //    surface before training starts. Plan: one hash-agg on source
+    //    (map-side partial absorbs the token explosion... actually no
+    //    explosion at all: size(split()) is a map-side expression), a
+    //    single-row total cross-joined back (documented-bound BNLJ, the
+    //    q171 family). Arithmetic: IEEE sqrt micro-rounded, then one
+    //    long→double divide + floor per source, identical in DuckDB.
+    Q("q200_token_budget_plan",
+      """WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT *, CAST(round(1e6 * sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS wi
+        |      FROM t),
+        |tot AS (SELECT CAST(sum(wi) AS BIGINT) AS sw,
+        |               CAST(sum(n_tokens) AS BIGINT) AS total FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |       (1000000 * wi) // sw AS weight_ppm,
+        |       CAST(floor(1e6 * (CAST((total // 2) * wi AS DOUBLE)
+        |                         / CAST(sw * n_tokens AS DOUBLE))) AS BIGINT) AS epochs_micro
+        |FROM w CROSS JOIN tot ORDER BY source""".stripMargin) { (s, d) =>
+      val t = docs(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text")))).cast("long").as("n_tokens"))
+      val w = t.withColumn("wi",
+        round(lit(1e6) * sqrt(col("n_tokens").cast("double"))).cast("long"))
+      val tot = w.agg(sum("wi").cast("long").as("sw"),
+        sum("n_tokens").cast("long").as("total"))
+      w.crossJoin(tot)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("(1000000 * wi) div sw").as("weight_ppm"),
+          floor(lit(1e6) * ((expr("total div 2") * col("wi")).cast("double")
+            / (col("sw") * col("n_tokens")).cast("double"))).cast("long").as("epochs_micro"))
+        .orderBy("source")
     }
   )
 }

@@ -52,7 +52,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q179_retrieval_metrics" -> "q166's shapes: Lloyd assignment + 5-row query batch × corpus exact baseline",
     "q180_ann_index_refresh" -> "cross joins of the single-row split bound + k=10 frozen-centroid assignment",
     "q190_nb_quality_classifier" -> "cross join of the single-row class-prior aggregate onto the scored docs",
-    "q191_dsir_importance" -> "cross join of the single-row target/raw hashed-bucket totals onto the bucket weight table")
+    "q191_dsir_importance" -> "cross join of the single-row target/raw hashed-bucket totals onto the bucket weight table",
+    "q200_token_budget_plan" -> "cross join of the single-row weight/token total onto the source dim (q171 family)")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no unexpected nested-loop or cartesian join") {

@@ -123,6 +123,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"bloom passed $outHits of $n disjoint probes — no pruning power at this sizing")
   }
 
+  test("token budget plan: drawn tokens sum to the budget, smaller sources upsample harder") {
+    val rows = graft.SparkEntry.queries("q200_token_budget_plan")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = rows.map(_._2).sum
+    // Σ epochs_i · n_tokens_i must reconstruct the token budget (total/2)
+    // up to the per-source floor rounding (< 1 token each).
+    val drawn = rows.map { case (_, nt, _, em) => em.toDouble * nt / 1e6 }.sum
+    assert(math.abs(drawn - total / 2) < rows.length + 1,
+      s"drawn $drawn vs budget ${total / 2}")
+    // Temperature 0.5 flattens the mixture: epochs (upsampling rate) must
+    // be anti-monotone in source size.
+    val epochsBySize = rows.sortBy(_._2).map(_._4)
+    assert(epochsBySize.sliding(2).forall {
+      case Array(small, large) => small >= large
+      case _                   => true
+    }, s"epochs must be anti-monotone in source size: ${epochsBySize.mkString(",")}")
+  }
+
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
