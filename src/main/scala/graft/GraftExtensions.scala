@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashAgg, ShingleHashes, SimHashAgg, VecDot, VecDotI, VecL2I, WindowHashes}
+import graft.functions.{MinHashAgg, ShingleHashes, SimHashAgg, TopKPairsAgg, VecDot, VecDotI, VecL2I, WindowHashes}
 
 /** Session extensions — the supported injection point for the engine's
   * custom Catalyst surface. Installing via
@@ -47,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WindowHashes].getName, "window_hashes"),
       (es: Seq[Expression]) =>
         WindowHashes(es.head, es(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairsAgg].getName, "topk_pairs"),
+      (es: Seq[Expression]) =>
+        TopKPairsAgg(es.head, es(1), es(2).eval().asInstanceOf[Number].intValue())))
     // Spark's OWN bloom-filter expressions (the pair behind runtime join
     // filters — spark/sql/catalyst/expressions/aggregate/BloomFilterAggregate
     // .scala), surfaced as callable functions so an application-level bloom

@@ -39,17 +39,22 @@ object Ann {
     s"CAST(round(1e6 * ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))) AS BIGINT)"
 
   /** Two-stage bounded-state top-k per key over (key, score, id) rows:
-    * stage 1 takes the top k inside each (key, id-hash-bucket) group,
-    * stage 2 merges the per-bucket lists. Both collect_lists are bounded
-    * (bucket size, then buckets·k), unlike a row_number window that drags
-    * a key's entire corpus through one reducer. Sorting is ascending on
-    * struct(negScore, id) — i.e. score desc, id asc.
+    * stage 1 takes the top k inside each (key, id-hash-bucket) group via
+    * the [[graft.functions.TopKPairsAgg]] kernel — O(k) aggregation
+    * state per partial, vs the earlier `slice(array_sort(collect_list))`
+    * whose partials held the WHOLE group before slicing (at the 100×
+    * audit, q198's ~10⁹-pair groups spilled 27 GB through that buffer);
+    * stage 2 merges the per-bucket k-lists (16·k structs — bounded by
+    * construction). Neither stage is a row_number window dragging a
+    * key's entire corpus through one reducer. Order is ascending on
+    * (negScore, id) — i.e. score desc, id asc — identical to the
+    * collect_list formulation bit for bit.
     */
   def topKPerKey(scored: DataFrame, k: Int, buckets: Int = 16): DataFrame =
     scored
       .withColumn("neg", -col("score"))
       .groupBy(col("key"), pmod(col("id"), lit(buckets)).as("bucket"))
-      .agg(slice(array_sort(collect_list(struct(col("neg"), col("id")))), 1, k).as("part"))
+      .agg(call_function("topk_pairs", col("neg"), col("id"), lit(k)).as("part"))
       .groupBy("key")
       .agg(slice(array_sort(flatten(collect_list(col("part")))), 1, k).as("top"))
       .select(col("key"), posexplode(col("top")))

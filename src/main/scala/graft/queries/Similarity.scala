@@ -433,7 +433,7 @@ object Similarity {
       val scored = qz.join(broadcast(qs), col("vec_id") =!= col("qid"))
         .select(col("qid").as("key"), col("vec_id").as("id"),
           round(lit(1e6) * VecDot.dot(col("qqv"), col("qv"))
-            * col("qm") * col("m") / 16129.0).as("score"))
+            * col("qm") * col("m") / 16129.0).cast("long").as("score"))
       Ann.topKPerKey(scored, k = 10)
         .select(col("key").as("qid"), col("rank"),
           col("id").as("vec_id"), col("cos").as("score"))
@@ -491,7 +491,7 @@ object Similarity {
       val scored = qz.join(broadcast(qs), col("vec_id") =!= col("qid"))
         .select(col("qid").as("key"), col("vec_id").as("id"),
           round(lit(1e6) * VecDot.dot(col("qqv"), col("qv"))
-            * col("qm") * col("m") / 16129.0).as("score"))
+            * col("qm") * col("m") / 16129.0).cast("long").as("score"))
       val cand = Ann.topKPerKey(scored, k = 20)
         .select(col("key").as("qid"), col("id").as("vec_id"))
       val fullQ = emb(s, d).filter(col("vec_id") < 5)
