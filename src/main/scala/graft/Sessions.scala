@@ -43,6 +43,23 @@ object Sessions {
       // parquet footer and prune row groups.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // Object-typed aggregates (the sketch kernels: minhash_sig,
+      // simhash_sig, topk_pairs; also collect_list/listagg) run on
+      // ObjectHashAggregateExec, which abandons hash aggregation for a
+      // SORT of the entire input once a partition sees >128 distinct
+      // groups (spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+      // default). Every sketch aggregate in this engine keeps a BOUNDED
+      // buffer (k pairs / H longs), so hash mode costs O(groups·buffer)
+      // memory — a few hundred MB at worst per task — while the sort
+      // fallback costs a full shuffle-spill of the pre-aggregation rows:
+      // at the 100× audit, q198's 4e9-pair stage spilled tens of GB
+      // through exactly this fallback. 4M groups/partition keeps every
+      // bounded-buffer aggregate in hash mode at any realistic reducer
+      // width; unbounded list aggregates stay safe because their lists,
+      // not the group count, are what bounds them (q75 builds posting
+      // lists over a bounded eval slice by construction).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (4 * 1024 * 1024).toString)
       // Driver self-defense: plan→string rendering (AQE plan-change log,
       // explain, UI) is O(plan size), and an iterative job that fails to
       // truncate lineage grows its plan exponentially — an unbounded
