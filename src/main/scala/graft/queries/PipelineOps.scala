@@ -350,6 +350,63 @@ object PipelineOps {
           floor(lit(1e6) * ((expr("total div 2") * col("wi")).cast("double")
             / (col("sw") * col("n_tokens")).cast("double"))).cast("long").as("epochs_micro"))
         .orderBy("source")
+    },
+
+    // ── Point-in-time (temporal) join: each purchase enriched with the
+    //    SCD2 dimension version valid AT ITS TIMESTAMP — q99's version
+    //    build (here over the user's NON-purchase activity, so the state
+    //    a purchase lands in is its behavioral context, not itself)
+    //    composed with q47's as-of merge operator: the classic "join the
+    //    fact to the dimension as it was" warehouse op that a plain
+    //    equi-join (latest version) silently gets wrong. The as-of
+    //    formulation is ONE shuffle on user_id and a linear per-key
+    //    window — never the quadratic valid_from <= ts range join. Equal
+    //    timestamps resolve version-before-fact, same-instant version
+    //    ties keep the lowest event_id, and a purchase before any
+    //    activity groups under '(none)' — all replayed by the oracle's
+    //    ASOF JOIN over the identically-deduped version relation.
+    Q("q201_scd2_point_in_time",
+      """WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+        |o AS (SELECT user_id, ts, event_id, event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts, event_id) AS prev
+        |      FROM e WHERE event_type <> 'purchase'),
+        |v0 AS (SELECT user_id, ts, event_id, event_type AS state
+        |       FROM o WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, ts, event_id, state FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |                                     ORDER BY event_id) AS rn
+        |        FROM v0)
+        |      WHERE rn = 1),
+        |p AS (SELECT user_id, ts, event_id, value FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT coalesce(j.state, '(none)') AS state,
+        |       CAST(count(*) AS BIGINT) AS n_purchases,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
+        |       CAST(count(DISTINCT j.user_id) AS BIGINT) AS n_users
+        |FROM (SELECT p.user_id, p.value, v.state
+        |      FROM p ASOF LEFT JOIN v
+        |        ON p.user_id = v.user_id AND p.ts >= v.ts) j
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).filter(col("ts").isNotNull)
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val versions = e.filter(col("event_type") =!= "purchase")
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("state"))
+      val dim = graft.operators.AsOfJoin.dedupRight(
+        versions, key = "user_id", ts = "ts", orderCol = "event_id")
+      val facts = e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      graft.operators.AsOfJoin.asof(facts, dim,
+        key = "user_id", ts = "ts", leftOrder = "event_id",
+        rightVals = Seq("state"))
+        .groupBy(coalesce(col("asof_state"), lit("(none)")).as("state"))
+        .agg(count(lit(1)).as("n_purchases"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("state")
     }
   )
 }

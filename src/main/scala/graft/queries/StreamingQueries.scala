@@ -444,6 +444,51 @@ object StreamingQueries {
                 / col("kth_hash")).cast("long")).as("est_distinct"))
           .orderBy("day")
       }
+    },
+
+    // ── Streaming suppression guard (§2.9 × lifecycle × the q199 bloom):
+    //    an erasure ledger (q80's contract — here every user_id < 50)
+    //    enforced AT INGEST. The ledger rides the streaming plan twice:
+    //    as a bloom literal whose might_contain is a STATELESS map-side
+    //    short-circuit — the overwhelmingly-common untainted row never
+    //    touches a join — and as the exact static relation that a
+    //    stream-static left-outer join + null filter consults ONLY for
+    //    bloom candidates (false positives die there; false negatives
+    //    don't exist, so suppression is exact). The drained sink must
+    //    equal the oracle's plain batch filter — proving the
+    //    bloom/join split changes nothing.
+    Q("q202_streaming_suppression_guard",
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+        |FROM events WHERE user_id >= 50 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val sink = s"q202_sink_${sinkSeq.getAndIncrement()}"
+      withStreamTuning(s, partitions = 8) { st =>
+        val ledger = Tables.events(st, d)
+          .filter(col("user_id") < 50).select("user_id").distinct()
+        val bloom = ledger
+          .agg(graft.functions.BloomOps.bloomAgg(
+            xxhash64(col("user_id")), 1L << 12, 1L << 17).as("bf"))
+          .head.getAs[Array[Byte]]("bf")
+        val might = graft.functions.BloomOps.mightContain(
+          lit(bloom), xxhash64(col("user_id")))
+        val stream = StreamingJobs.eventsStream(st, stagedEventsDir(s, d))
+        val clean = stream.filter(!might)
+        val verified = stream.filter(might)
+          .join(ledger.withColumn("__supp", lit(1)), Seq("user_id"), "left_outer")
+          .filter(col("__supp").isNull).drop("__supp")
+        val query = clean.unionByName(verified)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        st.table(sink).orderBy("event_type")
+      }
     }
   )
 }

@@ -141,6 +141,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     }, s"epochs must be anti-monotone in source size: ${epochsBySize.mkString(",")}")
   }
 
+  test("suppression split: bloom-clean union verified-candidates equals the plain anti-join") {
+    import graft.functions.BloomOps
+    val rows = (0L until 3000L).map(i => (i % 211, i))
+    val data = rows.toDF("user_id", "event_id")
+    val ledger = spark.range(50).select(col("id").as("user_id"))
+    val bloom = ledger
+      .agg(BloomOps.bloomAgg(xxhash64(col("user_id")), 1L << 12, 1L << 17).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val might = BloomOps.mightContain(lit(bloom), xxhash64(col("user_id")))
+    val split = data.filter(!might).unionByName(
+      data.filter(might)
+        .join(ledger.withColumn("__supp", lit(1)), Seq("user_id"), "left_outer")
+        .filter(col("__supp").isNull).drop("__supp"))
+    val plain = data.join(ledger, Seq("user_id"), "left_anti")
+    assert(split.exceptAll(plain).isEmpty && plain.exceptAll(split).isEmpty,
+      "the bloom short-circuit must not change which rows survive")
+  }
+
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
