@@ -61,6 +61,10 @@ object PipelineOps {
   /** Neighbors per node in the q198 kNN graph. */
   val KnnK = 3
 
+  /** MMR reranking (q203): candidates per query and selections made. */
+  val MmrCand = 20
+  val MmrK = 5
+
   /** Bloom sizing for q199: the eval set's distinct 3-gram count is a few
     * thousand at any test SF; 2^19 bits (64 KiB) holds it at a sub-percent
     * FP rate, and at 100 TB the eval side is still benchmark-sized, so
@@ -407,6 +411,110 @@ object PipelineOps {
           (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"),
           countDistinct("user_id").as("n_users"))
         .orderBy("state")
+    },
+
+    // ── MMR diversity reranking — the serving-path step between q39's
+    //    relevance top-k and the response: greedily select MmrK of the
+    //    top-MmrCand candidates maximizing 7·relevance − 3·max-sim-to-
+    //    already-selected (λ = 0.7 kept as exact integers — the monotone
+    //    scale factor 10 is never divided out, so no rounding exists to
+    //    diverge). Everything is bounded per query: candidates MmrCand,
+    //    pairwise sims MmrCand², MmrK − 1 joined iterations over those
+    //    tiny relations — at 100 TB reranking cost scales with query
+    //    count alone, embarrassingly parallel, while the only corpus-
+    //    sized stage (relevance top-k) rides the bounded-state reducer.
+    //    The oracle replays the greedy chain step for step as CTEs, so
+    //    the selection ORDER — not just the set — is verified.
+    Q("q203_mmr_rerank", {
+      val qcm = Ann.cosMicrosSql("q.qv", "e.embedding")
+      val pcm = Ann.cosMicrosSql("ea.embedding", "eb.embedding")
+      val steps = (2 to MmrK).map { t =>
+        s"""pick$t AS (
+           |  SELECT qid, cid, r, $t AS step FROM (
+           |    SELECT c.qid, c.cid, c.r,
+           |           row_number() OVER (PARTITION BY c.qid
+           |             ORDER BY 7 * c.r - 3 * m.maxsim DESC, c.cid) AS rk
+           |    FROM s0 c
+           |    JOIN (SELECT p.qid, p.ca AS cid, max(p.pm) AS maxsim
+           |          FROM pair p JOIN sel${t - 1} s
+           |            ON p.qid = s.qid AND p.cb = s.cid
+           |          GROUP BY 1, 2) m
+           |      ON c.qid = m.qid AND c.cid = m.cid
+           |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s2
+           |                      WHERE s2.qid = c.qid AND s2.cid = c.cid))
+           |  WHERE rk = 1),
+           |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pick$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id < 5),
+         |sc AS (SELECT q.qid, e.vec_id AS cid, e.embedding, $qcm AS r
+         |       FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+         |s0 AS (SELECT qid, cid, r FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY qid
+         |                                      ORDER BY r DESC, cid) AS rk
+         |         FROM sc)
+         |       WHERE rk <= $MmrCand),
+         |pair AS (SELECT a.qid, a.cid AS ca, b.cid AS cb, $pcm AS pm
+         |         FROM s0 a JOIN s0 b ON a.qid = b.qid AND a.cid <> b.cid
+         |         JOIN embeddings ea ON ea.vec_id = a.cid
+         |         JOIN embeddings eb ON eb.vec_id = b.cid),
+         |sel1 AS (SELECT qid, cid, r, 1 AS step FROM (
+         |           SELECT qid, cid, r, row_number() OVER (PARTITION BY qid
+         |                                ORDER BY r DESC, cid) AS rk FROM s0)
+         |         WHERE rk = 1),
+         |$steps
+         |SELECT qid, CAST(step AS INTEGER) AS step, cid, r / 1e6 AS relevance
+         |FROM sel$MmrK ORDER BY qid, step""".stripMargin
+    }) { (s, d) =>
+      mmrRerank(
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        qBound = 5, k = MmrK, nCand = MmrCand)
     }
   )
+
+  /** The q203 operator over any (id, vec) relation: greedy MMR selection
+    * of `k` of the top-`nCand` relevance candidates for each query
+    * (id < qBound), maximizing 7·relevance − 3·max-sim-to-selected at
+    * each step, ties by candidate id. Output rows carry the selection
+    * step, so order — not just membership — is observable. */
+  def mmrRerank(e: DataFrame, qBound: Int, k: Int, nCand: Int): DataFrame = {
+    val q = e.filter(col("id") < qBound).select(col("id").as("qid"), col("vec").as("qv"))
+    val scored = e.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid").as("key"), col("id"),
+        Ann.cosMicros(col("qv"), col("vec")).as("score"))
+    val cand = Ann.topKPerKey(scored, nCand)
+      .select(col("key").as("qid"), col("id").as("cid"),
+        round(col("cos") * 1e6).cast("long").as("r"))
+    val withVec = (n: String) => e.select(col("id").as(n + "id"), col("vec").as(n + "v"))
+    val pairs = cand.select(col("qid"), col("cid").as("ca"))
+      .join(cand.select(col("qid"), col("cid").as("cb")), "qid")
+      .filter(col("ca") =!= col("cb"))
+      .join(withVec("a"), col("ca") === col("aid"))
+      .join(withVec("b"), col("cb") === col("bid"))
+      .select(col("qid"), col("ca"), col("cb"),
+        Ann.cosMicros(col("av"), col("bv")).as("pm"))
+    val byQ = Window.partitionBy("qid")
+    var sel = cand
+      .withColumn("rk", row_number().over(byQ.orderBy(col("r").desc, col("cid"))))
+      .filter(col("rk") === 1).drop("rk")
+      .withColumn("step", lit(1))
+    for (t <- 2 to k) {
+      val maxsim = pairs
+        .join(sel.select(col("qid"), col("cid").as("cb")), Seq("qid", "cb"))
+        .groupBy(col("qid"), col("ca").as("cid"))
+        .agg(max("pm").as("maxsim"))
+      val pick = cand
+        .join(sel.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
+        .join(maxsim, Seq("qid", "cid"))
+        .withColumn("rk", row_number().over(
+          byQ.orderBy((lit(7) * col("r") - lit(3) * col("maxsim")).desc, col("cid"))))
+        .filter(col("rk") === 1).select("qid", "cid", "r")
+        .withColumn("step", lit(t))
+      sel = sel.unionByName(pick)
+    }
+    sel.select(col("qid"), col("step").cast("int").as("step"), col("cid"),
+      (col("r") / 1e6).as("relevance"))
+      .orderBy("qid", "step")
+  }
 }

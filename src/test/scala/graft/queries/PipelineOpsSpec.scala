@@ -159,6 +159,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       "the bloom short-circuit must not change which rows survive")
   }
 
+  test("MMR reranks a near-duplicate below a less-relevant but diverse candidate") {
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // query 0; candidates 10 and 11 are EXACT duplicates (sim = 1.0, the
+    // full λ penalty), 12 is equally relevant but mirrored — hand-checked:
+    // 7·r − 3·sim gives 12 ≈ 4.45e6 vs 11 ≈ 3.29e6 at step 2.
+    val e = Seq(
+      (0L, v(1, 0, 0)),
+      (10L, v(0.9, 0.44, 0)), (11L, v(0.9, 0.44, 0)),
+      (12L, v(0.9, -0.44, 0))).toDF("id", "vec")
+    val sel = PipelineOps.mmrRerank(e, qBound = 1, k = 3, nCand = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(sel(1) == 10L, "step 1 is pure relevance")
+    assert(sel(2) == 12L, "step 2 must prefer the diverse candidate over the near-dup")
+    assert(sel(3) == 11L, "the near-dup still lands once diversity is exhausted")
+  }
+
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
