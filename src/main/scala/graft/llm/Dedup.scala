@@ -560,4 +560,50 @@ object Dedup {
         col("span_len").cast("long").as("span_len"),
         md5(array_join(expr("slice(toks, s0 + 1, span_len)"), " ")).as("span_md5"))
   }
+
+  /** Cross-split variant of [[repeatedSpans]] (q204): maximal ≥`n`-token
+    * spans of TRAIN documents (doc_id ≥ `evalBound`) that appear verbatim
+    * anywhere in the EVAL slice (doc_id < `evalBound`) — the
+    * decontamination DEPTH metric: q65/q199 flag any 3-gram share, this
+    * measures the worst verbatim leak's length, which is what a span-
+    * masking policy needs. Same two-phase shape: O(L) rolling window-hash
+    * anchors semi-joined against the (benchmark-sized, broadcast) eval
+    * anchor set, md5 verify of the candidates only, gaps-and-islands
+    * merge. The corpus side is touched once, map-side, and only anchor
+    * HITS ever shuffle — at 100 TB the expected hit volume is the leak
+    * volume, not the corpus. */
+  def crossSpans(docs: DataFrame, n: Int, evalBound: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.broadcast
+    val toks = fanOut(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+    val anchors = fanOut(docs)
+      .select(col("doc_id"),
+        posexplode(graft.functions.WindowHashes.of(col("text"), n)))
+      .toDF("doc_id", "pos", "rh")
+    val evalRh = anchors.filter(col("doc_id") < evalBound).select("rh").distinct()
+    val candPerDoc = anchors.filter(col("doc_id") >= evalBound)
+      .join(broadcast(evalRh), "rh")
+      .groupBy("doc_id").agg(sort_array(collect_set(col("pos"))).as("ps"))
+    val evalFp = toks.filter(col("doc_id") < evalBound)
+      .select(explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"p -> md5(array_join(slice(toks, p, $n), ' ')))")).as("fp"))
+      .distinct()
+    val verified = candPerDoc.join(toks, "doc_id")
+      .select(col("doc_id"), explode(expr(
+        s"transform(ps, p -> struct(p AS pos, md5(array_join(slice(toks, p + 1, $n), ' ')) AS fp))")).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.fp").as("fp"))
+      .join(broadcast(evalFp), "fp")
+    verified
+      .withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("pos").as("s0"), (max("pos") - min("pos") + n).as("span_len"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        max("span_len").cast("long").as("max_span_len"),
+        sum("span_len").cast("long").as("leaked_tokens"))
+  }
 }

@@ -65,6 +65,11 @@ object PipelineOps {
   val MmrCand = 20
   val MmrK = 5
 
+  /** q204's window length — q185's threshold. NOTE: must be declared
+    * BEFORE `defs` (object vals initialize in declaration order; a
+    * forward reference interpolates as 0 into the oracle SQL). */
+  private val XN = CurationOps.MinRepeatTokens
+
   /** Bloom sizing for q199: the eval set's distinct 3-gram count is a few
     * thousand at any test SF; 2^19 bits (64 KiB) holds it at a sub-percent
     * FP rate, and at 100 TB the eval side is still benchmark-sized, so
@@ -470,6 +475,41 @@ object PipelineOps {
         Tables.embeddings(s, d)
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
         qBound = 5, k = MmrK, nCand = MmrCand)
+    },
+
+    // ── Cross-split verbatim-overlap depth: q185's maximal-span machinery
+    //    pointed ACROSS the train/eval boundary — per train document, the
+    //    spans (≥16 tokens) that appear verbatim anywhere in the eval
+    //    slice, reported as count / max length / total leaked tokens.
+    //    q65/q199 flag that contamination EXISTS (any shared 3-gram);
+    //    this measures how DEEP the worst leak runs, which is what a
+    //    span-masking (rather than doc-dropping) policy needs. Scale
+    //    shape per Dedup.crossSpans: the corpus is touched once map-side
+    //    by the O(L) rolling kernel, the eval anchor/fingerprint sets
+    //    are benchmark-sized broadcasts, and only anchor HITS shuffle.
+    //    The oracle recomputes from per-position md5 windows, so the
+    //    rolling anchor's recall, the verify join, and the island merge
+    //    are all independently checked.
+    Q("q204_cross_split_spans",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, p,
+         |             md5(array_to_string(toks[p:p+$XN-1], ' ')) AS fp
+         |      FROM t, unnest(range(1, len(toks) - $XN + 2)) AS u(p)
+         |      WHERE len(toks) >= $XN),
+         |e AS (SELECT DISTINCT fp FROM w WHERE doc_id < 20),
+         |r AS (SELECT doc_id, p FROM w
+         |      WHERE doc_id >= 20 AND fp IN (SELECT fp FROM e)),
+         |g AS (SELECT doc_id, p,
+         |             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         |      FROM r),
+         |sp AS (SELECT doc_id, max(p) - min(p) + $XN AS span_len
+         |       FROM g GROUP BY doc_id, grp)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |       CAST(max(span_len) AS BIGINT) AS max_span_len,
+         |       CAST(sum(span_len) AS BIGINT) AS leaked_tokens
+         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.llm.Dedup.crossSpans(docs(s, d), XN, evalBound = 20L)
+        .orderBy("doc_id")
     }
   )
 

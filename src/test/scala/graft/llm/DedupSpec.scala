@@ -222,4 +222,19 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Dedup.simhashPairs(d, 1).collect()
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
   }
+
+  test("crossSpans reports only train↔eval overlap, never train↔train repeats") {
+    val leak = (0 until 20).map(i => s"leak$i")
+    val trainOnly = (0 until 20).map(i => s"dup$i")
+    // doc 1 is EVAL (id < 10); docs 11/12 are TRAIN: 11 shares the leak
+    // with eval, 11 and 12 share a train-only block that must NOT count.
+    val d = docsOf(
+      (1L, ((0 until 16).map(i => s"e$i") ++ leak).mkString(" ")),
+      (11L, (trainOnly ++ (0 until 3).map(i => s"a$i") ++ leak).mkString(" ")),
+      (12L, (trainOnly ++ (0 until 20).map(i => s"b$i")).mkString(" ")))
+    val out = Dedup.crossSpans(d, n = 16, evalBound = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((11L, 1L, 20L, 20L)),
+      s"exactly doc 11's 20-token leak, nothing from the train-only dup: ${out.toSeq}")
+  }
 }
