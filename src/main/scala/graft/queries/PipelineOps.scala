@@ -510,8 +510,109 @@ object PipelineOps {
          |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       graft.llm.Dedup.crossSpans(docs(s, d), XN, evalBound = 20L)
         .orderBy("doc_id")
+    },
+
+    // ── Length-bucketed batching audit — the dynamic-batching planner's
+    //    input: documents assigned to power-of-two token buckets
+    //    (16/32/64/128, a CASE ladder — no float log2 whose rounding
+    //    could diverge between engines), with the padding waste a
+    //    pad-to-bucket batcher pays per bucket. The complement of q177:
+    //    packing eliminates padding by construction, this measures what
+    //    NOT packing costs, which is the number that justifies the
+    //    packer. Map-side expression + one hash-agg; at 100 TB the
+    //    histogram is the bucket count wide.
+    Q("q205_length_buckets",
+      """WITH t AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+        |b AS (SELECT n, CAST(CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |                          WHEN n <= 64 THEN 64 ELSE 128 END AS BIGINT) AS bucket
+        |      FROM t)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS sum_tokens,
+        |       CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+        |       CAST((1000000 * (count(*) * bucket - sum(n))) // (count(*) * bucket) AS BIGINT) AS waste_ppm
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(size(TextOps.tokens(col("text"))).cast("long").as("n"))
+        .withColumn("bucket",
+          when(col("n") <= 16, 16L).when(col("n") <= 32, 32L)
+            .when(col("n") <= 64, 64L).otherwise(128L))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n").cast("long").as("sum_tokens"))
+        .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+          (col("n_docs") * col("bucket")).as("padded_tokens"),
+          expr("(1000000 * (n_docs * bucket - sum_tokens)) div (n_docs * bucket)")
+            .as("waste_ppm"))
+        .orderBy("bucket")
+    },
+
+    // ── Content-defined chunking (CDC) dedup: chunk boundaries cut where
+    //    the md5 of the trailing 8-token window hits `% 8 == 0` — so an
+    //    insertion near a document's head only perturbs fingerprints
+    //    until the next boundary, where fixed-width chunking (q181)
+    //    shifts EVERY downstream chunk and loses all dedup. The
+    //    storage-dedup classic (Rabin/FastCDC) in token space, with the
+    //    boundary predicate on md5 hex — engine-portable, so the oracle
+    //    replays boundaries, chunking, and the keep-first policy exactly.
+    //    Plan: map-side boundary flags, one per-doc window for the
+    //    running chunk id, one fingerprint-key shuffle for the dedup —
+    //    q181's scale shape with content-defined geometry.
+    Q("q206_cdc_chunk_dedup",
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |pos AS (SELECT doc_id, lang, toks[p] AS tok, p,
+        |               CASE WHEN p >= 8 AND
+        |                 ('0x' || substr(md5(array_to_string(toks[p-7:p], ' ')), 1, 8))::BIGINT % 8 = 0
+        |               THEN 1 ELSE 0 END AS brk
+        |        FROM (SELECT doc_id, lang, toks,
+        |                     unnest(range(1, len(toks) + 1)) AS p FROM t)),
+        |cid AS (SELECT doc_id, lang, tok, p,
+        |               coalesce(sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ch
+        |        FROM pos),
+        |ck AS (SELECT doc_id, lang, ch,
+        |              count(*) AS clen,
+        |              md5(string_agg(tok, ' ' ORDER BY p)) AS fp
+        |       FROM cid GROUP BY doc_id, lang, ch),
+        |r AS (SELECT lang, clen,
+        |             row_number() OVER (PARTITION BY fp ORDER BY doc_id, ch) AS rn
+        |      FROM ck)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        |       CAST(coalesce(sum(clen) FILTER (WHERE rn > 1), 0) AS BIGINT) AS tokens_removed
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      cdcChunkDedup(fanned(s, d))
     }
   )
+
+  /** The q206 operator over any (doc_id, lang, text) relation. */
+  def cdcChunkDedup(docsDf: DataFrame): DataFrame = {
+    val pos = docsDf
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("lang"), col("toks"), col("tok"),
+        (col("p0") + 1).as("p"))
+    val brk = when(col("p") >= 8 &&
+        expr("CAST(conv(substr(md5(array_join(slice(toks, p - 7, 8), ' ')), 1, 8), 16, 10) AS BIGINT) % 8 = 0"),
+      1).otherwise(0)
+    val w = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = pos.withColumn("brk", brk)
+      .withColumn("ch", coalesce(sum(col("brk")).over(w), lit(0)))
+      .groupBy(col("doc_id"), col("lang"), col("ch"))
+      .agg(count(lit(1)).as("clen"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ")).as("fp"))
+    chunks
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id", "ch")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("rn") === 1, 1)).cast("long").as("n_kept"),
+        coalesce(sum(when(col("rn") > 1, col("clen"))), lit(0L))
+          .cast("long").as("tokens_removed"))
+      .orderBy("lang")
+  }
 
   /** The q203 operator over any (id, vec) relation: greedy MMR selection
     * of `k` of the top-`nCand` relevance candidates for each query

@@ -175,6 +175,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sel(3) == 11L, "the near-dup still lands once diversity is exhausted")
   }
 
+  test("CDC chunking survives a head insertion that destroys fixed-width chunk dedup") {
+    val base = (0 until 96).map(i => s"w$i")
+    val shifted = base.take(2) ++ Seq("INSERTED") ++ base.drop(2)
+    val d = Seq((1L, "en", base.mkString(" ")), (2L, "en", shifted.mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    // fixed 64-token chunks: the one-token shift leaves zero equal chunks
+    val fixedFps = d.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(split(text, ' ')), 64), st -> md5(array_join(slice(split(text, ' '), st, 64), ' ')))")).as("fp"))
+    val fixedShared = fixedFps.alias("a").join(fixedFps.alias("b"),
+      col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id")).count()
+    assert(fixedShared == 0L, "fixed chunks must lose all dedup after the shift")
+    // content-defined chunks realign after the first post-edit boundary
+    val out = PipelineOps.cdcChunkDedup(d).collect()(0)
+    assert(out.getLong(3) > 0L,
+      s"CDC must still find shared chunks (tokens_removed > 0): $out")
+  }
+
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
