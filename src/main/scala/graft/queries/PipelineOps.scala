@@ -624,9 +624,15 @@ object PipelineOps {
     val scored = e.join(broadcast(q), col("id") =!= col("qid"))
       .select(col("qid").as("key"), col("id"),
         Ann.cosMicros(col("qv"), col("vec")).as("score"))
+    // Eager leaf plans for the two relations every greedy step re-reads:
+    // without the checkpoint each of the k−1 iterations re-derives the
+    // corpus-sized relevance scan through its whole lineage (the 100×
+    // audit saw the composed plan reach ~330 file scans). Both are
+    // (queries × nCand)-bounded — blocks swept by the harness (see q105).
     val cand = Ann.topKPerKey(scored, nCand)
       .select(col("key").as("qid"), col("id").as("cid"),
         round(col("cos") * 1e6).cast("long").as("r"))
+      .localCheckpoint()
     val withVec = (n: String) => e.select(col("id").as(n + "id"), col("vec").as(n + "v"))
     val pairs = cand.select(col("qid"), col("cid").as("ca"))
       .join(cand.select(col("qid"), col("cid").as("cb")), "qid")
@@ -635,6 +641,7 @@ object PipelineOps {
       .join(withVec("b"), col("cb") === col("bid"))
       .select(col("qid"), col("ca"), col("cb"),
         Ann.cosMicros(col("av"), col("bv")).as("pm"))
+      .localCheckpoint()
     val byQ = Window.partitionBy("qid")
     var sel = cand
       .withColumn("rk", row_number().over(byQ.orderBy(col("r").desc, col("cid"))))
@@ -652,7 +659,10 @@ object PipelineOps {
           byQ.orderBy((lit(7) * col("r") - lit(3) * col("maxsim")).desc, col("cid"))))
         .filter(col("rk") === 1).select("qid", "cid", "r")
         .withColumn("step", lit(t))
-      sel = sel.unionByName(pick)
+      // each step references sel twice (anti-join + maxsim), so an
+      // uncheckpointed chain doubles the subtree per iteration — k·q rows
+      // pinned eagerly keeps the plan linear in k.
+      sel = sel.unionByName(pick).localCheckpoint()
     }
     sel.select(col("qid"), col("step").cast("int").as("step"), col("cid"),
       (col("r") / 1e6).as("relevance"))
