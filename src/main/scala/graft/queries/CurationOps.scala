@@ -825,6 +825,45 @@ object CurationOps {
           countDistinct("word").as("vocab_occ"))
         .orderBy(col("occurrences").desc, col("piece"))
         .limit(20)
+    },
+
+    // ── Tokenizer FERTILITY per language — the tokenizer-health metric
+    //    (pieces emitted per word): a language whose fertility runs hot
+    //    pays more sequence length per sentence, the standard signal for
+    //    rebalancing tokenizer training data. Word→piece-count comes
+    //    from the SAME memoized q164 training pass (the word is
+    //    recovered from the symbol string by stripping its separator
+    //    spaces); per-language word mass is one corpus aggregate; the
+    //    vocab side is vocabulary-sized and broadcast. Exact integers
+    //    end-to-end — fertility lands as floor ppm.
+    Q("q208_bpe_fertility",
+      bpeChainSql(BpeSteps, withFinalVocab = true) +
+        s""", wl AS (SELECT lang, unnest(toks) AS word FROM t),
+           |wl2 AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
+           |        FROM wl WHERE regexp_full_match(word, '[a-z]+') GROUP BY 1, 2),
+           |pw AS (SELECT replace(s, ' ', '') AS word,
+           |              CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS pieces
+           |       FROM v$BpeSteps)
+           |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+           |       CAST(sum(cnt * pieces) AS BIGINT) AS n_pieces,
+           |       CAST((1000000 * sum(cnt * pieces)) // sum(cnt) AS BIGINT) AS fertility_ppm
+           |FROM wl2 JOIN pw USING (word)
+           |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val vocab = trainBpe(s, d)._2
+      val pw = vocab.select(
+        translate(col("s"), " ", "").as("word"),
+        size(split(trim(col("s")), "  ")).cast("long").as("pieces"))
+      val wl = fanned(s, d)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      wl.join(broadcast(pw), "word")
+        .groupBy("lang")
+        .agg(sum("cnt").cast("long").as("n_words"),
+          sum(col("cnt") * col("pieces")).cast("long").as("n_pieces"))
+        .select(col("lang"), col("n_words"), col("n_pieces"),
+          expr("(1000000 * n_pieces) div n_words").as("fertility_ppm"))
+        .orderBy("lang")
     }
   )
 }

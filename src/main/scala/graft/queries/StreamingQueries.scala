@@ -489,6 +489,62 @@ object StreamingQueries {
         query.awaitTermination()
         st.table(sink).orderBy("event_type")
       }
+    },
+
+    // ── Stream-stream FULL OUTER interval join — completing the join
+    //    matrix (inner q102, left outer q142): purchases and clicks both
+    //    emit their unmatched rows, each side only once ITS watermark
+    //    proves no partner can still arrive. The q142 flush sentinels
+    //    push both watermarks past all real data, and — being one
+    //    purchase and one click at user −1 — surface as unmatched rows
+    //    on BOTH sides of the outer join, so the post-drain filter must
+    //    null-safely drop each side's sentinel without dropping the
+    //    legitimate null keys outer rows carry. Oracle = the batch FULL
+    //    OUTER twin over the same interval predicate.
+    Q("q207_streaming_full_outer",
+      """WITH p AS (SELECT event_id AS pid, user_id AS pu, ts AS pts FROM events
+        |           WHERE event_type = 'purchase' AND ts IS NOT NULL),
+        |c AS (SELECT event_id AS cid, user_id AS cu, ts AS cts FROM events
+        |      WHERE event_type = 'click' AND ts IS NOT NULL)
+        |SELECT epoch_us(CAST(date_trunc('hour', coalesce(pts, cts)) AS TIMESTAMP)) AS hour_us,
+        |       count(*) AS n_rows,
+        |       count(*) FILTER (WHERE pid IS NOT NULL AND cid IS NOT NULL) AS n_matched,
+        |       count(*) FILTER (WHERE cid IS NULL) AS n_purchase_only,
+        |       count(*) FILTER (WHERE pid IS NULL) AS n_click_only
+        |FROM p FULL JOIN c
+        |  ON pu = cu AND cts <= pts AND cts > pts - INTERVAL 30 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val sink = s"q207_sink_${sinkSeq.getAndIncrement()}"
+      val src = sentinelEventsDir(s, d)
+      withStreamTuning(s, partitions = 8, noDataBatches = true) { st =>
+        val purchases = StreamingJobs.eventsStream(st, src)
+          .filter(col("event_type") === "purchase" && col("ts").isNotNull)
+        val clicks = StreamingJobs.eventsStream(st, src)
+          .filter(col("event_type") === "click" && col("ts").isNotNull)
+        val query = StreamingJobs
+          .attributionJoin(purchases, clicks,
+            windowMicros = 30L * 60 * 1000000, watermark = "1 hour",
+            joinType = "full_outer")
+          .writeStream
+          .format("memory")
+          .queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        st.table(sink)
+          .filter(coalesce(col("p_user"), lit(0L)) >= 0 &&
+            coalesce(col("c_user"), lit(0L)) >= 0)
+          .groupBy(unix_micros(date_trunc("hour",
+            coalesce(col("purchase_ts"), col("click_ts")))).as("hour_us"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(when(col("purchase_id").isNotNull && col("click_id").isNotNull, 1))
+              .cast("long").as("n_matched"),
+            count(when(col("click_id").isNull, 1)).cast("long").as("n_purchase_only"),
+            count(when(col("purchase_id").isNull, 1)).cast("long").as("n_click_only"))
+          .orderBy("hour_us")
+      }
     }
   )
 }

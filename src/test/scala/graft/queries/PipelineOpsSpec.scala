@@ -192,6 +192,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"CDC must still find shared chunks (tokens_removed > 0): $out")
   }
 
+  test("BPE fertility sits between 1 piece/word and the character baseline") {
+    val rows = graft.SparkEntry.queries("q208_bpe_fertility")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // character-level fertility baseline: pieces/word = chars/word
+    val charPpm = graft.model.Tables.documents(spark, TestSpark.Sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .agg((sum(length(col("w"))) * 1000000L / count(lit(1))).cast("long"))
+      .collect()(0).getLong(0)
+    rows.foreach { case (lang, _, ppm) =>
+      assert(ppm >= 1000000L, s"$lang fertility below 1 piece/word: $ppm")
+      assert(ppm < charPpm,
+        s"$lang: trained tokenizer must beat the character baseline ($ppm vs $charPpm)")
+    }
+  }
+
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
