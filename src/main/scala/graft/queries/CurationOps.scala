@@ -37,6 +37,58 @@ object CurationOps {
     * corpus's ≤99-token documents. */
   val MinRepeatTokens = 16
 
+  /** Per-document bigram-LM surprisal under the corpus's own add-one-
+    * smoothed bigram model (the q173 scorer, shared with [[AuditOps]]'s
+    * q210 curriculum): (doc_id, n_bigrams, ssum) where `ssum` is the
+    * exact-BIGINT sum of per-bigram micro-rounded −ln P(w2|w1). The model
+    * relations (cb/cw/vv) are vocab-sized, never corpus-sized; the score
+    * join is a hash join on the bigram key. */
+  private[queries] def bigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    val t2 = fanned(s, d)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+    val bgs = t2.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bg"))
+    val cb = bgs.groupBy("bg").agg(count(lit(1)).as("n2"))
+    val cw = bgs.select(expr("split_part(bg, ' ', 1)").as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("n1"))
+    val vv = t2.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct("tok").as("v"))
+    bgs.join(cb, "bg")
+      .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+      .join(cw, "w1")
+      .crossJoin(broadcast(vv))
+      .select(col("doc_id"),
+        round(lit(1e6) * -log((col("n2") + 1).cast("double") / (col("n1") + col("v"))))
+          .cast("long").as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum("s").cast("long").as("ssum"))
+  }
+
+  /** DuckDB CTE chain replaying [[bigramSurprisal]]; terminal relation is
+    * `d(doc_id, n_bigrams, ssum)`. Embed as `WITH $surprisalCtes, ...`. */
+  private[queries] val surprisalCtes: String =
+    s"""t AS (${LlmPipeline.toksCte}),
+       |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+       |bgs AS (SELECT doc_id,
+       |               unnest(list_transform(range(1, len(toks)),
+       |                      j -> toks[j] || ' ' || toks[j+1])) AS bg
+       |        FROM t2),
+       |cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS n2 FROM bgs GROUP BY 1),
+       |cw AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(count(*) AS BIGINT) AS n1
+       |       FROM bgs GROUP BY 1),
+       |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+       |       FROM (SELECT unnest(toks) AS tok FROM t2)),
+       |st AS (SELECT b.doc_id,
+       |              CAST(round(1e6 * -ln(CAST(n2 + 1 AS DOUBLE) / (n1 + v))) AS BIGINT) AS s
+       |       FROM bgs b JOIN cb ON cb.bg = b.bg
+       |       JOIN cw ON cw.w1 = split_part(b.bg, ' ', 1)
+       |       CROSS JOIN vv),
+       |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |             CAST(sum(s) AS BIGINT) AS ssum
+       |      FROM st GROUP BY 1)""".stripMargin
+
   // ── Unigram-LM (EM) tokenizer trainer constants (q186/q187) ──────────
   /** EM iterations for the unigram trainer. */
   val EmSteps = 2
@@ -607,48 +659,11 @@ object CurationOps {
     //    is touched twice (count pass, score pass) — the standard
     //    two-pass LM filter layout.
     Q("q173_bigram_perplexity",
-      s"""WITH t AS (${LlmPipeline.toksCte}),
-         |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
-         |bgs AS (SELECT doc_id,
-         |               unnest(list_transform(range(1, len(toks)),
-         |                      j -> toks[j] || ' ' || toks[j+1])) AS bg
-         |        FROM t2),
-         |cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS n2 FROM bgs GROUP BY 1),
-         |cw AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(count(*) AS BIGINT) AS n1
-         |       FROM bgs GROUP BY 1),
-         |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
-         |       FROM (SELECT unnest(toks) AS tok FROM t2)),
-         |st AS (SELECT b.doc_id,
-         |              CAST(round(1e6 * -ln(CAST(n2 + 1 AS DOUBLE) / (n1 + v))) AS BIGINT) AS s
-         |       FROM bgs b JOIN cb ON cb.bg = b.bg
-         |       JOIN cw ON cw.w1 = split_part(b.bg, ' ', 1)
-         |       CROSS JOIN vv),
-         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |             CAST(sum(s) AS BIGINT) AS ssum
-         |      FROM st GROUP BY 1)
+      s"""WITH $surprisalCtes
          |SELECT doc_id, n_bigrams,
          |       round(CAST(ssum AS DOUBLE) / n_bigrams) / 1e6 AS avg_surprisal
          |FROM d ORDER BY avg_surprisal DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
-      val t2 = fanned(s, d)
-        .withColumn("toks", TextOps.tokens(col("text")))
-        .filter(size(col("toks")) >= 2)
-      val bgs = t2.select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bg"))
-      val cb = bgs.groupBy("bg").agg(count(lit(1)).as("n2"))
-      val cw = bgs.select(expr("split_part(bg, ' ', 1)").as("w1"))
-        .groupBy("w1").agg(count(lit(1)).as("n1"))
-      val vv = t2.select(explode(col("toks")).as("tok"))
-        .agg(countDistinct("tok").as("v"))
-      bgs.join(cb, "bg")
-        .withColumn("w1", expr("split_part(bg, ' ', 1)"))
-        .join(cw, "w1")
-        .crossJoin(broadcast(vv))
-        .select(col("doc_id"),
-          round(lit(1e6) * -log((col("n2") + 1).cast("double") / (col("n1") + col("v"))))
-            .cast("long").as("s"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_bigrams"),
-          sum("s").cast("long").as("ssum"))
+      bigramSurprisal(s, d)
         .select(col("doc_id"), col("n_bigrams"),
           (round(col("ssum").cast("double") / col("n_bigrams")) / 1e6).as("avg_surprisal"))
         .orderBy(col("avg_surprisal").desc, col("doc_id"))

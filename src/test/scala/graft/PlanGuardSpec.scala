@@ -53,7 +53,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q180_ann_index_refresh" -> "cross joins of the single-row split bound + k=10 frozen-centroid assignment",
     "q190_nb_quality_classifier" -> "cross join of the single-row class-prior aggregate onto the scored docs",
     "q191_dsir_importance" -> "cross join of the single-row target/raw hashed-bucket totals onto the bucket weight table",
-    "q200_token_budget_plan" -> "cross join of the single-row weight/token total onto the source dim (q171 family)")
+    "q200_token_budget_plan" -> "cross join of the single-row weight/token total onto the source dim (q171 family)",
+    "q210_curriculum_phases" -> "q173's vocabulary-size single-row cross join + the single-row n_total bound",
+    "q212_zipf_audit" -> "cross join of the single-row regression-sums aggregate onto the single-row vocab stats")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no unexpected nested-loop or cartesian join") {

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-10 audit operators on controlled inputs: the two-phase rank's
+  * equality with the single-window formulation, the chunker's coverage
+  * invariants, the winnowing guarantee at its exact threshold, and the
+  * Zipf fit on a synthetic power-law corpus. */
+class AuditOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("two-phase rank equals the single-window global rank (incl. bucket-boundary ties)") {
+    // sm values chosen to straddle CurrBucket boundaries and carry ties
+    // (same sm, different doc_id) — the cases where offset bookkeeping
+    // or tie-breaking would first go wrong.
+    val b = AuditOps.CurrBucket
+    val sc = Seq(
+      (1L, 0L), (2L, b - 1), (3L, b - 1), (4L, b), (5L, b),
+      (6L, b + 1), (7L, 3 * b), (8L, 3 * b), (9L, 7 * b + 123), (10L, 7 * b + 123))
+      .toDF("doc_id", "sm")
+    val got = AuditOps.twoPhaseRank(sc)
+      .select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    val want = sc.withColumn("rank",
+        row_number().over(Window.orderBy(col("sm"), col("doc_id"))).cast("long"))
+      .select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("rag chunking: every chunk non-empty, every token covered, count formula holds") {
+    val w = AuditOps.ChunkW
+    val s = AuditOps.ChunkS
+    // Lengths around the formula's breakpoints: < W, = W, W + 1,
+    // W + S (exact multiple), W + S + 1 (one past).
+    val lens = Seq(1, s, w - 1, w, w + 1, w + s, w + s + 1, 3 * w)
+    val d = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, "src", (1 to n).map(t => s"t$t").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val chunks = AuditOps.ragChunks(d)
+      .groupBy("doc_id").agg(count(lit(1)).as("nc"), min("ct").as("minct"),
+        max("ct").as("maxct"), sum("ct").as("sumct"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val (nc, minct, maxct, sumct) = chunks(i.toLong)
+      val expectNc = 1 + (math.max(n - w, 0) + s - 1) / s
+      assert(nc == expectNc, s"len=$n chunk count")
+      assert(minct >= 1, s"len=$n has an empty chunk")
+      assert(maxct <= w, s"len=$n overlong chunk")
+      // stride < window ⇒ chunks tile the doc with overlap ≥ 0: total
+      // chunk tokens ≥ n proves no token is skipped.
+      assert(sumct >= n, s"len=$n leaves tokens uncovered")
+    }
+  }
+
+  test("winnowing guarantee: an 11-token shared run always shares a fingerprint; below threshold can miss") {
+    val kg = AuditOps.WinnowKg
+    val w = AuditOps.WinnowW
+    val guarantee = kg + w - 1 // 11
+    val shared = (1 to guarantee).map(t => s"s$t").mkString(" ")
+    // Embed the shared run at different offsets inside unrelated padding.
+    def doc(id: Long, pre: Int, post: Int, tag: String) =
+      (id, "src",
+        ((1 to pre).map(t => s"${tag}a$t") ++ Seq(shared) ++
+          (1 to post).map(t => s"${tag}b$t")).mkString(" "))
+    val d = Seq(doc(1L, 9, 3, "x"), doc(2L, 2, 12, "y"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val fps = AuditOps.winnowWindows(d)
+      .select("doc_id", "wm").distinct().as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      s"docs sharing a $guarantee-token run must share a winnowing fingerprint")
+  }
+
+  test("winnowing density: fingerprints are a strict sample of the full window relation") {
+    val d = graft.model.Tables.documents(spark, TestSpark.Sf).limit(50)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+    val wf = AuditOps.winnowWindows(d)
+    val windows = wf.count()
+    val fps = wf.select("doc_id", "wm").distinct().count()
+    assert(fps > 0 && fps < windows,
+      s"winnowing kept $fps of $windows windows — expected a strict sample")
+    // Expected density ≈ 2/(W+1) ≈ 0.22; allow a wide band.
+    assert(fps.toDouble / windows < 0.6, "sampling rate implausibly high")
+  }
+
+  test("zipf audit recovers slope ≈ −1 on an exact power-law corpus") {
+    // Corpus where term t_r appears ⌊1000/r⌋ times, r = 1..200: the
+    // rank-frequency log-log plot is a straight line of slope −1 (up to
+    // the floor rounding), so the regression must land near it.
+    val rows = (1 to 200).flatMap { r =>
+      val n = 1000 / r
+      Seq.fill(n)(f"t$r%03d")
+    }
+    val text = rows.mkString(" ")
+    val d = Seq((1L, text, "en", "src0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.etl.Scratch.tempDir("spec-zipf").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Reuse the registered query end-to-end against the synthetic dir
+    // (only the documents table is read).
+    val out = graft.SparkEntry.queries("q212_zipf_audit")(spark, dir).collect()(0)
+    val slope = out.getAs[Double]("zipf_slope")
+    assert(math.abs(slope + 1.0) < 0.05, s"slope $slope not ≈ −1")
+    val hapax = out.getAs[Long]("hapax")
+    // ranks 501..1000 → freq 1: floor(1000/r)=1 for r in 501..1000, but we
+    // only kept 200 ranks → freq 1 appears for r in 501.. none; freq
+    // floor(1000/r) = 5 at r=200. So hapax = 0 here.
+    assert(hapax == 0L)
+  }
+}
