@@ -376,17 +376,18 @@ object AuditOps {
          |                          ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS wm
          |      FROM k),
          |wf AS (SELECT * FROM w WHERE p >= $WinnowW),
-         |fp AS (SELECT DISTINCT doc_id, source, wm FROM wf),
-         |ds AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS nw FROM wf GROUP BY 1, 2),
-         |dfp AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS nfp FROM fp GROUP BY 1, 2),
-         |vals AS (SELECT source, wm, CAST(count(*) AS BIGINT) AS nd FROM fp GROUP BY 1, 2),
+         |dd AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS nw,
+         |              CAST(count(DISTINCT wm) AS BIGINT) AS nfp
+         |       FROM wf GROUP BY 1, 2),
+         |vals AS (SELECT source, wm, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+         |         FROM wf GROUP BY 1, 2),
          |vs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_fp_values,
          |              CAST(count(*) FILTER (WHERE nd >= 2) AS BIGINT) AS shared_fp_values
          |       FROM vals GROUP BY 1),
-         |ag AS (SELECT ds.source, CAST(count(*) AS BIGINT) AS n_docs,
-         |              CAST(sum(ds.nw) AS BIGINT) AS n_windows,
-         |              CAST(sum(dfp.nfp) AS BIGINT) AS n_fps
-         |       FROM ds JOIN dfp ON dfp.doc_id = ds.doc_id GROUP BY 1)
+         |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(nw) AS BIGINT) AS n_windows,
+         |              CAST(sum(nfp) AS BIGINT) AS n_fps
+         |       FROM dd GROUP BY 1)
          |SELECT ag.source, n_docs, n_windows, n_fps,
          |       (1000000 * n_fps) // n_windows AS density_ppm,
          |       n_fp_values, shared_fp_values
@@ -395,18 +396,21 @@ object AuditOps {
         .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks"))
         .withColumn("n", size(col("toks")).cast("long"))
       val wf = winnowWindows(d0)
-      val fp = wf.select("doc_id", "source", "wm").distinct()
-      val ds = wf.groupBy("doc_id", "source").agg(count(lit(1)).as("nw"))
-      val dfp = fp.groupBy("doc_id", "source").agg(count(lit(1)).as("nfp"))
-      val vs = fp.groupBy("source", "wm").agg(count(lit(1)).as("nd"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_fp_values"),
-          count(when(col("nd") >= 2, 1)).as("shared_fp_values"))
-      val ag = ds.join(dfp.drop("source"), "doc_id")
+      // One pass per grouping — no per-doc⋈per-doc join to flip at scale:
+      // window count and distinct-fingerprint count share a hash-agg.
+      val ag = wf.groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("nw"), countDistinct("wm").as("nfp"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("nw").cast("long").as("n_windows"),
           sum("nfp").cast("long").as("n_fps"))
-      ag.join(vs, "source")
+      val vs = wf.groupBy("source", "wm").agg(countDistinct("doc_id").as("nd"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_fp_values"),
+          count(when(col("nd") >= 2, 1)).as("shared_fp_values"))
+      // vs/ag are source-count-sized BY CONSTRUCTION (the estimator sees
+      // only the corpus scan they derive from — the q199 Finding-2 class),
+      // so pin the broadcast.
+      ag.join(broadcast(vs), "source")
         .select(col("source"), col("n_docs"), col("n_windows"), col("n_fps"),
           expr("(1000000 * n_fps) div n_windows").as("density_ppm"),
           col("n_fp_values"), col("shared_fp_values"))
