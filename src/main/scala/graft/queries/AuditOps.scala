@@ -72,6 +72,13 @@ object AuditOps {
   val WinnowKg = 4
   val WinnowW = 8
 
+  /** q215: bottom-k sketch size and the exact-Jaccard floor for audited
+    * pairs. k = 32 < the ~60-100 shingles of a typical corpus document,
+    * so most audited pairs exercise the genuine estimation regime
+    * (truncated union), not the |union| ≤ k exact regime. */
+  val BkK = 32
+  val BkThreshold = 0.2
+
   private def md5Long(c: Column, hexDigits: Int): Column =
     conv(substring(md5(c.cast("string")), 1, hexDigits), 16, 10).cast("long")
 
@@ -415,6 +422,79 @@ object AuditOps {
           expr("(1000000 * n_fps) div n_windows").as("density_ppm"),
           col("n_fp_values"), col("shared_fp_values"))
         .orderBy("source")
+    },
+
+    // ── Bottom-k Jaccard sketch error audit — the q124/q125/q154 "verify
+    //    the approximation against the exact answer IN-PLAN" guard applied
+    //    to set-similarity sketching: for every exact-Jaccard ≥ BkThreshold
+    //    pair (q87's bounded shingle-join shape), compute the one-
+    //    permutation bottom-k estimate — Ĵ = |B_k(A∪B) ∩ B_k(A) ∩ B_k(B)|
+    //    / |B_k(A∪B)| over the k smallest md5 shingle hashes — and report
+    //    the exact-vs-estimate error per pair. The q35 MinHash pipeline's
+    //    xxhash64 signatures are not oracle-replayable; the md5-hash
+    //    bottom-k sketch is, so THIS estimator's whole arithmetic (hash,
+    //    truncation, merge B_k(A∪B) = B_k(B_k(A) ∪ B_k(B)), division) is
+    //    hash-checked, not just its inputs. Scale: per-doc sketches are
+    //    k-bounded arrays built map-side; pairs are bounded by the
+    //    shared-shingle join exactly like q87 — never all-pairs.
+    Q("q215_bottomk_jaccard_audit", {
+      val bkExpr = "list_sort(list_distinct(list_transform(s, " +
+        "g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)))" + s"[1:$BkK]"
+      s"""WITH t AS (${LlmPipeline.toksCte} WHERE doc_id < 1000),
+         |sh AS (${LlmPipeline.shinglesCte}),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             round(1e6 * len(list_intersect(a.s, b.s))
+         |                   / len(list_distinct(a.s || b.s))) / 1e6 AS jaccard
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |bk AS (SELECT doc_id, $bkExpr AS bka FROM sh),
+         |j AS (SELECT p.doc_a, p.doc_b, p.jaccard, x.bka AS ba, y.bka AS bb
+         |      FROM p JOIN bk x ON x.doc_id = p.doc_a
+         |             JOIN bk y ON y.doc_id = p.doc_b
+         |      WHERE p.jaccard >= $BkThreshold),
+         |e AS (SELECT doc_a, doc_b, jaccard, ba, bb,
+         |             list_sort(list_distinct(ba || bb))[1:$BkK] AS ub FROM j),
+         |f AS (SELECT doc_a, doc_b, jaccard,
+         |             (1000000 * CAST(len(list_intersect(list_intersect(ub, ba), bb)) AS BIGINT))
+         |               // CAST(len(ub) AS BIGINT) AS est_ppm
+         |      FROM e)
+         |SELECT doc_a, doc_b, jaccard, est_ppm,
+         |       abs(CAST(round(1e6 * jaccard) AS BIGINT) - est_ppm) AS err_ppm
+         |FROM f ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, d) =>
+      val sh3 = fanned(s, d).filter(col("doc_id") < 1000)
+        .select(col("doc_id"),
+          TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+      // Every relation below derives from the FIXED ≤1000-doc audit slice
+      // — bounded by construction at any corpus scale, but estimated from
+      // the corpus scan it derives from (the q199 Finding-2 class), so the
+      // broadcasts are pinned.
+      val sizes = sh3.select(col("doc_id"), size(col("sh")).as("sz"))
+      val ex = sh3.select(col("doc_id"), explode(col("sh")).as("g"))
+      val pairs = ex.alias("a")
+        .join(broadcast(ex.alias("b")),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa"))), "doc_a")
+        .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb"))), "doc_b")
+        .withColumn("jaccard",
+          round(lit(1e6) * col("inter") / (col("sa") + col("sb") - col("inter"))) / 1e6)
+        .filter(col("jaccard") >= BkThreshold)
+        .select("doc_a", "doc_b", "jaccard")
+      val bk = sh3.select(col("doc_id"), expr(
+        "slice(array_sort(array_distinct(transform(sh, " +
+          s"g -> cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint)))), 1, $BkK)").as("bka"))
+      pairs
+        .join(broadcast(bk.select(col("doc_id").as("doc_a"), col("bka").as("ba"))), "doc_a")
+        .join(broadcast(bk.select(col("doc_id").as("doc_b"), col("bka").as("bb"))), "doc_b")
+        .withColumn("ub", expr(s"slice(array_sort(array_distinct(concat(ba, bb))), 1, $BkK)"))
+        .withColumn("est_ppm", expr(
+          "(1000000 * cast(size(array_intersect(array_intersect(ub, ba), bb)) as bigint))" +
+            " div cast(size(ub) as bigint)"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"), col("est_ppm"),
+          abs(round(lit(1e6) * col("jaccard")).cast("long") - col("est_ppm")).as("err_ppm"))
+        .orderBy("doc_a", "doc_b")
     }
   )
 }

@@ -93,6 +93,24 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(fps.toDouble / windows < 0.6, "sampling rate implausibly high")
   }
 
+  test("bottom-k jaccard: identical docs estimate exactly 1e6; disjoint docs produce no pair") {
+    val textA = (1 to 60).map(t => s"a$t").mkString(" ")
+    val textB = (1 to 60).map(t => s"b$t").mkString(" ")
+    val d = Seq((1L, textA), (2L, textA), (3L, textB))
+      .map { case (id, tx) => (id, tx, "en", "src0", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.etl.Scratch.tempDir("spec-bottomk").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("q215_bottomk_jaccard_audit")(spark, dir)
+      .collect()
+    // Only the identical pair (1,2) survives the threshold; its bottom-k
+    // sketch must estimate Jaccard = 1 with zero error — B_k(A∪B) = B_k(A)
+    // = B_k(B) when the sets are equal, whatever k truncates.
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(out(0).getAs[Long]("est_ppm") == 1000000L)
+    assert(out(0).getAs[Long]("err_ppm") == 0L)
+  }
+
   test("zipf audit recovers slope ≈ −1 on an exact power-law corpus") {
     // Corpus where term t_r appears ⌊1000/r⌋ times, r = 1..200: the
     // rank-frequency log-log plot is a straight line of slope −1 (up to
