@@ -27,7 +27,10 @@ import graft.model.Tables
   *     chunk measurement),
   *   - q214 winnowing fingerprints (the MOSS scheme: per-window minimum of
   *     rolling k-gram hashes — a GUARANTEED-recall sampled fingerprint set,
-  *     unlike q35's probabilistic MinHash).
+  *     unlike q35's probabilistic MinHash),
+  *   - q215 bottom-k Jaccard sketch error audit (the q124/q125 verify-the-
+  *     approximation-in-plan guard applied to set-similarity sketching,
+  *     over a bounded audit slice).
   *
   * Shared idioms: whitespace tokens = DuckDB `string_split`, md5-derived
   * integers for any pseudo-randomness (identical in both engines), exact
@@ -316,8 +319,12 @@ object AuditOps {
     // ── Overlapping-window RAG chunking audit — the retrieval-ingestion
     //    chunker (window ChunkW, stride ChunkS) run corpus-wide, measuring
     //    what actually lands in the vector store: chunk counts, the
-    //    cross-corpus duplicate-chunk mass (identical md5 chunks embedded
-    //    more than once — pure index waste), padding-relevant short-chunk
+    //    WITHIN-SOURCE duplicate-chunk mass (identical md5 chunks embedded
+    //    more than once for the same source — pure index waste; the
+    //    distinct-fp count is per source group, so a chunk shared across
+    //    two sources is not counted as a duplicate here — a corpus-wide
+    //    rollup of the same fp relation is the cross-source variant),
+    //    padding-relevant short-chunk
     //    share, and mean chunk fill. Chunk starts are i·stride for
     //    i < ⌈max(0, n−W)/S⌉+1; stride < window guarantees the last start
     //    is inside the document, so no empty chunk exists to special-case.

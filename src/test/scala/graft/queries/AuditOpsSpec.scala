@@ -78,6 +78,33 @@ class AuditOpsSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(fps(1L).intersect(fps(2L)).nonEmpty,
       s"docs sharing a $guarantee-token run must share a winnowing fingerprint")
+
+    // Below the guarantee the scheme makes NO promise: with a shared run of
+    // kg+w−2 = 10 tokens, zero windows lie fully inside the run (every
+    // window also covers a boundary-straddling k-gram, whose hash depends
+    // on the surrounding padding), so whether a shared hash survives the
+    // per-window min is a property of the padding's hash values. Sweep a
+    // few deterministic paddings and demonstrate that at least one pair of
+    // docs sharing the 10-token run ends up with DISJOINT fingerprint sets
+    // — the concrete miss that separates "guaranteed ≥ 11" from "lucky".
+    val sub = (1 to (guarantee - 1)).map(t => s"s$t").mkString(" ")
+    val misses = (0 until 12).count { c =>
+      def subDoc(id: Long, pre: Int, post: Int, tag: String) =
+        (id, "src",
+          ((1 to pre).map(t => s"$tag$c-a$t") ++ Seq(sub) ++
+            (1 to post).map(t => s"$tag$c-b$t")).mkString(" "))
+      val d2 = Seq(subDoc(1L, 9, 3, "p"), subDoc(2L, 2, 12, "q"))
+        .toDF("doc_id", "source", "text")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")).cast("long"))
+      val f2 = AuditOps.winnowWindows(d2)
+        .select("doc_id", "wm").distinct().as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      f2(1L).intersect(f2(2L)).isEmpty
+    }
+    assert(misses > 0,
+      s"a ${guarantee - 1}-token shared run should miss for some padding " +
+        "(no window fits inside the run); every sweep configuration matched")
   }
 
   test("winnowing density: fingerprints are a strict sample of the full window relation") {
