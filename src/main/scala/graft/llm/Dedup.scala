@@ -111,8 +111,11 @@ object Dedup {
 
   /** Signature → exploded (doc_id, band, slice) relation — the LSH band
     * index both the self-join ([[candidatePairs]]) and the cross-corpus
-    * join ([[crossCandidates]]) bucket on. */
-  private def bandsOf(sigs: DataFrame): DataFrame =
+    * join ([[crossCandidates]]) bucket on; also the relation the streaming
+    * ingest dedup ([[graft.streaming.StreamingDedup]]) persists as its
+    * corpus state, so each arriving micro-batch joins a PRE-EXPLODED index
+    * instead of re-deriving bands from corpus signatures per batch. */
+  private[graft] def bandsOf(sigs: DataFrame): DataFrame =
     sigs.select(
         col("doc_id"),
         posexplode(array((0 until Bands).map(b =>

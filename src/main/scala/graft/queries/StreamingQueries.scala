@@ -78,6 +78,46 @@ object StreamingQueries {
       tmp
     }
 
+  /** Documents staged as FOUR doc_id-range chunk files with strictly
+    * increasing mtimes — the arrival order of a monotone-id ingest stream.
+    * The file stream source processes files oldest-first, so with
+    * `maxFilesPerTrigger = 1` each chunk becomes its own micro-batch and
+    * arrival order = doc_id order (what lets q216's first-arrival-wins
+    * policy coincide with the batch keep-lowest-id oracle). Memoized per
+    * (session, sf dir). */
+  private val stagedDocs = new graft.etl.Memo[(SparkSession, String), String]
+  private def docChunksDir(s: SparkSession, d: String): String =
+    stagedDocs((s, d)) {
+      import java.nio.file.Files
+      val dir = graft.etl.Scratch.tempDir("graft-stream-docs")
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val mx = docs.agg(max("doc_id")).head.getLong(0)
+      val cut = (mx + 4) / 4 // ceil((mx+1)/4): 4 contiguous id ranges
+      val base = System.currentTimeMillis() - 1000000L
+      (0 until 4).foreach { i =>
+        val tmp = graft.etl.Scratch.tempDir("graft-stream-docs-slice")
+        docs.filter(col("doc_id") >= i * cut && col("doc_id") < (i + 1) * cut)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val l = Files.list(tmp)
+          try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst.orElseThrow()
+          finally l.close()
+        }
+        val dst = dir.resolve(f"chunk-$i%04d.parquet")
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+        val leftovers = Files.list(tmp)
+        try leftovers.forEach(p => Files.deleteIfExists(p))
+        finally leftovers.close()
+        Files.deleteIfExists(tmp)
+        ()
+      }
+      dir.toString
+    }
+
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Run a streaming drain with stateful-op sizing: state-store commits
@@ -544,6 +584,41 @@ object StreamingQueries {
             count(when(col("click_id").isNull, 1)).cast("long").as("n_purchase_only"),
             count(when(col("purchase_id").isNull, 1)).cast("long").as("n_click_only"))
           .orderBy("hour_us")
+      }
+    },
+
+    // ── Streaming NEAR-dup dedup — the last empty cell of the dedup ×
+    //    streaming matrix (VERDICT r10 item 1): MinHash-LSH dedup applied
+    //    to an ARRIVING document stream via q161's incremental idiom made
+    //    continuous (per micro-batch: index → banded join against the
+    //    accumulated corpus band index + within-batch LSH self-join →
+    //    exact-Jaccard verify → survivors out, state committed per batchId
+    //    for exactly-once replay — see graft.streaming.StreamingDedup).
+    //    The staged source delivers the corpus as four doc_id-ordered
+    //    chunks, one micro-batch each, so first-arrival-wins equals the
+    //    batch keep-lowest-id policy and the drained survivors must
+    //    hash-equal q36's batch near-dedup — SAME oracle text. Batch-split
+    //    independence (1-file vs whole-corpus triggers) is proven in
+    //    StreamingSpec; the q35 recall bound applies identically (the
+    //    oracle sees every true pair, the stream only band-colliding ones).
+    Q("q216_streaming_near_dedup",
+      s"""${LlmPipeline.nearDupPairsSql}
+         |SELECT lang, count(*) AS n_docs
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM p WHERE jaccard >= ${LlmPipeline.JaccardThreshold})
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val src = docChunksDir(s, d)
+      withStreamTuning(s, partitions = 8) { st =>
+        val state = graft.etl.Scratch.tempDir("graft-sdedup-state").toString
+        val ckpt = graft.etl.Scratch.tempDir("graft-sdedup-ckpt").toString
+        val query = graft.streaming.StreamingDedup.nearDedupTo(
+            graft.streaming.StreamingDedup.documentsStream(st, src),
+            state, ckpt, LlmPipeline.JaccardThreshold)
+          .start()
+        query.awaitTermination()
+        graft.streaming.StreamingDedup.survivors(st, state)
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang")
       }
     }
   )

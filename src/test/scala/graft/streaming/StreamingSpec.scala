@@ -428,4 +428,115 @@ class StreamingSpec extends AnyFunSuite {
       "resumed drain must process the uncommitted tail batches")
     val _ = afterCrash // run-1 prefix retained only for debugging on failure
   }
+
+  // ── Streaming near-dup dedup (q216's engine) ───────────────────────────
+
+  /** Synthetic corpus with near-dup pairs planted WITHIN and ACROSS the
+    * three staged chunks (ids 0-3 / 4-7 / 8-11): (1,2) within chunk 0,
+    * (0,5) across 0→1, (4,9) across 1→2, {8,10,11} a transitive cluster
+    * inside chunk 2. Texts are ~24 tokens so J(near-dup) ≈ 0.9 ≫ 0.5 and
+    * J(unrelated) ≈ 0. */
+  private def dedupCorpus = {
+    import spark.implicits._
+    def t(tag: String) = (1 to 24).map(i => s"$tag$i").mkString(" ")
+    def mut(tag: String, at: Int) =
+      (1 to 24).map(i => if (i == at) "ZZZ" else s"$tag$i").mkString(" ")
+    Seq(
+      0L -> t("a"), 1L -> t("b"), 2L -> mut("b", 3), 3L -> t("c"),
+      4L -> t("d"), 5L -> mut("a", 7), 6L -> t("e"), 7L -> t("f"),
+      8L -> t("g"), 9L -> mut("d", 11), 10L -> mut("g", 2), 11L -> mut("g", 20))
+      .map { case (id, tx) => (id, tx, "en", "src0", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** Stage `docs` into `dir` as one parquet file per doc_id-range chunk of
+    * `chunk` ids, mtimes strictly increasing in chunk order. */
+  private def stageChunks(docs: org.apache.spark.sql.DataFrame, dir: String,
+                          chunk: Int): Unit = {
+    val base = System.currentTimeMillis() - 1000000L
+    val mx = docs.agg(max("doc_id")).head.getLong(0)
+    var i = 0
+    val root = java.nio.file.Paths.get(dir)
+    Files.createDirectories(root)
+    while (i * chunk <= mx) {
+      val tmp = Files.createTempDirectory("graft-sdedup-chunk")
+      docs.filter(col("doc_id") >= i.toLong * chunk &&
+          col("doc_id") < (i.toLong + 1) * chunk)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val l = Files.list(tmp)
+      val part =
+        try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst.orElseThrow()
+        finally l.close()
+      val dst = root.resolve(f"chunk-$i%04d.parquet")
+      // REPLACE_EXISTING: a re-stage rewrites earlier chunks in place; the
+      // file source tracks processed files by path, so rewrites are
+      // ignored and only genuinely new chunk files form new batches.
+      Files.move(part, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+      i += 1
+    }
+  }
+
+  private def drainDedup(src: String, state: String, cp: String,
+                         filesPerTrigger: Int): Set[Long] = {
+    val q = StreamingDedup.nearDedupTo(
+        StreamingDedup.documentsStream(spark, src, filesPerTrigger),
+        state, cp, 0.5)
+      .start()
+    q.awaitTermination(120000)
+    StreamingDedup.survivors(spark, state)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("streaming near-dedup is batch-split independent and equals the batch policy") {
+    val work = Files.createTempDirectory("graft-sdedup").toString
+    val docs = dedupCorpus
+    stageChunks(docs, s"$work/src", 4)
+
+    // 3 micro-batches (one chunk each) vs ONE batch holding the corpus
+    val split = drainDedup(s"$work/src", s"$work/st1", s"$work/cp1", 1)
+    val whole = drainDedup(s"$work/src", s"$work/st2", s"$work/cp2", 10)
+    assert(split == whole,
+      s"survivors must not depend on the micro-batch split: $split vs $whole")
+
+    // and both equal the BATCH near-dedup of the same corpus (pairwise
+    // keep-lowest-id policy — arrival order here IS doc_id order)
+    val batch = graft.llm.Dedup.nearDedup(docs, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(split == batch, s"stream $split must equal batch policy $batch")
+    // sanity: the planted dominated docs are gone, the planted survivors kept
+    assert(Set(2L, 5L, 9L, 10L, 11L).intersect(split).isEmpty)
+    assert(Set(0L, 1L, 3L, 4L, 8L).subsetOf(split))
+  }
+
+  test("streaming near-dedup resumes from its checkpoint and replays a batch idempotently") {
+    val work = Files.createTempDirectory("graft-sdedup-resume").toString
+    val docs = dedupCorpus
+    val src = s"$work/src"
+    // phase 1: only chunks 0-1 exist; drain them
+    stageChunks(docs.filter(col("doc_id") < 8), src, 4)
+    val phase1 = drainDedup(src, s"$work/st", s"$work/cp", 1)
+    assert(phase1 == Set(0L, 1L, 3L, 4L, 6L, 7L),
+      s"first drain dedupes chunks 0-1 only: $phase1")
+
+    // phase 2: chunk 2 arrives; the SAME checkpoint resumes and dedupes it
+    // against the committed corpus state (9 matches 4 across the restart)
+    stageChunks(docs, src, 4) // rewrites chunks 0-1 byte-identically, adds 2
+    val phase2 = drainDedup(src, s"$work/st", s"$work/cp", 1)
+    val batch = graft.llm.Dedup.nearDedup(docs, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(phase2 == batch,
+      s"resumed drain must complete the batch-equivalent dedup: $phase2 vs $batch")
+
+    // replay idempotence: re-running a committed batchId (the crash-replay
+    // case foreachBatch contracts for) leaves survivors and state unchanged
+    val before = phase2
+    StreamingDedup.processBatch(
+      docs.filter(col("doc_id") < 4), s"$work/st", 0L, 0.5)
+    val after = StreamingDedup.survivors(spark, s"$work/st")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == before, "replaying batch 0 must be a no-op")
+  }
 }
