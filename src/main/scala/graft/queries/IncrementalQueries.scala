@@ -142,6 +142,37 @@ object IncrementalQueries {
           count(col("value")).as("n_with_value"),
           (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
         .orderBy("event_type")
+    },
+
+    // ── Snapshot-isolated lake commits (graft.etl.SnapshotLake — the
+    //    manifest/version protocol): the events table lands as three
+    //    deterministic appends (event_id mod 3) with a COMPACTION between
+    //    the second and third, and the query reads the PINNED version 2
+    //    next to the latest — while two later commits (one of which
+    //    rewrote v2's very files) exist. The pinned read must see exactly
+    //    the first two slices and the latest all three; both ride the
+    //    same manifest-resolved scan, so a torn or drifting snapshot
+    //    hash-mismatches immediately. Reader isolation under a CONCURRENT
+    //    append ∥ compact race is SnapshotLakeSpec's territory; this is
+    //    the version-pinning contract, oracle-checked.
+    Q("q217_snapshot_lake_versions",
+      """SELECT event_type,
+        |       count(*) FILTER (WHERE event_id % 3 <= 1) AS n_v2,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT))
+        |            FILTER (WHERE event_id % 3 <= 1) AS BIGINT) / 100.0 AS val_v2,
+        |       count(*) AS n_latest,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS val_latest
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val root = snapshotLake(s, d)
+      val pinned = graft.etl.SnapshotLake.read(s, root, Some(2L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_v2"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("val_v2"))
+      val latest = graft.etl.SnapshotLake.read(s, root)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_latest"),
+          (sum(round(col("value") * 100).cast("long")) / 100.0).as("val_latest"))
+      pinned.join(latest, Seq("event_type")).orderBy("event_type")
     }
   )
 
@@ -162,6 +193,27 @@ object IncrementalQueries {
             ev.filter(pmod(col("event_id"), lit(3)) === i), "ts"),
           root)
       graft.etl.PartitionedLake.compact(s, root)
+      root
+    }
+
+  /** One snapshot lake per (session, sf dir): v1 = events slice 0,
+    * v2 = +slice 1, v3 = compaction of v2, v4 = +slice 2. Versions 2 and 3
+    * hold the same logical content on DIFFERENT physical files — exactly
+    * the situation reader pinning exists for. Memoized; the commit
+    * protocol itself is the operator under test. */
+  private val snapshot = new graft.etl.Memo[(SparkSession, String), String]
+
+  private def snapshotLake(s: SparkSession, d: String): String =
+    snapshot((s, d)) {
+      val root = graft.etl.Scratch.tempDir("graft-snap-lake").toString + "/lake"
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      for (i <- 0 until 2)
+        graft.etl.SnapshotLake.append(
+          ev.filter(pmod(col("event_id"), lit(3)) === i), root)
+      graft.etl.SnapshotLake.compact(s, root)
+      graft.etl.SnapshotLake.append(
+        ev.filter(pmod(col("event_id"), lit(3)) === 2), root)
       root
     }
 

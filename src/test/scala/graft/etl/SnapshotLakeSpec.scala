@@ -1,0 +1,134 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The snapshot-lake commit protocol under its actual contract:
+  * reader isolation while commits land, CAS version allocation under
+  * racing writers, append ∥ compact reconciliation, and vacuum retention.
+  */
+class SnapshotLakeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newRoot(): String =
+    Files.createTempDirectory("graft-snap-spec").toString + "/lake"
+
+  private def rows(root: String, v: Option[Long] = None): Set[Long] =
+    SnapshotLake.read(spark, root, v)
+      .select("x").collect().map(_.getLong(0)).toSet
+
+  test("a pinned version is immutable while later appends and compactions land") {
+    val root = newRoot()
+    val v1 = SnapshotLake.append(Seq(1L, 2L, 3L).toDF("x"), root)
+    assert(v1 == 1L)
+    val v2 = SnapshotLake.append(Seq(4L, 5L).toDF("x"), root)
+    val v3 = SnapshotLake.compact(spark, root)
+    val v4 = SnapshotLake.append(Seq(6L).toDF("x"), root)
+    assert(Seq(v2, v3, v4) == Seq(2L, 3L, 4L))
+    assert(rows(root, Some(1L)) == Set(1L, 2L, 3L))
+    assert(rows(root, Some(2L)) == Set(1L, 2L, 3L, 4L, 5L))
+    // v3 = compaction: same content as v2 on different files
+    assert(rows(root, Some(3L)) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(SnapshotLake.files(root, 3L) != SnapshotLake.files(root, 2L))
+    assert(SnapshotLake.files(root, 3L).size < SnapshotLake.files(root, 2L).size)
+    assert(rows(root) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("racing appenders get distinct versions and no commit is lost") {
+    val root = newRoot()
+    val n = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val results = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            SnapshotLake.append(Seq(i.toLong * 10, i.toLong * 10 + 1).toDF("x"), root)
+        })
+      }.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(results.toSet.size == n, s"CAS must allocate distinct versions: $results")
+      assert(results.toSet == (1L to n.toLong).toSet)
+      assert(rows(root) ==
+        (0 until n).flatMap(i => Seq(i.toLong * 10, i.toLong * 10 + 1)).toSet)
+    } finally pool.shutdownNow()
+  }
+
+  test("append ∥ compact: concurrent commits never lose rows and every read is a committed snapshot") {
+    val root = newRoot()
+    SnapshotLake.append(Seq(-1L).toDF("x"), root)
+    val appends = 12
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Set[Long])]()
+    try {
+      val appender = pool.submit(new Runnable {
+        def run(): Unit = (0 until appends).foreach { i =>
+          SnapshotLake.append(Seq(i.toLong).toDF("x"), root)
+        }
+      })
+      val compactor = pool.submit(new Runnable {
+        def run(): Unit = while (!stop.get()) SnapshotLake.compact(spark, root)
+      })
+      val reader = pool.submit(new Runnable {
+        def run(): Unit = while (!stop.get()) {
+          // a reader resolves SOME committed version and must see exactly
+          // that version's content — record what it saw for the replay
+          // check below (manifests are retained, so the claim is testable
+          // after the fact)
+          val v = SnapshotLake.currentVersion(root).get
+          observed.add((v, rows(root, Some(v))))
+          ()
+        }
+      })
+      appender.get(180, java.util.concurrent.TimeUnit.SECONDS)
+      stop.set(true)
+      compactor.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      reader.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdownNow()
+
+    // no append lost through any interleaving with the compactor
+    assert(rows(root) == (Set(-1L) ++ (0 until appends).map(_.toLong)),
+      "concurrent compaction must not lose or duplicate appended rows")
+    // every snapshot a reader observed replays identically from its
+    // manifest — i.e. reads were never torn, they were real versions
+    import scala.jdk.CollectionConverters._
+    val perVersion = observed.asScala.toVector.groupBy(_._1)
+    perVersion.foreach { case (v, obs) =>
+      val replay = rows(root, Some(v))
+      obs.foreach { case (_, seen) =>
+        assert(seen == replay, s"reader at v$v saw $seen, manifest replays $replay")
+      }
+    }
+    // row sets grow monotonically across versions (append-only content)
+    val versions = (1L to SnapshotLake.currentVersion(root).get)
+    versions.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(rows(root, Some(a)).subsetOf(rows(root, Some(b))),
+          s"v$a must be a subset of v$b")
+      case _ =>
+    }
+  }
+
+  test("vacuum drops old manifests and unreferenced files but keeps the retained window readable") {
+    val root = newRoot()
+    (1 to 4).foreach(i => SnapshotLake.append(Seq(i.toLong).toDF("x"), root))
+    SnapshotLake.compact(spark, root) // v5 rewrites everything
+    val before = SnapshotLake.files(root, 1L)
+    SnapshotLake.vacuum(root, keepVersions = 2)
+    // v1-v3 manifests gone, v4/v5 retained and correct
+    assert(SnapshotLake.currentVersion(root).contains(5L))
+    intercept[Exception](SnapshotLake.files(root, 1L))
+    assert(rows(root, Some(4L)) == Set(1L, 2L, 3L, 4L))
+    assert(rows(root, Some(5L)) == Set(1L, 2L, 3L, 4L))
+    // v1's physical file is still referenced by retained v4 → must survive;
+    // after vacuuming down to just v5 (compacted files only) it must go
+    assert(Files.exists(java.nio.file.Paths.get(root, before.head)))
+    SnapshotLake.vacuum(root, keepVersions = 1)
+    assert(!Files.exists(java.nio.file.Paths.get(root, before.head)),
+      "files referenced by no retained manifest must be deleted")
+    assert(rows(root, Some(5L)) == Set(1L, 2L, 3L, 4L))
+  }
+}
