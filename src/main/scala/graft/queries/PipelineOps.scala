@@ -320,6 +320,80 @@ object PipelineOps {
         .orderBy("lang")
     },
 
+    // ── Bloom false-positive-rate guard — the q124/q125 "verify the
+    //    approximation against the exact answer IN-PLAN" pattern applied
+    //    to q199's decontamination bloom (VERDICT r10 item 6): the
+    //    measured FP rate is emitted next to the exact verify counts.
+    //    Probes = the corpus-side distinct shingles NOT in the eval set
+    //    (the exact join supplies ground truth); measured FPP = bloom
+    //    positives among them / their count. Two sizings: the PRODUCTION
+    //    64 KiB bloom, whose k≈89 hash functions put the theoretical FPP
+    //    around 1e-40 at the eval set's cardinality (the verdict gates it
+    //    at ≤0.1%), and a deliberately UNDERSIZED 1024-bit stress bloom
+    //    (k=1), whose measured rate must sit within ±0.05 of the textbook
+    //    1−e^(−n/m) — the non-vacuous half proving the measurement can
+    //    fail. The bloom-dependent numbers live only in the VERDICTS
+    //    (booleans the oracle expects uniformly true, q124's inversion);
+    //    every emitted count is exact and SQL-replayed. The O(1)-row
+    //    .head calls are the sanctioned scalar-bound class: the bloom is
+    //    a plan literal and the two probe aggregates return one row each.
+    Q("q218_bloom_fpp_guard",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |                                           i -> array_to_string(toks[i:i+2], ' '))) AS s
+        |       FROM t WHERE len(toks) >= 3),
+        |e AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 20),
+        |c AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id >= 20),
+        |x AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+        |             CAST(count(*) FILTER (WHERE g IN (SELECT g FROM e)) AS BIGINT) AS n_hits
+        |      FROM c),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_eval FROM e)
+        |SELECT v.label, CAST(v.bits AS BIGINT) AS num_bits, ne.n_eval AS n_eval_grams,
+        |       x.n_corpus - x.n_hits AS n_negatives, x.n_hits AS n_true_hits,
+        |       true AS fpp_ok
+        |FROM (VALUES ('production', 524288), ('undersized_stress', 1024)) v(label, bits), x, ne
+        |ORDER BY v.label""".stripMargin) { (s, d) =>
+      val sh = shingled(s, d)
+      val evalG = sh.filter(col("doc_id") < 20).select("g").distinct()
+      val corpusG = sh.filter(col("doc_id") >= 20).select("g").distinct()
+      // per corpus gram: exact membership (ground truth) once, reused by
+      // both sizings' probes
+      val probes = corpusG
+        .join(broadcast(evalG.withColumn("inEval", lit(1))), Seq("g"), "left")
+        .select(col("g"), col("inEval").isNotNull.as("hit"))
+        .localCheckpoint() // two sizings probe it; keep the scan single
+      val base = probes
+        .agg(count(lit(1)).as("n"), sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+        .head
+      val (nCorpus, nHits) = (base.getLong(0), base.getLong(1))
+      val nEval = evalG.count()
+      val nNeg = nCorpus - nHits
+      val out = Seq(("production", 1L << 19), ("undersized_stress", 1L << 10))
+        .map { case (label, bits) =>
+          val bf = evalG
+            .agg(BloomOps.bloomAgg(xxhash64(col("g")), DecontamEstItems, bits).as("bf"))
+            .head.getAs[Array[Byte]]("bf")
+          val fp = probes
+            .filter(!col("hit") &&
+              BloomOps.mightContain(lit(bf), xxhash64(col("g"))))
+            .count()
+          val measured = fp.toDouble / nNeg
+          // k as Spark sizes it: max(1, round(m/n·ln2)) with n = estItems
+          val k = math.max(1L,
+            math.round(bits.toDouble / DecontamEstItems * math.log(2.0)))
+          val theo = math.pow(1.0 - math.exp(-k.toDouble * nEval / bits), k.toDouble)
+          val ok =
+            if (label == "production") measured <= 0.001
+            else math.abs(measured - theo) <= 0.05
+          (label, bits, nEval, nNeg, nHits, ok)
+        }
+      import s.implicits._
+      out.toDF("label", "num_bits", "n_eval_grams", "n_negatives",
+          "n_true_hits", "fpp_ok")
+        .orderBy("label")
+    },
+
     // ── Token-budget mixture plan: the pre-training planning step q171's
     //    doc-count sampler doesn't cover — weights over TOKEN mass, and
     //    the output is the training recipe itself: per-source sampling

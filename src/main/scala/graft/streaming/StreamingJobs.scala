@@ -276,6 +276,55 @@ object StreamingJobs {
                     streamKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), col(streamKey) === col(dimKey))
 
+  // ── Suppression guard with per-batch ledger re-resolution ────────────
+
+  /** One micro-batch of the erasure-ledger suppression guard (q202's
+    * bloom + exact-verify split as pure batch logic): the
+    * overwhelmingly-common untainted row dies on the STATELESS map-side
+    * bloom short-circuit; only bloom candidates reach the exact
+    * left-anti-style verify join, where false positives are removed
+    * (false negatives don't exist, so suppression is exact). An empty
+    * ledger passes the batch through untouched. */
+  def suppressBatch(batch: DataFrame, ledger: DataFrame): DataFrame = {
+    val ids = ledger.select(col("user_id")).distinct()
+    val bloomRow = ids
+      .agg(graft.functions.BloomOps.bloomAgg(
+        xxhash64(col("user_id")), 1L << 12, 1L << 17).as("bf"))
+      .head
+    if (bloomRow.isNullAt(0)) batch
+    else {
+      val might = graft.functions.BloomOps.mightContain(
+        lit(bloomRow.getAs[Array[Byte]]("bf")), xxhash64(col("user_id")))
+      batch.filter(!might).unionByName(
+        batch.filter(might)
+          .join(broadcast(ids.withColumn("__supp", lit(1))),
+            Seq("user_id"), "left_outer")
+          .filter(col("__supp").isNull).drop("__supp"))
+    }
+  }
+
+  /** The PRODUCTION form of q202's guard: the erasure ledger is
+    * RE-RESOLVED at every micro-batch instead of frozen into the plan at
+    * stream start — `foreachBatch` reads the ledger directory fresh each
+    * trigger, so an erasure request that lands MID-STREAM suppresses every
+    * batch after it without a query restart (q202's in-plan bloom literal
+    * and stream-static join both pin their file listings at analysis
+    * time; this is the q109 stream-static re-resolution idiom applied to
+    * the suppression bloom). Per-batch cost is one dim-sized aggregate to
+    * rebuild the few-KiB bloom — at 100 TB/day the ledger is
+    * dim-sized by law (erasure requests), so the rebuild is noise next to
+    * the batch scan it protects. Output lands per-batchId (mode-overwrite
+    * ⇒ crash-replay idempotent, the StreamingDedup contract). */
+  def suppressionGuardTo(events: DataFrame, ledgerDir: String, outDir: String,
+                         checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ledger = batch.sparkSession.read.parquet(ledgerDir)
+        suppressBatch(batch, ledger)
+          .write.mode("overwrite").parquet(s"$outDir/b=$batchId")
+      }
+
   /** Exactly-once-ish partitioned lake append (§2.9c): checkpointed source
     * offsets replace the text-file watermark, `foreachBatch` applies the
     * same clean→append batch logic. `Trigger.AvailableNow` drains what

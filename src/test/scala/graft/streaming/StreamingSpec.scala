@@ -429,6 +429,50 @@ class StreamingSpec extends AnyFunSuite {
     val _ = afterCrash // run-1 prefix retained only for debugging on failure
   }
 
+  test("suppression guard re-resolves the erasure ledger per micro-batch (mid-stream erasure takes effect)") {
+    import org.apache.spark.sql.types._
+    val work = Files.createTempDirectory("graft-suppress").toString
+    val srcDir = s"$work/src"; val ledgerDir = s"$work/ledger"
+    val out = s"$work/out"; val cp = s"$work/cp"
+    import spark.implicits._
+    def writeLedger(ids: Long*): Unit =
+      ids.toDF("user_id").coalesce(1).write.mode("overwrite").parquet(ledgerDir)
+    def writeEvents(rows: (Long, Long)*): Unit =
+      rows.toDF("event_id", "user_id").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def waitFor(path: String): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (!Files.exists(java.nio.file.Paths.get(path))) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $path")
+        Thread.sleep(100)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType)))
+
+    // ledger v1: user 7 erased; batch 0 arrives
+    writeLedger(7L)
+    writeEvents((1L, 7L), (2L, 8L), (3L, 9L))
+    val q = StreamingJobs.suppressionGuardTo(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(srcDir),
+      ledgerDir, out, cp).start()
+    try {
+      waitFor(s"$out/b=0/_SUCCESS")
+      // MID-DRAIN: user 9 files an erasure request, then batch 1 arrives.
+      // The q202 in-plan bloom literal would still pass user 9 (frozen at
+      // stream start); the per-batch re-resolution must not.
+      writeLedger(7L, 9L)
+      writeEvents((4L, 7L), (5L, 8L), (6L, 9L))
+      waitFor(s"$out/b=1/_SUCCESS")
+    } finally q.stop()
+
+    def got(b: Int): Set[Long] =
+      spark.read.parquet(s"$out/b=$b").select("event_id")
+        .collect().map(_.getLong(0)).toSet
+    assert(got(0) == Set(2L, 3L), "batch 0: only user 7 suppressed")
+    assert(got(1) == Set(5L), "batch 1: the mid-stream erasure of user 9 must hold")
+  }
+
   // ── Streaming near-dup dedup (q216's engine) ───────────────────────────
 
   /** Synthetic corpus with near-dup pairs planted WITHIN and ACROSS the
