@@ -59,7 +59,12 @@ object Bench {
       "q160_jdbc_roundtrip",       // stages events into the embedded Derby db
       "q164_bpe_train_loop"        // runs the memoized BPE training pass q169 shares
     )
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // 3 timed runs by default (median-of-3 is the committed protocol,
+    // VERDICT r9/r10): with 2 runs a single JIT-queue hiccup makes the
+    // spread section cry wolf every round; with 3, `med` separates a
+    // one-off stall (med ≈ best → noise, not a regression) from a real
+    // slowdown (med ≈ worst), and min stays the reported cost.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // SPARK_GRAFT_BENCH_ONLY=q79,q35 → bench only the named queries
     // (prefix match) — the isolation lever for chasing per-query anomalies.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -96,7 +101,8 @@ object Bench {
     // at 159 queries the alphabetical tail otherwise pays the q1xx block's
     // accumulated debt). Opt out with SPARK_GRAFT_BENCH_GC=0 to A/B.
     val gcEachQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") == "1"
-    case class R(name: String, best: Double, worst: Double, n: Int, err: Option[String])
+    case class R(name: String, best: Double, med: Double, worst: Double,
+                 n: Int, err: Option[String])
     // Per-query untimed warm lap (non-one-shot queries only): the first
     // execution of a query pays whole-stage-codegen compile + JIT queue
     // nondeterminism, which showed up as >2× min/max spreads on small
@@ -107,16 +113,36 @@ object Bench {
     // the timed window. One-shots skip it — their single run must include
     // their one-time pipeline cost by design. Opt out: SPARK_GRAFT_BENCH_WARM=0.
     val warmLap = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") == "1"
+    // After the warm lap, wait for the JIT compile queue to drain before
+    // the timed runs (bounded): the warm lap ENQUEUES the query's
+    // generated code for C2 compilation but returns before compilation
+    // finishes, so without the settle the first timed run races 16
+    // background compiler threads for cores — the residual >2× spreads of
+    // BENCH_r10 (q203/q167/q178) are exactly this. CompilationMXBean's
+    // cumulative compile time flattening out is the drain signal.
+    val compileBean = ManagementFactory.getCompilationMXBean
+    def jitSettle(maxMs: Long): Unit = {
+      if (compileBean == null || !compileBean.isCompilationTimeMonitoringSupported) return
+      val deadline = System.nanoTime() + maxMs * 1000000L
+      var prev = compileBean.getTotalCompilationTime
+      var settled = false
+      while (!settled && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val cur = compileBean.getTotalCompilationTime
+        settled = (cur - prev) < 30 // <30 ms of JIT work in the last 100 ms
+        prev = cur
+      }
+    }
     val results = selected.map { case (name, fn) =>
       val n = if (oneShot(name)) 1 else runs
-      var best = Double.MaxValue
-      var worst = 0.0
+      var times = Vector.empty[Double]
       var err: Option[String] = None
       var i = 0
       if (warmLap && !oneShot(name)) {
         // failures here are ignored — the timed loop records them properly
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
         spark.catalog.clearCache()
+        jitSettle(2000)
       }
       val gc0 = gcMs
       val wall0 = System.nanoTime()
@@ -125,8 +151,7 @@ object Bench {
         try fn(spark, sfDir).count()
         catch { case e: Throwable => err = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
         val t = (System.nanoTime() - t0) / 1e9
-        best = math.min(best, t)
-        worst = math.max(worst, t)
+        times :+= t
         // drop this query's persisted intermediates (LSH signatures etc.) —
         // they are per-query, and letting them accumulate across the whole
         // inventory starves later queries' execution memory. Outside the
@@ -157,9 +182,13 @@ object Bench {
       if (gcEachQuery) System.gc()
       val cleanupGcMs = gcMs - cleanupGc0
       val wallS = (System.nanoTime() - wall0) / 1e9
+      val sorted = times.sorted
+      val best = if (sorted.isEmpty) Double.MaxValue else sorted.head
+      val med = if (sorted.isEmpty) Double.MaxValue else sorted(sorted.size / 2)
+      val worst = if (sorted.isEmpty) 0.0 else sorted.last
       appendDetail(
-        s"""{"q":${jstr(name)},"best":${"%.3f".formatLocal(java.util.Locale.ROOT, best)},"worst":${"%.3f".formatLocal(java.util.Locale.ROOT, worst)},"wall":${"%.3f".formatLocal(java.util.Locale.ROOT, wallS)},"gc_ms":$queryGcMs,"cleanup_gc_ms":$cleanupGcMs,"heap_mb":$heapMb}""")
-      R(name, best, worst, n, err)
+        s"""{"q":${jstr(name)},"best":${"%.3f".formatLocal(java.util.Locale.ROOT, best)},"med":${"%.3f".formatLocal(java.util.Locale.ROOT, med)},"worst":${"%.3f".formatLocal(java.util.Locale.ROOT, worst)},"wall":${"%.3f".formatLocal(java.util.Locale.ROOT, wallS)},"gc_ms":$queryGcMs,"cleanup_gc_ms":$cleanupGcMs,"heap_mb":$heapMb}""")
+      R(name, best, med, worst, n, err)
     }
     // 3-decimal seconds: ~70 full-precision doubles push the line past the
     // harness's stdout-tail window and truncate the leading fields (the
@@ -173,20 +202,22 @@ object Bench {
     // in `errors` (rare, and a failing run matters more than its width).
     def short(n: String): String = n.takeWhile(_ != '_')
     val qs = results.map(r => s"${jstr(short(r.name))}:${sec(r.best)}").mkString("{", ",", "}")
-    val errs = results.collect { case R(k, _, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+    val errs = results.collect { case R(k, _, _, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     // Variance disclosure without blowing the line budget: `spread` lists
-    // [runs, min, max] ONLY for queries whose repeats disagree materially
-    // (>0.25 s AND >1.5× min), capped at the 10 widest — a quiet query's
-    // spread adds no information, a noisy one's is exactly what
-    // run-to-run comparisons need before declaring a regression.
+    // [runs, min, med, max] ONLY for queries whose MEDIAN disagrees
+    // materially with the min (>0.25 s AND >1.5×), capped at the 10
+    // widest. The median gate (not max, as before r11) is what makes the
+    // section trustworthy: with 3 runs, one JIT/GC stall inflates max but
+    // not med — med ≫ min is the signature of a real, repeatable
+    // slowdown, which is the only thing worth a regression triage.
     // One-shots (n=1) never appear.
     val spread = results
       .filter(r => r.n > 1 && r.err.isEmpty &&
-        (r.worst - r.best) > 0.25 && r.worst > 1.5 * r.best)
-      .sortBy(r => r.best - r.worst)
+        (r.med - r.best) > 0.25 && r.med > 1.5 * r.best)
+      .sortBy(r => r.best - r.med)
       .take(10)
-      .map(r => s"${jstr(short(r.name))}:[${r.n},${sec(r.best)},${sec(r.worst)}]")
+      .map(r => s"${jstr(short(r.name))}:[${r.n},${sec(r.best)},${sec(r.med)},${sec(r.worst)}]")
       .mkString("{", ",", "}")
     val total = results.map(_.best).sum
     // one-shots are listed in the output so a reader comparing per-query
