@@ -98,13 +98,26 @@ object SnapshotLake {
     finally s.close()
   }
 
+  /** The idempotence tag of version `v`, if its commit carried one. */
+  def tagOf(root: String, v: Long): Option[String] = {
+    val json = Files.readString(versionFile(root, v))
+    val i = json.indexOf("\"tag\":\"")
+    if (i < 0) None
+    else {
+      val rest = json.substring(i + 7)
+      Some(rest.substring(0, rest.indexOf("\"")))
+    }
+  }
+
   /** Publish `(version → fileList)` if and only if `version` is still
     * free. True on success; false means another writer won the version. */
   private def tryCommit(root: String, version: Long, fileList: Seq[String],
-                        op: String, base: Long): Boolean = {
+                        op: String, base: Long,
+                        tag: Option[String] = None): Boolean = {
     Files.createDirectories(manifestDir(root))
+    val tagField = tag.map(t => s""""tag":"$t",""").getOrElse("")
     val json = fileList.map(f => s""""$f"""").mkString(
-      s"""{"version":$version,"op":"$op","base":$base,"files":[""", ",", "]}")
+      s"""{"version":$version,"op":"$op",$tagField"base":$base,"files":[""", ",", "]}")
     val tmp = manifestDir(root).resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, json)
     try { Files.createLink(versionFile(root, version), tmp); true }
@@ -128,6 +141,46 @@ object SnapshotLake {
         committed = next
     }
     committed
+  }
+
+  /** Exactly-once append for REPLAYABLE writers (a streaming
+    * `foreachBatch` is the canonical one): the commit carries an
+    * idempotence `tag` (e.g. "dedup-b7" for micro-batch 7), and if any
+    * live manifest already carries it, the append is a no-op returning
+    * the existing version — so a crash-replayed batch (same batchId,
+    * same data: Spark's checkpoint contract) commits exactly once however
+    * many times it runs. A replay that crashed BETWEEN its data write and
+    * its manifest link leaves orphan data files no manifest references —
+    * invisible to every reader, reclaimed by [[vacuum]]'s unreferenced-
+    * file sweep. The tag scan is O(versions) manifest reads here; a
+    * production lake indexes tags in the manifest list. Retention
+    * contract: vacuum must retain at least the writer's replay horizon,
+    * or a replayed tag would be forgotten and double-append — the same
+    * contract Delta documents between VACUUM and streaming checkpoints. */
+  def appendOnce(df: DataFrame, root: String, tag: String): Long = {
+    require(tag.nonEmpty && !tag.exists(c => c == '"' || c == '\\'),
+      s"tag must be quote-free: $tag")
+    def existing: Option[Long] = currentVersion(root).flatMap { cur =>
+      (cur to 1L by -1L).find(v =>
+        Files.exists(versionFile(root, v)) && tagOf(root, v).contains(tag))
+    }
+    existing.getOrElse {
+      val newFiles = writeData(df, root)
+      var committed = -1L
+      while (committed < 0) {
+        existing match {
+          case Some(v) => return v // a racing same-tag writer won; our
+                                   // data files are orphans for vacuum
+          case None =>
+            val cur = currentVersion(root)
+            val baseFiles = cur.map(files(root, _)).getOrElse(Seq.empty)
+            if (tryCommit(root, cur.getOrElse(0L) + 1, baseFiles ++ newFiles,
+                "append", cur.getOrElse(0L), Some(tag)))
+              committed = cur.getOrElse(0L) + 1
+        }
+      }
+      committed
+    }
   }
 
   /** Compact the current snapshot: rewrite its files as one coalesced set
@@ -154,14 +207,21 @@ object SnapshotLake {
     committed
   }
 
-  /** Drop manifests older than the newest `keepVersions` and delete data
-    * files no retained manifest references. Production retention is
-    * time-based (≥ max reader runtime); version-count retention keeps the
-    * spec deterministic. */
-  def vacuum(root: String, keepVersions: Int): Unit = {
+  /** Drop manifests older than the newest `keepVersions`, then delete
+    * every data file under `data/` that no RETAINED manifest references
+    * and whose mtime is older than `orphanGraceMs` — this reaps both
+    * files only dropped manifests referenced AND orphans from commits
+    * that crashed between their data write and their manifest link
+    * (which no manifest ever referenced). The grace window is what makes
+    * the sweep safe against IN-FLIGHT commits, whose data files exist
+    * before their manifest does — production sets it above the maximum
+    * commit latency plus reader runtime (Delta VACUUM's retention
+    * contract); 0 keeps specs deterministic when nothing runs
+    * concurrently. Version-count retention stands in for production's
+    * time-based retention for the same reason. */
+  def vacuum(root: String, keepVersions: Int, orphanGraceMs: Long = 0L): Unit = {
     val cur = currentVersion(root).getOrElse(return)
-    val cutoff = cur - keepVersions + 1
-    val retained = (cutoff to cur).flatMap(files(root, _)).toSet
+    val cutoff = math.max(1L, cur - keepVersions + 1)
     val dir = manifestDir(root)
     val s = Files.list(dir)
     val old =
@@ -171,13 +231,29 @@ object SnapshotLake {
           n.stripPrefix("v").stripSuffix(".json").toLong < cutoff
       }.toVector
       finally s.close()
-    val dropped = old.flatMap { p =>
-      val v = p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong
-      files(root, v)
-    }.toSet
     old.foreach(Files.deleteIfExists(_))
-    (dropped -- retained).foreach { f =>
-      Files.deleteIfExists(Paths.get(root, f)); ()
-    }
+    val retained = (cutoff to cur)
+      .filter(v => Files.exists(versionFile(root, v))) // earlier vacuums
+      .flatMap(files(root, _)).toSet
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.isDirectory(dataRoot)) return
+    val deadline = System.currentTimeMillis() - orphanGraceMs
+    val subs = Files.list(dataRoot)
+    try subs.iterator().asScala.foreach { sub =>
+      if (Files.isDirectory(sub)) {
+        val fs = Files.list(sub)
+        try fs.iterator().asScala.foreach { f =>
+          val rel = s"data/${sub.getFileName}/${f.getFileName}"
+          if (!retained.contains(rel) &&
+              Files.getLastModifiedTime(f).toMillis <= deadline) {
+            Files.deleteIfExists(f); ()
+          }
+        } finally fs.close()
+        // drop the commit directory once nothing in it is retained
+        val left = Files.list(sub)
+        val empty = try !left.iterator().hasNext finally left.close()
+        if (empty) { Files.deleteIfExists(sub); () }
+      }
+    } finally subs.close()
   }
 }

@@ -103,11 +103,20 @@ object StreamingDedup {
   }
 
   /** One micro-batch of the continuous near-dedup: index, dedup against
-    * (corpus-so-far ∪ earlier-in-batch), emit survivors. Pure batch logic
-    * — callable directly from tests, wired into the stream by
-    * [[nearDedupTo]]. */
+    * (corpus-so-far ∪ earlier-in-batch), emit survivors to the per-batch
+    * output directory. Pure batch logic — callable directly from tests,
+    * wired into the stream by [[nearDedupTo]]. */
   def processBatch(batch: DataFrame, stateRoot: String, batchId: Long,
-                   threshold: Double): Unit = {
+                   threshold: Double): Unit =
+    dedupBatch(batch, stateRoot, batchId, threshold)
+      .write.mode("overwrite").parquet(batchDir(stateRoot, "out", batchId))
+
+  /** Steps 1-2 of the per-batch dedup (index commit + decision), returning
+    * this batch's survivors without committing them — the seam the two
+    * output protocols ([[processBatch]]'s per-batch directories,
+    * [[processBatchToLake]]'s snapshot-lake commits) share. */
+  private def dedupBatch(batch: DataFrame, stateRoot: String, batchId: Long,
+                         threshold: Double): DataFrame = {
     val spark = batch.sparkSession
 
     // ── 1. index the batch and COMMIT the index before deduping: the
@@ -157,10 +166,38 @@ object StreamingDedup {
         .distinct()
     }
 
-    // ── 3. survivors of this batch, committed per-batch (idempotent).
+    // ── 3. survivors of this batch; the caller owns the output commit.
     batch.join(dominated, Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").parquet(batchDir(stateRoot, "out", batchId))
   }
+
+  /** The multi-writer composition (VERDICT r10 item 7): this batch's
+    * survivors committed to a [[graft.etl.SnapshotLake]] through the
+    * tag-idempotent `appendOnce` — exactly-once ACROSS both mechanisms
+    * (streaming checkpoint replay on the input side, manifest CAS on the
+    * output side). A crash anywhere replays the batch: the index rewrite
+    * is overwrite-idempotent, and the lake commit is a no-op if the
+    * batch's tag already landed — so the deduped lake gains each
+    * micro-batch exactly once however the drain dies, while concurrent
+    * compactions/readers ride the manifest protocol untouched. */
+  def processBatchToLake(batch: DataFrame, stateRoot: String, lakeRoot: String,
+                         batchId: Long, threshold: Double): Unit = {
+    graft.etl.SnapshotLake.appendOnce(
+      dedupBatch(batch, stateRoot, batchId, threshold),
+      lakeRoot, s"dedup-b$batchId")
+    ()
+  }
+
+  /** [[nearDedupTo]]'s snapshot-lake twin: the continuous dedup writing
+    * through the manifest commit protocol. */
+  def nearDedupToSnapshotLake(docs: DataFrame, stateRoot: String,
+                              lakeRoot: String, checkpointDir: String,
+                              threshold: Double): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchToLake(batch, stateRoot, lakeRoot, batchId, threshold)
+      }
 
   /** The continuous query: arriving documents → per-batch near-dedup →
     * per-batch survivor directories under `stateRoot/out`. AvailableNow

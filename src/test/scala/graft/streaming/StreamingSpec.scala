@@ -583,4 +583,56 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(after == before, "replaying batch 0 must be a no-op")
   }
+
+  test("streaming near-dedup through the snapshot lake: exactly-once across checkpoint replay and manifest commits") {
+    import graft.etl.SnapshotLake
+    val work = Files.createTempDirectory("graft-sdedup-lake").toString
+    val docs = dedupCorpus
+    val src = s"$work/src"; val state = s"$work/st"
+    val lake = s"$work/lake"; val cp = s"$work/cp"
+    def lakeRows(v: Option[Long] = None): Set[Long] =
+      SnapshotLake.read(spark, lake, v)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    def drain(): Unit = {
+      val q = StreamingDedup.nearDedupToSnapshotLake(
+        StreamingDedup.documentsStream(spark, src, 1), state, lake, cp, 0.5)
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+
+    // chunks 0-1 drain as two micro-batches → two tagged lake commits
+    stageChunks(docs.filter(col("doc_id") < 8), src, 4)
+    drain()
+    assert(SnapshotLake.currentVersion(lake).contains(2L))
+    assert(lakeRows() == Set(0L, 1L, 3L, 4L, 6L, 7L))
+
+    // crash-replay of a committed batch: the tag makes appendOnce a no-op
+    // — no new version, content unchanged, and the replay's orphan data
+    // files stay invisible until vacuum reaps them
+    StreamingDedup.processBatchToLake(
+      docs.filter(col("doc_id") < 4), state, lake, 0L, 0.5)
+    assert(SnapshotLake.currentVersion(lake).contains(2L),
+      "a replayed batch must not commit a new version")
+    assert(lakeRows() == Set(0L, 1L, 3L, 4L, 6L, 7L))
+    SnapshotLake.vacuum(lake, keepVersions = 10)
+    assert(lakeRows() == Set(0L, 1L, 3L, 4L, 6L, 7L),
+      "vacuuming replay orphans must not touch committed content")
+
+    // chunk 2 arrives; the SAME checkpoint resumes: exactly one more
+    // commit, and the lake equals the batch-policy dedup of everything
+    stageChunks(docs, src, 4)
+    drain()
+    assert(SnapshotLake.currentVersion(lake).contains(3L))
+    val batch = graft.llm.Dedup.nearDedup(docs, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lakeRows() == batch)
+
+    // a compaction lands on top: latest content identical, and a reader
+    // pinned to the pre-compaction version is untouched
+    val vc = SnapshotLake.compact(spark, lake)
+    assert(vc == 4L)
+    assert(lakeRows() == batch)
+    assert(lakeRows(Some(3L)) == batch)
+  }
 }
