@@ -172,7 +172,11 @@ object IncrementalQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_latest"),
           (sum(round(col("value") * 100).cast("long")) / 100.0).as("val_latest"))
-      pinned.join(latest, Seq("event_type")).orderBy("event_type")
+      // both sides are event_type-cardinality (≤ a handful of rows) at ANY
+      // scale, but their size estimates derive from the full event scans,
+      // so at 100× the planner flips this join to sort-merge unless pinned
+      // (the q199 Finding-2 estimator class, caught by ScaleAudit r11)
+      pinned.join(broadcast(latest), Seq("event_type")).orderBy("event_type")
     }
   )
 
