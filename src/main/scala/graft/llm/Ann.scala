@@ -236,9 +236,12 @@ object Ann {
   /** Deterministic pseudo-random hyperplanes in [−1, 1]^dim, materialized as
     * *float* constants (so the Spark literal array and the SQL literal list
     * parse to the identical values in both engines). Generated at plan
-    * build — zero per-row hashing at runtime. */
-  def planes(dim: Int): IndexedSeq[IndexedSeq[Float]] =
-    (0 until LshBits).map(j => (0 until dim).map { i =>
+    * build — zero per-row hashing at runtime. The first [[LshBits]] planes
+    * are the fixed signature family every static consumer (and every
+    * oracle SQL text) replays; [[lshNearDupPairs]]'s adaptive banding
+    * draws further planes from the same seeded family. */
+  def planes(dim: Int, count: Int = LshBits): IndexedSeq[IndexedSeq[Float]] =
+    (0 until count).map(j => (0 until dim).map { i =>
       val u = (splitmix64(j.toLong * dim + i) >>> 11).toDouble / (1L << 53).toDouble
       (2.0 * u - 1.0).toFloat
     })
@@ -267,20 +270,63 @@ object Ann {
     * exactly the MinHash banding trade applied to hyperplane signatures. */
   val LshBands = 4
 
+  /** Per-band bucket-size target for [[lshParams]]. At ~125 expected
+    * vectors per (band, key) bucket, per-band candidate mass is
+    * ≈ n·125/2 — linear in the corpus. */
+  val LshTargetBucket = 125L
+
+  /** Adaptive banding parameters (r bits per band, b bands) for a corpus
+    * of `n` vectors — THE fix for the scale defect the r11 full-suite
+    * 100× audit caught: at fixed (r=4, b=4) each band partitions the
+    * corpus into only 2⁴ = 16 buckets, so bucket sizes grow linearly with
+    * n and the candidate self-join's pair mass grows QUADRATICALLY
+    * (Σ c² per band). Measured at 100× (200 k embeddings): ~10⁹ candidate
+    * pairs, multi-GB allocation retries, a >25 min grind — the classic
+    * LSH sizing mistake.
+    *
+    * The textbook parameterization: r = ⌈log₂(n / target-bucket)⌉ keeps
+    * per-bucket size ~constant (key-space tracks the corpus), and b grows
+    * with r to restore the recall longer keys cost (standard LSH
+    * amplification: collision prob per band p^r shrinks as r grows, so
+    * more independent bands re-amplify 1−(1−p^r)^b). At every oracle
+    * scale (n ≤ 2000) this resolves to EXACTLY (r=4, b=4) — the constants
+    * the static oracle SQL replays — so the hash gate still proves the
+    * machinery; the adaptivity engages only beyond oracle scale, the same
+    * oracle-determinism trade q198's quantizer-k contract documents. */
+  def lshParams(n: Long): (Int, Int) = {
+    def clog2(x: Long): Int =
+      if (x <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+    val r = math.min(16, math.max(LshBits / LshBands,
+      clog2((n + LshTargetBucket - 1) / LshTargetBucket)))
+    val b = LshBands + 2 * (r - LshBits / LshBands)
+    (r, b)
+  }
+
   /** Embedding-cosine near-duplicate pairs via hyperplane-LSH banding:
     * signature → band explode → bucketed equality self-join on
     * (band, key) → distinct candidates → exact-cosine verify ≥
     * `thresholdMicros`. The plan has NO corpus×corpus product — the only
-    * joins are hash joins on band keys and ids, so it survives a 100×
-    * scale-up where the exact all-pairs baseline (quadratic) does not.
-    * Recall is governed by the banding parameters, and the oracle replays
-    * the identical banded algorithm, so the compare is exact. */
+    * joins are hash joins on band keys and ids — and [[lshParams]] sizes
+    * the band key-space to the corpus so the bucket self-join's pair mass
+    * stays LINEAR in n at any scale (at fixed keys it is quadratic; see
+    * [[lshParams]]). Recall is governed by the banding parameters, and
+    * the oracle replays the identical banded algorithm at the identical
+    * (oracle-scale) parameters, so the compare is exact. The one-row
+    * `count()` is the corpus-size lookup a lake's table statistics answer
+    * at production scale. */
   def lshNearDupPairs(corpus: DataFrame, dim: Int, thresholdMicros: Long): DataFrame = {
-    val bandBits = LshBits / LshBands
-    val bands = hyperplaneBuckets(corpus, dim).select(
-        col("id"),
-        posexplode(array((0 until LshBands).map(b =>
-          shiftright(col("bucket"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+    val (r, b) = lshParams(corpus.count())
+    val ps = planes(dim, r * b)
+    // band key = the r sign bits of this band's own plane block — for
+    // (r, b) = (LshBits/LshBands, LshBands) this is bit-identical to
+    // slicing the LshBits-bit signature, which is what the SQL replays
+    val keys = (0 until b).map { band =>
+      (0 until r).map { j =>
+        val plane = typedLit(ps(band * r + j)).cast("array<float>")
+        when(dot(col("vec"), plane) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val bands = corpus.select(col("id"), posexplode(array(keys: _*)))
       .toDF("id", "band", "key")
     val cand = bands.alias("a")
       .join(bands.alias("b"),

@@ -143,6 +143,25 @@ class AnnSpec extends AnyFunSuite {
     assert(b1.values.forall(b => b >= 0 && b < (1L << Ann.LshBits)))
   }
 
+  test("lshParams: oracle scales keep (4,4); key-space tracks corpus size beyond") {
+    // every oracle-checked corpus (≤ a few thousand vectors) must resolve
+    // to the static constants the SQL texts replay
+    for (n <- Seq(1L, 200L, 2000L))
+      assert(Ann.lshParams(n) == (4, 4), s"n=$n")
+    // beyond oracle scale the key-space grows with n (bucket ~constant)
+    // and bands grow to restore recall
+    val (r10, b10) = Ann.lshParams(20000L)
+    val (r100, b100) = Ann.lshParams(200000L)
+    assert(r10 > 4 && r100 > r10, s"r must grow with n: $r10, $r100")
+    assert(b10 > 4 && b100 > b10, s"b must grow with r: $b10, $b100")
+    // the quadratic driver is n/2^r: it must stay bounded by the target
+    for (n <- Seq(2000L, 20000L, 200000L, 2000000L)) {
+      val (r, _) = Ann.lshParams(n)
+      assert(n.toDouble / (1L << r) <= Ann.LshTargetBucket,
+        s"expected bucket at n=$n exceeds the target")
+    }
+  }
+
   test("lshNearDupPairs ⊆ exact pairs, finds every same-bucket pair, no cartesian") {
     val threshold = 400000L
     val banded = Ann.lshNearDupPairs(corpus, 64, threshold)
