@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AuditOps, CorpusModels, CurationOps, DashboardQueries, Extended, Geo, Graph, IncrementalQueries, JdbcQueries, Lifecycle, LlmPipeline, PipelineOps, Q, Quality, Relational, Similarity, SqlQueries, StreamingQueries, Temporal, TextCorpus, TypedOps}
+import graft.queries.{AuditOps, CorpusModels, CurationOps, DashboardQueries, Extended, Geo, Graph, IncrementalQueries, JdbcQueries, LakeIndexOps, Lifecycle, LlmPipeline, PipelineOps, Q, Quality, Relational, Similarity, SqlQueries, StreamingQueries, Temporal, TextCorpus, TypedOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
       StreamingQueries.defs ++ TextCorpus.defs ++ Lifecycle.defs ++
       SqlQueries.defs ++ Quality.defs ++ Graph.defs ++ TypedOps.defs ++
       Geo.defs ++ JdbcQueries.defs ++ CurationOps.defs ++ CorpusModels.defs ++
-      PipelineOps.defs ++ AuditOps.defs
+      PipelineOps.defs ++ AuditOps.defs ++ LakeIndexOps.defs
 
   /** Flagship query (README.md:240-249 of the reference): daily revenue by
     * dimension over a broadcast join. Driver smoke-checks rows>0 on sf0.001. */

@@ -1,0 +1,267 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** File-level data-skipping indexes for [[SnapshotLake]] — the
+  * manifest-adjacent statistics Iceberg/Delta keep so a selective reader
+  * can drop most FILES from the listing before the scan even plans (the
+  * level above parquet's own row-group pruning, which still has to open
+  * every footer; at 100 TB with millions of files, opening footers IS
+  * the bottleneck the file-level index removes).
+  *
+  * Two index kinds, both stored as small JSON sidecars inside the commit
+  * directory they describe (`data/<uuid>/_stats.json`,
+  * `data/<uuid>/_bloom_<col>.json`), written BEFORE the manifest link
+  * that makes the commit visible — so any reader that can resolve a file
+  * can resolve its index, with no change to the CAS commit protocol:
+  *
+  *   - MIN/MAX per (file, column), harvested from the parquet FOOTERS the
+  *     writer already maintains — a metadata-only pass, no data read, and
+  *     distributed over the executors (O(files) footer opens, once at
+  *     commit time instead of once per query per reader).
+  *   - BLOOM per (file, key column), for point lookups min/max can't
+  *     serve on high-cardinality keys. This one costs a column-pruned
+  *     scan of the NEW files only — the same build cost Delta documents
+  *     for its bloom index.
+  *
+  * Pruning is CONSERVATIVE by construction: a file is dropped only when
+  * its index proves no matching row can exist (range disjoint, or bloom
+  * definitely-absent for every probe); files without an index are always
+  * kept. So a pruned read returns exactly the rows of the full read — the
+  * oracle-checkable contract (q219/q220/q221) — and the index is purely a
+  * performance lever, never a correctness input.
+  */
+object FileStats {
+
+  /** min/max of one column in one file, as the JSON-storable string form
+    * of the column's logical type (numbers for numeric, raw text for
+    * UTF-8). `nRows` is the file's row count (all row groups). */
+  final case class ColRange(min: String, max: String, numeric: Boolean)
+
+  // ── footer harvest ──────────────────────────────────────────────────
+
+  /** Read min/max for `cols` from the footers of `relFiles` (paths
+    * relative to `root`), distributed over the executors. Returns
+    * file → col → range; columns a footer lacks statistics for are
+    * absent (⇒ never pruned on). */
+  def harvest(spark: SparkSession, root: String, relFiles: Seq[String],
+              cols: Seq[String]): Map[String, Map[String, ColRange]] = {
+    val rootAbs = Paths.get(root).toAbsolutePath.toString
+    val colSet = cols.toSet
+    spark.sparkContext
+      .parallelize(relFiles, math.max(1, math.min(relFiles.size, 32)))
+      .map { rel =>
+        val conf = new Configuration()
+        val in = HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$rootAbs/$rel"), conf)
+        val reader = ParquetFileReader.open(in)
+        try {
+          val ranges = scala.collection.mutable.Map.empty[String, ColRange]
+          for (block <- reader.getFooter.getBlocks.asScala;
+               chunk <- block.getColumns.asScala) {
+            val name = chunk.getPath.toDotString
+            if (colSet.contains(name)) {
+              val st = chunk.getStatistics
+              // hasNonNullValue ⇔ the min/max are real values; an all-null
+              // or stats-less chunk contributes nothing (conservative).
+              if (st != null && st.hasNonNullValue) {
+                val tpe = chunk.getPrimitiveType.getPrimitiveTypeName
+                rangeOf(tpe, st.genericGetMin, st.genericGetMax).foreach { r =>
+                  ranges(name) = ranges.get(name).fold(r)(merge(_, r))
+                }
+              }
+            }
+          }
+          rel -> ranges.toMap
+        } finally reader.close()
+      }
+      .collect().toMap
+  }
+
+  private def rangeOf(tpe: PrimitiveTypeName, min: Any,
+                      max: Any): Option[ColRange] = tpe match {
+    case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 |
+         PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
+      Some(ColRange(min.toString, max.toString, numeric = true))
+    case PrimitiveTypeName.BINARY =>
+      (min, max) match {
+        case (a: Binary, b: Binary) =>
+          Some(ColRange(a.toStringUsingUTF8, b.toStringUsingUTF8,
+            numeric = false))
+        case _ => None
+      }
+    case _ => None // INT96 / FIXED / BOOLEAN: no pruning support
+  }
+
+  private def merge(a: ColRange, b: ColRange): ColRange = {
+    require(a.numeric == b.numeric)
+    if (a.numeric)
+      ColRange(math.min(a.min.toDouble, b.min.toDouble).toString,
+        math.max(a.max.toDouble, b.max.toDouble).toString, numeric = true)
+    else
+      ColRange(if (a.min <= b.min) a.min else b.min,
+        if (a.max >= b.max) a.max else b.max, numeric = false)
+  }
+
+  /** Row count per file from footer metadata alone (no data read) —
+    * sizes the bloom filters without a counting scan. */
+  def footerRows(root: String, relFiles: Seq[String]): Map[String, Long] = {
+    val conf = new Configuration()
+    relFiles.map { rel =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(
+          Paths.get(root, rel).toAbsolutePath.toString), conf))
+      try rel -> reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally reader.close()
+    }.toMap
+  }
+
+  // ── sidecar IO (commit-dir local, written before the manifest link) ──
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      // braces escape to \uXXXX (legal JSON) so data values can never
+      // confuse the sidecar reader's brace-delimited parse
+      case c if c < ' ' || c == '{' || c == '}' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\\' && i + 1 < s.length) s(i + 1) match {
+        case 'u' => sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+        case c => sb.append(c); i += 2
+      } else { sb.append(s(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** `data/<uuid>` directory of a manifest-relative file path. */
+  private def commitDirOf(rel: String): String =
+    rel.substring(0, rel.lastIndexOf('/'))
+
+  def writeStatsSidecar(root: String,
+                        stats: Map[String, Map[String, ColRange]]): Unit =
+    stats.groupBy { case (rel, _) => commitDirOf(rel) }.foreach {
+      case (dir, perFile) =>
+        val json = perFile.toSeq.sortBy(_._1).map { case (rel, cols) =>
+          val fields = cols.toSeq.sortBy(_._1).map { case (c, r) =>
+            s""""${esc(c)}":{"min":"${esc(r.min)}","max":"${esc(r.max)}","num":${r.numeric}}"""
+          }.mkString(",")
+          s""""${esc(rel.substring(rel.lastIndexOf('/') + 1))}":{$fields}"""
+        }.mkString("{", ",", "}")
+        Files.writeString(Paths.get(root, dir, "_stats.json"), json)
+        ()
+    }
+
+  /** Stats for the files of one commit dir, keyed by manifest-relative
+    * path. Empty when the commit carries no sidecar (pre-index commits —
+    * their files are never pruned). */
+  def readStatsSidecar(root: String, dir: String): Map[String, Map[String, ColRange]] = {
+    val p = Paths.get(root, dir, "_stats.json")
+    if (!Files.exists(p)) return Map.empty
+    val json = Files.readString(p)
+    // parse of our own writer's format: {"file":{"col":{"min":"..","max":"..","num":b},..},..}
+    val fileRe = """"((?:[^"\\]|\\.)*)":\{((?:[^{}]|\{[^{}]*\})*)\}""".r
+    val colRe = """"((?:[^"\\]|\\.)*)":\{"min":"((?:[^"\\]|\\.)*)","max":"((?:[^"\\]|\\.)*)","num":(true|false)\}""".r
+    fileRe.findAllMatchIn(json).map { fm =>
+      val cols = colRe.findAllMatchIn(fm.group(2)).map { cm =>
+        unesc(cm.group(1)) -> ColRange(unesc(cm.group(2)), unesc(cm.group(3)),
+          cm.group(4) == "true")
+      }.toMap
+      s"$dir/${unesc(fm.group(1))}" -> cols
+    }.toMap
+  }
+
+  // ── range pruning ───────────────────────────────────────────────────
+
+  /** An inclusive range predicate on one column; `None` bounds are open.
+    * Values compare numerically when the harvested stats are numeric,
+    * lexically for strings (parquet BINARY/UTF8 ordering — the same
+    * ordering the footer min/max were computed under). */
+  final case class Range(col: String, lo: Option[String], hi: Option[String])
+
+  /** True iff the file MAY contain a row satisfying ALL of `preds` —
+    * i.e. every predicate's range intersects the file's [min,max] for
+    * that column. Missing stats for a column ⇒ true (conservative). */
+  def mayMatch(stats: Map[String, ColRange], preds: Seq[Range]): Boolean =
+    preds.forall { p =>
+      stats.get(p.col).forall { r =>
+        def ge(a: String, b: String) =
+          if (r.numeric) a.toDouble >= b.toDouble else a >= b
+        p.lo.forall(lo => ge(r.max, lo)) && p.hi.forall(hi => ge(hi, r.min))
+      }
+    }
+
+  // ── bloom sidecars ──────────────────────────────────────────────────
+
+  /** Build one bloom per file over `col` (long or string key) by a
+    * column-pruned scan of `relFiles`, and write the per-commit-dir
+    * sidecars. `expectedPerFile` sizes each filter; `fpp` is the target
+    * false-positive rate (false positives cost a wasted file read, never
+    * correctness). */
+  def buildBloomSidecars(spark: SparkSession, root: String,
+                         relFiles: Seq[String], col: String,
+                         expectedPerFile: Long, fpp: Double): Unit = {
+    import spark.implicits._
+    val rootAbs = Paths.get(root).toAbsolutePath.toString
+    val paths = relFiles.map(f => s"$rootAbs/$f")
+    // longs and strings key the bloom through their canonical string form
+    // on BOTH build and probe side, so the representation is consistent
+    val perFile = spark.read.parquet(paths: _*)
+      .select(input_file_name().as("file"),
+        org.apache.spark.sql.functions.col(col).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (file, it) =>
+        val bf = BloomFilter.create(expectedPerFile, fpp)
+        it.foreach { case (_, v) => if (v != null) bf.putString(v) }
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (file, Base64.getEncoder.encodeToString(bos.toByteArray))
+      }
+      .collect()
+    val byRel = perFile.toSeq.map { case (uri, b64) =>
+      val abs = new java.net.URI(uri).getPath // input_file_name is a URI
+      abs.stripPrefix(rootAbs).stripPrefix("/") -> b64
+    }
+    byRel.groupBy { case (rel, _) => commitDirOf(rel) }.foreach {
+      case (dir, entries) =>
+        val json = entries.sortBy(_._1).map { case (rel, b64) =>
+          s""""${esc(rel.substring(rel.lastIndexOf('/') + 1))}":"$b64""""
+        }.mkString("{", ",", "}")
+        Files.writeString(Paths.get(root, dir, s"_bloom_$col.json"), json)
+        ()
+    }
+  }
+
+  /** Blooms of one commit dir for `col`, keyed by manifest-relative path;
+    * empty when absent (⇒ no pruning for that commit's files). */
+  def readBloomSidecar(root: String, dir: String,
+                       col: String): Map[String, BloomFilter] = {
+    val p = Paths.get(root, dir, s"_bloom_$col.json")
+    if (!Files.exists(p)) return Map.empty
+    val json = Files.readString(p)
+    val entryRe = """"((?:[^"\\]|\\.)*)":"([A-Za-z0-9+/=]*)"""".r
+    entryRe.findAllMatchIn(json).map { m =>
+      val bf = BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(Base64.getDecoder.decode(m.group(2))))
+      s"$dir/${unesc(m.group(1))}" -> bf
+    }.toMap
+  }
+}

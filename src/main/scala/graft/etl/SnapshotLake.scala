@@ -89,13 +89,40 @@ object SnapshotLake {
     spark.read.parquet(fs: _*)
   }
 
-  private def writeData(df: DataFrame, root: String): Seq[String] = {
+  private def writeData(df: DataFrame, root: String,
+                        index: IndexSpec = IndexSpec.none): Seq[String] = {
     val sub = s"data/${UUID.randomUUID().toString}"
     df.write.mode("overwrite").parquet(Paths.get(root, sub).toString)
     val s = Files.list(Paths.get(root, sub))
-    try s.iterator().asScala.map(_.getFileName.toString)
-      .filter(_.endsWith(".parquet")).map(n => s"$sub/$n").toVector.sorted
-    finally s.close()
+    val rel =
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).map(n => s"$sub/$n").toVector.sorted
+      finally s.close()
+    // Index sidecars land in the commit dir BEFORE the manifest link that
+    // makes these files visible, so a reader that resolves a file always
+    // resolves its index too. Pre-manifest crash ⇒ sidecar is swept with
+    // its orphan dir by vacuum, like the data files themselves.
+    if (index.statsCols.nonEmpty)
+      FileStats.writeStatsSidecar(root,
+        FileStats.harvest(df.sparkSession, root, rel, index.statsCols))
+    index.bloomCol.foreach { c =>
+      val expected = // sized from footer row counts: no counting scan
+        math.max(1L, FileStats.footerRows(root, rel).values.max)
+      FileStats.buildBloomSidecars(df.sparkSession, root, rel, c,
+        expected, index.bloomFpp)
+    }
+    rel
+  }
+
+  /** What to index at commit time: footer min/max for `statsCols`, a
+    * per-file bloom over `bloomCol`. Both optional; [[IndexSpec.none]]
+    * preserves the plain commit path. */
+  final case class IndexSpec(statsCols: Seq[String],
+                             bloomCol: Option[String],
+                             bloomFpp: Double = 0.01)
+  object IndexSpec {
+    val none: IndexSpec = IndexSpec(Nil, None)
+    def stats(cols: String*): IndexSpec = IndexSpec(cols, None)
   }
 
   /** The idempotence tag of version `v`, if its commit carried one. */
@@ -129,8 +156,9 @@ object SnapshotLake {
     * snapshot's files ∪ new files) manifest, CAS-retried against
     * concurrent committers. Returns the committed version. The data write
     * happens ONCE; only the (tiny) manifest commit loops. */
-  def append(df: DataFrame, root: String): Long = {
-    val newFiles = writeData(df, root)
+  def append(df: DataFrame, root: String,
+             index: IndexSpec = IndexSpec.none): Long = {
+    val newFiles = writeData(df, root, index)
     var committed = -1L
     while (committed < 0) {
       val cur = currentVersion(root)
@@ -207,6 +235,113 @@ object SnapshotLake {
     committed
   }
 
+  /** Compact the current snapshot into `files` files laid out along the
+    * Z-curve of (`colA`, `colB`) — Delta/Iceberg's `OPTIMIZE ZORDER BY`
+    * on the manifest lake: the rewrite range-partitions + sorts by the
+    * Morton interleave ([[ZOrder.interleave]]), so every output file
+    * covers a small rectangle of the two-dimension key space and the
+    * commit-time min/max index (harvested on BOTH dims) prunes on either
+    * dimension or a box of both. Same reconcile/CAS semantics as
+    * [[compact]]; racing appends survive un-clustered until the next
+    * optimize pass — eventual clustering, the production contract. */
+  def compactZOrder(spark: SparkSession, root: String, colA: String,
+                    colB: String, nFiles: Int,
+                    index: IndexSpec = IndexSpec.none): Long = {
+    import org.apache.spark.sql.functions.col
+    val baseV = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"nothing to compact at $root"))
+    val baseFiles = files(root, baseV)
+    val base = spark.read.parquet(
+      baseFiles.map(f => Paths.get(root, f).toString): _*)
+    val rewritten = writeData(
+      base.withColumn("__z", ZOrder.interleave(col(colA), col(colB)))
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z"),
+      root, index)
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentVersion(root).get
+      val added = files(root, cur).filterNot(baseFiles.toSet)
+      if (tryCommit(root, cur + 1, rewritten ++ added, "compact", baseV))
+        committed = cur + 1
+    }
+    committed
+  }
+
+  /** A snapshot read whose file listing was pruned by an index: `df`
+    * scans only `kept` of `total` manifest files, and — because pruning
+    * is conservative and the caller re-applies the predicate — returns
+    * exactly the rows the full read would. */
+  final case class PrunedScan(df: DataFrame, kept: Int, total: Int)
+
+  /** Range-pruned snapshot read: resolve the manifest of `version` (or
+    * latest), drop every file whose commit-time min/max index proves it
+    * cannot satisfy ALL of `preds`, and scan the survivors. The driver
+    * does O(commit dirs) sidecar reads against the already-resolved
+    * listing — at 100 TB this listing-level skip is what turns a
+    * point-ish query on a million-file table from a footer-open storm
+    * into a handful of file reads (Iceberg's manifest filtering). The
+    * returned frame has the predicates APPLIED (row-level), so the
+    * result is exactly the full scan's — pruning is never a correctness
+    * input. */
+  def readPruned(spark: SparkSession, root: String,
+                 preds: Seq[FileStats.Range],
+                 version: Option[Long] = None): PrunedScan = {
+    val v = version.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val all = files(root, v)
+    val statsByFile: Map[String, Map[String, FileStats.ColRange]] =
+      all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+        .flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
+    val kept = all.filter { f =>
+      FileStats.mayMatch(statsByFile.getOrElse(f, Map.empty), preds)
+    }
+    val df0 =
+      if (kept.isEmpty) // provably-empty result still needs the schema
+        read(spark, root, Some(v)).limit(0)
+      else spark.read.parquet(kept.map(f => Paths.get(root, f).toString): _*)
+    import org.apache.spark.sql.functions.{col, lit}
+    val filtered = preds.foldLeft(df0) { (d, p) =>
+      val typed = (s: String) => lit(s).cast(d.schema(p.col).dataType)
+      val lo = p.lo.map(col(p.col) >= typed(_))
+      val hi = p.hi.map(col(p.col) <= typed(_))
+      (lo ++ hi).foldLeft(d)(_ filter _)
+    }
+    PrunedScan(filtered, kept.size, all.size)
+  }
+
+  /** Point-lookup snapshot read through the per-file bloom index on
+    * `col`: a file survives only if its bloom might contain AT LEAST ONE
+    * probe value (or carries no bloom — conservative). False positives
+    * cost a wasted file read; false negatives cannot occur (the sketch
+    * guarantee), so with the IN-filter re-applied the result equals the
+    * full scan's. */
+  def readPointLookup(spark: SparkSession, root: String, col: String,
+                      values: Seq[String],
+                      version: Option[Long] = None): PrunedScan = {
+    val v = version.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val all = files(root, v)
+    val blooms = all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      .flatMap(dir => FileStats.readBloomSidecar(root, dir, col)).toMap
+    val kept = all.filter { f =>
+      blooms.get(f).forall(bf => values.exists(bf.mightContainString))
+    }
+    val df0 =
+      if (kept.isEmpty) read(spark, root, Some(v)).limit(0)
+      else spark.read.parquet(kept.map(f => Paths.get(root, f).toString): _*)
+    import org.apache.spark.sql.functions.{col => c}
+    import org.apache.spark.sql.types._
+    val typed: Seq[Any] = df0.schema(col).dataType match {
+      case LongType => values.map(_.toLong)
+      case IntegerType => values.map(_.toInt)
+      case DoubleType => values.map(_.toDouble)
+      case _ => values // string keys probe as-is
+    }
+    PrunedScan(df0.filter(c(col).isInCollection(typed)), kept.size, all.size)
+  }
+
   /** Drop manifests older than the newest `keepVersions`, then delete
     * every data file under `data/` that no RETAINED manifest references
     * and whose mtime is older than `orphanGraceMs` — this reaps both
@@ -243,16 +378,26 @@ object SnapshotLake {
       if (Files.isDirectory(sub)) {
         val fs = Files.list(sub)
         try fs.iterator().asScala.foreach { f =>
-          val rel = s"data/${sub.getFileName}/${f.getFileName}"
-          if (!retained.contains(rel) &&
+          val name = f.getFileName.toString
+          val rel = s"data/${sub.getFileName}/$name"
+          // "_"-prefixed index sidecars (_stats.json, _bloom_*.json) are
+          // commit-dir metadata, never manifest-listed: they live and die
+          // with their directory, not with the retained set.
+          if (!name.startsWith("_") && !retained.contains(rel) &&
               Files.getLastModifiedTime(f).toMillis <= deadline) {
             Files.deleteIfExists(f); ()
           }
         } finally fs.close()
-        // drop the commit directory once nothing in it is retained
+        // drop the commit directory (and its sidecars) once no DATA file
+        // in it survives — sidecars alone don't pin a dir
         val left = Files.list(sub)
-        val empty = try !left.iterator().hasNext finally left.close()
-        if (empty) { Files.deleteIfExists(sub); () }
+        val survivors =
+          try left.iterator().asScala.map(_.getFileName.toString).toVector
+          finally left.close()
+        if (survivors.forall(_.startsWith("_"))) {
+          survivors.foreach(n => Files.deleteIfExists(sub.resolve(n)))
+          Files.deleteIfExists(sub); ()
+        }
       }
     } finally subs.close()
   }
