@@ -342,6 +342,120 @@ object SnapshotLake {
     PrunedScan(df0.filter(c(col).isInCollection(typed)), kept.size, all.size)
   }
 
+  /** Copy-on-write MERGE (upsert + optional tombstone delete) keyed on
+    * `key`, targeted by the min/max file index: only manifest files whose
+    * commit-time `key` range MAY contain an update key are rewritten —
+    * every other file is carried into the new manifest untouched, which
+    * at 100 TB is the whole point (a merge touching 0.1% of keys rewrites
+    * ~0.1% of files, not the table; Delta's MERGE + data-skipping
+    * composition). Candidate discovery joins the O(files) stats relation
+    * against the update keys broadcast-style — the update set is never
+    * collected to the driver. Files without harvested `key` stats are
+    * always candidates (conservative, so pre-index history merges
+    * correctly). Rows of `updates` REPLACE same-key rows; rows flagged
+    * true in `deleteCol` (if given) are tombstones: the matched row is
+    * removed and nothing re-inserted. Assumes `key` is unique per version
+    * on both sides (the upsert contract) and no concurrent writer mutates
+    * the same keys (racing APPENDS are reconciled like [[compact]];
+    * conflicting concurrent merges need the serializable-writer
+    * discipline real lakes enforce by aborting). Returns the committed
+    * version. */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+            key: String, index: IndexSpec = IndexSpec.none,
+            deleteCol: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, not}
+    val baseV = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"nothing to merge into at $root"))
+    val baseFiles = files(root, baseV)
+    val stats = baseFiles.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      .flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
+    val (ranged, blind) = baseFiles.partition(f =>
+      stats.get(f).exists(_.contains(key)))
+    // candidate files via one pass over the update keys against the tiny
+    // broadcast stats relation (string ranges compare lexically — only
+    // numeric-keyed files join the numeric branch and vice versa)
+    val statsRows = ranged.map { f =>
+      val r = stats(f)(key); (f, r.min, r.max, r.numeric)
+    }
+    val candidates: Seq[String] =
+      if (statsRows.isEmpty) Seq.empty
+      else {
+        import spark.implicits._
+        val sdf = statsRows.toDF("file", "min", "max", "numeric")
+        val k = updates.select(col(key).cast("string").as("k"),
+          col(key).cast("double").as("kd")).distinct()
+        k.join(broadcast(sdf),
+            (col("numeric") && col("kd").between(
+              col("min").cast("double"), col("max").cast("double"))) ||
+            (not(col("numeric")) && col("k").between(col("min"), col("max"))))
+          .select("file").distinct().as[String].collect().toSeq
+      }
+    val touched = candidates ++ blind
+    val upKeys = updates.select(col(key)).distinct()
+    val newRows = deleteCol match {
+      case None => updates
+      case Some(dc) => updates.filter(not(col(dc) === lit(true))).drop(dc)
+    }
+    val survivors =
+      if (touched.isEmpty) newRows
+      else spark.read.parquet(touched.map(f => Paths.get(root, f).toString): _*)
+        .join(broadcast(upKeys), Seq(key), "left_anti")
+        .unionByName(newRows)
+    val rewritten = writeData(survivors, root, index)
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentVersion(root).get
+      val added = files(root, cur).filterNot(baseFiles.toSet) // racing appends
+      val keptBase = baseFiles.filterNot(touched.toSet)
+      if (tryCommit(root, cur + 1, keptBase ++ rewritten ++ added,
+          "merge", baseV))
+        committed = cur + 1
+    }
+    committed
+  }
+
+  /** Change data feed between two committed versions, derived from the
+    * MANIFEST diff: only files removed by `fromV`→`toV` (pre side) and
+    * files added (post side) are read — rows living in carried-over files
+    * never enter the diff, so a copy-on-write merge that touched 0.1% of
+    * files diffs 0.1% of the table (the Delta CDF trick). The two sides
+    * full-outer join on `key` (unique per version — the same contract
+    * [[merge]] keeps) and classify into `_change_type` ∈ insert / delete
+    * / update_preimage / update_postimage; physical-only rewrites
+    * (compaction moves a row between files without changing it) produce
+    * equal pre/post images and are dropped, so a pure compact step feeds
+    * zero changes. */
+  def changeFeed(spark: SparkSession, root: String, fromV: Long, toV: Long,
+                 key: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val from = files(root, fromV).toSet
+    val to = files(root, toV).toSet
+    val removed = (from -- to).toSeq.sorted
+    val added = (to -- from).toSeq.sorted
+    val schema = read(spark, root, Some(toV)).limit(0)
+    def side(fs: Seq[String]) =
+      if (fs.isEmpty) schema
+      else spark.read.parquet(fs.map(f => Paths.get(root, f).toString): _*)
+    val cols = schema.columns.toSeq
+    val pre = side(removed)
+      .select(col(key).as("_k"), struct(cols.map(col): _*).as("_pre"))
+    val post = side(added)
+      .select(col(key).as("_kp"), struct(cols.map(col): _*).as("_post"))
+    val joined = pre.join(post, col("_k") === col("_kp"), "full_outer")
+    val inserts = joined.filter(col("_k").isNull)
+      .select(col("_post.*")).withColumn("_change_type", lit("insert"))
+    val deletes = joined.filter(col("_kp").isNull)
+      .select(col("_pre.*")).withColumn("_change_type", lit("delete"))
+    val updated = joined // null-safe struct compare: a column set to NULL
+      .filter(col("_k").isNotNull && col("_kp").isNotNull && // is a change
+        !(col("_pre") <=> col("_post")))
+    val preImg = updated.select(col("_pre.*"))
+      .withColumn("_change_type", lit("update_preimage"))
+    val postImg = updated.select(col("_post.*"))
+      .withColumn("_change_type", lit("update_postimage"))
+    inserts.unionByName(deletes).unionByName(preImg).unionByName(postImg)
+  }
+
   /** Drop manifests older than the newest `keepVersions`, then delete
     * every data file under `data/` that no RETAINED manifest references
     * and whose mtime is older than `orphanGraceMs` — this reaps both

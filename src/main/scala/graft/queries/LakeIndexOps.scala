@@ -19,6 +19,15 @@ import graft.model.Tables
   *     high-cardinality case min/max can't serve. False positives cost a
   *     wasted file read, false negatives can't occur, and the re-applied
   *     IN-filter makes the result equal the full scan's.
+  *   - q222: copy-on-write MERGE targeted BY the index — upserts,
+  *     tombstone deletes, and inserts in one commit that rewrites only
+  *     the files whose key range may hold a changed key (Delta MERGE ×
+  *     data-skipping: a 0.1%-of-keys merge rewrites ~0.1% of files, not
+  *     the table).
+  *   - q223: change data feed derived from the manifest DIFF of that
+  *     merge — only removed/added files are read, carried-over files
+  *     never enter the join, physical-only moves cancel by image
+  *     equality (the Delta CDF shape).
   *   - q221: `OPTIMIZE ZORDER BY` composed with the stats index — the
   *     compaction rewrites the snapshot along the Morton curve of
   *     (l_suppkey, l_partkey) so a two-dimension box predicate prunes on
@@ -71,6 +80,52 @@ object LakeIndexOps {
             .sortWithinPartitions("l_orderkey"),
           root, idx)
       }
+      root
+    }
+
+  /** One merged snapshot lake per (session, sf dir): orders landed as
+    * four orderkey-range appends (stats-indexed on o_orderkey), then ONE
+    * copy-on-write MERGE applying a deterministic change set —
+    * updates (o_orderkey % 97 = 0: status → 'U', price + 1.00), deletes
+    * (o_orderkey % 101 = 0 and not an update key: tombstoned), inserts
+    * (50 synthetic orders above the key max). Versions are deterministic:
+    * v4 = pre-merge, v5 = post-merge — q222 reads the merged state, q223
+    * derives the change feed from the v4→v5 manifest diff. Memoized: the
+    * merge is the operator under test. */
+  private val merged = new graft.etl.Memo[(SparkSession, String), String]
+
+  private def mergedLake(s: SparkSession, d: String): String =
+    merged((s, d)) {
+      val root = Scratch.tempDir("graft-merge-lake").toString + "/lake"
+      val od = Tables.orders(s, d)
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      for (i <- 0L until 4L) {
+        val lo = maxK * i / 4
+        val cap = if (i == 3) col("o_orderkey") <= maxK
+                  else col("o_orderkey") < maxK * (i + 1) / 4
+        SnapshotLake.append(
+          od.filter(col("o_orderkey") >= lo && cap)
+            .repartitionByRange(2, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey"),
+          root, idx)
+      }
+      val isUpd = pmod(col("o_orderkey"), lit(97)) === 0
+      val isDel = pmod(col("o_orderkey"), lit(101)) === 0 && !isUpd
+      val updates = od.filter(isUpd)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("__del", lit(false))
+        .unionByName(od.filter(isDel).withColumn("__del", lit(true)))
+        .unionByName(s.range(1, 51).select(
+          (lit(maxK) + col("id")).as("o_orderkey"),
+          col("id").as("o_custkey"),
+          lit("N").as("o_orderstatus"),
+          (lit(1000.0) + col("id")).as("o_totalprice"),
+          lit("2024-02-01 00:00:00").cast("timestamp").as("o_orderdate"),
+          lit("NEW").as("o_orderpriority"),
+          lit(false).as("__del")))
+      SnapshotLake.merge(s, root, updates, "o_orderkey", idx, Some("__del"))
       root
     }
 
@@ -153,6 +208,62 @@ object LakeIndexOps {
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
           "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ── Copy-on-write MERGE through the min/max index: upserts, tombstone
+    //    deletes, and inserts land in ONE commit that rewrites only the
+    //    files whose key range may hold a changed key; the merged state
+    //    must equal the oracle's row-level reconstruction of the same
+    //    deterministic change set. File-identity evidence (untouched files
+    //    carried verbatim) is SnapshotLakeSpec's territory.
+    Q("q222_lake_merge_upsert",
+      s"""WITH base AS (
+         |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'U'
+         |              ELSE o_orderstatus END AS o_orderstatus,
+         |         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+         |              ELSE o_totalprice END AS o_totalprice
+         |  FROM orders
+         |  WHERE NOT (o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0)),
+         |ins AS (
+         |  SELECT 'N' AS o_orderstatus, CAST(1000.0 + i AS DOUBLE) AS o_totalprice
+         |  FROM range(1, 51) t(i)),
+         |merged AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         |       ${centsSumSql("o_totalprice")} AS total
+         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      SnapshotLake.read(s, mergedLake(s, d))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          centsSum("o_totalprice").as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ── Change data feed from the manifest diff: pre/post images of the
+    //    v4→v5 merge classified into insert/delete/update rows, reading
+    //    ONLY the files the merge removed or added — rows in carried-over
+    //    files (including the untouched-but-rewritten-file rows, whose
+    //    equal images cancel) never enter the diff.
+    Q("q223_change_data_feed",
+      s"""WITH changes AS (
+         |  SELECT 'delete' AS _change_type, o_totalprice FROM orders
+         |  WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0
+         |  UNION ALL
+         |  SELECT 'insert', CAST(1000.0 + i AS DOUBLE) FROM range(1, 51) t(i)
+         |  UNION ALL
+         |  SELECT 'update_preimage', o_totalprice FROM orders
+         |  WHERE o_orderkey % 97 = 0
+         |  UNION ALL
+         |  SELECT 'update_postimage', o_totalprice + 1.0 FROM orders
+         |  WHERE o_orderkey % 97 = 0)
+         |SELECT _change_type, count(*) AS n_rows,
+         |       ${centsSumSql("o_totalprice")} AS total
+         |FROM changes GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val root = mergedLake(s, d)
+      SnapshotLake.changeFeed(s, root, 4L, 5L, "o_orderkey")
+        .groupBy("_change_type")
+        .agg(count(lit(1)).as("n_rows"),
+          centsSum("o_totalprice").as("total"))
+        .orderBy("_change_type")
     },
 
     // ── OPTIMIZE ZORDER + stats: a (suppkey × partkey) box over the

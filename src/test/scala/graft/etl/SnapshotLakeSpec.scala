@@ -131,4 +131,77 @@ class SnapshotLakeSpec extends AnyFunSuite {
       "files referenced by no retained manifest must be deleted")
     assert(rows(root, Some(5L)) == Set(1L, 2L, 3L, 4L))
   }
+
+  // ── copy-on-write merge + change feed ─────────────────────────────
+
+  private def kv(lo: Long, hi: Long) =
+    (lo until hi).map(k => (k, s"v$k")).toDF("k", "v").repartition(1)
+
+  private val kvIdx = SnapshotLake.IndexSpec(Seq("k"), None)
+
+  test("merge rewrites only the files whose key range may hold an update, carries the rest verbatim") {
+    val root = newRoot()
+    for (i <- 0 until 4) // files [0,100) [100,200) [200,300) [300,400)
+      SnapshotLake.append(kv(i * 100L, i * 100L + 100), root, kvIdx)
+    val pre = SnapshotLake.files(root, 4L)
+    val updates = Seq((10L, "NEW10", false), (110L, "NEW110", false),
+      (9999L, "INSERTED", false), (120L, "", true))
+      .toDF("k", "v", "__del")
+    val v5 = SnapshotLake.merge(spark, root, updates, "k", kvIdx, Some("__del"))
+    assert(v5 == 5L)
+    val post = SnapshotLake.files(root, 5L)
+    // files [200,300) and [300,400) hold no update keys → carried verbatim
+    val carried = post.toSet intersect pre.toSet
+    assert(carried.size == 2, s"expected 2 untouched files, carried=$carried")
+    val m = SnapshotLake.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m.size == 400, "400 base − 1 delete + 1 insert; updates replace in place")
+    assert(m(10L) == "NEW10" && m(110L) == "NEW110" && m(9999L) == "INSERTED")
+    assert(!m.contains(120L), "tombstoned key must be gone")
+    assert(m(11L) == "v11" && m(210L) == "v210", "unmatched rows survive")
+  }
+
+  test("an un-indexed commit is always a merge candidate (conservative rewrite)") {
+    val root = newRoot()
+    SnapshotLake.append(kv(0, 100), root) // no stats
+    SnapshotLake.append(kv(100, 200), root, kvIdx)
+    SnapshotLake.merge(spark, root,
+      Seq((50L, "X", false)).toDF("k", "v", "__del"), "k", kvIdx, Some("__del"))
+    val m = SnapshotLake.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(50L) == "X" && m.size == 200)
+    // the blind commit was rewritten; the indexed one (range-disjoint
+    // from the update) was carried
+    val carried = SnapshotLake.files(root, 3L).toSet intersect
+      SnapshotLake.files(root, 2L).toSet
+    assert(carried == (SnapshotLake.files(root, 2L).toSet --
+      SnapshotLake.files(root, 1L).toSet))
+  }
+
+  test("changeFeed classifies insert/delete/update from the manifest diff and reads no carried file") {
+    val root = newRoot()
+    for (i <- 0 until 4)
+      SnapshotLake.append(kv(i * 100L, i * 100L + 100), root, kvIdx)
+    val updates = Seq((10L, "NEW10", false), (9999L, "INSERTED", false),
+      (120L, "", true)).toDF("k", "v", "__del")
+    SnapshotLake.merge(spark, root, updates, "k", kvIdx, Some("__del"))
+    val feed = SnapshotLake.changeFeed(spark, root, 4L, 5L, "k")
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getString(1))).toSet
+    assert(feed == Set(
+      ("insert", 9999L, "INSERTED"),
+      ("delete", 120L, "v120"),
+      ("update_preimage", 10L, "v10"),
+      ("update_postimage", 10L, "NEW10")),
+      s"got $feed")
+    // rows of carried files, and untouched rows of rewritten files,
+    // cancel or never enter: the feed is exactly the logical change set
+  }
+
+  test("changeFeed across a pure compaction is empty (physical moves cancel)") {
+    val root = newRoot()
+    SnapshotLake.append(kv(0, 50), root, kvIdx)
+    SnapshotLake.append(kv(50, 100), root, kvIdx)
+    val v3 = SnapshotLake.compact(spark, root)
+    assert(SnapshotLake.changeFeed(spark, root, 2L, v3, "k").count() == 0)
+  }
 }
