@@ -427,7 +427,7 @@ object SnapshotLake {
     * zero changes. */
   def changeFeed(spark: SparkSession, root: String, fromV: Long, toV: Long,
                  key: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, struct}
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
     val from = files(root, fromV).toSet
     val to = files(root, toV).toSet
     val removed = (from -- to).toSeq.sorted
@@ -441,19 +441,24 @@ object SnapshotLake {
       .select(col(key).as("_k"), struct(cols.map(col): _*).as("_pre"))
     val post = side(added)
       .select(col(key).as("_kp"), struct(cols.map(col): _*).as("_post"))
-    val joined = pre.join(post, col("_k") === col("_kp"), "full_outer")
-    val inserts = joined.filter(col("_k").isNull)
-      .select(col("_post.*")).withColumn("_change_type", lit("insert"))
-    val deletes = joined.filter(col("_kp").isNull)
-      .select(col("_pre.*")).withColumn("_change_type", lit("delete"))
-    val updated = joined // null-safe struct compare: a column set to NULL
-      .filter(col("_k").isNotNull && col("_kp").isNotNull && // is a change
-        !(col("_pre") <=> col("_post")))
-    val preImg = updated.select(col("_pre.*"))
-      .withColumn("_change_type", lit("update_preimage"))
-    val postImg = updated.select(col("_post.*"))
-      .withColumn("_change_type", lit("update_postimage"))
-    inserts.unionByName(deletes).unionByName(preImg).unionByName(postImg)
+    // ONE full-outer join, classified and exploded in the same pass — the
+    // naive four-branch union would replicate the join (and both file
+    // scans) once per change type, 4× the shuffle at any scale. An
+    // unchanged row (equal images after a physical-only move) explodes an
+    // empty array and vanishes; null-safe struct compare so a column set
+    // to NULL counts as a change.
+    pre.join(post, col("_k") === col("_kp"), "full_outer")
+      .select(col("_pre"), col("_post"), explode(
+        when(col("_k").isNull, array(lit("insert")))
+          .when(col("_kp").isNull, array(lit("delete")))
+          .when(!(col("_pre") <=> col("_post")),
+            array(lit("update_preimage"), lit("update_postimage")))
+          .otherwise(array().cast("array<string>"))).as("_change_type"))
+      .select(
+        when(col("_change_type").isin("insert", "update_postimage"),
+          col("_post")).otherwise(col("_pre")).as("_row"),
+        col("_change_type"))
+      .select((cols.map(c => col(s"_row.$c")) :+ col("_change_type")): _*)
   }
 
   /** Drop manifests older than the newest `keepVersions`, then delete
