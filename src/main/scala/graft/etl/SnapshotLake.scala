@@ -362,8 +362,16 @@ object SnapshotLake {
     * version. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             key: String, index: IndexSpec = IndexSpec.none,
-            deleteCol: Option[String] = None): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit, not}
+            deleteCol: Option[String] = None,
+            broadcastUpdates: Boolean = true): Long = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    // The anti-join's update-key side is usually tiny relative to the
+    // touched files and its size ESTIMATE derives from a filtered scan
+    // (the Finding-2 estimator class), so it is pinned broadcast by
+    // default; a bulk backfill whose update set rivals the table passes
+    // broadcastUpdates=false and gets a plain shuffled anti-join.
+    val hint: DataFrame => DataFrame =
+      if (broadcastUpdates) org.apache.spark.sql.functions.broadcast else identity
     val baseV = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"nothing to merge into at $root"))
     val baseFiles = files(root, baseV)
@@ -384,7 +392,7 @@ object SnapshotLake {
         val sdf = statsRows.toDF("file", "min", "max", "numeric")
         val k = updates.select(col(key).cast("string").as("k"),
           col(key).cast("double").as("kd")).distinct()
-        k.join(broadcast(sdf),
+        k.join(org.apache.spark.sql.functions.broadcast(sdf),
             (col("numeric") && col("kd").between(
               col("min").cast("double"), col("max").cast("double"))) ||
             (not(col("numeric")) && col("k").between(col("min"), col("max"))))
@@ -399,7 +407,7 @@ object SnapshotLake {
     val survivors =
       if (touched.isEmpty) newRows
       else spark.read.parquet(touched.map(f => Paths.get(root, f).toString): _*)
-        .join(broadcast(upKeys), Seq(key), "left_anti")
+        .join(hint(upKeys), Seq(key), "left_anti")
         .unionByName(newRows)
     val rewritten = writeData(survivors, root, index)
     var committed = -1L

@@ -28,6 +28,9 @@ import graft.model.Tables
   *     merge — only removed/added files are read, carried-over files
   *     never enter the join, physical-only moves cancel by image
   *     equality (the Delta CDF shape).
+  *   - q224: time travel × index × merge — the same key band read
+  *     pruned at the pinned pre-merge version and at the merged head,
+  *     band bounds derived from the pinned version's own sidecars.
   *   - q221: `OPTIMIZE ZORDER BY` composed with the stats index — the
   *     compaction rewrites the snapshot along the Morton curve of
   *     (l_suppkey, l_partkey) so a two-dimension box predicate prunes on
@@ -110,8 +113,12 @@ object LakeIndexOps {
             .sortWithinPartitions("o_orderkey"),
           root, idx)
       }
-      val isUpd = pmod(col("o_orderkey"), lit(97)) === 0
-      val isDel = pmod(col("o_orderkey"), lit(101)) === 0 && !isUpd
+      // the change set lives in the LOWER KEY HALF, so the upper half's
+      // files are provably untouched and the merge carries them verbatim —
+      // copy-on-write targeting visible in the real lake, not just specs
+      val lower = col("o_orderkey") < maxK / 2
+      val isUpd = pmod(col("o_orderkey"), lit(97)) === 0 && lower
+      val isDel = pmod(col("o_orderkey"), lit(101)) === 0 && lower && !isUpd
       val updates = od.filter(isUpd)
         .withColumn("o_orderstatus", lit("U"))
         .withColumn("o_totalprice", col("o_totalprice") + 1.0)
@@ -150,8 +157,9 @@ object LakeIndexOps {
     * per-file maxes / min of mins, a driver-side sidecar fold with NO
     * data scan (valid because every live file of these fixtures carries
     * stats; a general reader falls back to a scan when one doesn't). */
-  private def statsBounds(root: String, c: String): (Long, Long) = {
-    val v = SnapshotLake.currentVersion(root).get
+  private def statsBounds(root: String, c: String,
+                          version: Option[Long] = None): (Long, Long) = {
+    val v = version.orElse(SnapshotLake.currentVersion(root)).get
     val live = SnapshotLake.files(root, v)
     val dirs = live.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
     val rs = dirs.flatMap(dir => FileStats.readStatsSidecar(root, dir).collect {
@@ -217,13 +225,16 @@ object LakeIndexOps {
     //    deterministic change set. File-identity evidence (untouched files
     //    carried verbatim) is SnapshotLakeSpec's territory.
     Q("q222_lake_merge_upsert",
-      s"""WITH base AS (
-         |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'U'
+      s"""WITH h AS (SELECT max(o_orderkey) // 2 AS half FROM orders),
+         |base AS (
+         |  SELECT CASE WHEN o_orderkey % 97 = 0 AND o_orderkey < h.half THEN 'U'
          |              ELSE o_orderstatus END AS o_orderstatus,
-         |         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+         |         CASE WHEN o_orderkey % 97 = 0 AND o_orderkey < h.half
+         |              THEN o_totalprice + 1.0
          |              ELSE o_totalprice END AS o_totalprice
-         |  FROM orders
-         |  WHERE NOT (o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0)),
+         |  FROM orders, h
+         |  WHERE NOT (o_orderkey % 101 = 0 AND o_orderkey < h.half
+         |             AND o_orderkey % 97 <> 0)),
          |ins AS (
          |  SELECT 'N' AS o_orderstatus, CAST(1000.0 + i AS DOUBLE) AS o_totalprice
          |  FROM range(1, 51) t(i)),
@@ -244,17 +255,19 @@ object LakeIndexOps {
     //    files (including the untouched-but-rewritten-file rows, whose
     //    equal images cancel) never enter the diff.
     Q("q223_change_data_feed",
-      s"""WITH changes AS (
-         |  SELECT 'delete' AS _change_type, o_totalprice FROM orders
-         |  WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0
+      s"""WITH h AS (SELECT max(o_orderkey) // 2 AS half FROM orders),
+         |changes AS (
+         |  SELECT 'delete' AS _change_type, o_totalprice FROM orders, h
+         |  WHERE o_orderkey % 101 = 0 AND o_orderkey < h.half
+         |    AND o_orderkey % 97 <> 0
          |  UNION ALL
          |  SELECT 'insert', CAST(1000.0 + i AS DOUBLE) FROM range(1, 51) t(i)
          |  UNION ALL
-         |  SELECT 'update_preimage', o_totalprice FROM orders
-         |  WHERE o_orderkey % 97 = 0
+         |  SELECT 'update_preimage', o_totalprice FROM orders, h
+         |  WHERE o_orderkey % 97 = 0 AND o_orderkey < h.half
          |  UNION ALL
-         |  SELECT 'update_postimage', o_totalprice + 1.0 FROM orders
-         |  WHERE o_orderkey % 97 = 0)
+         |  SELECT 'update_postimage', o_totalprice + 1.0 FROM orders, h
+         |  WHERE o_orderkey % 97 = 0 AND o_orderkey < h.half)
          |SELECT _change_type, count(*) AS n_rows,
          |       ${centsSumSql("o_totalprice")} AS total
          |FROM changes GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
@@ -264,6 +277,49 @@ object LakeIndexOps {
         .agg(count(lit(1)).as("n_rows"),
           centsSum("o_totalprice").as("total"))
         .orderBy("_change_type")
+    },
+
+    // ── Time travel × index × merge: the SAME key band read pruned at
+    //    the pinned pre-merge version (v4) and the post-merge head (v5) —
+    //    index-driven file skipping riding a pinned manifest, with the
+    //    band bounds derived from v4's OWN sidecars (so the inserted
+    //    above-max keys of v5 can't shift them). Both snapshots must
+    //    reproduce the oracle's row-level reconstruction exactly.
+    Q("q224_time_travel_pruned",
+      s"""WITH b AS (SELECT max(o_orderkey) // 4 AS lo,
+         |                  max(o_orderkey) // 2 AS hi,
+         |                  max(o_orderkey) // 2 AS half FROM orders),
+         |pre AS (
+         |  SELECT 'v4' AS snapshot, o_orderstatus, o_totalprice
+         |  FROM orders, b WHERE o_orderkey >= b.lo AND o_orderkey <= b.hi),
+         |post AS (
+         |  SELECT 'v5' AS snapshot,
+         |         CASE WHEN o_orderkey % 97 = 0 AND o_orderkey < b.half THEN 'U'
+         |              ELSE o_orderstatus END AS o_orderstatus,
+         |         CASE WHEN o_orderkey % 97 = 0 AND o_orderkey < b.half
+         |              THEN o_totalprice + 1.0
+         |              ELSE o_totalprice END AS o_totalprice
+         |  FROM orders, b
+         |  WHERE o_orderkey >= b.lo AND o_orderkey <= b.hi
+         |    AND NOT (o_orderkey % 101 = 0 AND o_orderkey < b.half
+         |             AND o_orderkey % 97 <> 0)),
+         |u AS (SELECT * FROM pre UNION ALL SELECT * FROM post)
+         |SELECT snapshot, o_orderstatus, count(*) AS n_rows,
+         |       ${centsSumSql("o_totalprice")} AS total
+         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val root = mergedLake(s, d)
+      val (_, maxK) = statsBounds(root, "o_orderkey", Some(4L))
+      val band = Seq(FileStats.Range("o_orderkey",
+        Some((maxK / 4).toString), Some((maxK / 2).toString)))
+      def leg(v: Long, tag: String) =
+        SnapshotLake.readPruned(s, root, band, Some(v)).df
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            centsSum("o_totalprice").as("total"))
+          .withColumn("snapshot", lit(tag))
+          .select("snapshot", "o_orderstatus", "n_rows", "total")
+      leg(4L, "v4").unionByName(leg(5L, "v5"))
+        .orderBy("snapshot", "o_orderstatus")
     },
 
     // ── OPTIMIZE ZORDER + stats: a (suppkey × partkey) box over the
