@@ -185,7 +185,8 @@ object SnapshotLake {
     * contract: vacuum must retain at least the writer's replay horizon,
     * or a replayed tag would be forgotten and double-append — the same
     * contract Delta documents between VACUUM and streaming checkpoints. */
-  def appendOnce(df: DataFrame, root: String, tag: String): Long = {
+  def appendOnce(df: DataFrame, root: String, tag: String,
+                 index: IndexSpec = IndexSpec.none): Long = {
     require(tag.nonEmpty && !tag.exists(c => c == '"' || c == '\\'),
       s"tag must be quote-free: $tag")
     def existing: Option[Long] = currentVersion(root).flatMap { cur =>
@@ -193,7 +194,7 @@ object SnapshotLake {
         Files.exists(versionFile(root, v)) && tagOf(root, v).contains(tag))
     }
     existing.getOrElse {
-      val newFiles = writeData(df, root)
+      val newFiles = writeData(df, root, index)
       var committed = -1L
       while (committed < 0) {
         existing match {

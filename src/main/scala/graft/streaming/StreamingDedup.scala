@@ -180,10 +180,12 @@ object StreamingDedup {
     * micro-batch exactly once however the drain dies, while concurrent
     * compactions/readers ride the manifest protocol untouched. */
   def processBatchToLake(batch: DataFrame, stateRoot: String, lakeRoot: String,
-                         batchId: Long, threshold: Double): Unit = {
+                         batchId: Long, threshold: Double,
+                         index: graft.etl.SnapshotLake.IndexSpec =
+                           graft.etl.SnapshotLake.IndexSpec.none): Unit = {
     graft.etl.SnapshotLake.appendOnce(
       dedupBatch(batch, stateRoot, batchId, threshold),
-      lakeRoot, s"dedup-b$batchId")
+      lakeRoot, s"dedup-b$batchId", index)
     ()
   }
 
@@ -191,12 +193,14 @@ object StreamingDedup {
     * through the manifest commit protocol. */
   def nearDedupToSnapshotLake(docs: DataFrame, stateRoot: String,
                               lakeRoot: String, checkpointDir: String,
-                              threshold: Double): DataStreamWriter[org.apache.spark.sql.Row] =
+                              threshold: Double,
+                              index: graft.etl.SnapshotLake.IndexSpec =
+                                graft.etl.SnapshotLake.IndexSpec.none): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatchToLake(batch, stateRoot, lakeRoot, batchId, threshold)
+        processBatchToLake(batch, stateRoot, lakeRoot, batchId, threshold, index)
       }
 
   /** The continuous query: arriving documents → per-batch near-dedup →

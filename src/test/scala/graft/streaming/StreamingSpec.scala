@@ -635,4 +635,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(lakeRows() == batch)
     assert(lakeRows(Some(3L)) == batch)
   }
+
+  test("streaming near-dedup ingest builds the data-skipping index per commit, and pruned reads ride it") {
+    import graft.etl.{FileStats, SnapshotLake}
+    val work = Files.createTempDirectory("graft-sdedup-idx").toString
+    val docs = dedupCorpus
+    val src = s"$work/src"
+    val lake = s"$work/lake"
+    val idx = SnapshotLake.IndexSpec(Seq("doc_id"), None)
+    stageChunks(docs, src, 4)
+    val q = StreamingDedup.nearDedupToSnapshotLake(
+      StreamingDedup.documentsStream(spark, src, 1), s"$work/st", lake,
+      s"$work/cp", 0.5, idx)
+      .start()
+    q.awaitTermination(120000)
+    // every micro-batch commit carries a stats sidecar for its files
+    val v = SnapshotLake.currentVersion(lake).get
+    val live = SnapshotLake.files(lake, v)
+    val dirs = live.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    val stats = dirs.flatMap(d => FileStats.readStatsSidecar(lake, d)).toMap
+    assert(live.forall(stats.contains),
+      s"every streamed commit must be indexed: ${live.filterNot(stats.contains)}")
+    // and the index serves a pruned range read over the streamed lake
+    val scan = SnapshotLake.readPruned(spark, lake,
+      Seq(FileStats.Range("doc_id", Some("6"), None)))
+    val batch = graft.llm.Dedup.nearDedup(docs, 0.5)
+      .filter(col("doc_id") >= 6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(scan.df.select("doc_id").collect().map(_.getLong(0)).toSet == batch)
+    assert(scan.kept <= scan.total)
+  }
 }
