@@ -80,13 +80,18 @@ object SnapshotLake {
     * commits landing AFTER this call change nothing the reader sees —
     * the isolation property the directory-listing lake lacks. */
   def read(spark: SparkSession, root: String,
-           version: Option[Long] = None): DataFrame = {
+           version: Option[Long] = None,
+           mergeSchema: Boolean = false): DataFrame = {
     val v = version.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     val fs = files(root, v).map(f => Paths.get(root, f).toString)
     if (fs.isEmpty)
       throw new IllegalStateException(s"version $v of $root lists no files")
-    spark.read.parquet(fs: _*)
+    // mergeSchema = schema-on-read evolution (the q156 contract on the
+    // manifest lake): commits may add columns; older files surface them
+    // as NULL, and a version pinned BEFORE the column landed never sees
+    // it — schema history rides version history for free.
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(fs: _*)
   }
 
   private def writeData(df: DataFrame, root: String,
@@ -114,6 +119,10 @@ object SnapshotLake {
     rel
   }
 
+  /** Rows added by a commit, from footer metadata alone. */
+  private def addedRowsOf(root: String, rel: Seq[String]): Long =
+    FileStats.footerRows(root, rel).values.sum
+
   /** What to index at commit time: footer min/max for `statsCols`, a
     * per-file bloom over `bloomCol`. Both optional; [[IndexSpec.none]]
     * preserves the plain commit path. */
@@ -140,11 +149,13 @@ object SnapshotLake {
     * free. True on success; false means another writer won the version. */
   private def tryCommit(root: String, version: Long, fileList: Seq[String],
                         op: String, base: Long,
-                        tag: Option[String] = None): Boolean = {
+                        tag: Option[String] = None,
+                        addedRows: Long = -1L): Boolean = {
     Files.createDirectories(manifestDir(root))
     val tagField = tag.map(t => s""""tag":"$t",""").getOrElse("")
+    val rowsField = if (addedRows >= 0) s""""addedRows":$addedRows,""" else ""
     val json = fileList.map(f => s""""$f"""").mkString(
-      s"""{"version":$version,"op":"$op",$tagField"base":$base,"files":[""", ",", "]}")
+      s"""{"version":$version,"op":"$op",$tagField$rowsField"base":$base,"files":[""", ",", "]}")
     val tmp = manifestDir(root).resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, json)
     try { Files.createLink(versionFile(root, version), tmp); true }
@@ -165,7 +176,7 @@ object SnapshotLake {
       val baseFiles = cur.map(files(root, _)).getOrElse(Seq.empty)
       val next = cur.getOrElse(0L) + 1
       if (tryCommit(root, next, baseFiles ++ newFiles, "append",
-          cur.getOrElse(0L)))
+          cur.getOrElse(0L), addedRows = addedRowsOf(root, newFiles)))
         committed = next
     }
     committed
@@ -204,7 +215,8 @@ object SnapshotLake {
             val cur = currentVersion(root)
             val baseFiles = cur.map(files(root, _)).getOrElse(Seq.empty)
             if (tryCommit(root, cur.getOrElse(0L) + 1, baseFiles ++ newFiles,
-                "append", cur.getOrElse(0L), Some(tag)))
+                "append", cur.getOrElse(0L), Some(tag),
+                addedRows = addedRowsOf(root, newFiles)))
               committed = cur.getOrElse(0L) + 1
         }
       }
@@ -230,7 +242,8 @@ object SnapshotLake {
       val cur = currentVersion(root).get // ≥ baseV: manifests never retract
       // reconcile: files added by commits that raced past baseV survive
       val added = files(root, cur).filterNot(baseFiles.toSet)
-      if (tryCommit(root, cur + 1, rewritten ++ added, "compact", baseV))
+      if (tryCommit(root, cur + 1, rewritten ++ added, "compact", baseV,
+          addedRows = 0L)) // logical no-op: a compaction adds no rows
         committed = cur + 1
     }
     committed
@@ -264,7 +277,8 @@ object SnapshotLake {
     while (committed < 0) {
       val cur = currentVersion(root).get
       val added = files(root, cur).filterNot(baseFiles.toSet)
-      if (tryCommit(root, cur + 1, rewritten ++ added, "compact", baseV))
+      if (tryCommit(root, cur + 1, rewritten ++ added, "compact", baseV,
+          addedRows = 0L))
         committed = cur + 1
     }
     committed
@@ -417,7 +431,7 @@ object SnapshotLake {
       val added = files(root, cur).filterNot(baseFiles.toSet) // racing appends
       val keptBase = baseFiles.filterNot(touched.toSet)
       if (tryCommit(root, cur + 1, keptBase ++ rewritten ++ added,
-          "merge", baseV))
+          "merge", baseV, addedRows = addedRowsOf(root, rewritten)))
         committed = cur + 1
     }
     committed
@@ -468,6 +482,40 @@ object SnapshotLake {
           col("_post")).otherwise(col("_pre")).as("_row"),
         col("_change_type"))
       .select((cols.map(c => col(s"_row.$c")) :+ col("_change_type")): _*)
+  }
+
+  /** One manifest's commit metadata: what DESCRIBE HISTORY shows. `rows`
+    * is the commit's ADDED row count (from footer metadata at commit
+    * time; -1 for manifests written before this field existed — the
+    * mixed-history read is part of the contract). */
+  final case class CommitInfo(version: Long, op: String, base: Long,
+                              tag: Option[String], nFiles: Int, rows: Long)
+
+  /** The retained commit history, oldest first — versions vacuumed out
+    * of retention are simply absent. Driver-side O(retained versions)
+    * manifest reads; at production scale this is the (tiny) manifest
+    * list, never the data. */
+  def history(root: String): Seq[CommitInfo] = {
+    val cur = currentVersion(root).getOrElse(return Seq.empty)
+    (1L to cur).filter(v => Files.exists(versionFile(root, v))).map { v =>
+      val json = Files.readString(versionFile(root, v))
+      def longField(k: String): Long = {
+        val i = json.indexOf(s""""$k":""")
+        if (i < 0) -1L
+        else json.substring(i + k.length + 3)
+          .takeWhile(c => c.isDigit || c == '-').toLong
+      }
+      def strField(k: String): Option[String] = {
+        val i = json.indexOf(s""""$k":"""")
+        if (i < 0) None
+        else {
+          val rest = json.substring(i + k.length + 4)
+          Some(rest.substring(0, rest.indexOf('"')))
+        }
+      }
+      CommitInfo(v, strField("op").getOrElse("?"), longField("base"),
+        strField("tag"), files(root, v).size, longField("addedRows"))
+    }
   }
 
   /** Drop manifests older than the newest `keepVersions`, then delete

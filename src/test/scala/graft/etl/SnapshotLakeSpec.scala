@@ -204,4 +204,38 @@ class SnapshotLakeSpec extends AnyFunSuite {
     val v3 = SnapshotLake.compact(spark, root)
     assert(SnapshotLake.changeFeed(spark, root, 2L, v3, "k").count() == 0)
   }
+
+  test("history reports op, base, files, and footer-derived added rows per retained commit") {
+    val root = newRoot()
+    SnapshotLake.append(kv(0, 50), root)
+    SnapshotLake.appendOnce(kv(50, 80), root, "b1")
+    SnapshotLake.compact(spark, root)
+    SnapshotLake.merge(spark, root, Seq((10L, "X")).toDF("k", "v"), "k")
+    val h = SnapshotLake.history(root)
+    assert(h.map(c => (c.version, c.op, c.base, c.tag, c.rows)) == Seq(
+      (1L, "append", 0L, None, 50L),
+      (2L, "append", 1L, Some("b1"), 30L),
+      (3L, "compact", 2L, None, 0L),
+      (4L, "merge", 3L, None, 80L))) // un-indexed base: full rewrite
+    assert(h.forall(_.nFiles > 0))
+    SnapshotLake.vacuum(root, keepVersions = 2)
+    assert(SnapshotLake.history(root).map(_.version) == Seq(3L, 4L),
+      "vacuumed versions drop out of history")
+  }
+
+  test("schema evolution: a later commit adds a column; mergeSchema surfaces it, a pinned version predates it") {
+    val root = newRoot()
+    SnapshotLake.append(kv(0, 10), root)
+    SnapshotLake.append(
+      (10L until 20L).map(k => (k, s"v$k", k * 10)).toDF("k", "v", "w")
+        .repartition(1), root)
+    val evolved = SnapshotLake.read(spark, root, mergeSchema = true)
+    assert(evolved.columns.toSet == Set("k", "v", "w"))
+    val wByK = evolved.select("k", "w").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(wByK(5L).isEmpty && wByK(15L).contains(150L))
+    // the pinned pre-evolution version never sees the column
+    assert(SnapshotLake.read(spark, root, Some(1L), mergeSchema = true)
+      .columns.toSet == Set("k", "v"))
+  }
 }
