@@ -91,7 +91,35 @@ object SnapshotLake {
     // manifest lake): commits may add columns; older files surface them
     // as NULL, and a version pinned BEFORE the column landed never sees
     // it — schema history rides version history for free.
-    spark.read.option("mergeSchema", mergeSchema.toString).parquet(fs: _*)
+    applyDeletes(spark, root, v,
+      spark.read.option("mergeSchema", mergeSchema.toString).parquet(fs: _*))
+  }
+
+  /** Merge-on-read DELETE: commit `keys` (one column, named for the
+    * delete key) as key-tombstone files — NO data file is rewritten, the
+    * write cost is O(deleted keys) however many terabytes hold them, and
+    * every reader of this version on anti-joins the tombstones out until
+    * [[compact]] materializes them away (clearing the vector). The
+    * inverse trade of [[merge]]'s copy-on-write: cheap writes, a read
+    * tax — Delta/Iceberg deletion vectors in key form. Tombstone-wins
+    * contract: a later [[merge]] carries live tombstones forward, so
+    * re-upserting a tombstoned key shows nothing until a compaction
+    * clears the vector first (real lakes sequence DV-rewrites the same
+    * way). Returns the committed version. */
+  def deleteWhere(spark: SparkSession, root: String,
+                  keys: DataFrame): Long = {
+    require(keys.columns.length == 1,
+      s"tombstone relation must be exactly the key column: ${keys.columns.toSeq}")
+    val newTombs = writeData(keys, root)
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentVersion(root).getOrElse(
+        throw new IllegalStateException(s"nothing to delete from at $root"))
+      if (tryCommit(root, cur + 1, files(root, cur), "delete", cur,
+          addedRows = 0L, deletes = deletesOf(root, cur) ++ newTombs))
+        committed = cur + 1
+    }
+    committed
   }
 
   private def writeData(df: DataFrame, root: String,
@@ -134,6 +162,35 @@ object SnapshotLake {
     def stats(cols: String*): IndexSpec = IndexSpec(cols, None)
   }
 
+  /** The key-tombstone (deletion-vector) files live in version `v`, if
+    * any — merge-on-read state the readers must anti-join away. */
+  def deletesOf(root: String, v: Long): Seq[String] = {
+    val json = Files.readString(versionFile(root, v))
+    val i = json.indexOf("\"deletes\":[")
+    if (i < 0) Seq.empty
+    else {
+      val body = json.substring(i + 11)
+      val arr = body.substring(0, body.indexOf("]"))
+      if (arr.trim.isEmpty) Seq.empty
+      else arr.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+  }
+
+  /** Anti-join version `v`'s live tombstones (if any) out of `df` — the
+    * merge-on-read read cost every reader of that version pays until a
+    * compaction materializes the deletes away. The tombstone relation's
+    * single column names the delete key. */
+  private def applyDeletes(spark: SparkSession, root: String, v: Long,
+                           df: DataFrame): DataFrame = {
+    val ds = deletesOf(root, v)
+    if (ds.isEmpty) df
+    else {
+      val tomb = spark.read.parquet(ds.map(f => Paths.get(root, f).toString): _*)
+      val k = tomb.columns.head
+      df.join(tomb.select(k).distinct(), Seq(k), "left_anti")
+    }
+  }
+
   /** The idempotence tag of version `v`, if its commit carried one. */
   def tagOf(root: String, v: Long): Option[String] = {
     val json = Files.readString(versionFile(root, v))
@@ -150,12 +207,19 @@ object SnapshotLake {
   private def tryCommit(root: String, version: Long, fileList: Seq[String],
                         op: String, base: Long,
                         tag: Option[String] = None,
-                        addedRows: Long = -1L): Boolean = {
+                        addedRows: Long = -1L,
+                        deletes: Seq[String] = Nil): Boolean = {
     Files.createDirectories(manifestDir(root))
     val tagField = tag.map(t => s""""tag":"$t",""").getOrElse("")
     val rowsField = if (addedRows >= 0) s""""addedRows":$addedRows,""" else ""
+    // "deletes" (key-tombstone files, merge-on-read) trails "files" so the
+    // substring parsers for each stay independent
+    val delField =
+      if (deletes.isEmpty) ""
+      else deletes.map(f => s""""$f"""").mkString(""","deletes":[""", ",", "]")
     val json = fileList.map(f => s""""$f"""").mkString(
-      s"""{"version":$version,"op":"$op",$tagField$rowsField"base":$base,"files":[""", ",", "]}")
+      s"""{"version":$version,"op":"$op",$tagField$rowsField"base":$base,"files":[""",
+      ",", s"]$delField}")
     val tmp = manifestDir(root).resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, json)
     try { Files.createLink(versionFile(root, version), tmp); true }
@@ -176,7 +240,8 @@ object SnapshotLake {
       val baseFiles = cur.map(files(root, _)).getOrElse(Seq.empty)
       val next = cur.getOrElse(0L) + 1
       if (tryCommit(root, next, baseFiles ++ newFiles, "append",
-          cur.getOrElse(0L), addedRows = addedRowsOf(root, newFiles)))
+          cur.getOrElse(0L), addedRows = addedRowsOf(root, newFiles),
+          deletes = cur.map(deletesOf(root, _)).getOrElse(Seq.empty)))
         committed = next
     }
     committed
@@ -216,7 +281,8 @@ object SnapshotLake {
             val baseFiles = cur.map(files(root, _)).getOrElse(Seq.empty)
             if (tryCommit(root, cur.getOrElse(0L) + 1, baseFiles ++ newFiles,
                 "append", cur.getOrElse(0L), Some(tag),
-                addedRows = addedRowsOf(root, newFiles)))
+                addedRows = addedRowsOf(root, newFiles),
+                deletes = cur.map(deletesOf(root, _)).getOrElse(Seq.empty)))
               committed = cur.getOrElse(0L) + 1
         }
       }
@@ -233,8 +299,12 @@ object SnapshotLake {
     val baseV = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"nothing to compact at $root"))
     val baseFiles = files(root, baseV)
+    val baseDeletes = deletesOf(root, baseV)
+    // the rewrite MATERIALIZES the base version's tombstones (the
+    // merge-on-read debt is paid here, once) ...
     val rewritten = writeData(
-      spark.read.parquet(baseFiles.map(f => Paths.get(root, f).toString): _*)
+      applyDeletes(spark, root, baseV,
+        spark.read.parquet(baseFiles.map(f => Paths.get(root, f).toString): _*))
         .repartition(partitions),
       root)
     var committed = -1L
@@ -242,8 +312,12 @@ object SnapshotLake {
       val cur = currentVersion(root).get // ≥ baseV: manifests never retract
       // reconcile: files added by commits that raced past baseV survive
       val added = files(root, cur).filterNot(baseFiles.toSet)
+      // ... and tombstones committed since baseV are carried live (they
+      // may hit racing appends and the rewrite alike — key tombstones
+      // are file-agnostic, so carrying them stays correct)
+      val racing = deletesOf(root, cur).filterNot(baseDeletes.toSet)
       if (tryCommit(root, cur + 1, rewritten ++ added, "compact", baseV,
-          addedRows = 0L)) // logical no-op: a compaction adds no rows
+          addedRows = 0L, deletes = racing))
         committed = cur + 1
     }
     committed
@@ -265,8 +339,9 @@ object SnapshotLake {
     val baseV = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"nothing to compact at $root"))
     val baseFiles = files(root, baseV)
-    val base = spark.read.parquet(
-      baseFiles.map(f => Paths.get(root, f).toString): _*)
+    val baseDeletes = deletesOf(root, baseV)
+    val base = applyDeletes(spark, root, baseV, // materialize, as compact()
+      spark.read.parquet(baseFiles.map(f => Paths.get(root, f).toString): _*))
     val rewritten = writeData(
       base.withColumn("__z", ZOrder.interleave(col(colA), col(colB)))
         .repartitionByRange(nFiles, col("__z"))
@@ -277,8 +352,9 @@ object SnapshotLake {
     while (committed < 0) {
       val cur = currentVersion(root).get
       val added = files(root, cur).filterNot(baseFiles.toSet)
+      val racing = deletesOf(root, cur).filterNot(baseDeletes.toSet)
       if (tryCommit(root, cur + 1, rewritten ++ added, "compact", baseV,
-          addedRows = 0L))
+          addedRows = 0L, deletes = racing))
         committed = cur + 1
     }
     committed
@@ -323,7 +399,7 @@ object SnapshotLake {
       val hi = p.hi.map(col(p.col) <= typed(_))
       (lo ++ hi).foldLeft(d)(_ filter _)
     }
-    PrunedScan(filtered, kept.size, all.size)
+    PrunedScan(applyDeletes(spark, root, v, filtered), kept.size, all.size)
   }
 
   /** Point-lookup snapshot read through the per-file bloom index on
@@ -354,7 +430,8 @@ object SnapshotLake {
       case DoubleType => values.map(_.toDouble)
       case _ => values // string keys probe as-is
     }
-    PrunedScan(df0.filter(c(col).isInCollection(typed)), kept.size, all.size)
+    PrunedScan(applyDeletes(spark, root, v,
+      df0.filter(c(col).isInCollection(typed))), kept.size, all.size)
   }
 
   /** Copy-on-write MERGE (upsert + optional tombstone delete) keyed on
@@ -431,7 +508,8 @@ object SnapshotLake {
       val added = files(root, cur).filterNot(baseFiles.toSet) // racing appends
       val keptBase = baseFiles.filterNot(touched.toSet)
       if (tryCommit(root, cur + 1, keptBase ++ rewritten ++ added,
-          "merge", baseV, addedRows = addedRowsOf(root, rewritten)))
+          "merge", baseV, addedRows = addedRowsOf(root, rewritten),
+          deletes = deletesOf(root, cur))) // tombstone-wins (see deleteWhere)
         committed = cur + 1
     }
     committed
@@ -545,7 +623,7 @@ object SnapshotLake {
     old.foreach(Files.deleteIfExists(_))
     val retained = (cutoff to cur)
       .filter(v => Files.exists(versionFile(root, v))) // earlier vacuums
-      .flatMap(files(root, _)).toSet
+      .flatMap(v => files(root, v) ++ deletesOf(root, v)).toSet
     val dataRoot = Paths.get(root, "data")
     if (!Files.isDirectory(dataRoot)) return
     val deadline = System.currentTimeMillis() - orphanGraceMs

@@ -31,6 +31,9 @@ import graft.model.Tables
   *   - q224: time travel × index × merge — the same key band read
   *     pruned at the pinned pre-merge version and at the merged head,
   *     band bounds derived from the pinned version's own sidecars.
+  *   - q225: deletion vectors — merge-on-read DELETE as key tombstones
+  *     (zero files rewritten; readers anti-join) vs the compaction that
+  *     materializes them, both equal under one oracle.
   *   - q221: `OPTIMIZE ZORDER BY` composed with the stats index — the
   *     compaction rewrites the snapshot along the Morton curve of
   *     (l_suppkey, l_partkey) so a two-dimension box predicate prunes on
@@ -133,6 +136,31 @@ object LakeIndexOps {
           lit("NEW").as("o_orderpriority"),
           lit(false).as("__del")))
       SnapshotLake.merge(s, root, updates, "o_orderkey", idx, Some("__del"))
+      root
+    }
+
+  /** One deletion-vector lake per (session, sf dir): lineitem landed as
+    * two orderkey-half appends, then `deleteWhere` tombstones every
+    * mod-13 orderkey WITHOUT rewriting a data file (v3, merge-on-read),
+    * then `compact` materializes the vector away (v4). Deterministic
+    * versions let the query read both regimes side by side. */
+  private val dved = new graft.etl.Memo[(SparkSession, String), String]
+
+  private def dvLake(s: SparkSession, d: String): String =
+    dved((s, d)) {
+      val root = Scratch.tempDir("graft-dv-lake").toString + "/lake"
+      val li = Tables.lineitem(s, d).select(LiCols.map(col): _*)
+      val maxK = li.agg(max("l_orderkey")).head.getLong(0)
+      for (i <- 0L until 2L) {
+        val lo = maxK * i / 2
+        val cap = if (i == 1) col("l_orderkey") <= maxK
+                  else col("l_orderkey") < maxK / 2
+        SnapshotLake.append(li.filter(col("l_orderkey") >= lo && cap), root)
+      }
+      SnapshotLake.deleteWhere(s, root,
+        li.filter(pmod(col("l_orderkey"), lit(13)) === 0)
+          .select("l_orderkey").distinct())
+      SnapshotLake.compact(s, root, partitions = 4)
       root
     }
 
@@ -320,6 +348,36 @@ object LakeIndexOps {
           .select("snapshot", "o_orderstatus", "n_rows", "total")
       leg(4L, "v4").unionByName(leg(5L, "v5"))
         .orderBy("snapshot", "o_orderstatus")
+    },
+
+    // ── Deletion vectors (merge-on-read DELETE): v3 holds every mod-13
+    //    orderkey only as a key tombstone (zero data files rewritten);
+    //    v4 is the compaction that materialized the vector. BOTH versions
+    //    must aggregate identically to the oracle's filtered table — the
+    //    read-path anti-join and the materialized rewrite are the same
+    //    logical relation, which is the entire DV contract. The
+    //    no-file-rewritten evidence is SnapshotLakeSpec's.
+    Q("q225_deletion_vectors",
+      s"""WITH f AS (
+         |  SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem
+         |  WHERE l_orderkey % 13 <> 0)
+         |SELECT p.phase, l_returnflag,
+         |       count(*) AS n_rows,
+         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |       ${centsSumSql("l_extendedprice")} AS revenue
+         |FROM f, (VALUES ('materialized'), ('mor')) p(phase)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val root = dvLake(s, d)
+      def leg(v: Long, tag: String) =
+        SnapshotLake.read(s, root, Some(v))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            centsSum("l_extendedprice").as("revenue"))
+          .withColumn("phase", lit(tag))
+          .select("phase", "l_returnflag", "n_rows", "sum_qty", "revenue")
+      leg(4L, "materialized").unionByName(leg(3L, "mor"))
+        .orderBy("phase", "l_returnflag")
     },
 
     // ── OPTIMIZE ZORDER + stats: a (suppkey × partkey) box over the

@@ -205,6 +205,61 @@ class SnapshotLakeSpec extends AnyFunSuite {
     assert(SnapshotLake.changeFeed(spark, root, 2L, v3, "k").count() == 0)
   }
 
+  test("deleteWhere is merge-on-read: zero data files rewritten, readers anti-join, time travel predates it") {
+    val root = newRoot()
+    SnapshotLake.append(kv(0, 100), root, kvIdx)
+    SnapshotLake.append(kv(100, 200), root, kvIdx)
+    val v3 = SnapshotLake.deleteWhere(spark, root,
+      Seq(10L, 110L, 150L).toDF("k"))
+    assert(v3 == 3L)
+    assert(SnapshotLake.files(root, 3L) == SnapshotLake.files(root, 2L),
+      "a DV delete must rewrite no data file")
+    assert(SnapshotLake.deletesOf(root, 3L).nonEmpty)
+    def keys(v: Option[Long] = None) = SnapshotLake.read(spark, root, v)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(keys() == ((0L until 200L).toSet -- Set(10L, 110L, 150L)))
+    assert(keys(Some(2L)) == (0L until 200L).toSet,
+      "the pinned pre-delete version still sees the rows")
+    // later appends carry the tombstones forward
+    SnapshotLake.append(kv(200, 210), root, kvIdx)
+    assert(!keys().contains(10L) && keys().contains(205L))
+    // pruned reads pay the same anti-join
+    val scan = SnapshotLake.readPruned(spark, root,
+      Seq(FileStats.Range("k", Some("100"), Some("199"))))
+    assert(scan.df.select("k").collect().map(_.getLong(0)).toSet ==
+      ((100L until 200L).toSet -- Set(110L, 150L)))
+    // history shows the delete as a zero-row commit
+    assert(SnapshotLake.history(root).find(_.version == 3L)
+      .exists(c => c.op == "delete" && c.rows == 0L))
+  }
+
+  test("compact materializes deletion vectors; a cleared key can then be re-upserted") {
+    val root = newRoot()
+    SnapshotLake.append(kv(0, 100), root, kvIdx)
+    SnapshotLake.deleteWhere(spark, root, Seq(7L).toDF("k"))
+    // tombstone-wins: merging the key back while its vector is live shows nothing
+    SnapshotLake.merge(spark, root,
+      Seq((7L, "BACK")).toDF("k", "v"), "k", kvIdx)
+    def m() = SnapshotLake.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!m().contains(7L), "live tombstone suppresses the re-upsert")
+    val vc = SnapshotLake.compact(spark, root)
+    assert(SnapshotLake.deletesOf(root, vc).isEmpty,
+      "compaction clears the vector")
+    assert(!m().contains(7L) && m().size == 99)
+    // with the vector cleared, the upsert takes
+    SnapshotLake.merge(spark, root, Seq((7L, "BACK")).toDF("k", "v"), "k", kvIdx)
+    assert(m()(7L) == "BACK" && m().size == 100)
+    // retention: once pre-compaction versions age out, vacuum reaps the
+    // tombstone files along with the replaced data files
+    val tomb = SnapshotLake.deletesOf(root, 2L).head
+    assert(Files.exists(java.nio.file.Paths.get(root, tomb)))
+    SnapshotLake.vacuum(root, keepVersions = 1)
+    assert(!Files.exists(java.nio.file.Paths.get(root, tomb)),
+      "unreferenced tombstone files are vacuumed")
+    assert(m()(7L) == "BACK" && m().size == 100)
+  }
+
   test("history reports op, base, files, and footer-derived added rows per retained commit") {
     val root = newRoot()
     SnapshotLake.append(kv(0, 50), root)
