@@ -455,7 +455,8 @@ object SnapshotLake {
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             key: String, index: IndexSpec = IndexSpec.none,
             deleteCol: Option[String] = None,
-            broadcastUpdates: Boolean = true): Long = {
+            broadcastUpdates: Boolean = true,
+            tag: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, lit, not}
     // The anti-join's update-key side is usually tiny relative to the
     // touched files and its size ESTIMATE derives from a filtered scan
@@ -508,11 +509,36 @@ object SnapshotLake {
       val added = files(root, cur).filterNot(baseFiles.toSet) // racing appends
       val keptBase = baseFiles.filterNot(touched.toSet)
       if (tryCommit(root, cur + 1, keptBase ++ rewritten ++ added,
-          "merge", baseV, addedRows = addedRowsOf(root, rewritten),
+          "merge", baseV, tag, addedRows = addedRowsOf(root, rewritten),
           deletes = deletesOf(root, cur))) // tombstone-wins (see deleteWhere)
         committed = cur + 1
     }
     committed
+  }
+
+  /** Exactly-once MERGE for replayable writers — [[appendOnce]]'s
+    * idempotence contract on the [[merge]] path: the commit carries `tag`
+    * (e.g. "cdc-b7" for micro-batch 7 of a streaming CDC apply), and if
+    * any live manifest already carries it, the whole merge is a no-op
+    * returning the existing version — a crash-replayed batch (same
+    * batchId ⇒ same changes under Spark's checkpoint contract) applies
+    * exactly once however many times it runs, and a replay that died
+    * between its data write and its manifest link leaves only vacuum-
+    * reapable orphans. Same single-writer-per-tag discipline as
+    * appendOnce; the same vacuum-vs-replay-horizon retention contract
+    * applies. */
+  def mergeOnce(spark: SparkSession, root: String, updates: DataFrame,
+                key: String, tag: String,
+                index: IndexSpec = IndexSpec.none,
+                deleteCol: Option[String] = None): Long = {
+    require(tag.nonEmpty && !tag.exists(c => c == '"' || c == '\\'),
+      s"tag must be quote-free: $tag")
+    currentVersion(root).flatMap { cur =>
+      (cur to 1L by -1L).find(v =>
+        Files.exists(versionFile(root, v)) && tagOf(root, v).contains(tag))
+    }.getOrElse {
+      merge(spark, root, updates, key, index, deleteCol, tag = Some(tag))
+    }
   }
 
   /** Change data feed between two committed versions, derived from the

@@ -139,6 +139,83 @@ object LakeIndexOps {
       root
     }
 
+  /** One streaming-CDC-applied lake per (session, sf dir): orders landed
+    * as two half appends, then a TWO-chunk change feed (chunk i = the
+    * mod-89 upserts, mod-103 tombstones of key half i; chunk 1 adds 40
+    * inserts above the key max) drained through
+    * `graft.streaming.CdcApply.upsertTo` — one exactly-once tagged MERGE
+    * per micro-batch. Final version is deterministically 4 (two appends
+    * + two merge commits); a replayed or double-applied batch would
+    * change it. */
+  private val cdcApplied = new graft.etl.Memo[(SparkSession, String), String]
+
+  private def cdcLake(s: SparkSession, d: String): String =
+    cdcApplied((s, d)) {
+      import java.nio.file.Files
+      val root = Scratch.tempDir("graft-cdc-lake").toString + "/lake"
+      val od = Tables.orders(s, d)
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      for (i <- 0L until 2L) {
+        val lo = maxK * i / 2
+        val cap = if (i == 1) col("o_orderkey") <= maxK
+                  else col("o_orderkey") < maxK / 2
+        SnapshotLake.append(od.filter(col("o_orderkey") >= lo && cap), root, idx)
+      }
+      // stage the change feed as mtime-ordered single-file chunks (the
+      // q216 idiom); content is half-disjoint so apply order can't matter
+      val chunks = Scratch.tempDir("graft-cdc-chunks")
+      val base = System.currentTimeMillis() - 1000000L
+      for (i <- 0L until 2L) {
+        val lo = maxK * i / 2
+        val cap = if (i == 1) col("o_orderkey") <= maxK
+                  else col("o_orderkey") < maxK / 2
+        val half = od.filter(col("o_orderkey") >= lo && cap)
+        val upd = half.filter(pmod(col("o_orderkey"), lit(89)) === 0)
+          .withColumn("o_orderstatus", lit("S"))
+          .withColumn("o_totalprice", col("o_totalprice") + 2.0)
+          .withColumn("__del", lit(false))
+        val del = half.filter(pmod(col("o_orderkey"), lit(103)) === 0 &&
+            pmod(col("o_orderkey"), lit(89)) =!= 0)
+          .withColumn("__del", lit(true))
+        val ins = s.range(1, 41).select(
+          (lit(maxK) + col("id")).as("o_orderkey"),
+          col("id").as("o_custkey"),
+          lit("C").as("o_orderstatus"),
+          (lit(500.0) + col("id")).as("o_totalprice"),
+          lit("2024-03-01 00:00:00").cast("timestamp").as("o_orderdate"),
+          lit("CDC").as("o_orderpriority"),
+          lit(false).as("__del"))
+        val chunk = if (i == 1) upd.unionByName(del).unionByName(ins)
+                    else upd.unionByName(del)
+        val tmp = Scratch.tempDir("graft-cdc-slice")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = {
+          val l = Files.list(tmp)
+          try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst.orElseThrow()
+          finally l.close()
+        }
+        val dst = chunks.resolve(f"chunk-$i%04d.parquet")
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+        val leftovers = Files.list(tmp)
+        try leftovers.forEach(p => Files.deleteIfExists(p))
+        finally leftovers.close()
+        Files.deleteIfExists(tmp)
+        ()
+      }
+      val st = s.newSession()
+      st.conf.set("spark.sql.shuffle.partitions", "8")
+      val ckpt = Scratch.tempDir("graft-cdc-ckpt").toString
+      val q = graft.streaming.CdcApply.upsertTo(
+        graft.streaming.CdcApply.changesStream(st, chunks.toString, 1),
+        root, "o_orderkey", ckpt, idx, Some("__del")).start()
+      q.awaitTermination()
+      root
+    }
+
   /** One deletion-vector lake per (session, sf dir): lineitem landed as
     * two orderkey-half appends, then `deleteWhere` tombstones every
     * mod-13 orderkey WITHOUT rewriting a data file (v3, merge-on-read),
@@ -348,6 +425,37 @@ object LakeIndexOps {
           .select("snapshot", "o_orderstatus", "n_rows", "total")
       leg(4L, "v4").unionByName(leg(5L, "v5"))
         .orderBy("snapshot", "o_orderstatus")
+    },
+
+    // ── Streaming CDC apply: the two-chunk change feed drained through
+    //    one exactly-once tagged MERGE per micro-batch; the final lake
+    //    must equal the oracle's row-level reconstruction of the WHOLE
+    //    change set, and the version count pins the commit cadence (2
+    //    appends + exactly 2 merges — a double-applied replay breaks it).
+    Q("q226_streaming_cdc_apply",
+      s"""WITH base AS (
+         |  SELECT CASE WHEN o_orderkey % 89 = 0 THEN 'S'
+         |              ELSE o_orderstatus END AS o_orderstatus,
+         |         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 2.0
+         |              ELSE o_totalprice END AS o_totalprice
+         |  FROM orders
+         |  WHERE NOT (o_orderkey % 103 = 0 AND o_orderkey % 89 <> 0)),
+         |ins AS (
+         |  SELECT 'C' AS o_orderstatus, CAST(500.0 + i AS DOUBLE) AS o_totalprice
+         |  FROM range(1, 41) t(i)),
+         |final AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         |       ${centsSumSql("o_totalprice")} AS total,
+         |       4 AS n_versions
+         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val root = cdcLake(s, d)
+      SnapshotLake.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          centsSum("o_totalprice").as("total"))
+        .withColumn("n_versions",
+          lit(SnapshotLake.currentVersion(root).get.toInt))
+        .orderBy("o_orderstatus")
     },
 
     // ── Deletion vectors (merge-on-read DELETE): v3 holds every mod-13

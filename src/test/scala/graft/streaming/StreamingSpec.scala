@@ -636,6 +636,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(lakeRows(Some(3L)) == batch)
   }
 
+  test("streaming CDC apply merges exactly once per batch, survives replay, and resumes from its checkpoint") {
+    import graft.etl.SnapshotLake
+    import graft.streaming.CdcApply
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-cdc-spec").toString
+    val lake = s"$work/lake"; val src = s"$work/src"; val cp = s"$work/cp"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    val idx = SnapshotLake.IndexSpec(Seq("k"), None)
+    SnapshotLake.append(
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "v").repartition(1),
+      lake, idx)
+
+    def stage(n: Int, rows: Seq[(Long, String, Boolean)]): Unit = {
+      val tmp = Files.createTempDirectory("graft-cdc-spec-slice")
+      rows.toDF("k", "v", "__del").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val l = Files.list(tmp)
+      val part = try l.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst.orElseThrow() finally l.close()
+      val dst = java.nio.file.Paths.get(src, f"chunk-$n%04d.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - 100000L + n * 1000L))
+      ()
+    }
+    def drain(): Unit = {
+      val q = CdcApply.upsertTo(CdcApply.changesStream(spark, src, 1),
+        lake, "k", cp, idx, Some("__del")).start()
+      q.awaitTermination(120000)
+      ()
+    }
+    def m() = SnapshotLake.read(spark, lake)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    stage(0, Seq((10L, "U10", false), (20L, "", true)))
+    drain()
+    assert(SnapshotLake.currentVersion(lake).contains(2L))
+    assert(m()(10L) == "U10" && !m().contains(20L) && m().size == 99)
+
+    // crash-replay of the committed batch: tag makes it a no-op
+    SnapshotLake.mergeOnce(spark, lake,
+      Seq((10L, "U10", false), (20L, "", true)).toDF("k", "v", "__del"),
+      "k", "cdc-b0", idx, Some("__del"))
+    assert(SnapshotLake.currentVersion(lake).contains(2L),
+      "replaying a committed CDC batch must not commit")
+
+    // a later chunk arrives; the SAME checkpoint resumes: exactly one more
+    // merge, applied on top of the first
+    stage(1, Seq((10L, "U10b", false), (150L, "NEW", false)))
+    drain()
+    assert(SnapshotLake.currentVersion(lake).contains(3L))
+    assert(m()(10L) == "U10b" && m()(150L) == "NEW" && m().size == 100)
+  }
+
   test("streaming near-dedup ingest builds the data-skipping index per commit, and pruned reads ride it") {
     import graft.etl.{FileStats, SnapshotLake}
     val work = Files.createTempDirectory("graft-sdedup-idx").toString
