@@ -468,30 +468,7 @@ object SnapshotLake {
     val baseV = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"nothing to merge into at $root"))
     val baseFiles = files(root, baseV)
-    val stats = baseFiles.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
-      .flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
-    val (ranged, blind) = baseFiles.partition(f =>
-      stats.get(f).exists(_.contains(key)))
-    // candidate files via one pass over the update keys against the tiny
-    // broadcast stats relation (string ranges compare lexically — only
-    // numeric-keyed files join the numeric branch and vice versa)
-    val statsRows = ranged.map { f =>
-      val r = stats(f)(key); (f, r.min, r.max, r.numeric)
-    }
-    val candidates: Seq[String] =
-      if (statsRows.isEmpty) Seq.empty
-      else {
-        import spark.implicits._
-        val sdf = statsRows.toDF("file", "min", "max", "numeric")
-        val k = updates.select(col(key).cast("string").as("k"),
-          col(key).cast("double").as("kd")).distinct()
-        k.join(org.apache.spark.sql.functions.broadcast(sdf),
-            (col("numeric") && col("kd").between(
-              col("min").cast("double"), col("max").cast("double"))) ||
-            (not(col("numeric")) && col("k").between(col("min"), col("max"))))
-          .select("file").distinct().as[String].collect().toSeq
-      }
-    val touched = candidates ++ blind
+    val touched = candidateFiles(spark, root, baseFiles, key, updates)
     val upKeys = updates.select(col(key)).distinct()
     val newRows = deleteCol match {
       case None => updates
@@ -514,6 +491,40 @@ object SnapshotLake {
         committed = cur + 1
     }
     committed
+  }
+
+  /** Files of `fileList` that MAY contain a key of `keys` (any column
+    * set containing `key`), per the commit-time min/max index: one pass
+    * over `keys` against the tiny broadcast stats relation (string
+    * ranges compare lexically — only numeric-keyed files join the
+    * numeric branch and vice versa); files without harvested `key` stats
+    * are always candidates. The keys are never collected to the
+    * driver. */
+  private def candidateFiles(spark: SparkSession, root: String,
+                             fileList: Seq[String], key: String,
+                             keys: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, not}
+    val stats = fileList.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      .flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
+    val (ranged, blind) = fileList.partition(f =>
+      stats.get(f).exists(_.contains(key)))
+    val statsRows = ranged.map { f =>
+      val r = stats(f)(key); (f, r.min, r.max, r.numeric)
+    }
+    val candidates: Seq[String] =
+      if (statsRows.isEmpty) Seq.empty
+      else {
+        import spark.implicits._
+        val sdf = statsRows.toDF("file", "min", "max", "numeric")
+        val k = keys.select(col(key).cast("string").as("k"),
+          col(key).cast("double").as("kd")).distinct()
+        k.join(org.apache.spark.sql.functions.broadcast(sdf),
+            (col("numeric") && col("kd").between(
+              col("min").cast("double"), col("max").cast("double"))) ||
+            (not(col("numeric")) && col("k").between(col("min"), col("max"))))
+          .select("file").distinct().as[String].collect().toSeq
+      }
+    candidates ++ blind
   }
 
   /** Exactly-once MERGE for replayable writers — [[appendOnce]]'s
@@ -541,17 +552,28 @@ object SnapshotLake {
     }
   }
 
-  /** Change data feed between two committed versions, derived from the
-    * MANIFEST diff: only files removed by `fromV`→`toV` (pre side) and
-    * files added (post side) are read — rows living in carried-over files
-    * never enter the diff, so a copy-on-write merge that touched 0.1% of
-    * files diffs 0.1% of the table (the Delta CDF trick). The two sides
-    * full-outer join on `key` (unique per version — the same contract
-    * [[merge]] keeps) and classify into `_change_type` ∈ insert / delete
-    * / update_preimage / update_postimage; physical-only rewrites
-    * (compaction moves a row between files without changing it) produce
-    * equal pre/post images and are dropped, so a pure compact step feeds
-    * zero changes. */
+  /** Change data feed between two committed versions — the LOGICAL diff,
+    * derived from the manifest diff plus the deletion-vector delta:
+    *
+    *   - Files removed by `fromV`→`toV` (pre side) and files added (post
+    *     side) full-outer join on `key` (unique per version — the same
+    *     contract [[merge]] keeps) and classify into `_change_type` ∈
+    *     insert / delete / update_preimage / update_postimage. Rows in
+    *     carried-over files never enter this join, so a copy-on-write
+    *     merge that touched 0.1% of files diffs 0.1% of the table (the
+    *     Delta CDF trick). Each side is its version's LOGICAL relation —
+    *     that version's tombstones are anti-joined out first — so a
+    *     pre-range delete materialized by an in-range compaction cancels
+    *     instead of surfacing as a false delete.
+    *   - A [[deleteWhere]] inside the range changes NO file, so its
+    *     victims live in carried files: the vector KEY delta (toV's
+    *     tombstone keys − fromV's, and the reverse for un-deletes) is
+    *     semi-joined against the carried files — pruned to the index's
+    *     candidate files, the same targeting a merge uses — and emitted
+    *     as delete pre-images / insert post-images.
+    *
+    * Physical-only moves (compaction) produce equal pre/post images and
+    * are dropped, so a pure compact step feeds zero changes. */
   def changeFeed(spark: SparkSession, root: String, fromV: Long, toV: Long,
                  key: String): DataFrame = {
     import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
@@ -559,14 +581,19 @@ object SnapshotLake {
     val to = files(root, toV).toSet
     val removed = (from -- to).toSeq.sorted
     val added = (to -- from).toSeq.sorted
-    val schema = read(spark, root, Some(toV)).limit(0)
-    def side(fs: Seq[String]) =
-      if (fs.isEmpty) schema
-      else spark.read.parquet(fs.map(f => Paths.get(root, f).toString): _*)
+    val carried = (from intersect to).toSeq.sorted
+    val schema = {
+      val fs = files(root, toV).map(f => Paths.get(root, f).toString)
+      spark.read.parquet(fs: _*).limit(0)
+    }
     val cols = schema.columns.toSeq
-    val pre = side(removed)
+    def side(fs: Seq[String], v: Long) =
+      if (fs.isEmpty) schema
+      else applyDeletes(spark, root, v, // the version's LOGICAL relation
+        spark.read.parquet(fs.map(f => Paths.get(root, f).toString): _*))
+    val pre = side(removed, fromV)
       .select(col(key).as("_k"), struct(cols.map(col): _*).as("_pre"))
-    val post = side(added)
+    val post = side(added, toV)
       .select(col(key).as("_kp"), struct(cols.map(col): _*).as("_post"))
     // ONE full-outer join, classified and exploded in the same pass — the
     // naive four-branch union would replicate the join (and both file
@@ -574,7 +601,7 @@ object SnapshotLake {
     // unchanged row (equal images after a physical-only move) explodes an
     // empty array and vanishes; null-safe struct compare so a column set
     // to NULL counts as a change.
-    pre.join(post, col("_k") === col("_kp"), "full_outer")
+    val fileDiff = pre.join(post, col("_k") === col("_kp"), "full_outer")
       .select(col("_pre"), col("_post"), explode(
         when(col("_k").isNull, array(lit("insert")))
           .when(col("_kp").isNull, array(lit("delete")))
@@ -586,6 +613,39 @@ object SnapshotLake {
           col("_post")).otherwise(col("_pre")).as("_row"),
         col("_change_type"))
       .select((cols.map(c => col(s"_row.$c")) :+ col("_change_type")): _*)
+    // vector deltas over carried files (key-level, direction-aware)
+    def tombKeys(v: Long): Option[DataFrame] = {
+      val ds = deletesOf(root, v)
+      if (ds.isEmpty) None
+      else {
+        val t = spark.read.parquet(ds.map(f => Paths.get(root, f).toString): _*)
+        Some(t.select(col(t.columns.head).as(key)).distinct())
+      }
+    }
+    def carriedHits(delta: DataFrame, tpe: String) = {
+      val cand = candidateFiles(spark, root, carried, key, delta)
+      if (cand.isEmpty) fileDiff.limit(0)
+      else spark.read.parquet(cand.map(f => Paths.get(root, f).toString): _*)
+        .join(delta, Seq(key), "left_semi")
+        .withColumn("_change_type", lit(tpe))
+        .select((cols.map(col) :+ col("_change_type")): _*)
+    }
+    val (fk, tk) = (tombKeys(fromV), tombKeys(toV))
+    val newDel = (fk, tk) match {
+      case (_, None) => None
+      case (None, Some(t)) => Some(t)
+      case (Some(f), Some(t)) => Some(t.except(f))
+    }
+    val unDel = (fk, tk) match {
+      case (None, _) => None
+      case (Some(f), None) => Some(f)
+      case (Some(f), Some(t)) => Some(f.except(t))
+    }
+    if (carried.isEmpty || (newDel.isEmpty && unDel.isEmpty)) fileDiff
+    else Seq(
+      newDel.map(carriedHits(_, "delete")),
+      unDel.map(carriedHits(_, "insert"))
+    ).flatten.foldLeft(fileDiff)(_ unionByName _)
   }
 
   /** One manifest's commit metadata: what DESCRIBE HISTORY shows. `rows`

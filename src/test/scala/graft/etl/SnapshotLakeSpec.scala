@@ -260,6 +260,27 @@ class SnapshotLakeSpec extends AnyFunSuite {
     assert(m()(7L) == "BACK" && m().size == 100)
   }
 
+  test("changeFeed sees deletion vectors: an in-range DV delete feeds delete rows, a pre-range one never resurfaces") {
+    val root = newRoot()
+    for (i <- 0 until 4)
+      SnapshotLake.append(kv(i * 100L, i * 100L + 100), root, kvIdx)
+    SnapshotLake.deleteWhere(spark, root, Seq(42L, 242L).toDF("k")) // v5
+    // in-range pure-DV delete: no file changed, yet the feed must carry it
+    val feed = SnapshotLake.changeFeed(spark, root, 4L, 5L, "k")
+      .collect().map(r => (r.getString(2), r.getLong(0))).toSet
+    assert(feed == Set(("delete", 42L), ("delete", 242L)), s"got $feed")
+    // pre-range delete + in-range compaction: the materialization must
+    // CANCEL (the rows were already logically absent at fromV) — only the
+    // explicitly-merged change may surface
+    SnapshotLake.merge(spark, root, Seq((7L, "UPD")).toDF("k", "v"), "k", kvIdx)
+    val v7 = SnapshotLake.compact(spark, root)
+    val feed2 = SnapshotLake.changeFeed(spark, root, 5L, v7, "k")
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getString(1))).toSet
+    assert(feed2 == Set(
+      ("update_preimage", 7L, "v7"), ("update_postimage", 7L, "UPD")),
+      s"materializing a pre-range delete must not re-emit it: $feed2")
+  }
+
   test("history reports op, base, files, and footer-derived added rows per retained commit") {
     val root = newRoot()
     SnapshotLake.append(kv(0, 50), root)
