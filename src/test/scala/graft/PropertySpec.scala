@@ -46,4 +46,55 @@ object PureProperties extends Properties("graft.pure") {
     val html = graft.report.Report.renderHtml(m)
     html.startsWith("<!DOCTYPE html>") && html.contains("</html>")
   }
+
+  // The file-skipping safety invariant: pruning drops a file ONLY when no
+  // row can match. Equivalently, for a file whose stats are its TRUE
+  // min/max, any file containing a matching row must survive mayMatch —
+  // over random value sets and random (open or closed) range bounds,
+  // numeric and lexical both.
+  property("file-stats range pruning never drops a file containing a match (numeric)") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(-10000L, 10000L)),
+      Gen.option(Gen.choose(-10000L, 10000L)),
+      Gen.option(Gen.choose(-10000L, 10000L))) { (vals, lo, hi) =>
+      val stats = Map("c" -> graft.etl.FileStats.ColRange(
+        vals.min.toString, vals.max.toString, numeric = true))
+      val preds = Seq(graft.etl.FileStats.Range(
+        "c", lo.map(_.toString), hi.map(_.toString)))
+      val hasMatch = vals.exists(v => lo.forall(v >= _) && hi.forall(v <= _))
+      !hasMatch || graft.etl.FileStats.mayMatch(stats, preds)
+    }
+
+  property("file-stats range pruning never drops a file containing a match (lexical)") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.alphaNumStr),
+      Gen.option(Gen.alphaNumStr),
+      Gen.option(Gen.alphaNumStr)) { (vals, lo, hi) =>
+      val stats = Map("c" -> graft.etl.FileStats.ColRange(
+        vals.min, vals.max, numeric = false))
+      val preds = Seq(graft.etl.FileStats.Range("c", lo, hi))
+      val hasMatch = vals.exists(v => lo.forall(v >= _) && hi.forall(v <= _))
+      !hasMatch || graft.etl.FileStats.mayMatch(stats, preds)
+    }
+
+  // Sidecar JSON survives adversarial column names and stats values —
+  // quotes, backslashes, braces, control chars — because esc() routes
+  // everything parser-hostile through \uXXXX (legal JSON the brace- and
+  // quote-delimited reader can't misparse).
+  private val nasty: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.oneOf('"', '\\', '{', '}', ':', ',', '\n', '\t'),
+    Gen.alphaNumChar)).map(_.mkString)
+
+  property("stats sidecar round-trips adversarial names and values") = Prop.forAll(
+    Gen.listOfN(2, nasty), nasty, nasty) { (colNames, mn, mx) =>
+    val root = java.nio.file.Files.createTempDirectory("prop-sidecar").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "data/c0"))
+    val stats = Map("data/c0/part-0.parquet" ->
+      colNames.distinct.map(c =>
+        c -> graft.etl.FileStats.ColRange(mn, mx, numeric = false)).toMap)
+    graft.etl.FileStats.writeStatsSidecar(root, stats)
+    val back = graft.etl.FileStats.readStatsSidecar(root, "data/c0")
+    back == stats
+  }
 }
