@@ -323,6 +323,39 @@ object SnapshotLake {
     committed
   }
 
+  /** Selective small-file compaction — production OPTIMIZE's incremental
+    * form: rewrite ONLY the files under `minBytes` into `partitions`
+    * bin-packed files and carry every adequately-sized file verbatim, so
+    * steady-state maintenance cost tracks the small-file backlog (the
+    * freshly-streamed tail), never the table. Purely physical: deletion
+    * vectors are carried live in full, NOT materialized — tombstoned
+    * keys may live in carried files too, and a key vector applies
+    * file-agnostically, so partial materialization is neither needed nor
+    * attempted (full [[compact]] is the vector-clearing op). No-op
+    * returning the current version when fewer than two files qualify. */
+  def compactSmall(spark: SparkSession, root: String, minBytes: Long,
+                   partitions: Int = 1,
+                   index: IndexSpec = IndexSpec.none): Long = {
+    val baseV = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"nothing to compact at $root"))
+    val baseFiles = files(root, baseV)
+    val small = baseFiles.filter(f => Files.size(Paths.get(root, f)) < minBytes)
+    if (small.size <= 1) return baseV
+    val rewritten = writeData(
+      spark.read.parquet(small.map(f => Paths.get(root, f).toString): _*)
+        .repartition(partitions),
+      root, index)
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentVersion(root).get
+      val kept = files(root, cur).filterNot(small.toSet) // racing appends kept
+      if (tryCommit(root, cur + 1, kept ++ rewritten, "compact", baseV,
+          addedRows = 0L, deletes = deletesOf(root, cur)))
+        committed = cur + 1
+    }
+    committed
+  }
+
   /** Compact the current snapshot into `files` files laid out along the
     * Z-curve of (`colA`, `colB`) — Delta/Iceberg's `OPTIMIZE ZORDER BY`
     * on the manifest lake: the rewrite range-partitions + sorts by the

@@ -281,6 +281,29 @@ class SnapshotLakeSpec extends AnyFunSuite {
       s"materializing a pre-range delete must not re-emit it: $feed2")
   }
 
+  test("compactSmall bin-packs only the sub-threshold files, carries big ones, and leaves vectors live") {
+    val root = newRoot()
+    SnapshotLake.append(kv(0, 5000), root, kvIdx) // one big file
+    for (i <- 0 until 3) // three small trailing commits
+      SnapshotLake.append(kv(5000L + i * 10, 5000L + i * 10 + 10), root, kvIdx)
+    SnapshotLake.deleteWhere(spark, root, Seq(5005L, 17L).toDF("k"))
+    val big = SnapshotLake.files(root, 1L).head
+    val minBytes = Files.size(java.nio.file.Paths.get(root, big))
+    val v = SnapshotLake.compactSmall(spark, root, minBytes, partitions = 1,
+      index = kvIdx)
+    val post = SnapshotLake.files(root, v)
+    assert(post.contains(big), "the big file must be carried verbatim")
+    assert(post.size == 2, s"three small files bin-pack into one: $post")
+    assert(SnapshotLake.deletesOf(root, v).nonEmpty,
+      "compactSmall is physical only — the vector stays live")
+    val ks = SnapshotLake.read(spark, root)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(ks == ((0L until 5000L).toSet ++
+      (5000L until 5030L).toSet -- Set(5005L, 17L)))
+    // below-threshold backlog of one: a second pass is a no-op version
+    assert(SnapshotLake.compactSmall(spark, root, minBytes) == v)
+  }
+
   test("history reports op, base, files, and footer-derived added rows per retained commit") {
     val root = newRoot()
     SnapshotLake.append(kv(0, 50), root)
