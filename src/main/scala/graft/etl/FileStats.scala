@@ -76,6 +76,11 @@ object FileStats {
               val st = chunk.getStatistics
               // hasNonNullValue ⇔ the min/max are real values; an all-null
               // or stats-less chunk contributes nothing (conservative).
+              // Safety note for BINARY: parquet-mr's chunk-level Statistics
+              // are EXACT-OR-ABSENT — oversized string min/max are dropped
+              // entirely (truncation exists only in column indexes, which
+              // this reader never consults) — so a harvested string range
+              // can never understate the file and cause a false prune.
               if (st != null && st.hasNonNullValue) {
                 val tpe = chunk.getPrimitiveType.getPrimitiveTypeName
                 rangeOf(tpe, st.genericGetMin, st.genericGetMax).foreach { r =>
