@@ -304,6 +304,36 @@ class SnapshotLakeSpec extends AnyFunSuite {
     assert(SnapshotLake.compactSmall(spark, root, minBytes) == v)
   }
 
+  test("racing appends and DV deletes reconcile: no appended row lost, every tombstone enforced") {
+    val root = newRoot()
+    SnapshotLake.append(kv(0, 100), root, kvIdx)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      val tasks: Seq[java.util.concurrent.Callable[Long]] =
+        (0 until 3).map { i =>
+          new java.util.concurrent.Callable[Long] {
+            def call(): Long =
+              SnapshotLake.append(kv(100L + i * 10, 100L + i * 10 + 10), root, kvIdx)
+          }
+        } ++ (0 until 3).map { i =>
+          new java.util.concurrent.Callable[Long] {
+            def call(): Long =
+              SnapshotLake.deleteWhere(spark, root, Seq(i * 7L).toDF("k"))
+          }
+        }
+      import scala.jdk.CollectionConverters._
+      val vs = pool.invokeAll(tasks.asJava).asScala.map(_.get())
+      // six racing commits, all distinct versions, none lost
+      assert(vs.toSet.size == 6 && SnapshotLake.currentVersion(root).contains(7L))
+    } finally pool.shutdown()
+    // every append's rows present, every tombstone enforced — whatever
+    // interleaving the CAS loops resolved to (appends carry the current
+    // vector forward; deletes carry the current file list)
+    val ks = SnapshotLake.read(spark, root)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(ks == ((0L until 130L).toSet -- Set(0L, 7L, 14L)))
+  }
+
   test("history reports op, base, files, and footer-derived added rows per retained commit") {
     val root = newRoot()
     SnapshotLake.append(kv(0, 50), root)
