@@ -35,6 +35,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     [[vacuum]] drops manifests outside the retention window and deletes
   *     data files no retained manifest references.
   *
+  * On top of the commit protocol sits the maintenance/index layer built
+  * round 11: commit-time file statistics and bloom sidecars with pruned
+  * readers ([[IndexSpec]]/[[readPruned]]/[[readPointLookup]], harvest in
+  * [[FileStats]]), Z-order and small-file-selective compaction
+  * ([[compactZOrder]]/[[compactSmall]]), index-targeted copy-on-write
+  * [[merge]] (+ tag-idempotent [[mergeOnce]] for streaming CDC apply),
+  * merge-on-read deletion vectors ([[deleteWhere]], materialized by
+  * [[compact]]), the DV-aware [[changeFeed]], commit metadata
+  * ([[history]]), and schema-on-read evolution (`read(mergeSchema)`).
+  *
   * At 100 TB the mechanics are identical; the things that grow are the
   * manifest (solved by chunked/partitioned manifests exactly as Iceberg
   * splits manifest lists — the commit primitive does not change) and the
