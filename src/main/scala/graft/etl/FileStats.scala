@@ -50,14 +50,39 @@ object FileStats {
     * UTF-8). `nRows` is the file's row count (all row groups). */
   final case class ColRange(min: String, max: String, numeric: Boolean)
 
+  /** Compare two harvested string bounds the way the footer min/max were
+    * COMPUTED — unsigned UTF-8 byte order (parquet BINARY/UTF8, the same
+    * ordering Spark and DuckDB give UTF8String comparisons). Java's
+    * `String.compareTo` is UTF-16 code-unit order, which DIVERGES for
+    * supplementary-plane code points (surrogate pairs 0xD800.. sort
+    * BELOW U+E000..U+FFFF in UTF-16 but ABOVE them in UTF-8), so using
+    * it here would make pruning non-conservative: a file whose only
+    * value is U+10000 has a byte-order max ABOVE a predicate
+    * lo = U+E000 but a UTF-16 max below it, and the file would be
+    * silently dropped while its row matches. Byte-wise unsigned compare
+    * restores the harvest's own ordering, keeping the prune conservative
+    * for any code point. */
+  private[etl] def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   // ── footer harvest ──────────────────────────────────────────────────
 
-  /** Read min/max for `cols` from the footers of `relFiles` (paths
-    * relative to `root`), distributed over the executors. Returns
-    * file → col → range; columns a footer lacks statistics for are
-    * absent (⇒ never pruned on). */
+  /** Everything one footer pass yields for one file: min/max per
+    * harvested column, plus the file's total row count (all row
+    * groups) — so a commit needing both stats AND row counts (bloom
+    * sizing, manifest `addedRows`) opens each footer exactly once. */
+  final case class FileMeta(ranges: Map[String, ColRange], rows: Long)
+
+  /** Read min/max for `cols` AND the row count from the footers of
+    * `relFiles` (paths relative to `root`), distributed over the
+    * executors — one footer open per file total, never one per purpose,
+    * and never serialized on the driver (a thousand-file commit harvests
+    * in parallel). Columns a footer lacks statistics for are absent
+    * (⇒ never pruned on). */
   def harvest(spark: SparkSession, root: String, relFiles: Seq[String],
-              cols: Seq[String]): Map[String, Map[String, ColRange]] = {
+              cols: Seq[String]): Map[String, FileMeta] = {
     val rootAbs = Paths.get(root).toAbsolutePath.toString
     val colSet = cols.toSet
     spark.sparkContext
@@ -69,27 +94,30 @@ object FileStats {
         val reader = ParquetFileReader.open(in)
         try {
           val ranges = scala.collection.mutable.Map.empty[String, ColRange]
-          for (block <- reader.getFooter.getBlocks.asScala;
-               chunk <- block.getColumns.asScala) {
-            val name = chunk.getPath.toDotString
-            if (colSet.contains(name)) {
-              val st = chunk.getStatistics
-              // hasNonNullValue ⇔ the min/max are real values; an all-null
-              // or stats-less chunk contributes nothing (conservative).
-              // Safety note for BINARY: parquet-mr's chunk-level Statistics
-              // are EXACT-OR-ABSENT — oversized string min/max are dropped
-              // entirely (truncation exists only in column indexes, which
-              // this reader never consults) — so a harvested string range
-              // can never understate the file and cause a false prune.
-              if (st != null && st.hasNonNullValue) {
-                val tpe = chunk.getPrimitiveType.getPrimitiveTypeName
-                rangeOf(tpe, st.genericGetMin, st.genericGetMax).foreach { r =>
-                  ranges(name) = ranges.get(name).fold(r)(merge(_, r))
+          var rows = 0L
+          for (block <- reader.getFooter.getBlocks.asScala) {
+            rows += block.getRowCount
+            for (chunk <- block.getColumns.asScala) {
+              val name = chunk.getPath.toDotString
+              if (colSet.contains(name)) {
+                val st = chunk.getStatistics
+                // hasNonNullValue ⇔ the min/max are real values; an all-null
+                // or stats-less chunk contributes nothing (conservative).
+                // Safety note for BINARY: parquet-mr's chunk-level Statistics
+                // are EXACT-OR-ABSENT — oversized string min/max are dropped
+                // entirely (truncation exists only in column indexes, which
+                // this reader never consults) — so a harvested string range
+                // can never understate the file and cause a false prune.
+                if (st != null && st.hasNonNullValue) {
+                  val tpe = chunk.getPrimitiveType.getPrimitiveTypeName
+                  rangeOf(tpe, st.genericGetMin, st.genericGetMax).foreach { r =>
+                    ranges(name) = ranges.get(name).fold(r)(merge(_, r))
+                  }
                 }
               }
             }
           }
-          rel -> ranges.toMap
+          rel -> FileMeta(ranges.toMap, rows)
         } finally reader.close()
       }
       .collect().toMap
@@ -115,22 +143,9 @@ object FileStats {
     if (a.numeric)
       ColRange(math.min(a.min.toDouble, b.min.toDouble).toString,
         math.max(a.max.toDouble, b.max.toDouble).toString, numeric = true)
-    else
-      ColRange(if (a.min <= b.min) a.min else b.min,
-        if (a.max >= b.max) a.max else b.max, numeric = false)
-  }
-
-  /** Row count per file from footer metadata alone (no data read) —
-    * sizes the bloom filters without a counting scan. */
-  def footerRows(root: String, relFiles: Seq[String]): Map[String, Long] = {
-    val conf = new Configuration()
-    relFiles.map { rel =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(
-          Paths.get(root, rel).toAbsolutePath.toString), conf))
-      try rel -> reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      finally reader.close()
-    }.toMap
+    else // string bounds combine under the harvest's own UTF-8 byte order
+      ColRange(if (utf8Cmp(a.min, b.min) <= 0) a.min else b.min,
+        if (utf8Cmp(a.max, b.max) >= 0) a.max else b.max, numeric = false)
   }
 
   // ── sidecar IO (commit-dir local, written before the manifest link) ──
@@ -208,7 +223,7 @@ object FileStats {
     preds.forall { p =>
       stats.get(p.col).forall { r =>
         def ge(a: String, b: String) =
-          if (r.numeric) a.toDouble >= b.toDouble else a >= b
+          if (r.numeric) a.toDouble >= b.toDouble else utf8Cmp(a, b) >= 0
         p.lo.forall(lo => ge(r.max, lo)) && p.hi.forall(hi => ge(hi, r.min))
       }
     }

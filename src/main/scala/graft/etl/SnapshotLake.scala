@@ -120,7 +120,7 @@ object SnapshotLake {
                   keys: DataFrame): Long = {
     require(keys.columns.length == 1,
       s"tombstone relation must be exactly the key column: ${keys.columns.toSeq}")
-    val newTombs = writeData(keys, root)
+    val newTombs = writeData(keys, root).files
     var committed = -1L
     while (committed < 0) {
       val cur = currentVersion(root).getOrElse(
@@ -132,8 +132,13 @@ object SnapshotLake {
     committed
   }
 
+  /** One commit's freshly written data files plus their total row count
+    * (from the same footer pass that harvested the index — the manifest
+    * `addedRows` and bloom sizing never cost a second footer open). */
+  private final case class Written(files: Seq[String], rows: Long)
+
   private def writeData(df: DataFrame, root: String,
-                        index: IndexSpec = IndexSpec.none): Seq[String] = {
+                        index: IndexSpec = IndexSpec.none): Written = {
     val sub = s"data/${UUID.randomUUID().toString}"
     df.write.mode("overwrite").parquet(Paths.get(root, sub).toString)
     val s = Files.list(Paths.get(root, sub))
@@ -141,25 +146,24 @@ object SnapshotLake {
       try s.iterator().asScala.map(_.getFileName.toString)
         .filter(_.endsWith(".parquet")).map(n => s"$sub/$n").toVector.sorted
       finally s.close()
+    // ONE distributed footer pass (executor-parallel, never a driver
+    // loop) yields both the min/max ranges and the per-file row counts.
+    val meta = FileStats.harvest(df.sparkSession, root, rel, index.statsCols)
     // Index sidecars land in the commit dir BEFORE the manifest link that
     // makes these files visible, so a reader that resolves a file always
     // resolves its index too. Pre-manifest crash ⇒ sidecar is swept with
     // its orphan dir by vacuum, like the data files themselves.
     if (index.statsCols.nonEmpty)
       FileStats.writeStatsSidecar(root,
-        FileStats.harvest(df.sparkSession, root, rel, index.statsCols))
+        meta.map { case (f, m) => f -> m.ranges })
     index.bloomCol.foreach { c =>
       val expected = // sized from footer row counts: no counting scan
-        math.max(1L, FileStats.footerRows(root, rel).values.max)
+        math.max(1L, meta.values.foldLeft(0L)((a, m) => math.max(a, m.rows)))
       FileStats.buildBloomSidecars(df.sparkSession, root, rel, c,
         expected, index.bloomFpp)
     }
-    rel
+    Written(rel, meta.values.map(_.rows).sum)
   }
-
-  /** Rows added by a commit, from footer metadata alone. */
-  private def addedRowsOf(root: String, rel: Seq[String]): Long =
-    FileStats.footerRows(root, rel).values.sum
 
   /** What to index at commit time: footer min/max for `statsCols`, a
     * per-file bloom over `bloomCol`. Both optional; [[IndexSpec.none]]
@@ -200,6 +204,15 @@ object SnapshotLake {
       df.join(tomb.select(k).distinct(), Seq(k), "left_anti")
     }
   }
+
+  /** Newest live version whose commit carries idempotence tag `tag`, if
+    * any — the probe [[appendOnce]]/[[mergeOnce]] (and [[merge]]'s
+    * in-loop recheck) use to make replays no-ops. */
+  private def findTag(root: String, tag: String): Option[Long] =
+    currentVersion(root).flatMap { cur =>
+      (cur to 1L by -1L).find(v =>
+        Files.exists(versionFile(root, v)) && tagOf(root, v).contains(tag))
+    }
 
   /** The idempotence tag of version `v`, if its commit carried one. */
   def tagOf(root: String, v: Long): Option[String] = {
@@ -243,14 +256,14 @@ object SnapshotLake {
     * happens ONCE; only the (tiny) manifest commit loops. */
   def append(df: DataFrame, root: String,
              index: IndexSpec = IndexSpec.none): Long = {
-    val newFiles = writeData(df, root, index)
+    val w = writeData(df, root, index)
     var committed = -1L
     while (committed < 0) {
       val cur = currentVersion(root)
       val baseFiles = cur.map(files(root, _)).getOrElse(Seq.empty)
       val next = cur.getOrElse(0L) + 1
-      if (tryCommit(root, next, baseFiles ++ newFiles, "append",
-          cur.getOrElse(0L), addedRows = addedRowsOf(root, newFiles),
+      if (tryCommit(root, next, baseFiles ++ w.files, "append",
+          cur.getOrElse(0L), addedRows = w.rows,
           deletes = cur.map(deletesOf(root, _)).getOrElse(Seq.empty)))
         committed = next
     }
@@ -275,12 +288,9 @@ object SnapshotLake {
                  index: IndexSpec = IndexSpec.none): Long = {
     require(tag.nonEmpty && !tag.exists(c => c == '"' || c == '\\'),
       s"tag must be quote-free: $tag")
-    def existing: Option[Long] = currentVersion(root).flatMap { cur =>
-      (cur to 1L by -1L).find(v =>
-        Files.exists(versionFile(root, v)) && tagOf(root, v).contains(tag))
-    }
+    def existing: Option[Long] = findTag(root, tag)
     existing.getOrElse {
-      val newFiles = writeData(df, root, index)
+      val w = writeData(df, root, index)
       var committed = -1L
       while (committed < 0) {
         existing match {
@@ -289,9 +299,9 @@ object SnapshotLake {
           case None =>
             val cur = currentVersion(root)
             val baseFiles = cur.map(files(root, _)).getOrElse(Seq.empty)
-            if (tryCommit(root, cur.getOrElse(0L) + 1, baseFiles ++ newFiles,
+            if (tryCommit(root, cur.getOrElse(0L) + 1, baseFiles ++ w.files,
                 "append", cur.getOrElse(0L), Some(tag),
-                addedRows = addedRowsOf(root, newFiles),
+                addedRows = w.rows,
                 deletes = cur.map(deletesOf(root, _)).getOrElse(Seq.empty)))
               committed = cur.getOrElse(0L) + 1
         }
@@ -304,8 +314,11 @@ object SnapshotLake {
     * and commit a manifest carrying (rewritten files ∪ anything appended
     * since the compaction's base version). Readers of older versions are
     * untouched — their manifests still reference the original files, which
-    * [[vacuum]] alone may delete. Returns the committed version. */
-  def compact(spark: SparkSession, root: String, partitions: Int = 1): Long = {
+    * [[vacuum]] alone may delete. Returns the committed version.
+    * `onBeforeCommit` is the same race-injection test seam as
+    * [[merge]]'s. */
+  def compact(spark: SparkSession, root: String, partitions: Int = 1,
+              onBeforeCommit: () => Unit = () => ()): Long = {
     val baseV = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"nothing to compact at $root"))
     val baseFiles = files(root, baseV)
@@ -316,12 +329,20 @@ object SnapshotLake {
       applyDeletes(spark, root, baseV,
         spark.read.parquet(baseFiles.map(f => Paths.get(root, f).toString): _*))
         .repartition(partitions),
-      root)
+      root).files
     var committed = -1L
     while (committed < 0) {
+      onBeforeCommit()
       val cur = currentVersion(root).get // ≥ baseV: manifests never retract
+      val curFiles = files(root, cur)
+      // Conflict fence: this rewrite READ every base file; if a commit
+      // that raced past baseV REMOVED one (a concurrent merge/compact
+      // rewrote it), our rewrite holds its stale rows and carrying the
+      // winner's replacement too would duplicate every survivor row.
+      // Append-only races never remove files, so they never trip this.
+      abortIfRemoved(root, baseV, cur, baseFiles, curFiles, "compact")
       // reconcile: files added by commits that raced past baseV survive
-      val added = files(root, cur).filterNot(baseFiles.toSet)
+      val added = curFiles.filterNot(baseFiles.toSet)
       // ... and tombstones committed since baseV are carried live (they
       // may hit racing appends and the rewrite alike — key tombstones
       // are file-agnostic, so carrying them stays correct)
@@ -331,6 +352,28 @@ object SnapshotLake {
         committed = cur + 1
     }
     committed
+  }
+
+  /** The serializable-writer fence every REWRITING commit (compact /
+    * Z-order / merge) checks inside its CAS loop: if any file the
+    * rewrite READ has been removed by a commit that raced past `baseV`,
+    * the rewrite was computed against bytes a concurrent writer already
+    * replaced — committing would resurrect the stale rows alongside the
+    * winner's rewrite, silently duplicating every survivor row of the
+    * overlap. Real lakes abort here (Delta's
+    * ConcurrentDeleteReadException); so do we. Racing APPENDS and
+    * [[deleteWhere]] never remove files, so pure append/delete
+    * concurrency keeps its lock-free reconcile (spec'd, rounds 10-11) —
+    * only rewrite-vs-rewrite overlap aborts. */
+  private def abortIfRemoved(root: String, baseV: Long, cur: Long,
+                             readSet: Seq[String], curFiles: Seq[String],
+                             op: String): Unit = {
+    val lost = readSet.filterNot(curFiles.toSet)
+    if (lost.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"$op at $root based on v$baseV read ${lost.size} file(s) a commit " +
+          s"≤ v$cur removed (e.g. ${lost.head}): a concurrent writer rewrote " +
+          "the overlap; retry the operation from the new head")
   }
 
   /** Selective small-file compaction — production OPTIMIZE's incremental
@@ -354,11 +397,14 @@ object SnapshotLake {
     val rewritten = writeData(
       spark.read.parquet(small.map(f => Paths.get(root, f).toString): _*)
         .repartition(partitions),
-      root, index)
+      root, index).files
     var committed = -1L
     while (committed < 0) {
       val cur = currentVersion(root).get
-      val kept = files(root, cur).filterNot(small.toSet) // racing appends kept
+      val curFiles = files(root, cur)
+      // read set = the small files only; disjoint racing rewrites survive
+      abortIfRemoved(root, baseV, cur, small, curFiles, "compactSmall")
+      val kept = curFiles.filterNot(small.toSet) // racing appends kept
       if (tryCommit(root, cur + 1, kept ++ rewritten, "compact", baseV,
           addedRows = 0L, deletes = deletesOf(root, cur)))
         committed = cur + 1
@@ -390,11 +436,13 @@ object SnapshotLake {
         .repartitionByRange(nFiles, col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z"),
-      root, index)
+      root, index).files
     var committed = -1L
     while (committed < 0) {
       val cur = currentVersion(root).get
-      val added = files(root, cur).filterNot(baseFiles.toSet)
+      val curFiles = files(root, cur)
+      abortIfRemoved(root, baseV, cur, baseFiles, curFiles, "compactZOrder")
+      val added = curFiles.filterNot(baseFiles.toSet)
       val racing = deletesOf(root, cur).filterNot(baseDeletes.toSet)
       if (tryCommit(root, cur + 1, rewritten ++ added, "compact", baseV,
           addedRows = 0L, deletes = racing))
@@ -490,16 +538,24 @@ object SnapshotLake {
     * correctly). Rows of `updates` REPLACE same-key rows; rows flagged
     * true in `deleteCol` (if given) are tombstones: the matched row is
     * removed and nothing re-inserted. Assumes `key` is unique per version
-    * on both sides (the upsert contract) and no concurrent writer mutates
-    * the same keys (racing APPENDS are reconciled like [[compact]];
-    * conflicting concurrent merges need the serializable-writer
-    * discipline real lakes enforce by aborting). Returns the committed
-    * version. */
+    * on both sides (the upsert contract). Concurrency: racing APPENDS
+    * (and racing merges/compactions over DISJOINT files) are reconciled
+    * against the current listing inside the CAS loop and survive; a
+    * racing rewrite that removed any file THIS merge read aborts with
+    * `ConcurrentModificationException` (Delta's
+    * ConcurrentDeleteReadException contract — see [[abortIfRemoved]]),
+    * because committing would resurrect the stale survivors next to the
+    * winner's rewrite. Returns the committed version.
+    *
+    * `onBeforeCommit` is a test seam: the spec injects a racing commit
+    * between candidate discovery and the CAS attempt to exercise the
+    * conflict fence deterministically. Production callers leave it. */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             key: String, index: IndexSpec = IndexSpec.none,
             deleteCol: Option[String] = None,
             broadcastUpdates: Boolean = true,
-            tag: Option[String] = None): Long = {
+            tag: Option[String] = None,
+            onBeforeCommit: () => Unit = () => ()): Long = {
     import org.apache.spark.sql.functions.{col, lit, not}
     // The anti-join's update-key side is usually tiny relative to the
     // touched files and its size ESTIMATE derives from a filtered scan
@@ -525,11 +581,24 @@ object SnapshotLake {
     val rewritten = writeData(survivors, root, index)
     var committed = -1L
     while (committed < 0) {
+      onBeforeCommit()
+      // Same-tag recheck INSIDE the CAS loop (not only up front in
+      // [[mergeOnce]]): a zombie replay racing its successor must not
+      // double-apply — if the tag landed while we were rewriting, this
+      // attempt yields to it and our rewrite is vacuum-reapable orphans,
+      // mirroring appendOnce's in-loop defense.
+      tag.foreach(t => findTag(root, t).foreach(v => return v))
       val cur = currentVersion(root).get
-      val added = files(root, cur).filterNot(baseFiles.toSet) // racing appends
-      val keptBase = baseFiles.filterNot(touched.toSet)
-      if (tryCommit(root, cur + 1, keptBase ++ rewritten ++ added,
-          "merge", baseV, tag, addedRows = addedRowsOf(root, rewritten),
+      val curFiles = files(root, cur)
+      // read set = the touched candidates; see [[abortIfRemoved]]
+      abortIfRemoved(root, baseV, cur, touched, curFiles, "merge")
+      // Reconcile against the CURRENT listing: racing appends and racing
+      // DISJOINT rewrites both survive (their files are in curFiles,
+      // their removed files are not — carrying baseFiles here instead
+      // would resurrect what a disjoint winner removed).
+      if (tryCommit(root, cur + 1, curFiles.filterNot(touched.toSet)
+            ++ rewritten.files,
+          "merge", baseV, tag, addedRows = rewritten.rows,
           deletes = deletesOf(root, cur))) // tombstone-wins (see deleteWhere)
         committed = cur + 1
     }
@@ -578,20 +647,20 @@ object SnapshotLake {
     * batchId ⇒ same changes under Spark's checkpoint contract) applies
     * exactly once however many times it runs, and a replay that died
     * between its data write and its manifest link leaves only vacuum-
-    * reapable orphans. Same single-writer-per-tag discipline as
-    * appendOnce; the same vacuum-vs-replay-horizon retention contract
-    * applies. */
+    * reapable orphans. Like appendOnce, the tag is rechecked INSIDE
+    * merge's CAS loop, so even a zombie replay racing its successor
+    * yields instead of double-applying; the same
+    * vacuum-vs-replay-horizon retention contract applies. */
   def mergeOnce(spark: SparkSession, root: String, updates: DataFrame,
                 key: String, tag: String,
                 index: IndexSpec = IndexSpec.none,
-                deleteCol: Option[String] = None): Long = {
+                deleteCol: Option[String] = None,
+                onBeforeCommit: () => Unit = () => ()): Long = {
     require(tag.nonEmpty && !tag.exists(c => c == '"' || c == '\\'),
       s"tag must be quote-free: $tag")
-    currentVersion(root).flatMap { cur =>
-      (cur to 1L by -1L).find(v =>
-        Files.exists(versionFile(root, v)) && tagOf(root, v).contains(tag))
-    }.getOrElse {
-      merge(spark, root, updates, key, index, deleteCol, tag = Some(tag))
+    findTag(root, tag).getOrElse {
+      merge(spark, root, updates, key, index, deleteCol, tag = Some(tag),
+        onBeforeCommit = onBeforeCommit)
     }
   }
 

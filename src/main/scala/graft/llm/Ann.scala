@@ -315,7 +315,8 @@ object Ann {
     * `count()` is the corpus-size lookup a lake's table statistics answer
     * at production scale. */
   def lshNearDupPairs(corpus: DataFrame, dim: Int, thresholdMicros: Long): DataFrame = {
-    val (r, b) = lshParams(corpus.count())
+    val n = corpus.count()
+    val (r, b) = lshParams(n)
     val ps = planes(dim, r * b)
     // band key = the r sign bits of this band's own plane block — for
     // (r, b) = (LshBits/LshBands, LshBands) this is bit-identical to
@@ -345,10 +346,20 @@ object Ann {
     // shuffle. Measured at the 100× audit: 271 s → ~20 s. At a corpus
     // where the vector relation outgrows broadcast, verify becomes the
     // standard shuffle join — the candidate mass stays linear either way.
+    // The degrade is ENFORCED, not just documented: an explicit broadcast
+    // hint is honored regardless of size, so past the estimate gate below
+    // a huge corpus would hit the 8 GB broadcast limit / driver OOM
+    // instead of degrading. n·(4·dim + 40) ≈ serialized (id, float-array)
+    // bytes (array header + id + row overhead ~40 B); the 1 GiB ceiling
+    // leaves the usual driver-heap headroom under the 8 GB hard cap.
+    val hint: DataFrame => DataFrame =
+      if (n * (4L * dim + 40L) <= (1L << 30))
+        org.apache.spark.sql.functions.broadcast
+      else identity
     val vecs = corpus.select(col("id"), col("vec"))
     cand
-      .join(broadcast(vecs.select(col("id").as("vec_a"), col("vec").as("va"))), "vec_a")
-      .join(broadcast(vecs.select(col("id").as("vec_b"), col("vec").as("vb"))), "vec_b")
+      .join(hint(vecs.select(col("id").as("vec_a"), col("vec").as("va"))), "vec_a")
+      .join(hint(vecs.select(col("id").as("vec_b"), col("vec").as("vb"))), "vec_b")
       .withColumn("cm", cosMicros(col("va"), col("vb")))
       .filter(col("cm") >= thresholdMicros)
       .select("vec_a", "vec_b", "cm")

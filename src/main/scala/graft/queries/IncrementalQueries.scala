@@ -172,11 +172,19 @@ object IncrementalQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_latest"),
           (sum(round(col("value") * 100).cast("long")) / 100.0).as("val_latest"))
-      // both sides are event_type-cardinality (≤ a handful of rows) at ANY
-      // scale, but their size estimates derive from the full event scans,
-      // so at 100× the planner flips this join to sort-merge unless pinned
-      // (the q199 Finding-2 estimator class, caught by ScaleAudit r11)
-      pinned.join(broadcast(latest), Seq("event_type")).orderBy("event_type")
+      // Row presence must be driven by the FULL table like the oracle's
+      // (an event_type confined to the mod-3 == 2 slice is absent from v2
+      // but still emitted with n_v2 = 0), so latest LEFT-joins the pinned
+      // aggregate. Both sides are event_type-cardinality (≤ a handful of
+      // rows) at ANY scale, but their size estimates derive from the full
+      // event scans, so at 100× the planner flips this join to sort-merge
+      // unless pinned (the q199 Finding-2 estimator class, ScaleAudit
+      // r11); left-outer broadcasts its build (right) side fine.
+      latest.join(broadcast(pinned), Seq("event_type"), "left")
+        .select(col("event_type"),
+          coalesce(col("n_v2"), lit(0L)).as("n_v2"), col("val_v2"),
+          col("n_latest"), col("val_latest"))
+        .orderBy("event_type")
     }
   )
 

@@ -65,15 +65,33 @@ object PureProperties extends Properties("graft.pure") {
       !hasMatch || graft.etl.FileStats.mayMatch(stats, preds)
     }
 
-  property("file-stats range pruning never drops a file containing a match (lexical)") =
+  // "Matches" is judged under UTF-8 unsigned-byte order — the ordering
+  // parquet footers compute min/max under and Spark/DuckDB compare
+  // strings under. The alphabet deliberately mixes ASCII with U+E000
+  // (private use, max-sorting in UTF-16) and a supplementary-plane code
+  // point (U+1F600, surrogate pair — sorts BELOW U+E000 in UTF-16 but
+  // ABOVE it in UTF-8): a pruner comparing with Java's UTF-16
+  // `String.compareTo` fails this property (the r11 ADVICE defect).
+  private val utf8Hostile: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumChar.map(_.toString), Gen.const("\ue000"),
+    Gen.const(new String(Character.toChars(0x1F600))))).map(_.mkString)
+  private def u8le(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) <= 0
+
+  property("file-stats range pruning never drops a file containing a match (lexical, UTF-8 order)") =
     Prop.forAll(
-      Gen.nonEmptyListOf(Gen.alphaNumStr),
-      Gen.option(Gen.alphaNumStr),
-      Gen.option(Gen.alphaNumStr)) { (vals, lo, hi) =>
-      val stats = Map("c" -> graft.etl.FileStats.ColRange(
-        vals.min, vals.max, numeric = false))
+      Gen.nonEmptyListOf(utf8Hostile),
+      Gen.option(utf8Hostile),
+      Gen.option(utf8Hostile)) { (vals, lo, hi) =>
+      // the file's TRUE min/max, as a footer harvests them: byte order
+      val mn = vals.reduce((a, b) => if (u8le(a, b)) a else b)
+      val mx = vals.reduce((a, b) => if (u8le(a, b)) b else a)
+      val stats = Map("c" -> graft.etl.FileStats.ColRange(mn, mx, numeric = false))
       val preds = Seq(graft.etl.FileStats.Range("c", lo, hi))
-      val hasMatch = vals.exists(v => lo.forall(v >= _) && hi.forall(v <= _))
+      val hasMatch = vals.exists(v =>
+        lo.forall(u8le(_, v)) && hi.forall(u8le(v, _)))
       !hasMatch || graft.etl.FileStats.mayMatch(stats, preds)
     }
 

@@ -367,4 +367,107 @@ class SnapshotLakeSpec extends AnyFunSuite {
     assert(SnapshotLake.read(spark, root, Some(1L), mergeSchema = true)
       .columns.toSet == Set("k", "v"))
   }
+
+  // ── concurrent-rewrite conflict fence (round 12) ─────────────────────
+  // The onBeforeCommit seam injects the racing commit BETWEEN candidate
+  // discovery and the CAS attempt — the exact window where round 11's
+  // append-style reconcile would have carried the winner's rewrites as
+  // "racing appends" and duplicated every survivor row of the overlap.
+
+  private def upd(pairs: (Long, String)*) = pairs.toDF("k", "v")
+
+  test("racing merges on overlapping keys: exactly one commits, the loser aborts, zero duplicated rows") {
+    val root = newRoot()
+    for (i <- 0 until 4) // files [0,100) [100,200) [200,300) [300,400)
+      SnapshotLake.append(kv(i * 100L, i * 100L + 100), root, kvIdx)
+    var fired = false
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      SnapshotLake.merge(spark, root, upd(10L -> "A10"), "k", kvIdx,
+        onBeforeCommit = () => if (!fired) {
+          fired = true // key 20 lives in the same [0,100) file as key 10
+          SnapshotLake.merge(spark, root, upd(20L -> "B20"), "k", kvIdx)
+          ()
+        })
+    }
+    assert(ex.getMessage.contains("merge"))
+    assert(SnapshotLake.currentVersion(root).contains(5L),
+      "only the winner committed")
+    val m = SnapshotLake.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = SnapshotLake.read(spark, root).count()
+    assert(n == 400L && m.size == 400, s"no duplicated rows: count=$n")
+    assert(m(20L) == "B20" && m(10L) == "v10",
+      "the winner's rewrite holds; the aborted loser changed nothing")
+  }
+
+  test("racing merges on disjoint files both commit; neither loses the other's rewrite") {
+    val root = newRoot()
+    for (i <- 0 until 4)
+      SnapshotLake.append(kv(i * 100L, i * 100L + 100), root, kvIdx)
+    var fired = false
+    val vA = SnapshotLake.merge(spark, root, upd(10L -> "A10"), "k", kvIdx,
+      onBeforeCommit = () => if (!fired) {
+        fired = true // key 210 lives in [200,300) — disjoint from [0,100)
+        SnapshotLake.merge(spark, root, upd(210L -> "B210"), "k", kvIdx)
+        ()
+      })
+    assert(vA == 6L, "loser of the version race retries and lands after")
+    val m = SnapshotLake.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(SnapshotLake.read(spark, root).count() == 400L && m.size == 400)
+    assert(m(10L) == "A10" && m(210L) == "B210",
+      "both disjoint rewrites survive — reconcile is against the current listing")
+  }
+
+  test("merge aborts when a racing compaction rewrote its touched files; compact aborts on the reverse race") {
+    val root = newRoot()
+    for (i <- 0 until 2)
+      SnapshotLake.append(kv(i * 100L, i * 100L + 100), root, kvIdx)
+    var fired = false
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLake.merge(spark, root, upd(10L -> "A10"), "k", kvIdx,
+        onBeforeCommit = () => if (!fired) {
+          fired = true; SnapshotLake.compact(spark, root); ()
+        })
+    }
+    assert(rows2(root).size == 200 && rows2(root)(10L) == "v10")
+    // reverse: a merge lands while a compaction is rewriting
+    var fired2 = false
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLake.compact(spark, root,
+        onBeforeCommit = () => if (!fired2) {
+          fired2 = true
+          SnapshotLake.merge(spark, root, upd(10L -> "M10"), "k", kvIdx)
+          ()
+        })
+    }
+    val m = rows2(root)
+    assert(m.size == 200 && m(10L) == "M10",
+      "the merge's rewrite holds; the aborted compaction changed nothing")
+    assert(SnapshotLake.read(spark, root).count() == 200L, "no duplicated rows")
+  }
+
+  test("mergeOnce same-tag zombie replay yields inside the CAS loop instead of double-applying") {
+    val root = newRoot()
+    SnapshotLake.append(kv(0, 100), root, kvIdx)
+    var fired = false
+    var innerV = -1L
+    val outerV = SnapshotLake.mergeOnce(spark, root, upd(10L -> "X10"),
+      "k", tag = "cdc-b7", index = kvIdx,
+      onBeforeCommit = () => if (!fired) {
+        fired = true // the successor replay races past the zombie
+        innerV = SnapshotLake.mergeOnce(spark, root, upd(10L -> "X10"),
+          "k", tag = "cdc-b7", index = kvIdx)
+        ()
+      })
+    assert(innerV == 2L && outerV == 2L,
+      "the zombie returns the successor's version — the merge applied once")
+    assert(SnapshotLake.currentVersion(root).contains(2L))
+    assert(SnapshotLake.read(spark, root).count() == 100L)
+    assert(rows2(root)(10L) == "X10")
+  }
+
+  private def rows2(root: String): Map[Long, String] =
+    SnapshotLake.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
 }
