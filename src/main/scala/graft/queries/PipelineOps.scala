@@ -95,14 +95,69 @@ object PipelineOps {
         .head.getAs[Array[Byte]]("bf")
     }
 
+  /** Quantizer-cell schedule for [[knnGraphStats]]'s candidate routing —
+    * THE fix for r11's one measured superlinear query. The `label` column
+    * has FIXED cardinality, so label-only cells grow linearly with the
+    * corpus and the within-cell all-pairs join is Σ|cell|² — quadratic
+    * (measured 666× wall at 100× data). Routing candidate generation
+    * through (label × trained-quantizer cell) with the cell count
+    * PROPORTIONAL to the corpus keeps expected cell population bounded,
+    * so pair mass ≈ n · |cell| stays linear — exactly the q170 SemDeDup
+    * scale story ("k grows with the corpus so cells stay bounded")
+    * applied to the kNN graph. Within a composed cell the top-k is still
+    * exact; beyond one cell the graph is the standard IVF-routed
+    * approximation every production kNN-graph builder ships.
+    *
+    * Determinism contract (the [[Ann.lshParams]] trade): at every oracle
+    * scale (n ≤ [[KnnQuantTarget]]) this resolves to ONE cell — the
+    * label-only form the static oracle SQL replays bit-for-bit — and the
+    * adaptivity engages only beyond oracle scale. Schedule-pinned in
+    * PipelineOpsSpec. */
+  val KnnQuantTarget = 4000L
+  val KnnQuantIters = 2
+  def knnQuantCells(n: Long): Int = {
+    // overflow-safe ceiling division (n + T − 1 wraps near Long.MaxValue)
+    val c = n / KnnQuantTarget + (if (n % KnnQuantTarget == 0) 0 else 1)
+    math.min(4096L, math.max(1L, c)).toInt
+  }
+
   /** The q198 operator over any (id, vec, label) relation: per-cell exact
     * kNN edges (top-`k` cosine within the `label` cell, ties by id),
     * reduced to per-cell graph statistics — node count, directed edge
     * count, mutual (reciprocated) pair count, and the exact integer sum
-    * of mutual cosine micros. */
-  def knnGraphStats(e: DataFrame, k: Int): DataFrame = {
-    val scored = e.select(col("id").as("cid"), col("vec").as("cv"), col("label"))
-      .join(e.select(col("id").as("qid"), col("vec").as("qv"), col("label")), Seq("label"))
+    * of mutual cosine micros. Candidate generation routes through
+    * (label × quantizer cell) per [[knnQuantCells]]; the reported graph
+    * statistics stay keyed by label. */
+  def knnGraphStats(e: DataFrame, k: Int): DataFrame =
+    knnGraphStats(e, k, knnQuantCells(e.count()))
+
+  /** [[knnGraphStats]] with the quantizer-cell count explicit — the seam
+    * the spec uses to exercise the multi-cell routing at test scale. */
+  def knnGraphStats(e: DataFrame, k: Int, cells: Int): DataFrame = {
+    val routed =
+      if (cells <= 1) e.withColumn("qcell", lit(0L))
+      else {
+        // Train the coarse quantizer on the corpus itself (q165's Lloyd
+        // machinery, exact integer micro-space) and collect the k·dim-long
+        // codebook — a model artifact, bounded driver state (the q170 /
+        // BPE-table precedent) — so assignment re-broadcasts a local
+        // relation with no training lineage.
+        val vecs = Ann.quantized(e.select(col("id"), col("vec")))
+          .withColumn("g", lit(0L)).select("g", "id", "x")
+        val trained = Ann.lloyd(vecs, cells, KnnQuantIters)
+        val codebook = trained.collect().toSeq.map(r =>
+          (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+        trained.unpersist()
+        val s = e.sparkSession
+        import s.implicits._
+        val asg = Ann.assignCells(vecs, codebook.toDF("g", "cell", "c"))
+          .select(col("id"), col("cell").as("qcell"))
+        e.join(asg, "id")
+      }
+    val scored = routed.select(col("id").as("cid"), col("vec").as("cv"),
+        col("label"), col("qcell"))
+      .join(routed.select(col("id").as("qid"), col("vec").as("qv"),
+        col("label"), col("qcell")), Seq("label", "qcell"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid").as("key"), col("cid").as("id"),
         Ann.cosMicros(col("qv"), col("cv")).as("score"))
@@ -239,10 +294,13 @@ object PipelineOps {
     },
 
     // ── Mutual-kNN graph over the embedding lake: each vector's exact
-    //    top-3 cosine neighbors WITHIN its coarse cell (here the label
-    //    column; at scale the trained quantizer cell of q165-q167 — the
-    //    routing that keeps the self-join per-cell instead of corpus²),
-    //    then the graph statistics diversity sampling and graph
+    //    top-3 cosine neighbors WITHIN its coarse cell — (label ×
+    //    trained quantizer cell), where knnQuantCells sizes the trained
+    //    cells to the corpus (1 cell ⇒ label-only at every oracle scale,
+    //    the form the SQL replays; the quantizer routing engages beyond,
+    //    keeping the self-join per-cell instead of corpus² — the r11
+    //    666×-at-100× fix), then the graph statistics diversity
+    //    sampling and graph
     //    clustering start from: directed edge count, mutual
     //    (reciprocated) pair count, and the exact integer sum of mutual
     //    cosines. Plan: one equi-join on the cell key (never a cartesian),

@@ -104,6 +104,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(0)._4 == expected, s"got ${out(0)._4}, want $expected")
   }
 
+  test("knn quantizer schedule: label-only at every oracle scale, cells ∝ corpus beyond") {
+    // The lshParams-style determinism pin: every SF the oracle ever runs
+    // (embeddings ≤ 2000 rows at sf0.1, and the sf0.01 gate far below)
+    // MUST resolve to one cell — the label-only form the static SQL
+    // replays — while 100×-scale corpora get proportionally many cells,
+    // bounding per-cell population (the r11 666×-at-100× fix).
+    assert(PipelineOps.knnQuantCells(60) == 1)
+    assert(PipelineOps.knnQuantCells(2000) == 1)
+    assert(PipelineOps.knnQuantCells(PipelineOps.KnnQuantTarget) == 1)
+    assert(PipelineOps.knnQuantCells(PipelineOps.KnnQuantTarget + 1) == 2)
+    assert(PipelineOps.knnQuantCells(200000) == 50,
+      "100×-audit corpus (200k vectors) routes through ~50 trained cells")
+    assert(PipelineOps.knnQuantCells(Long.MaxValue) == 4096, "cell-count cap")
+  }
+
+  test("knn graph via quantizer routing: node accounting intact, per-node degree bounded") {
+    // Exercise the multi-cell path (Lloyd training + assignment + the
+    // (label × qcell) composed join) at test scale through the explicit
+    // seam. Exactness of edges within a cell is knnGraphStats's contract;
+    // here we pin the structural invariants routing must preserve: every
+    // node appears exactly once across label cells, each contributes ≤ k
+    // directed edges, and mutual pairs never exceed edges/2.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 60L).map { i =>
+      (i, v(rnd.nextDouble(), rnd.nextDouble(), rnd.nextDouble(), rnd.nextDouble()), (i % 2).toInt)
+    }
+    val e = rows.toDF("id", "vec", "label")
+    val out = PipelineOps.knnGraphStats(e, 2, cells = 4).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(0, 1))
+    assert(out.values.map(_._1).sum == 60L, "every vector is a node in exactly one label cell")
+    out.foreach { case (lbl, (nodes, edges, mutual)) =>
+      assert(edges <= nodes * 2, s"label $lbl: degree bound k=2 violated")
+      assert(mutual * 2 <= edges, s"label $lbl: mutual pairs exceed edge pairs")
+    }
+  }
+
   test("bloom: no false negatives, and real pruning on disjoint probes") {
     import graft.functions.BloomOps
     val n = 5000L
