@@ -17,16 +17,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *   - DATA is immutable: every commit writes its parquet files into a
   *     fresh `data/<uuid>/` directory and never touches existing files.
-  *   - A VERSION is a manifest: `_manifests/v%09d.json` holding the FULL
-  *     file listing of that snapshot. Readers resolve one manifest and
-  *     read exactly its files — no directory listing of data, so there is
-  *     no torn state to observe, ever.
-  *   - COMMIT is compare-and-swap: the manifest is written to a temp name
+  *   - A VERSION is a LOG RECORD: `_manifests/v%09d.json` holding the
+  *     COMMIT'S CHANGE — files added/removed, tombstone files
+  *     added/removed — never the full listing, so commit bytes are
+  *     O(change) however many files the table holds (the Delta
+  *     `_delta_log` shape; round 11 wrote the full listing per commit,
+  *     O(files) per CAS attempt). Every [[CkptEvery]]-th commit also
+  *     publishes a CHECKPOINT (`v%09d.ckpt.json`) with the full resolved
+  *     state plus the idempotence-tag index; readers resolve a version by
+  *     loading the nearest checkpoint at-or-below it and replaying ≤
+  *     CkptEvery delta records forward — O(1) amortized reads, and the
+  *     same bound makes the [[appendOnce]]/[[mergeOnce]] tag probe O(1)
+  *     instead of O(versions) per micro-batch.
+  *   - COMMIT is compare-and-swap: the record is written to a temp name
   *     and published with `Files.createLink` (POSIX link(2)), which fails
   *     atomically with EEXIST if the version was taken. A loser re-reads
   *     the new head, reconciles, and retries — optimistic concurrency,
   *     never a lock. (An atomic rename would silently REPLACE an
   *     existing version on POSIX; link is the create-if-absent primitive.)
+  *     Checkpoints ride the same link(2) primitive — their content is a
+  *     pure function of the log, so racing checkpoint writers publish
+  *     identical state and EEXIST is simply ignored.
   *   - COMPACTION commits a logical no-op: the rewritten files replace the
   *     base snapshot's, and any files appended by commits that raced past
   *     the compactor's base version are carried over by the reconcile step
@@ -45,44 +56,183 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[compact]]), the DV-aware [[changeFeed]], commit metadata
   * ([[history]]), and schema-on-read evolution (`read(mergeSchema)`).
   *
-  * At 100 TB the mechanics are identical; the things that grow are the
-  * manifest (solved by chunked/partitioned manifests exactly as Iceberg
-  * splits manifest lists — the commit primitive does not change) and the
-  * retention policy (vacuum must out-run nothing: a reader pins a version
-  * by holding its manifest, so retention = max query runtime, the same
-  * contract Delta's VACUUM documents).
+  * At 100 TB the mechanics are identical; commit cost is O(change) by
+  * construction (log records), resolution O(checkpoint + CkptEvery), and
+  * what remains is the retention policy (vacuum must out-run nothing: a
+  * reader pins a version by holding its checkpoint + records, so
+  * retention = max query runtime, the same contract Delta's VACUUM
+  * documents; [[vacuum]] materializes a checkpoint at the cutoff before
+  * dropping older log records, and prunes idempotence tags below the
+  * cutoff with it — retention IS the replay horizon).
   */
 object SnapshotLake {
 
   private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
   private def versionFile(root: String, v: Long): Path =
     manifestDir(root).resolve(f"v$v%09d.json")
+  private def ckptFile(root: String, v: Long): Path =
+    manifestDir(root).resolve(f"v$v%09d.ckpt.json")
 
-  /** Highest committed version, if any commit exists. A manifest is
+  /** Log records between checkpoints — the resolution walk's bound (and
+    * with it the tag-probe cost). Delta's default is 10 commits for the
+    * same reason: records stay tiny, checkpoints stay rare. */
+  private val CkptEvery = 10L
+
+  /** Count of manifest-file reads (records + checkpoints) — the
+    * observable the log-structure spec pins: a tag probe or version
+    * resolution must cost O(CkptEvery) reads, never O(versions). */
+  private[etl] val manifestReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** Highest committed version, if any commit exists. A record is
     * visible if and only if its link exists — links appear atomically with
     * their full content, so this listing can never observe a torn
-    * manifest. */
+    * record. */
   def currentVersion(root: String): Option[Long] = {
     val dir = manifestDir(root)
     if (!Files.isDirectory(dir)) return None
     val s = Files.list(dir)
     val vs =
       try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .filter(n => n.startsWith("v") && n.endsWith(".json") &&
+          !n.endsWith(".ckpt.json"))
         .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
         .toVector
       finally s.close()
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** The file listing of version `v` (paths relative to `root`). */
-  def files(root: String, v: Long): Seq[String] = {
+  /** The resolved snapshot of one version: its full file listing and its
+    * live key-tombstone (deletion-vector) files, both in commit order. */
+  private final case class LakeState(files: Vector[String],
+                                     deletes: Vector[String])
+  private val EmptyState = LakeState(Vector.empty, Vector.empty)
+
+  /** One parsed log record. `legacyFull` carries the full listing of a
+    * round-11-format manifest (which stored state, not change) so
+    * pre-log-structure lakes stay readable: such a record IS its own
+    * resolution base. */
+  private final case class Record(version: Long, op: String, base: Long,
+      tag: Option[String], addedRows: Long,
+      add: Seq[String], remove: Seq[String],
+      addDel: Seq[String], removeDel: Seq[String],
+      legacyFull: Option[LakeState])
+
+  // minimal parsers of our own writer's format (uuid-based paths and
+  // quote-free tags — nothing needing escape can reach these fields)
+  private def arrField(json: String, key: String): Seq[String] = {
+    val mark = s""""$key":["""
+    val i = json.indexOf(mark)
+    if (i < 0) Seq.empty
+    else {
+      val body = json.substring(i + mark.length)
+      val arr = body.substring(0, body.indexOf(']'))
+      if (arr.trim.isEmpty) Seq.empty
+      else arr.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+  }
+  private def strField(json: String, key: String): Option[String] = {
+    val mark = s""""$key":""""
+    val i = json.indexOf(mark)
+    if (i < 0) None
+    else {
+      val rest = json.substring(i + mark.length)
+      Some(rest.substring(0, rest.indexOf('"')))
+    }
+  }
+  private def longField(json: String, key: String): Long = {
+    val mark = s""""$key":"""
+    val i = json.indexOf(mark)
+    if (i < 0) -1L
+    else json.substring(i + mark.length)
+      .takeWhile(c => c.isDigit || c == '-').toLong
+  }
+
+  private def readRecord(root: String, v: Long): Record = {
+    manifestReads.incrementAndGet()
     val json = Files.readString(versionFile(root, v))
-    // minimal parse of our own writer's format: "files":["a","b",...]
-    val body = json.substring(json.indexOf("\"files\":[") + 9)
-    val arr = body.substring(0, body.indexOf("]"))
-    if (arr.trim.isEmpty) Seq.empty
-    else arr.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    val legacy =
+      if (json.contains(""""files":[""")) // round-11 full-state manifest
+        Some(LakeState(arrField(json, "files").toVector,
+          arrField(json, "deletes").toVector))
+      else None
+    Record(v, strField(json, "op").getOrElse("?"), longField(json, "base"),
+      strField(json, "tag"), longField(json, "addedRows"),
+      arrField(json, "add"), arrField(json, "remove"),
+      arrField(json, "addDel"), arrField(json, "removeDel"), legacy)
+  }
+
+  private def readCkpt(root: String, v: Long): (LakeState, Map[String, Long]) = {
+    manifestReads.incrementAndGet()
+    val json = Files.readString(ckptFile(root, v))
+    val tags = {
+      val i = json.indexOf(""""tags":{""")
+      if (i < 0) Map.empty[String, Long]
+      else {
+        val body = json.substring(i + 8, json.indexOf('}', i))
+        """"([^"]*)":(\d+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toLong).toMap
+      }
+    }
+    (LakeState(arrField(json, "files").toVector,
+      arrField(json, "deletes").toVector), tags)
+  }
+
+  private def applyRec(s: LakeState, r: Record): LakeState =
+    r.legacyFull.getOrElse {
+      val rm = r.remove.toSet
+      val rd = r.removeDel.toSet
+      LakeState(s.files.filterNot(rm) ++ r.add,
+        s.deletes.filterNot(rd) ++ r.addDel)
+    }
+
+  /** Resolve version `v`: nearest checkpoint at-or-below (or the empty
+    * pre-v1 state, or a legacy full-state record), then replay the delta
+    * records forward — ≤ [[CkptEvery]] manifest reads on a checkpointed
+    * log. Also accumulates the idempotence-tag index ([[findTag]],
+    * checkpoint writing). Throws NoSuchFileException for versions
+    * vacuumed out of retention, as the full-listing scheme did. */
+  private def resolve(root: String, v: Long): (LakeState, Map[String, Long]) = {
+    var pending = List.empty[Record]
+    var cur = v
+    var base: Option[(LakeState, Map[String, Long])] = None
+    while (base.isEmpty) {
+      if (cur == 0L) base = Some((EmptyState, Map.empty))
+      else if (Files.exists(ckptFile(root, cur))) base = Some(readCkpt(root, cur))
+      else {
+        val r = readRecord(root, cur)
+        pending ::= r // walk is newest→oldest; prepend keeps replay order
+        if (r.legacyFull.isDefined) base = Some((EmptyState, Map.empty))
+        else cur -= 1
+      }
+    }
+    val (s0, t0) = base.get
+    val st = pending.foldLeft(s0)(applyRec)
+    val tags = t0 ++ pending.flatMap(r => r.tag.map(_ -> r.version))
+    (st, tags)
+  }
+
+  /** The file listing of version `v` (paths relative to `root`). */
+  def files(root: String, v: Long): Seq[String] = resolve(root, v)._1.files
+
+  /** Publish the full resolved state of `v` (plus the tag index) as a
+    * checkpoint, via the same link(2) create-if-absent primitive as
+    * commits — content is a pure function of the log, so a racing
+    * publisher's EEXIST is ignored. `pruneTagsBelow` drops tag entries
+    * older than a vacuum cutoff (retention = replay horizon). */
+  private def writeCheckpoint(root: String, v: Long,
+                              pruneTagsBelow: Long = 0L): Unit = {
+    if (Files.exists(ckptFile(root, v))) return
+    val (st, tags) = resolve(root, v)
+    def arr(xs: Seq[String]) = xs.map(f => s""""$f"""").mkString("[", ",", "]")
+    val kept = tags.toSeq.filter(_._2 >= pruneTagsBelow).sortBy(_._1)
+    val json = s"""{"version":$v,"files":${arr(st.files)},""" +
+      s""""deletes":${arr(st.deletes)},""" +
+      s""""tags":{${kept.map { case (t, tv) => s""""$t":$tv""" }.mkString(",")}}}"""
+    val tmp = manifestDir(root).resolve(s".tmp-ck-${UUID.randomUUID()}")
+    Files.writeString(tmp, json)
+    try { Files.createLink(ckptFile(root, v), tmp); () }
+    catch { case _: FileAlreadyExistsException => () }
+    finally { Files.deleteIfExists(tmp); () }
   }
 
   /** Read a snapshot: the pinned `version`, or the latest at resolution
@@ -125,8 +275,8 @@ object SnapshotLake {
     while (committed < 0) {
       val cur = currentVersion(root).getOrElse(
         throw new IllegalStateException(s"nothing to delete from at $root"))
-      if (tryCommit(root, cur + 1, files(root, cur), "delete", cur,
-          addedRows = 0L, deletes = deletesOf(root, cur) ++ newTombs))
+      if (tryCommit(root, cur + 1, "delete", cur,
+          addedRows = 0L, addDel = newTombs))
         committed = cur + 1
     }
     committed
@@ -178,17 +328,8 @@ object SnapshotLake {
 
   /** The key-tombstone (deletion-vector) files live in version `v`, if
     * any — merge-on-read state the readers must anti-join away. */
-  def deletesOf(root: String, v: Long): Seq[String] = {
-    val json = Files.readString(versionFile(root, v))
-    val i = json.indexOf("\"deletes\":[")
-    if (i < 0) Seq.empty
-    else {
-      val body = json.substring(i + 11)
-      val arr = body.substring(0, body.indexOf("]"))
-      if (arr.trim.isEmpty) Seq.empty
-      else arr.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    }
-  }
+  def deletesOf(root: String, v: Long): Seq[String] =
+    resolve(root, v)._1.deletes
 
   /** Anti-join version `v`'s live tombstones (if any) out of `df` — the
     * merge-on-read read cost every reader of that version pays until a
@@ -207,47 +348,61 @@ object SnapshotLake {
 
   /** Newest live version whose commit carries idempotence tag `tag`, if
     * any — the probe [[appendOnce]]/[[mergeOnce]] (and [[merge]]'s
-    * in-loop recheck) use to make replays no-ops. */
-  private def findTag(root: String, tag: String): Option[Long] =
-    currentVersion(root).flatMap { cur =>
-      (cur to 1L by -1L).find(v =>
-        Files.exists(versionFile(root, v)) && tagOf(root, v).contains(tag))
+    * in-loop recheck) use to make replays no-ops. Walks head-down through
+    * the ≤ [[CkptEvery]] records above the nearest checkpoint, then
+    * answers from that checkpoint's tag INDEX — O(1) amortized manifest
+    * reads per probe, where the round-11 scan re-read O(versions)
+    * manifests per micro-batch (O(batches²) over a CDC stream's life).
+    * Tags pruned by a vacuum cutoff read as absent — the documented
+    * retention-vs-replay-horizon contract. */
+  private def findTag(root: String, tag: String): Option[Long] = {
+    val head = currentVersion(root).getOrElse(return None)
+    var v = head
+    while (v >= 1L) {
+      if (Files.exists(ckptFile(root, v)))
+        return readCkpt(root, v)._2.get(tag) // index covers everything ≤ v
+      if (!Files.exists(versionFile(root, v)))
+        return None // out of retention with no checkpoint: tag forgotten
+      val r = readRecord(root, v)
+      if (r.tag.contains(tag)) return Some(v)
+      // legacy full-state records resolve state but carry no tag index —
+      // keep walking record-by-record, the pre-log-structure cost
+      v -= 1
     }
-
-  /** The idempotence tag of version `v`, if its commit carried one. */
-  def tagOf(root: String, v: Long): Option[String] = {
-    val json = Files.readString(versionFile(root, v))
-    val i = json.indexOf("\"tag\":\"")
-    if (i < 0) None
-    else {
-      val rest = json.substring(i + 7)
-      Some(rest.substring(0, rest.indexOf("\"")))
-    }
+    None
   }
 
-  /** Publish `(version → fileList)` if and only if `version` is still
-    * free. True on success; false means another writer won the version. */
-  private def tryCommit(root: String, version: Long, fileList: Seq[String],
-                        op: String, base: Long,
+  /** The idempotence tag of version `v`, if its commit carried one. */
+  def tagOf(root: String, v: Long): Option[String] =
+    readRecord(root, v).tag
+
+  /** Publish version `version`'s CHANGE record if and only if the version
+    * is still free. True on success; false means another writer won the
+    * version. Record bytes are O(this commit's change), never O(table) —
+    * and every [[CkptEvery]]-th successful commit also publishes the
+    * checkpoint future resolutions and tag probes start from. */
+  private def tryCommit(root: String, version: Long, op: String, base: Long,
                         tag: Option[String] = None,
                         addedRows: Long = -1L,
-                        deletes: Seq[String] = Nil): Boolean = {
+                        add: Seq[String] = Nil, remove: Seq[String] = Nil,
+                        addDel: Seq[String] = Nil,
+                        removeDel: Seq[String] = Nil): Boolean = {
     Files.createDirectories(manifestDir(root))
+    def arr(xs: Seq[String]) = xs.map(f => s""""$f"""").mkString("[", ",", "]")
     val tagField = tag.map(t => s""""tag":"$t",""").getOrElse("")
     val rowsField = if (addedRows >= 0) s""""addedRows":$addedRows,""" else ""
-    // "deletes" (key-tombstone files, merge-on-read) trails "files" so the
-    // substring parsers for each stay independent
-    val delField =
-      if (deletes.isEmpty) ""
-      else deletes.map(f => s""""$f"""").mkString(""","deletes":[""", ",", "]")
-    val json = fileList.map(f => s""""$f"""").mkString(
-      s"""{"version":$version,"op":"$op",$tagField$rowsField"base":$base,"files":[""",
-      ",", s"]$delField}")
+    val json =
+      s"""{"version":$version,"op":"$op",$tagField$rowsField"base":$base,""" +
+        s""""add":${arr(add)},"remove":${arr(remove)},""" +
+        s""""addDel":${arr(addDel)},"removeDel":${arr(removeDel)}}"""
     val tmp = manifestDir(root).resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, json)
-    try { Files.createLink(versionFile(root, version), tmp); true }
-    catch { case _: FileAlreadyExistsException => false }
-    finally { Files.deleteIfExists(tmp); () }
+    val won =
+      try { Files.createLink(versionFile(root, version), tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+      finally { Files.deleteIfExists(tmp); () }
+    if (won && version % CkptEvery == 0L) writeCheckpoint(root, version)
+    won
   }
 
   /** Append `df` as a new snapshot version: new data files + (current
@@ -260,11 +415,11 @@ object SnapshotLake {
     var committed = -1L
     while (committed < 0) {
       val cur = currentVersion(root)
-      val baseFiles = cur.map(files(root, _)).getOrElse(Seq.empty)
       val next = cur.getOrElse(0L) + 1
-      if (tryCommit(root, next, baseFiles ++ w.files, "append",
-          cur.getOrElse(0L), addedRows = w.rows,
-          deletes = cur.map(deletesOf(root, _)).getOrElse(Seq.empty)))
+      // O(change): the record lists only this commit's files — no state
+      // resolution on the append path at all
+      if (tryCommit(root, next, "append", cur.getOrElse(0L),
+          addedRows = w.rows, add = w.files))
         committed = next
     }
     committed
@@ -298,11 +453,9 @@ object SnapshotLake {
                                    // data files are orphans for vacuum
           case None =>
             val cur = currentVersion(root)
-            val baseFiles = cur.map(files(root, _)).getOrElse(Seq.empty)
-            if (tryCommit(root, cur.getOrElse(0L) + 1, baseFiles ++ w.files,
-                "append", cur.getOrElse(0L), Some(tag),
-                addedRows = w.rows,
-                deletes = cur.map(deletesOf(root, _)).getOrElse(Seq.empty)))
+            if (tryCommit(root, cur.getOrElse(0L) + 1, "append",
+                cur.getOrElse(0L), Some(tag),
+                addedRows = w.rows, add = w.files))
               committed = cur.getOrElse(0L) + 1
         }
       }
@@ -341,14 +494,14 @@ object SnapshotLake {
       // winner's replacement too would duplicate every survivor row.
       // Append-only races never remove files, so they never trip this.
       abortIfRemoved(root, baseV, cur, baseFiles, curFiles, "compact")
-      // reconcile: files added by commits that raced past baseV survive
-      val added = curFiles.filterNot(baseFiles.toSet)
-      // ... and tombstones committed since baseV are carried live (they
-      // may hit racing appends and the rewrite alike — key tombstones
-      // are file-agnostic, so carrying them stays correct)
-      val racing = deletesOf(root, cur).filterNot(baseDeletes.toSet)
-      if (tryCommit(root, cur + 1, rewritten ++ added, "compact", baseV,
-          addedRows = 0L, deletes = racing))
+      // Delta record: base files out, rewrite in. Reconciliation is
+      // structural — files added by racing commits simply aren't in
+      // `remove`, and tombstones committed since baseV aren't in
+      // `removeDel`, so both survive (key tombstones are file-agnostic,
+      // so carrying them stays correct); the base tombstones the rewrite
+      // materialized come out.
+      if (tryCommit(root, cur + 1, "compact", baseV, addedRows = 0L,
+          add = rewritten, remove = baseFiles, removeDel = baseDeletes))
         committed = cur + 1
     }
     committed
@@ -404,9 +557,10 @@ object SnapshotLake {
       val curFiles = files(root, cur)
       // read set = the small files only; disjoint racing rewrites survive
       abortIfRemoved(root, baseV, cur, small, curFiles, "compactSmall")
-      val kept = curFiles.filterNot(small.toSet) // racing appends kept
-      if (tryCommit(root, cur + 1, kept ++ rewritten, "compact", baseV,
-          addedRows = 0L, deletes = deletesOf(root, cur)))
+      // racing appends survive structurally (absent from `remove`);
+      // deletion vectors are carried live in full (no del delta)
+      if (tryCommit(root, cur + 1, "compact", baseV, addedRows = 0L,
+          add = rewritten, remove = small))
         committed = cur + 1
     }
     committed
@@ -442,10 +596,8 @@ object SnapshotLake {
       val cur = currentVersion(root).get
       val curFiles = files(root, cur)
       abortIfRemoved(root, baseV, cur, baseFiles, curFiles, "compactZOrder")
-      val added = curFiles.filterNot(baseFiles.toSet)
-      val racing = deletesOf(root, cur).filterNot(baseDeletes.toSet)
-      if (tryCommit(root, cur + 1, rewritten ++ added, "compact", baseV,
-          addedRows = 0L, deletes = racing))
+      if (tryCommit(root, cur + 1, "compact", baseV, addedRows = 0L,
+          add = rewritten, remove = baseFiles, removeDel = baseDeletes))
         committed = cur + 1
     }
     committed
@@ -592,14 +744,13 @@ object SnapshotLake {
       val curFiles = files(root, cur)
       // read set = the touched candidates; see [[abortIfRemoved]]
       abortIfRemoved(root, baseV, cur, touched, curFiles, "merge")
-      // Reconcile against the CURRENT listing: racing appends and racing
-      // DISJOINT rewrites both survive (their files are in curFiles,
-      // their removed files are not — carrying baseFiles here instead
-      // would resurrect what a disjoint winner removed).
-      if (tryCommit(root, cur + 1, curFiles.filterNot(touched.toSet)
-            ++ rewritten.files,
-          "merge", baseV, tag, addedRows = rewritten.rows,
-          deletes = deletesOf(root, cur))) // tombstone-wins (see deleteWhere)
+      // Delta record: touched files out, rewrite in. Racing appends and
+      // racing DISJOINT rewrites survive structurally (their files are
+      // simply not in `remove`), and live tombstones are carried —
+      // tombstone-wins (see deleteWhere).
+      if (tryCommit(root, cur + 1, "merge", baseV, tag,
+          addedRows = rewritten.rows,
+          add = rewritten.files, remove = touched))
         committed = cur + 1
     }
     committed
@@ -774,23 +925,8 @@ object SnapshotLake {
   def history(root: String): Seq[CommitInfo] = {
     val cur = currentVersion(root).getOrElse(return Seq.empty)
     (1L to cur).filter(v => Files.exists(versionFile(root, v))).map { v =>
-      val json = Files.readString(versionFile(root, v))
-      def longField(k: String): Long = {
-        val i = json.indexOf(s""""$k":""")
-        if (i < 0) -1L
-        else json.substring(i + k.length + 3)
-          .takeWhile(c => c.isDigit || c == '-').toLong
-      }
-      def strField(k: String): Option[String] = {
-        val i = json.indexOf(s""""$k":"""")
-        if (i < 0) None
-        else {
-          val rest = json.substring(i + k.length + 4)
-          Some(rest.substring(0, rest.indexOf('"')))
-        }
-      }
-      CommitInfo(v, strField("op").getOrElse("?"), longField("base"),
-        strField("tag"), files(root, v).size, longField("addedRows"))
+      val r = readRecord(root, v)
+      CommitInfo(v, r.op, r.base, r.tag, files(root, v).size, r.addedRows)
     }
   }
 
@@ -809,19 +945,37 @@ object SnapshotLake {
   def vacuum(root: String, keepVersions: Int, orphanGraceMs: Long = 0L): Unit = {
     val cur = currentVersion(root).getOrElse(return)
     val cutoff = math.max(1L, cur - keepVersions + 1)
+    // The oldest retained version must stay resolvable once the log
+    // records below it are gone: materialize its checkpoint FIRST.
+    // Idempotence tags below the cutoff are pruned with it — retention
+    // IS the replay horizon (the documented vacuum-vs-checkpoint
+    // contract: a writer replaying a batch older than retention would
+    // double-append with the full listing scheme too).
+    writeCheckpoint(root, cutoff, pruneTagsBelow = cutoff)
     val dir = manifestDir(root)
     val s = Files.list(dir)
     val old =
       try s.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
         n.startsWith("v") && n.endsWith(".json") &&
-          n.stripPrefix("v").stripSuffix(".json").toLong < cutoff
+          n.stripPrefix("v").stripSuffix(".json")
+            .stripSuffix(".ckpt").toLong < cutoff
       }.toVector
       finally s.close()
     old.foreach(Files.deleteIfExists(_))
-    val retained = (cutoff to cur)
-      .filter(v => Files.exists(versionFile(root, v))) // earlier vacuums
-      .flatMap(v => files(root, v) ++ deletesOf(root, v)).toSet
+    // References of every retained version: resolve the cutoff once,
+    // then accumulate the forward deltas — never a per-version
+    // re-resolution.
+    val retained = {
+      val base = resolve(root, cutoff)._1
+      var acc = base.files.toSet ++ base.deletes.toSet
+      for (v <- cutoff + 1 to cur; if Files.exists(versionFile(root, v))) {
+        val r = readRecord(root, v)
+        acc ++= r.legacyFull.map(st => st.files ++ st.deletes)
+          .getOrElse(r.add ++ r.addDel)
+      }
+      acc
+    }
     val dataRoot = Paths.get(root, "data")
     if (!Files.isDirectory(dataRoot)) return
     val deadline = System.currentTimeMillis() - orphanGraceMs

@@ -470,4 +470,93 @@ class SnapshotLakeSpec extends AnyFunSuite {
   private def rows2(root: String): Map[Long, String] =
     SnapshotLake.read(spark, root)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  // ── log-structured manifests + indexed tags (round 12) ───────────────
+
+  private def recordPath(root: String, v: Long) =
+    java.nio.file.Paths.get(root, "_manifests", f"v$v%09d.json")
+  private def ckptPath(root: String, v: Long) =
+    java.nio.file.Paths.get(root, "_manifests", f"v$v%09d.ckpt.json")
+
+  test("commit records are O(change) over a 120-commit history; resolution rides checkpoints") {
+    val root = newRoot()
+    for (i <- 0 until 120)
+      SnapshotLake.append(Seq(i.toLong).toDF("x"), root)
+    // every log record lists ONE added file + fixed fields — its size
+    // must not grow with the version (the full-listing scheme's v120
+    // manifest was ~120 paths ≈ 6 KB and grew linearly)
+    val sizes = (1L to 120L).map(v => Files.size(recordPath(root, v)))
+    assert(sizes.max < 1024,
+      s"a log record grew with table size: max=${sizes.max} bytes")
+    assert(math.abs(sizes.last - sizes.head) < 128,
+      "first and last record must cost the same bytes")
+    // checkpoints at every CkptEvery-th commit
+    assert(Files.exists(ckptPath(root, 120L)) && Files.exists(ckptPath(root, 110L)))
+    assert(!Files.exists(ckptPath(root, 119L)))
+    // resolving a version costs O(CkptEvery) manifest reads, not O(v)
+    SnapshotLake.manifestReads.set(0L)
+    assert(SnapshotLake.files(root, 117L).size == 117)
+    assert(SnapshotLake.manifestReads.get() <= 11,
+      s"resolution read ${SnapshotLake.manifestReads.get()} manifests for v117")
+    // full read still sees every row
+    assert(SnapshotLake.read(spark, root).count() == 120L)
+  }
+
+  test("tag probe answers from the checkpoint index in O(1) reads, not O(versions)") {
+    val root = newRoot()
+    for (i <- 0 until 123)
+      SnapshotLake.appendOnce(Seq(i.toLong).toDF("x"), root, s"b$i")
+    SnapshotLake.manifestReads.set(0L)
+    // a replay of micro-batch 5 (tag landed at version 6, far below the
+    // nearest checkpoint) must resolve through the tag INDEX
+    val v = SnapshotLake.appendOnce(Seq(5L).toDF("x"), root, "b5")
+    assert(v == 6L, "replayed tag resolves to its original version")
+    assert(SnapshotLake.manifestReads.get() <= 14,
+      s"tag probe read ${SnapshotLake.manifestReads.get()} manifests " +
+        "(round-11 scan cost would be ~123)")
+    assert(SnapshotLake.currentVersion(root).contains(123L), "no new commit")
+  }
+
+  test("vacuum materializes the cutoff checkpoint, prunes tags below it, keeps the window readable") {
+    val root = newRoot()
+    for (i <- 0 until 25)
+      SnapshotLake.appendOnce(Seq(i.toLong).toDF("x"), root, s"t$i")
+    SnapshotLake.vacuum(root, keepVersions = 5)
+    // cutoff = 21: checkpoint materialized there, older records gone
+    assert(Files.exists(ckptPath(root, 21L)))
+    assert(!Files.exists(recordPath(root, 20L)))
+    assert(SnapshotLake.files(root, 21L).size == 21)
+    assert(SnapshotLake.read(spark, root, Some(21L)).count() == 21L)
+    assert(SnapshotLake.read(spark, root).count() == 25L)
+    // a retained tag still reads as applied; a pruned one is forgotten —
+    // retention IS the replay horizon, exactly as documented
+    assert(SnapshotLake.appendOnce(Seq(22L).toDF("x"), root, "t22") == 23L)
+    val replayedOld = SnapshotLake.appendOnce(Seq(2L).toDF("x"), root, "t2")
+    assert(replayedOld == 26L,
+      "a tag below the vacuum cutoff is out of the replay horizon")
+  }
+
+  test("legacy full-listing manifests resolve as their own base and accept delta commits on top") {
+    val root = newRoot()
+    // hand-write a round-11-format manifest: full state, no add/remove
+    Seq(1L, 2L).toDF("x").write.parquet(s"$root/data/legacy0")
+    import scala.jdk.CollectionConverters._
+    val legacyFiles = {
+      val s = Files.list(java.nio.file.Paths.get(root, "data/legacy0"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).map(n => s"data/legacy0/$n").toVector.sorted
+      finally s.close()
+    }
+    Files.createDirectories(java.nio.file.Paths.get(root, "_manifests"))
+    Files.writeString(recordPath(root, 1L),
+      s"""{"version":1,"op":"append","base":0,"files":[${
+        legacyFiles.map(f => s""""$f"""").mkString(",")}]}""")
+    assert(SnapshotLake.files(root, 1L) == legacyFiles)
+    assert(SnapshotLake.read(spark, root).count() == 2L)
+    // a new delta commit lands on top of the legacy base
+    val v2 = SnapshotLake.append(Seq(3L).toDF("x"), root)
+    assert(v2 == 2L)
+    assert(rows(root) == Set(1L, 2L, 3L))
+    assert(SnapshotLake.files(root, 2L).toSet.intersect(legacyFiles.toSet) == legacyFiles.toSet)
+  }
 }
