@@ -244,15 +244,25 @@ object SnapshotLake {
            mergeSchema: Boolean = false): DataFrame = {
     val v = version.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    val fs = files(root, v).map(f => Paths.get(root, f).toString)
-    if (fs.isEmpty)
+    val rel = files(root, v)
+    if (rel.isEmpty)
       throw new IllegalStateException(s"version $v of $root lists no files")
+    val fs = rel.map(f => Paths.get(root, f).toString)
     // mergeSchema = schema-on-read evolution (the q156 contract on the
     // manifest lake): commits may add columns; older files surface them
     // as NULL, and a version pinned BEFORE the column landed never sees
     // it — schema history rides version history for free.
-    applyDeletes(spark, root, v,
-      spark.read.option("mergeSchema", mergeSchema.toString).parquet(fs: _*))
+    val reader = spark.read.option("mergeSchema", mergeSchema.toString)
+    // A partition-aware lake ([[appendPartitioned]]) hive-encodes its
+    // partition tuples below data/commit=<uuid>/; basePath-anchored
+    // partition discovery re-attaches those columns (plus the synthetic
+    // commit marker, dropped) from the explicit manifest file list.
+    val df =
+      if (rel.exists(_.startsWith("data/commit=")))
+        reader.option("basePath", Paths.get(root, "data").toString)
+          .parquet(fs: _*).drop("commit")
+      else reader.parquet(fs: _*)
+    applyDeletes(spark, root, v, df)
   }
 
   /** Merge-on-read DELETE: commit `keys` (one column, named for the
@@ -296,20 +306,47 @@ object SnapshotLake {
       try s.iterator().asScala.map(_.getFileName.toString)
         .filter(_.endsWith(".parquet")).map(n => s"$sub/$n").toVector.sorted
       finally s.close()
-    // ONE distributed footer pass (executor-parallel, never a driver
-    // loop) yields both the min/max ranges and the per-file row counts.
-    val meta = FileStats.harvest(df.sparkSession, root, rel, index.statsCols)
-    // Index sidecars land in the commit dir BEFORE the manifest link that
-    // makes these files visible, so a reader that resolves a file always
-    // resolves its index too. Pre-manifest crash ⇒ sidecar is swept with
-    // its orphan dir by vacuum, like the data files themselves.
+    indexAndCount(df.sparkSession, root, rel, index)
+  }
+
+  /** Hive-partitioned data write: rows land under
+    * `data/commit=<uuid>/<p1=v1>/.../part-*.parquet`. The commit marker
+    * is itself hive-encoded so ONE basePath-anchored scan covers every
+    * commit of the lake (the marker column is synthesized by partition
+    * discovery and dropped by readers). */
+  private def writeDataPartitioned(df: DataFrame, root: String,
+                                   partCols: Seq[String],
+                                   index: IndexSpec): Written = {
+    val sub = s"data/commit=${UUID.randomUUID().toString}"
+    val dir = Paths.get(root, sub)
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(dir.toString)
+    val s = Files.walk(dir)
+    val rel =
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => s"$sub/${dir.relativize(p).toString}")
+        .toVector.sorted
+      finally s.close()
+    indexAndCount(df.sparkSession, root, rel, index)
+  }
+
+  /** The shared post-write pass: ONE distributed footer harvest
+    * (executor-parallel, never a driver loop) yields both the min/max
+    * ranges and the per-file row counts; index sidecars land in the
+    * commit's directories BEFORE the manifest link that makes the files
+    * visible, so a reader that resolves a file always resolves its index
+    * too. Pre-manifest crash ⇒ sidecars are swept with their orphan dir
+    * by vacuum, like the data files themselves. */
+  private def indexAndCount(spark: SparkSession, root: String,
+                            rel: Seq[String], index: IndexSpec): Written = {
+    val meta = FileStats.harvest(spark, root, rel, index.statsCols)
     if (index.statsCols.nonEmpty)
       FileStats.writeStatsSidecar(root,
         meta.map { case (f, m) => f -> m.ranges })
     index.bloomCol.foreach { c =>
       val expected = // sized from footer row counts: no counting scan
         math.max(1L, meta.values.foldLeft(0L)((a, m) => math.max(a, m.rows)))
-      FileStats.buildBloomSidecars(df.sparkSession, root, rel, c,
+      FileStats.buildBloomSidecars(spark, root, rel, c,
         expected, index.bloomFpp)
     }
     Written(rel, meta.values.map(_.rows).sum)
