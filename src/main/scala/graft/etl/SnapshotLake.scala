@@ -201,7 +201,16 @@ object SnapshotLake {
       else {
         val r = readRecord(root, cur)
         pending ::= r // walk is newest→oldest; prepend keeps replay order
-        if (r.legacyFull.isDefined) base = Some((EmptyState, Map.empty))
+        if (r.legacyFull.isDefined)
+          // A legacy full-state record IS its own state base, but records
+          // BELOW it still carry idempotence tags (round-11 manifests had
+          // tag fields too). Completing the tag map here is what keeps the
+          // first checkpoint written over an upgraded lake from forgetting
+          // every pre-upgrade tag — findTag answers from the checkpoint
+          // index as covering everything ≤ v, so a forgotten tag would
+          // double-apply a replayed batch. O(legacy records) reads, paid
+          // only until that first checkpoint exists.
+          base = Some((EmptyState, legacyTagsBelow(root, cur)))
         else cur -= 1
       }
     }
@@ -211,6 +220,23 @@ object SnapshotLake {
     (st, tags)
   }
 
+  /** Idempotence tags of the (legacy full-state) records strictly below
+    * version `boundary`, newest occurrence winning — the tag-map
+    * completion [[resolve]] performs when its state base is a legacy
+    * record rather than a checkpoint. Stops at the retention edge
+    * (vacuumed records read as absent, the documented horizon). */
+  private def legacyTagsBelow(root: String, boundary: Long): Map[String, Long] = {
+    var tags = Map.empty[String, Long]
+    var lv = boundary - 1
+    while (lv >= 1L && Files.exists(versionFile(root, lv))) {
+      readRecord(root, lv).tag.foreach { t =>
+        if (!tags.contains(t)) tags += t -> lv // newest-first walk: keep first
+      }
+      lv -= 1
+    }
+    tags
+  }
+
   /** The file listing of version `v` (paths relative to `root`). */
   def files(root: String, v: Long): Seq[String] = resolve(root, v)._1.files
 
@@ -218,21 +244,38 @@ object SnapshotLake {
     * checkpoint, via the same link(2) create-if-absent primitive as
     * commits — content is a pure function of the log, so a racing
     * publisher's EEXIST is ignored. `pruneTagsBelow` drops tag entries
-    * older than a vacuum cutoff (retention = replay horizon). */
+    * older than a vacuum cutoff (retention = replay horizon); a pruning
+    * writer REPLACES an existing checkpoint via atomic rename rather than
+    * skipping on EEXIST — otherwise whether out-of-horizon tags read as
+    * absent or as applied would depend on whether the cutoff happened to
+    * land on a [[CkptEvery]] multiple (the commit-time checkpoint there
+    * still holds the unpruned map). Readers racing the swap see the old
+    * superset map or the new pruned one, never a torn file — and the
+    * superset direction only ever makes a replay a no-op, never a
+    * double-apply, so the swap needs no coordination. */
   private def writeCheckpoint(root: String, v: Long,
                               pruneTagsBelow: Long = 0L): Unit = {
-    if (Files.exists(ckptFile(root, v))) return
+    val exists = Files.exists(ckptFile(root, v))
+    if (exists && pruneTagsBelow == 0L) return
     val (st, tags) = resolve(root, v)
     def arr(xs: Seq[String]) = xs.map(f => s""""$f"""").mkString("[", ",", "]")
     val kept = tags.toSeq.filter(_._2 >= pruneTagsBelow).sortBy(_._1)
+    if (exists && kept.size == tags.size) return // nothing to prune
     val json = s"""{"version":$v,"files":${arr(st.files)},""" +
       s""""deletes":${arr(st.deletes)},""" +
       s""""tags":{${kept.map { case (t, tv) => s""""$t":$tv""" }.mkString(",")}}}"""
     val tmp = manifestDir(root).resolve(s".tmp-ck-${UUID.randomUUID()}")
     Files.writeString(tmp, json)
-    try { Files.createLink(ckptFile(root, v), tmp); () }
-    catch { case _: FileAlreadyExistsException => () }
-    finally { Files.deleteIfExists(tmp); () }
+    if (exists) {
+      Files.move(tmp, ckptFile(root, v),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else {
+      try { Files.createLink(ckptFile(root, v), tmp); () }
+      catch { case _: FileAlreadyExistsException => () }
+      finally { Files.deleteIfExists(tmp); () }
+    }
   }
 
   /** Read a snapshot: the pinned `version`, or the latest at resolution
@@ -471,8 +514,8 @@ object SnapshotLake {
     * many times it runs. A replay that crashed BETWEEN its data write and
     * its manifest link leaves orphan data files no manifest references —
     * invisible to every reader, reclaimed by [[vacuum]]'s unreferenced-
-    * file sweep. The tag scan is O(versions) manifest reads here; a
-    * production lake indexes tags in the manifest list. Retention
+    * file sweep. The tag probe answers from the nearest checkpoint's tag
+    * index — O(1) amortized manifest reads ([[findTag]]). Retention
     * contract: vacuum must retain at least the writer's replay horizon,
     * or a replayed tag would be forgotten and double-append — the same
     * contract Delta documents between VACUUM and streaming checkpoints. */

@@ -559,4 +559,54 @@ class SnapshotLakeSpec extends AnyFunSuite {
     assert(rows(root) == Set(1L, 2L, 3L))
     assert(SnapshotLake.files(root, 2L).toSet.intersect(legacyFiles.toSet) == legacyFiles.toSet)
   }
+
+  test("first checkpoint over an upgraded legacy lake keeps pre-upgrade idempotence tags") {
+    val root = newRoot()
+    import scala.jdk.CollectionConverters._
+    // three round-11-format manifests, each a FULL listing carrying an
+    // idempotence tag — the migration path the log-structure PR supports
+    var listing = Vector.empty[String]
+    for (v <- 1 to 3) {
+      Seq(v.toLong).toDF("x").write.parquet(s"$root/data/legacy$v")
+      val fs = {
+        val s = Files.list(java.nio.file.Paths.get(root, s"data/legacy$v"))
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).map(n => s"data/legacy$v/$n").toVector.sorted
+        finally s.close()
+      }
+      listing ++= fs
+      Files.createDirectories(java.nio.file.Paths.get(root, "_manifests"))
+      Files.writeString(recordPath(root, v.toLong),
+        s"""{"version":$v,"op":"append","tag":"lb$v","base":${v - 1},"files":[${
+          listing.map(f => s""""$f"""").mkString(",")}]}""")
+    }
+    // new-format commits up to the first checkpoint boundary (v10)
+    for (i <- 4 to 10)
+      assert(SnapshotLake.appendOnce(Seq(i.toLong).toDF("x"), root, s"nb$i") == i.toLong)
+    assert(Files.exists(ckptPath(root, 10L)), "checkpoint at the boundary")
+    // the probe now answers from the checkpoint index — a pre-upgrade tag
+    // must still read as applied, or this replay double-appends
+    assert(SnapshotLake.appendOnce(Seq(2L).toDF("x"), root, "lb2") == 2L,
+      "pre-upgrade tag must survive into the checkpoint index")
+    assert(SnapshotLake.currentVersion(root).contains(10L), "no new commit")
+    assert(SnapshotLake.read(spark, root).count() == 10L, "no duplicated batch")
+  }
+
+  test("vacuum prunes out-of-horizon tags even when the cutoff already has a checkpoint") {
+    val root = newRoot()
+    for (i <- 0 until 25)
+      SnapshotLake.appendOnce(Seq(i.toLong).toDF("x"), root, s"t$i")
+    // cutoff = 20 lands exactly on a commit-time checkpoint (CkptEvery
+    // multiple), which still holds the UNPRUNED tag map — vacuum must
+    // rewrite it, not skip on EEXIST, or replay semantics at the horizon
+    // would depend on where the cutoff happened to fall
+    SnapshotLake.vacuum(root, keepVersions = 6)
+    assert(Files.exists(ckptPath(root, 20L)))
+    assert(!Files.exists(recordPath(root, 19L)))
+    // in-horizon tag: still a no-op replay
+    assert(SnapshotLake.appendOnce(Seq(21L).toDF("x"), root, "t21") == 22L)
+    // out-of-horizon tag: deterministically forgotten (fresh commit)
+    assert(SnapshotLake.appendOnce(Seq(2L).toDF("x"), root, "t2") == 26L,
+      "a tag below the cutoff must read as absent after vacuum")
+  }
 }
