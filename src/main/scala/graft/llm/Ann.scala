@@ -191,7 +191,21 @@ object Ann {
     * `iters = 0` returns the untrained seed centroids — the baseline the
     * recall spec measures training against. */
   def lloyd(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cents = vectors.filter(col("id") < k)
+    // Seed = the k lowest ids PRESENT per group, by rank — NOT the literal
+    // predicate `id < k`, which on a sparse or non-zero-based id space
+    // selects nothing and yields an empty codebook that every downstream
+    // inner join silently drops the corpus against. On a dense 0-based id
+    // space (every oracle fixture) the rank picks exactly {0..k-1}, so
+    // trained artifacts are bit-identical to the historical seeding. The
+    // rank window runs over the 2-column (g, id) projection only; the
+    // chosen ids join back against the vectors broadcast-style (k·groups
+    // rows — a model-sized relation, never the corpus).
+    val seedIds = vectors.select(col("g"), col("id"))
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("id")))
+      .filter(col("__r") <= k)
+      .drop("__r")
+    var cents = vectors.join(broadcast(seedIds), Seq("g", "id"))
       .select(col("g"), col("id").as("cell"), col("x").as("c"))
       .withColumn("n_members", lit(0L))
       .persist()

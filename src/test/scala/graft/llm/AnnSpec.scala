@@ -62,6 +62,24 @@ class AnnSpec extends AnyFunSuite {
       "trained-cell recall must stay within noise of the seed baseline on unclustered data")
   }
 
+  test("lloyd seeds by rank: a sparse non-zero-based id space still trains a full codebook") {
+    // The literal predicate `id < k` would select NOTHING here (every id
+    // ≥ 100000) — an empty codebook whose downstream inner joins silently
+    // drop the whole corpus. Rank-based seeding picks the k lowest ids
+    // present; because the shift is order-preserving, the seeds are the
+    // SAME vectors as the dense run and the trained centroids must come
+    // out identical.
+    val vecs = Ann.quantized(corpus).withColumn("g", lit(0L)).select("g", "id", "x")
+    val shifted = vecs.withColumn("id", col("id") * 7 + 100000L)
+    val dense = Ann.lloyd(vecs, k = 10, iters = 2).collect()
+    val sparse = Ann.lloyd(shifted, k = 10, iters = 2).collect()
+    assert(sparse.length == 10, "k cells must seed despite no id < k")
+    def sig(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getSeq[Long](2), r.getLong(3))).toSet
+    assert(sig(sparse) == sig(dense),
+      "order-preserving id shift must not change the trained centroids")
+  }
+
   test("vec_l2i / vec_doti equal their higher-order-function formulations on quantized vectors") {
     import graft.functions.VecIntOps
     val q = Ann.quantized(corpus).select(col("id"), col("x"))

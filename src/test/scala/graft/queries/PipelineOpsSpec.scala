@@ -140,6 +140,14 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(edges <= nodes * 2, s"label $lbl: degree bound k=2 violated")
       assert(mutual * 2 <= edges, s"label $lbl: mutual pairs exceed edge pairs")
     }
+    // Non-zero-based id space: the quantizer seeding is rank-based, so an
+    // order-preserving shift routes identically and the graph stats are
+    // unchanged (the pre-fix literal `id < cells` seed would have trained
+    // an EMPTY codebook here and silently returned empty stats).
+    val shifted = PipelineOps.knnGraphStats(
+      e.withColumn("id", col("id") + 500000L), 2, cells = 4).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(shifted == out, "id-shifted corpus must produce identical graph stats")
   }
 
   test("bloom: no false negatives, and real pruning on disjoint probes") {
