@@ -290,23 +290,66 @@ object SnapshotLake {
     val rel = files(root, v)
     if (rel.isEmpty)
       throw new IllegalStateException(s"version $v of $root lists no files")
-    val fs = rel.map(f => Paths.get(root, f).toString)
     // mergeSchema = schema-on-read evolution (the q156 contract on the
     // manifest lake): commits may add columns; older files surface them
     // as NULL, and a version pinned BEFORE the column landed never sees
     // it — schema history rides version history for free.
-    val reader = spark.read.option("mergeSchema", mergeSchema.toString)
-    // A partition-aware lake ([[appendPartitioned]]) hive-encodes its
-    // partition tuples below data/commit=<uuid>/; basePath-anchored
-    // partition discovery re-attaches those columns (plus the synthetic
-    // commit marker, dropped) from the explicit manifest file list.
-    val df =
-      if (rel.exists(_.startsWith("data/commit=")))
-        reader.option("basePath", Paths.get(root, "data").toString)
-          .parquet(fs: _*).drop("commit")
-      else reader.parquet(fs: _*)
-    applyDeletes(spark, root, v, df)
+    applyDeletes(spark, root, v, readListing(spark, root, rel, mergeSchema))
   }
+
+  /** Read the data files of one manifest listing (or any subset of one).
+    * Files of partitioned commits ([[appendPartitioned]],
+    * `data/commit=<uuid>/<p=v>/...`) read through basePath-anchored
+    * partition discovery, which re-attaches the hive-encoded partition
+    * columns (plus the synthetic commit marker, dropped) from the
+    * explicit file list; plain files (`data/<uuid>/...`) read directly.
+    * A MIXED listing — a plain append into a partitioned lake, or a
+    * Z-order rewrite that stored the partition columns back as data
+    * columns — unions the two sides by name, absent columns as NULL: the
+    * same contract as mergeSchema evolution, and what keeps partition
+    * discovery from ever seeing conflicting directory structures. */
+  private def readListing(spark: SparkSession, root: String, rel: Seq[String],
+                          mergeSchema: Boolean = false): DataFrame = {
+    val (part, plain) = rel.partition(_.startsWith("data/commit="))
+    def reader = spark.read.option("mergeSchema", mergeSchema.toString)
+    val sides = Seq(
+      if (part.isEmpty) None
+      else Some(reader.option("basePath", Paths.get(root, "data").toString)
+        .parquet(part.map(f => Paths.get(root, f).toString): _*).drop("commit")),
+      if (plain.isEmpty) None
+      else Some(reader.parquet(plain.map(f => Paths.get(root, f).toString): _*))
+    ).flatten
+    sides.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Partition columns of a partitioned listing, from its first file's
+    * path segments (`data/commit=<uuid>/p1=v1/p2=v2/part-*.parquet` →
+    * Seq(p1, p2)); empty for plain listings. */
+  private def partColsOf(rel: Seq[String]): Seq[String] =
+    rel.find(_.startsWith("data/commit=")).map { f =>
+      f.split('/').drop(2).dropRight(1)
+        .map(seg => seg.substring(0, seg.indexOf('='))).toSeq
+    }.getOrElse(Seq.empty)
+
+  /** The hive partition tuple a file's path encodes, as EXACT ranges: a
+    * partition value is both min and max of its column for every row of
+    * the file — so partition pruning and stats pruning compose through
+    * the one [[FileStats.mayMatch]] mechanism, in [[readPruned]] and in
+    * [[merge]]'s candidate targeting alike. Values are the writer's
+    * hive-encoded strings; numeric-looking values compare numerically
+    * (matching partition discovery's type inference). The null partition
+    * (`__HIVE_DEFAULT_PARTITION__`) keeps its sentinel string form —
+    * range preds may then prune the file, which stays exact because the
+    * re-applied row filter rejects NULL values anyway. */
+  private def pathRangesOf(rel: String): Map[String, FileStats.ColRange] =
+    if (!rel.startsWith("data/commit=")) Map.empty
+    else rel.split('/').iterator.drop(2).filter(_.contains('='))
+      .map { seg =>
+        val i = seg.indexOf('=')
+        val v = seg.substring(i + 1)
+        seg.substring(0, i) -> FileStats.ColRange(v, v,
+          numeric = scala.util.Try(v.toDouble).isSuccess)
+      }.toMap
 
   /** Merge-on-read DELETE: commit `keys` (one column, named for the
     * delete key) as key-tombstone files — NO data file is rewritten, the
@@ -505,6 +548,37 @@ object SnapshotLake {
     committed
   }
 
+  /** Append `df` as a HIVE-PARTITIONED snapshot version: rows land under
+    * `data/commit=<uuid>/<p1=v1>/.../part-*.parquet`, so every file's
+    * partition tuple is recorded by its manifest path at commit time —
+    * no extra manifest field — and readers re-attach the partition
+    * columns via basePath discovery ([[readListing]]). [[readPruned]]
+    * and [[merge]]'s candidate targeting compose partition-level pruning
+    * (exact ranges synthesized from the path tuple, [[pathRangesOf]])
+    * with the min/max sidecar index — the first pruning level every real
+    * lake query uses, ahead of file statistics. Rewrites (merge /
+    * compact / compactSmall) preserve the partitioning; a Z-order
+    * rewrite trades it for Morton clustering, storing the partition
+    * columns back as data columns. Same CAS/O(change) commit mechanics
+    * as [[append]]. Partition values are hive-encoded by the writer;
+    * keep them to simple alphanumerics. */
+  def appendPartitioned(df: DataFrame, root: String, partCols: Seq[String],
+                        index: IndexSpec = IndexSpec.none): Long = {
+    require(partCols.nonEmpty, "appendPartitioned needs partition columns")
+    require(!df.columns.contains("commit"),
+      "'commit' is the reserved partition-discovery marker column")
+    val w = writeDataPartitioned(df, root, partCols, index)
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentVersion(root)
+      val next = cur.getOrElse(0L) + 1
+      if (tryCommit(root, next, "append", cur.getOrElse(0L),
+          addedRows = w.rows, add = w.files))
+        committed = next
+    }
+    committed
+  }
+
   /** Exactly-once append for REPLAYABLE writers (a streaming
     * `foreachBatch` is the canonical one): the commit carries an
     * idempotence `tag` (e.g. "dedup-b7" for micro-batch 7), and if any
@@ -557,12 +631,14 @@ object SnapshotLake {
     val baseFiles = files(root, baseV)
     val baseDeletes = deletesOf(root, baseV)
     // the rewrite MATERIALIZES the base version's tombstones (the
-    // merge-on-read debt is paid here, once) ...
-    val rewritten = writeData(
-      applyDeletes(spark, root, baseV,
-        spark.read.parquet(baseFiles.map(f => Paths.get(root, f).toString): _*))
-        .repartition(partitions),
-      root).files
+    // merge-on-read debt is paid here, once) — and preserves the lake's
+    // hive partitioning when it has one
+    val materialized = applyDeletes(spark, root, baseV,
+      readListing(spark, root, baseFiles)).repartition(partitions)
+    val pc = partColsOf(baseFiles)
+    val rewritten =
+      (if (pc.isEmpty) writeData(materialized, root)
+       else writeDataPartitioned(materialized, root, pc, IndexSpec.none)).files
     var committed = -1L
     while (committed < 0) {
       onBeforeCommit()
@@ -627,10 +703,11 @@ object SnapshotLake {
     val baseFiles = files(root, baseV)
     val small = baseFiles.filter(f => Files.size(Paths.get(root, f)) < minBytes)
     if (small.size <= 1) return baseV
-    val rewritten = writeData(
-      spark.read.parquet(small.map(f => Paths.get(root, f).toString): _*)
-        .repartition(partitions),
-      root, index).files
+    val packed = readListing(spark, root, small).repartition(partitions)
+    val pc = partColsOf(baseFiles)
+    val rewritten =
+      (if (pc.isEmpty) writeData(packed, root, index)
+       else writeDataPartitioned(packed, root, pc, index)).files
     var committed = -1L
     while (committed < 0) {
       val cur = currentVersion(root).get
@@ -664,7 +741,7 @@ object SnapshotLake {
     val baseFiles = files(root, baseV)
     val baseDeletes = deletesOf(root, baseV)
     val base = applyDeletes(spark, root, baseV, // materialize, as compact()
-      spark.read.parquet(baseFiles.map(f => Paths.get(root, f).toString): _*))
+      readListing(spark, root, baseFiles))
     val rewritten = writeData(
       base.withColumn("__z", ZOrder.interleave(col(colA), col(colB)))
         .repartitionByRange(nFiles, col("__z"))
@@ -691,14 +768,18 @@ object SnapshotLake {
 
   /** Range-pruned snapshot read: resolve the manifest of `version` (or
     * latest), drop every file whose commit-time min/max index proves it
-    * cannot satisfy ALL of `preds`, and scan the survivors. The driver
-    * does O(commit dirs) sidecar reads against the already-resolved
-    * listing — at 100 TB this listing-level skip is what turns a
-    * point-ish query on a million-file table from a footer-open storm
-    * into a handful of file reads (Iceberg's manifest filtering). The
-    * returned frame has the predicates APPLIED (row-level), so the
-    * result is exactly the full scan's — pruning is never a correctness
-    * input. */
+    * cannot satisfy ALL of `preds`, and scan the survivors. On a
+    * partitioned lake the file's path-encoded partition tuple joins the
+    * prune as exact ranges ([[pathRangesOf]]) — partition pruning and
+    * stats pruning compose in the one conservative mechanism, partition
+    * level first in effect because its ranges are the tightest. The
+    * driver does O(commit dirs) sidecar reads against the
+    * already-resolved listing — at 100 TB this listing-level skip is
+    * what turns a point-ish query on a million-file table from a
+    * footer-open storm into a handful of file reads (Iceberg's manifest
+    * filtering). The returned frame has the predicates APPLIED
+    * (row-level), so the result is exactly the full scan's — pruning is
+    * never a correctness input. */
   def readPruned(spark: SparkSession, root: String,
                  preds: Seq[FileStats.Range],
                  version: Option[Long] = None): PrunedScan = {
@@ -709,12 +790,13 @@ object SnapshotLake {
       all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
         .flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
     val kept = all.filter { f =>
-      FileStats.mayMatch(statsByFile.getOrElse(f, Map.empty), preds)
+      FileStats.mayMatch(
+        statsByFile.getOrElse(f, Map.empty) ++ pathRangesOf(f), preds)
     }
     val df0 =
       if (kept.isEmpty) // provably-empty result still needs the schema
         read(spark, root, Some(v)).limit(0)
-      else spark.read.parquet(kept.map(f => Paths.get(root, f).toString): _*)
+      else readListing(spark, root, kept)
     import org.apache.spark.sql.functions.{col, lit}
     val filtered = preds.foldLeft(df0) { (d, p) =>
       val typed = (s: String) => lit(s).cast(d.schema(p.col).dataType)
@@ -744,7 +826,7 @@ object SnapshotLake {
     }
     val df0 =
       if (kept.isEmpty) read(spark, root, Some(v)).limit(0)
-      else spark.read.parquet(kept.map(f => Paths.get(root, f).toString): _*)
+      else readListing(spark, root, kept)
     import org.apache.spark.sql.functions.{col => c}
     import org.apache.spark.sql.types._
     val typed: Seq[Any] = df0.schema(col).dataType match {
@@ -807,10 +889,15 @@ object SnapshotLake {
     }
     val survivors =
       if (touched.isEmpty) newRows
-      else spark.read.parquet(touched.map(f => Paths.get(root, f).toString): _*)
+      else readListing(spark, root, touched)
         .join(hint(upKeys), Seq(key), "left_anti")
         .unionByName(newRows)
-    val rewritten = writeData(survivors, root, index)
+    // a partitioned lake's rewrite stays partitioned (updates must carry
+    // the partition columns — unionByName above enforces it)
+    val pc = partColsOf(baseFiles)
+    val rewritten =
+      if (pc.isEmpty) writeData(survivors, root, index)
+      else writeDataPartitioned(survivors, root, pc, index)
     var committed = -1L
     while (committed < 0) {
       onBeforeCommit()
@@ -837,22 +924,25 @@ object SnapshotLake {
   }
 
   /** Files of `fileList` that MAY contain a key of `keys` (any column
-    * set containing `key`), per the commit-time min/max index: one pass
-    * over `keys` against the tiny broadcast stats relation (string
-    * ranges compare lexically — only numeric-keyed files join the
-    * numeric branch and vice versa); files without harvested `key` stats
-    * are always candidates. The keys are never collected to the
-    * driver. */
+    * set containing `key`), per the commit-time min/max index AND the
+    * path-encoded partition tuple (a merge keyed on a partition column
+    * targets exactly the matching partitions' files): one pass over
+    * `keys` against the tiny broadcast stats relation (string ranges
+    * compare lexically — only numeric-keyed files join the numeric
+    * branch and vice versa); files without harvested or path-derived
+    * `key` stats are always candidates. The keys are never collected to
+    * the driver. */
   private def candidateFiles(spark: SparkSession, root: String,
                              fileList: Seq[String], key: String,
                              keys: DataFrame): Seq[String] = {
     import org.apache.spark.sql.functions.{col, not}
     val stats = fileList.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
       .flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
-    val (ranged, blind) = fileList.partition(f =>
-      stats.get(f).exists(_.contains(key)))
+    val ranges = fileList.map(f =>
+      f -> (stats.getOrElse(f, Map.empty) ++ pathRangesOf(f))).toMap
+    val (ranged, blind) = fileList.partition(f => ranges(f).contains(key))
     val statsRows = ranged.map { f =>
-      val r = stats(f)(key); (f, r.min, r.max, r.numeric)
+      val r = ranges(f)(key); (f, r.min, r.max, r.numeric)
     }
     val candidates: Seq[String] =
       if (statsRows.isEmpty) Seq.empty
@@ -925,15 +1015,12 @@ object SnapshotLake {
     val removed = (from -- to).toSeq.sorted
     val added = (to -- from).toSeq.sorted
     val carried = (from intersect to).toSeq.sorted
-    val schema = {
-      val fs = files(root, toV).map(f => Paths.get(root, f).toString)
-      spark.read.parquet(fs: _*).limit(0)
-    }
+    val schema = readListing(spark, root, files(root, toV)).limit(0)
     val cols = schema.columns.toSeq
     def side(fs: Seq[String], v: Long) =
       if (fs.isEmpty) schema
       else applyDeletes(spark, root, v, // the version's LOGICAL relation
-        spark.read.parquet(fs.map(f => Paths.get(root, f).toString): _*))
+        readListing(spark, root, fs))
     val pre = side(removed, fromV)
       .select(col(key).as("_k"), struct(cols.map(col): _*).as("_pre"))
     val post = side(added, toV)
@@ -968,7 +1055,7 @@ object SnapshotLake {
     def carriedHits(delta: DataFrame, tpe: String) = {
       val cand = candidateFiles(spark, root, carried, key, delta)
       if (cand.isEmpty) fileDiff.limit(0)
-      else spark.read.parquet(cand.map(f => Paths.get(root, f).toString): _*)
+      else readListing(spark, root, cand)
         .join(delta, Seq(key), "left_semi")
         .withColumn("_change_type", lit(tpe))
         .select((cols.map(col) :+ col("_change_type")): _*)
@@ -1059,32 +1146,35 @@ object SnapshotLake {
     val dataRoot = Paths.get(root, "data")
     if (!Files.isDirectory(dataRoot)) return
     val deadline = System.currentTimeMillis() - orphanGraceMs
-    val subs = Files.list(dataRoot)
-    try subs.iterator().asScala.foreach { sub =>
-      if (Files.isDirectory(sub)) {
-        val fs = Files.list(sub)
-        try fs.iterator().asScala.foreach { f =>
-          val name = f.getFileName.toString
-          val rel = s"data/${sub.getFileName}/$name"
-          // "_"-prefixed index sidecars (_stats.json, _bloom_*.json) are
-          // commit-dir metadata, never manifest-listed: they live and die
-          // with their directory, not with the retained set.
-          if (!name.startsWith("_") && !retained.contains(rel) &&
-              Files.getLastModifiedTime(f).toMillis <= deadline) {
-            Files.deleteIfExists(f); ()
-          }
-        } finally fs.close()
-        // drop the commit directory (and its sidecars) once no DATA file
-        // in it survives — sidecars alone don't pin a dir
-        val left = Files.list(sub)
-        val survivors =
-          try left.iterator().asScala.map(_.getFileName.toString).toVector
-          finally left.close()
-        if (survivors.forall(_.startsWith("_"))) {
-          survivors.foreach(n => Files.deleteIfExists(sub.resolve(n)))
-          Files.deleteIfExists(sub); ()
+    val rootPath = Paths.get(root)
+    // RECURSIVE sweep: partitioned commits ([[appendPartitioned]]) nest
+    // hive directories below data/commit=<uuid>/, so the walk goes to
+    // arbitrary depth. "_"-prefixed index sidecars (_stats.json,
+    // _bloom_*.json) are commit-dir metadata, never manifest-listed:
+    // they live and die with their directory, not with the retained set.
+    val walk = Files.walk(dataRoot)
+    val entries = try walk.iterator().asScala.toVector finally walk.close()
+    entries.foreach { f =>
+      val name = f.getFileName.toString
+      if (Files.isRegularFile(f) && !name.startsWith("_") &&
+          !retained.contains(rootPath.relativize(f).toString) &&
+          Files.getLastModifiedTime(f).toMillis <= deadline) {
+        Files.deleteIfExists(f); ()
+      }
+    }
+    // drop directories (and their sidecars) once no DATA file below them
+    // survives — deepest first, so emptied hive leaves release their
+    // parents; sidecars alone don't pin a dir
+    entries.filter(p => Files.isDirectory(p) && p != dataRoot)
+      .sortBy(-_.getNameCount)
+      .foreach { d =>
+        val ls = Files.list(d)
+        val left = try ls.iterator().asScala.toVector finally ls.close()
+        if (left.forall(p =>
+            Files.isRegularFile(p) && p.getFileName.toString.startsWith("_"))) {
+          left.foreach(Files.deleteIfExists(_))
+          Files.deleteIfExists(d); ()
         }
       }
-    } finally subs.close()
   }
 }

@@ -34,6 +34,12 @@ import graft.model.Tables
   *   - q225: deletion vectors — merge-on-read DELETE as key tombstones
   *     (zero files rewritten; readers anti-join) vs the compaction that
   *     materializes them, both equal under one oracle.
+  *   - q227: PARTITION pruning composed with the stats index on a
+  *     hive-partitioned lake ([[SnapshotLake.appendPartitioned]]) — the
+  *     file's path-encoded partition tuple prunes first (the level every
+  *     real lake query uses), footer min/max prunes within it, and the
+  *     kept/total file counts ride the result so the oracle proves both
+  *     levels fired.
   *   - q221: `OPTIMIZE ZORDER BY` composed with the stats index — the
   *     compaction rewrites the snapshot along the Morton curve of
   *     (l_suppkey, l_partkey) so a two-dimension box predicate prunes on
@@ -85,6 +91,33 @@ object LakeIndexOps {
             .repartitionByRange(2, col("l_orderkey"))
             .sortWithinPartitions("l_orderkey"),
           root, idx)
+      }
+      root
+    }
+
+  /** One hive-PARTITIONED snapshot lake per (session, sf dir): orders
+    * partitioned by o_orderpriority, landed as four orderkey-range
+    * appends (one file per present priority per append — repartition(1)
+    * before partitionBy pins the file count, making kept/total
+    * oracle-predictable), with commit-time min/max stats on o_orderkey.
+    * The layout every real lake ships: a low-cardinality partition
+    * column for coarse pruning, file statistics for fine pruning within
+    * it. Memoized: the partitioned build is the operator under test. */
+  private val partLake = new graft.etl.Memo[(SparkSession, String), String]
+
+  private def partitionedLake(s: SparkSession, d: String): String =
+    partLake((s, d)) {
+      val root = Scratch.tempDir("graft-part-lake").toString + "/lake"
+      val od = Tables.orders(s, d)
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      for (i <- 0L until 4L) {
+        val lo = maxK * i / 4
+        val cap = if (i == 3) col("o_orderkey") <= maxK
+                  else col("o_orderkey") < maxK * (i + 1) / 4
+        SnapshotLake.appendPartitioned(
+          od.filter(col("o_orderkey") >= lo && cap).repartition(1),
+          root, Seq("o_orderpriority"), idx)
       }
       root
     }
@@ -514,6 +547,64 @@ object LakeIndexOps {
           sum(col("l_quantity").cast("long")).as("sum_qty"),
           centsSum("l_extendedprice").as("revenue"))
         .orderBy("l_returnflag")
+    },
+
+    // ── Partition-aware lake: hive-partitioned snapshot commits record
+    //    each file's partition tuple in its manifest path, and readPruned
+    //    composes PARTITION pruning (exact path-tuple ranges) with the
+    //    min/max sidecar index. The target priority is derived from the
+    //    lake's own path tuples and the key band from its own sidecars —
+    //    metadata only, no data scan — and kept/total file counts ride
+    //    the result so the oracle proves BOTH pruning levels fired: 20
+    //    files (4 appends × 5 priorities), partition pruning keeps the 4
+    //    of the target priority, the key band keeps the ~2 of those
+    //    whose orderkey range intersects. Row-level equality then pins
+    //    that pruning changed nothing.
+    Q("q227_partitioned_lake_scan",
+      s"""WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+         |tgt AS (SELECT min(o_orderpriority) AS p FROM orders),
+         |b AS (SELECT m // 4 AS lo, m // 2 AS hi FROM mx),
+         |sl AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+         |         CASE WHEN o_orderkey < m // 4 THEN 0
+         |              WHEN o_orderkey < m * 2 // 4 THEN 1
+         |              WHEN o_orderkey < m * 3 // 4 THEN 2
+         |              ELSE 3 END AS slice
+         |  FROM orders, mx),
+         |files AS (
+         |  SELECT slice, o_orderpriority,
+         |         min(o_orderkey) AS mn, max(o_orderkey) AS mxk
+         |  FROM sl GROUP BY 1, 2),
+         |kept AS (SELECT count(*) AS k FROM files, tgt, b
+         |         WHERE o_orderpriority = tgt.p AND mn <= b.hi AND mxk >= b.lo),
+         |tot AS (SELECT count(*) AS t FROM files)
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         |       ${centsSumSql("o_totalprice")} AS total,
+         |       (SELECT k FROM kept) AS kept_files,
+         |       (SELECT t FROM tot) AS total_files
+         |FROM sl, tgt, b
+         |WHERE o_orderpriority = tgt.p
+         |  AND o_orderkey >= b.lo AND o_orderkey <= b.hi
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val root = partitionedLake(s, d)
+      val rel = SnapshotLake.files(root, SnapshotLake.currentVersion(root).get)
+      // target priority from the lake's OWN partition tuples (driver-side
+      // path fold, no data scan) — min matches the oracle's min() because
+      // hive encoding is identity on these values
+      val prio = rel.flatMap(_.split('/')
+          .find(_.startsWith("o_orderpriority="))
+          .map(_.stripPrefix("o_orderpriority="))).distinct.min
+      val (_, maxK) = statsBounds(root, "o_orderkey")
+      val scan = SnapshotLake.readPruned(s, root, Seq(
+        FileStats.Range("o_orderpriority", Some(prio), Some(prio)),
+        FileStats.Range("o_orderkey",
+          Some((maxK / 4).toString), Some((maxK / 2).toString))))
+      scan.df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          centsSum("o_totalprice").as("total"))
+        .withColumn("kept_files", lit(scan.kept.toLong))
+        .withColumn("total_files", lit(scan.total.toLong))
+        .orderBy("o_orderstatus")
     }
   )
 }

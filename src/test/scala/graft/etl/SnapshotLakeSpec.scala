@@ -2,6 +2,7 @@ package graft.etl
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -608,5 +609,114 @@ class SnapshotLakeSpec extends AnyFunSuite {
     // out-of-horizon tag: deterministically forgotten (fresh commit)
     assert(SnapshotLake.appendOnce(Seq(2L).toDF("x"), root, "t2") == 26L,
       "a tag below the cutoff must read as absent after vacuum")
+  }
+
+  // ── partition-aware lake (round 13) ──────────────────────────────────
+
+  /** (p, x) rows: partition p ∈ [0, parts), x dense over [0, n). */
+  private def pk(n: Int, parts: Int) =
+    (0 until n).map(i => (i.toLong % parts, i.toLong)).toDF("p", "x")
+
+  test("partitioned appends record partition tuples in file paths; reads re-attach the columns") {
+    val root = newRoot()
+    SnapshotLake.appendPartitioned(pk(30, 3), root, Seq("p"))
+    SnapshotLake.appendPartitioned(pk(30, 3).withColumn("x", col("x") + 100), root, Seq("p"))
+    val rel = SnapshotLake.files(root, 2L)
+    assert(rel.forall(_.matches("data/commit=[^/]+/p=\\d+/.*\\.parquet")),
+      s"partition tuple must ride the manifest path: $rel")
+    val df = SnapshotLake.read(spark, root)
+    assert(df.columns.toSet == Set("p", "x"), "partition column re-attached, marker dropped")
+    assert(df.count() == 60L)
+    assert(df.filter(col("p") === 1).count() == 20L)
+    // pinned version isolation unchanged
+    assert(SnapshotLake.read(spark, root, Some(1L)).count() == 30L)
+  }
+
+  test("readPruned composes partition pruning with the stats index — both levels drop files") {
+    val root = newRoot()
+    // x within each partition spans a distinct band per append, so a
+    // (p = 1) ∧ (x band) predicate needs BOTH pruning levels to isolate
+    // one file of twelve
+    val idx = SnapshotLake.IndexSpec(Seq("x"), None)
+    for (b <- 0 until 4)
+      SnapshotLake.appendPartitioned(
+        (0 until 30).map(i => (i.toLong % 3, b * 1000L + i)).toDF("p", "x")
+          .repartition(1),
+        root, Seq("p"), idx)
+    val all = SnapshotLake.files(root, 4L)
+    assert(all.size == 12, s"4 appends × 3 partitions: ${all.size}")
+    // partition level only: p = 1 keeps one file per append
+    val pOnly = SnapshotLake.readPruned(spark, root,
+      Seq(FileStats.Range("p", Some("1"), Some("1"))))
+    assert(pOnly.kept == 4 && pOnly.total == 12, s"${pOnly.kept}/${pOnly.total}")
+    assert(pOnly.df.count() == 40L)
+    // composed: p = 1 ∧ x ∈ append-2's band keeps exactly one file
+    val both = SnapshotLake.readPruned(spark, root, Seq(
+      FileStats.Range("p", Some("1"), Some("1")),
+      FileStats.Range("x", Some("2000"), Some("2999"))))
+    assert(both.kept == 1 && both.total == 12, s"${both.kept}/${both.total}")
+    assert(both.df.collect().map(_.getAs[Long]("x")).toSet ==
+      (0 until 30).filter(_ % 3 == 1).map(i => 2000L + i).toSet)
+  }
+
+  test("merge keyed on the partition column targets files by path tuple alone") {
+    val root = newRoot()
+    // dimension-style lake: one partition per key, NO sidecar index —
+    // candidate targeting must come entirely from the path-encoded
+    // partition tuple (the "merge keyed on a partition column" case;
+    // rows never move partitions because the key IS the partition)
+    val dim = (0L until 6L).map(i => (i, s"v$i")).toDF("k", "payload")
+    SnapshotLake.appendPartitioned(dim, root, Seq("k"))
+    val before = SnapshotLake.files(root, 1L)
+    val ups = Seq((2L, "V2", false), (5L, "x", true)).toDF("k", "payload", "__del")
+    val v2 = SnapshotLake.merge(spark, root, ups, "k", deleteCol = Some("__del"))
+    val after = SnapshotLake.files(root, v2)
+    val carried = before.toSet intersect after.toSet
+    assert(before.filter(f => !f.contains("/k=2/") && !f.contains("/k=5/"))
+      .forall(carried), "partitions outside the update keys carried verbatim")
+    assert(before.filter(f => f.contains("/k=2/") || f.contains("/k=5/"))
+      .forall(f => !carried(f)), "k=2 and k=5 partitions are the rewrite targets")
+    assert(after.filterNot(before.toSet).forall(_.startsWith("data/commit=")),
+      "the rewrite must stay hive-partitioned")
+    val got = SnapshotLake.read(spark, root)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("payload")).toMap
+    assert(got == Map(0L -> "v0", 1L -> "v1", 2L -> "V2", 3L -> "v3", 4L -> "v4"),
+      "k=5 deleted, k=2 upserted in place")
+  }
+
+  test("compact preserves partitioning; vacuum sweeps nested partition directories") {
+    val root = newRoot()
+    SnapshotLake.appendPartitioned(pk(30, 3), root, Seq("p"))
+    SnapshotLake.appendPartitioned(pk(30, 3).withColumn("x", col("x") + 100), root, Seq("p"))
+    val v3 = SnapshotLake.compact(spark, root)
+    assert(SnapshotLake.files(root, v3).forall(_.startsWith("data/commit=")),
+      "compaction rewrite keeps the hive layout")
+    assert(SnapshotLake.read(spark, root).count() == 60L)
+    assert(SnapshotLake.read(spark, root).filter(col("p") === 2).count() == 20L)
+    SnapshotLake.vacuum(root, keepVersions = 1)
+    // pre-compaction nested files referenced by no retained manifest are
+    // gone, directories pruned bottom-up
+    import scala.jdk.CollectionConverters._
+    val w = Files.walk(java.nio.file.Paths.get(root, "data"))
+    val liveParquet =
+      try w.iterator().asScala.filter(p =>
+        Files.isRegularFile(p) && p.toString.endsWith(".parquet")).toVector
+      finally w.close()
+    val retained = SnapshotLake.files(root, v3).toSet
+    assert(liveParquet.size == retained.size,
+      s"vacuum must reap nested pre-compaction files: ${liveParquet.size} vs ${retained.size}")
+    assert(SnapshotLake.read(spark, root).count() == 60L, "head still readable")
+  }
+
+  test("mixed plain/partitioned listings read as one relation with NULL partition columns") {
+    val root = newRoot()
+    SnapshotLake.appendPartitioned(pk(10, 2), root, Seq("p"))
+    // a plain append into a partitioned lake: rows carry no partition col
+    SnapshotLake.append(Seq(100L, 101L).toDF("x"), root)
+    val df = SnapshotLake.read(spark, root)
+    assert(df.count() == 12L)
+    assert(df.filter(col("p").isNull).select("x").collect()
+      .map(_.getLong(0)).toSet == Set(100L, 101L),
+      "plain files surface NULL partition values (the mergeSchema contract)")
   }
 }
