@@ -499,6 +499,15 @@ object SnapshotLake {
   def tagOf(root: String, v: Long): Option[String] =
     readRecord(root, v).tag
 
+  /** Newest live version committed under idempotence tag `tag`, if any —
+    * the public form of the [[findTag]] probe (Delta's `txnVersion`
+    * shape): O(1) amortized manifest reads through the checkpoint tag
+    * index. [[graft.streaming.CdcFeed]] uses it to resume a change-feed
+    * drain from the destination's own applied-tag state instead of a
+    * side-channel offsets file. None when `root` has no commits. */
+  def tagVersion(root: String, tag: String): Option[Long] =
+    if (currentVersion(root).isEmpty) None else findTag(root, tag)
+
   /** Publish version `version`'s CHANGE record if and only if the version
     * is still free. True on success; false means another writer won the
     * version. Record bytes are O(this commit's change), never O(table) —

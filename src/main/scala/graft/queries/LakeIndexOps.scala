@@ -40,6 +40,12 @@ import graft.model.Tables
   *     real lake query uses), footer min/max prunes within it, and the
   *     kept/total file counts ride the result so the oracle proves both
   *     levels fired.
+  *   - q228: the change feed as a streaming SOURCE
+  *     ([[graft.streaming.CdcFeed]]) — a consumer follows the source
+  *     lake's head version by version, applying each commit's diff
+  *     exactly-once into a destination lake, progress carried by the
+  *     destination's own idempotence-tag index (the Delta CDF-source
+  *     pattern, composing q223's diff with q226's apply loop).
   *   - q221: `OPTIMIZE ZORDER BY` composed with the stats index — the
   *     compaction rewrites the snapshot along the Morton curve of
   *     (l_suppkey, l_partkey) so a two-dimension box predicate prunes on
@@ -247,6 +253,52 @@ object LakeIndexOps {
         root, "o_orderkey", ckpt, idx, Some("__del")).start()
       q.awaitTermination()
       root
+    }
+
+  /** One two-lake CDF pipeline per (session, sf dir): a source lake
+    * built through five heterogeneous commits — two orderkey-half
+    * appends, a copy-on-write MERGE (mod-91 upserts, mod-107
+    * tombstones), a merge-on-read deleteWhere (mod-113 key vector), and
+    * a physical-only compact — then `graft.streaming.CdcFeed.drain`
+    * follows the head version by version into a destination lake, one
+    * exactly-once tagged apply per source commit. Deterministic version
+    * counts: source head 5, destination head 5 (bootstrap append + four
+    * applies — the compaction's EMPTY batch still advances the applied
+    * tag). A second drain must apply nothing. */
+  private val cdfFeed = new graft.etl.Memo[(SparkSession, String), (String, String)]
+
+  private def cdfPipeline(s: SparkSession, d: String): (String, String) =
+    cdfFeed((s, d)) {
+      val src = Scratch.tempDir("graft-cdf-src").toString + "/lake"
+      val dst = Scratch.tempDir("graft-cdf-dst").toString + "/lake"
+      val od = Tables.orders(s, d)
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      for (i <- 0L until 2L) {
+        val lo = maxK * i / 2
+        val cap = if (i == 1) col("o_orderkey") <= maxK
+                  else col("o_orderkey") < maxK / 2
+        SnapshotLake.append(od.filter(col("o_orderkey") >= lo && cap), src, idx)
+      }
+      val isUpd = pmod(col("o_orderkey"), lit(91)) === 0
+      val isDel = pmod(col("o_orderkey"), lit(107)) === 0 && !isUpd
+      SnapshotLake.merge(s, src,
+        od.filter(isUpd)
+          .withColumn("o_orderstatus", lit("F2"))
+          .withColumn("o_totalprice", col("o_totalprice") + 3.0)
+          .withColumn("__del", lit(false))
+          .unionByName(od.filter(isDel).withColumn("__del", lit(true))),
+        "o_orderkey", idx, Some("__del"))
+      SnapshotLake.deleteWhere(s, src,
+        od.filter(pmod(col("o_orderkey"), lit(113)) === 0)
+          .select("o_orderkey"))
+      SnapshotLake.compact(s, src, partitions = 2)
+      val applied = graft.streaming.CdcFeed.drain(s, src, dst, "o_orderkey", idx)
+      require(applied == (1L to 5L),
+        s"drain must apply exactly the five source versions: $applied")
+      require(graft.streaming.CdcFeed.drain(s, src, dst, "o_orderkey", idx).isEmpty,
+        "a replayed drain must be a no-op")
+      (src, dst)
     }
 
   /** One deletion-vector lake per (session, sf dir): lineitem landed as
@@ -604,6 +656,40 @@ object LakeIndexOps {
           centsSum("o_totalprice").as("total"))
         .withColumn("kept_files", lit(scan.kept.toLong))
         .withColumn("total_files", lit(scan.total.toLong))
+        .orderBy("o_orderstatus")
+    },
+
+    // ── Change feed as a streaming SOURCE: CdcFeed follows the source
+    //    lake's five-commit history (appends, COW merge, DV delete,
+    //    compact) version by version into a destination lake, one
+    //    exactly-once tagged apply per commit, progress carried by the
+    //    destination's own tag index. The drained destination must equal
+    //    the oracle's row-level reconstruction of the source head, and
+    //    the version pins prove the cadence: a double-applied replay or
+    //    a stalled compaction batch would break 5/5.
+    Q("q228_cdc_feed_follow",
+      s"""WITH f AS (
+         |  SELECT CASE WHEN o_orderkey % 91 = 0 THEN 'F2'
+         |              ELSE o_orderstatus END AS o_orderstatus,
+         |         CASE WHEN o_orderkey % 91 = 0 THEN o_totalprice + 3.0
+         |              ELSE o_totalprice END AS o_totalprice
+         |  FROM orders
+         |  WHERE NOT (o_orderkey % 107 = 0 AND o_orderkey % 91 <> 0)
+         |    AND o_orderkey % 113 <> 0)
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         |       ${centsSumSql("o_totalprice")} AS total,
+         |       CAST(5 AS BIGINT) AS n_src_versions,
+         |       CAST(5 AS BIGINT) AS n_dst_versions
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val (src, dst) = cdfPipeline(s, d)
+      SnapshotLake.read(s, dst)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          centsSum("o_totalprice").as("total"))
+        .withColumn("n_src_versions",
+          lit(SnapshotLake.currentVersion(src).get))
+        .withColumn("n_dst_versions",
+          lit(SnapshotLake.currentVersion(dst).get))
         .orderBy("o_orderstatus")
     }
   )
