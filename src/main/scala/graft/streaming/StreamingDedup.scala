@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -19,15 +19,33 @@ import graft.llm.Dedup
   * Each micro-batch of arriving documents is
   *   1. indexed — MinHash signatures (one [[graft.functions.MinHashAgg]]
   *      sketch aggregate, map-side partial, one shuffle on doc_id) and
-  *      hashed shingle sets, both written to the corpus state BEFORE any
-  *      dedup decision (the policy needs dropped docs as dominators too,
-  *      see below);
+  *      hashed shingle sets, both committed to the corpus state BEFORE
+  *      any dedup decision (the policy needs dropped docs as dominators
+  *      too, see below);
   *   2. deduped — banded candidates within the batch (LSH self-join) and
-  *      against the accumulated corpus band index (cross join on the
-  *      PRE-EXPLODED (band, slice) relation — the corpus is never
-  *      re-scanned for band derivation, and never self-joins), every
-  *      candidate verified with exact hashed-shingle Jaccard;
+  *      against the accumulated corpus band index, every candidate
+  *      verified with exact hashed-shingle Jaccard;
   *   3. emitted — survivors land in a per-batch output directory.
+  *
+  * STATE IS A BUCKETED RELATION (the 100 TB shape, VERDICT r11 item 7):
+  * the band index lives in a catalog table CLUSTERED BY the band key
+  * into [[StateBuckets]] buckets and PARTITIONED BY the writing batch,
+  * the shingle sets in a twin table bucketed by doc_id. The per-batch
+  * probe join then needs NO corpus-side shuffle — the bucketed scan
+  * already carries the join partitioning, so each trigger shuffles only
+  * the BATCH side (and the within-batch self-join shuffles nothing at
+  * all; PlanShapeSpec pins both). The band key is `xxhash64(band,
+  * slice)` — one hashable long instead of the (band, array) pair;
+  * distinct (band, slice) values may collide, which only ADDS candidate
+  * pairs, and every candidate passes the exact-Jaccard verify, so the
+  * dedup decision is unchanged (the LSH-candidate contract). Batch
+  * writes are `INSERT OVERWRITE` on the batch's own partition (dynamic
+  * partition overwrite), so a crash-replayed micro-batch rewrites
+  * byte-identical state instead of double-appending — the same
+  * idempotence the round-11 per-batch directories gave, now with the
+  * join-locality the directory union could never provide. State grows
+  * by exactly the batch's band/set rows per trigger (append-only,
+  * compacted out-of-band like any lake table).
   *
   * Policy and batch-boundary independence: a document is dropped iff it
   * verifies at ≥ threshold against ANY previously-arrived document —
@@ -42,21 +60,11 @@ import graft.llm.Dedup
   * coincides exactly with batch q36's keep-lowest-id policy, which is what
   * lets the DuckDB all-pairs oracle replay the stream's final state.
   *
-  * Exactly-once: all three writes are keyed by `batchId` and
-  * mode-overwrite, so a crash-replayed micro-batch (same offsets, same
-  * batchId — Spark's checkpoint contract) rewrites byte-identical state
-  * instead of double-appending; the within-batch candidate join reads the
-  * batch's own just-written index, so a replay sees exactly what the
-  * first attempt saw (prior state is filtered to batch < batchId).
-  *
-  * Scale: per micro-batch the work is O(batch) map-side hashing + one
-  * batch-sized sketch-agg shuffle + a join of batch bands against the
-  * corpus band index. At 100 TB the state directories are a bucketed lake
-  * relation — bucket both sides on (band, slice) and the per-batch cross
-  * join shuffles ONLY the batch side; state grows by exactly the batch's
-  * band/set rows per trigger (append-only, compacted out-of-band like any
-  * lake table). The oracle-scale stand-in keeps one parquet dir per batch
-  * and unions them on read — same relation, minus the bucketing DDL.
+  * Exactly-once: the index writes overwrite their own batch partition,
+  * the survivor output is keyed by `batchId` and mode-overwrite, and the
+  * candidate joins read prior state as `b < batchId` — so a replay sees
+  * exactly what the first attempt saw (later batches' partitions are
+  * pruned out) and rewrites identical state.
   */
 object StreamingDedup {
 
@@ -83,23 +91,59 @@ object StreamingDedup {
   private def batchDir(root: String, kind: String, batchId: Long): String =
     s"$root/$kind/b=$batchId"
 
-  /** Union of all state relations of `kind` committed by batches strictly
-    * before `batchId` (a crash-replayed batch must not see its own or any
-    * later attempt's state). None when no prior batch exists. */
-  private def priorState(spark: SparkSession, root: String, kind: String,
-                         batchId: Long): Option[DataFrame] = {
-    val base = Paths.get(root, kind)
-    if (!Files.isDirectory(base)) return None
-    val dirs = {
-      val s = Files.list(base)
-      try
-        s.map[String](_.getFileName.toString).toArray.toSeq
-          .collect { case n: String if n.startsWith("b=") &&
-            n.stripPrefix("b=").toLong < batchId => base.resolve(n).toString }
-      finally s.close()
-    }
-    if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs: _*))
+  /** Bucket count of the state tables. Test-scale constant; production
+    * sizes it to the cluster (buckets ≥ executor slots) — the mechanics
+    * are identical. */
+  val StateBuckets = 8
+
+  /** Catalog table names, derived from the state root so independent
+    * streams in one session (or a re-created fixture) never collide. */
+  private[graft] def bandsTable(stateRoot: String): String =
+    s"graft_dedup_bands_${stableSuffix(stateRoot)}"
+  private[graft] def setsTable(stateRoot: String): String =
+    s"graft_dedup_sets_${stableSuffix(stateRoot)}"
+  private def stableSuffix(s: String): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(s) & 0x7fffffff}%08x"
+
+  /** Create the two bucketed state tables if absent: bands clustered by
+    * the band key, sets by doc_id, both hive-partitioned by the writing
+    * batch (partition overwrite = replay idempotence; partition pruning
+    * = the `b < batchId` replay horizon). Data lives under `stateRoot`,
+    * the catalog entry carries the bucket spec that gives every probe
+    * join its shuffle-free corpus side. */
+  private def ensureStateTables(spark: SparkSession, stateRoot: String): Unit = {
+    // pre-create the locations: the catalog probes them on CREATE/first
+    // read, and an absent dir logs a spurious FileNotFound warning
+    java.nio.file.Files.createDirectories(Paths.get(stateRoot, "bands_tbl"))
+    java.nio.file.Files.createDirectories(Paths.get(stateRoot, "sets_tbl"))
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS ${bandsTable(stateRoot)}
+         |  (doc_id BIGINT, bkey BIGINT, b BIGINT)
+         |USING parquet
+         |PARTITIONED BY (b)
+         |CLUSTERED BY (bkey) SORTED BY (bkey) INTO $StateBuckets BUCKETS
+         |LOCATION '${Paths.get(stateRoot, "bands_tbl").toUri}'""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS ${setsTable(stateRoot)}
+         |  (doc_id BIGINT, shingles ARRAY<BIGINT>, b BIGINT)
+         |USING parquet
+         |PARTITIONED BY (b)
+         |CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $StateBuckets BUCKETS
+         |LOCATION '${Paths.get(stateRoot, "sets_tbl").toUri}'""".stripMargin)
+    ()
+  }
+
+  /** The cross probe: this batch's band rows against the accumulated
+    * corpus band index, joined on the band key. Package-visible so
+    * PlanShapeSpec can pin the shape — BOTH sides are bucketed scans of
+    * the state table, so the join plans with zero shuffle exchanges. */
+  private[graft] def crossCandidates(spark: SparkSession, stateRoot: String,
+                                     batchId: Long): DataFrame = {
+    val t = spark.table(bandsTable(stateRoot))
+    t.filter(col("b") === batchId).drop("b").alias("x")
+      .join(t.filter(col("b") < batchId).drop("b").alias("y"),
+        col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
   }
 
   /** One micro-batch of the continuous near-dedup: index, dedup against
@@ -118,53 +162,51 @@ object StreamingDedup {
   private def dedupBatch(batch: DataFrame, stateRoot: String, batchId: Long,
                          threshold: Double): DataFrame = {
     val spark = batch.sparkSession
+    ensureStateTables(spark, stateRoot)
+    // replay idempotence: INSERT OVERWRITE replaces only this batch's
+    // partition — never the accumulated corpus state
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     // ── 1. index the batch and COMMIT the index before deduping: the
     //      policy needs every seen doc as a potential dominator, dropped
-    //      or not, and overwrite-by-batchId makes a replay idempotent.
+    //      or not.
     Dedup.bandsOf(Dedup.minhashSignatures(batch))
-      .write.mode("overwrite").parquet(batchDir(stateRoot, "bands", batchId))
+      .select(col("doc_id"),
+        xxhash64(col("band"), col("slice")).as("bkey"),
+        lit(batchId).as("b"))
+      .write.mode("overwrite").insertInto(bandsTable(stateRoot))
     Dedup.shingleSets(batch)
-      .write.mode("overwrite").parquet(batchDir(stateRoot, "sets", batchId))
-
-    // Re-read the committed index (materialized — no recompute of the
-    // sketch aggregate for the joins below).
-    val bB = spark.read.parquet(batchDir(stateRoot, "bands", batchId))
-    val sB = spark.read.parquet(batchDir(stateRoot, "sets", batchId))
+      .select(col("doc_id"), col("shingles"), lit(batchId).as("b"))
+      .write.mode("overwrite").insertInto(setsTable(stateRoot))
 
     // ── 2. candidates: within-batch LSH self-join (a < b) plus batch ⋈
-    //      corpus band index. Both verified with exact hashed-shingle
-    //      Jaccard; sets come from this batch ∪ prior state.
-    val within = bB.alias("a")
-      .join(bB.alias("b"),
-        col("a.band") === col("b.band") && col("a.slice") === col("b.slice") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    //      corpus band index — all on the bucketed state, so the corpus
+    //      side never shuffles and the self-join shuffles nothing.
+    //      Verified with exact hashed-shingle Jaccard; sets come from
+    //      this batch ∪ prior state (b ≤ batchId — a replay never sees a
+    //      successor's partition).
+    val bB = spark.table(bandsTable(stateRoot))
+      .filter(col("b") === batchId).drop("b")
+    val within = bB.alias("x")
+      .join(bB.alias("y"),
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val cross = priorState(spark, stateRoot, "bands", batchId).map { pb =>
-      bB.alias("a")
-        .join(pb.alias("b"),
-          col("a.band") === col("b.band") && col("a.slice") === col("b.slice"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-    }
-    val allSets = priorState(spark, stateRoot, "sets", batchId)
-      .map(sB.unionByName(_)).getOrElse(sB)
+    val cross = crossCandidates(spark, stateRoot, batchId).distinct()
+    val allSets = spark.table(setsTable(stateRoot))
+      .filter(col("b") <= batchId).drop("b")
 
     // dominated = the later side of a verified within-batch pair, or the
     // arriving side of a verified cross pair (the corpus doc arrived
     // first by construction).
-    val dominated = {
-      val w = Dedup.verifiedJaccard(within, allSets)
+    val dominated =
+      Dedup.verifiedJaccard(within, allSets)
         .filter(col("jaccard") >= threshold)
         .select(col("doc_b").as("doc_id"))
-      cross.map(c =>
-          w.unionByName(Dedup.verifiedJaccard(c, allSets)
-            .filter(col("jaccard") >= threshold)
-            .select(col("doc_a").as("doc_id"))))
-        .getOrElse(w)
+        .unionByName(Dedup.verifiedJaccard(cross, allSets)
+          .filter(col("jaccard") >= threshold)
+          .select(col("doc_a").as("doc_id")))
         .distinct()
-    }
 
     // ── 3. survivors of this batch; the caller owns the output commit.
     batch.join(dominated, Seq("doc_id"), "left_anti")
@@ -219,10 +261,11 @@ object StreamingDedup {
   /** All survivors drained so far — the deduped corpus the downstream
     * trainer reads. */
   def survivors(spark: SparkSession, stateRoot: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
     val base = Paths.get(stateRoot, "out")
     val dirs = {
-      val s = Files.list(base)
-      try s.map[String](_.toString).toArray.toSeq.map(_.toString).sorted
+      val s = java.nio.file.Files.list(base)
+      try s.iterator().asScala.map(_.toString).toVector.sorted
       finally s.close()
     }
     spark.read.parquet(dirs: _*)
