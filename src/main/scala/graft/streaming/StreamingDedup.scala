@@ -258,6 +258,65 @@ object StreamingDedup {
         processBatch(batch, stateRoot, batchId, threshold)
       }
 
+  /** Out-of-band state compaction — the lake-maintenance twin for the
+    * dedup state tables: consolidate the per-batch partitions of batches
+    * `< upToBatch` (plus any previous archive) into the single archive
+    * partition `b = -1`, which sorts below every real batch id so the
+    * `b < batchId` probe keeps reading it forever, then drop the
+    * consolidated per-batch partition directories. Steady-state file
+    * count per bucket stops tracking the trigger count — the same
+    * small-file story as the lake's compactSmall, applied to stream
+    * state. Replay safety: run it only for batches strictly behind the
+    * stream's committed head. Spark replays at most the newest
+    * uncommitted batch, and a replayed batch N reads prior state as
+    * `b < N` — once batches `< N` are archived at `-1 < N` the replay
+    * sees the identical row set, so decisions are unchanged; archiving
+    * N itself or anything newer would violate the horizon (the same
+    * retention-vs-replay contract the lake's vacuum documents). The
+    * rewrite stages through a temp directory because Spark refuses to
+    * overwrite a table partition while reading the same table. */
+  def compactState(spark: SparkSession, stateRoot: String, upToBatch: Long): Unit = {
+    require(upToBatch >= 0L, "archive horizon must be a real batch id")
+    for (t <- Seq(bandsTable(stateRoot), setsTable(stateRoot))) {
+      val loc = Paths.get(stateRoot,
+        if (t == bandsTable(stateRoot)) "bands_tbl" else "sets_tbl")
+      val batchDirs = {
+        val s = java.nio.file.Files.list(loc)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.startsWith("b=") && n != "b=-1" &&
+              n.stripPrefix("b=").toLong < upToBatch)
+            .toVector
+        } finally s.close()
+      }
+      if (batchDirs.nonEmpty) {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-dedup-compact").resolve("stage")
+        spark.table(t).filter(col("b") < upToBatch)
+          .drop("b").write.parquet(tmp.toString)
+        spark.read.parquet(tmp.toString)
+          .withColumn("b", lit(-1L))
+          .write.mode("overwrite").insertInto(t)
+        // the archive partition now holds every consolidated row; the
+        // per-batch source partitions are dead weight — drop their dirs
+        // (file-source tables discover partitions from the filesystem)
+        batchDirs.foreach { n =>
+          val d = loc.resolve(n)
+          val s = java.nio.file.Files.list(d)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.toVector.foreach(java.nio.file.Files.deleteIfExists(_))
+          } finally s.close()
+          java.nio.file.Files.deleteIfExists(d); ()
+        }
+        spark.sql(s"REFRESH TABLE $t")
+        ()
+      }
+    }
+  }
+
   /** All survivors drained so far — the deduped corpus the downstream
     * trainer reads. */
   def survivors(spark: SparkSession, stateRoot: String): DataFrame = {

@@ -584,6 +584,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == before, "replaying batch 0 must be a no-op")
   }
 
+  test("dedup state compaction archives old batches without changing any decision") {
+    val work = Files.createTempDirectory("graft-sdedup-compact").toString
+    val docs = dedupCorpus
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    // twin state roots driven with identical batch ids
+    for (st <- Seq(s"$work/a", s"$work/b")) {
+      StreamingDedup.processBatch(slice(0, 4), st, 0L, 0.5)
+      StreamingDedup.processBatch(slice(4, 8), st, 1L, 0.5)
+      StreamingDedup.processBatch(slice(8, 10), st, 2L, 0.5)
+    }
+    // archive batches 0-1 on one twin; 2 is the newest committed batch and
+    // must stay (the replay horizon)
+    StreamingDedup.compactState(spark, s"$work/a", 2L)
+    val parts = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(java.nio.file.Paths.get(s"$work/a", "bands_tbl"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("b=")).toSet
+      finally s.close()
+    }
+    assert(parts == Set("b=-1", "b=2"),
+      s"batches 0-1 consolidated into the archive partition: $parts")
+    // a crash-replayed newest batch reads the identical prior state through
+    // the archive partition (b = -1 < 2) and rewrites identical output
+    StreamingDedup.processBatch(slice(8, 10), s"$work/a", 2L, 0.5)
+    // the next arriving batch must decide identically on both twins
+    StreamingDedup.processBatch(slice(10, 12), s"$work/a", 3L, 0.5)
+    StreamingDedup.processBatch(slice(10, 12), s"$work/b", 3L, 0.5)
+    def out(st: String) = StreamingDedup.survivors(spark, st)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = out(s"$work/a")
+    assert(a == out(s"$work/b"),
+      "compaction must be invisible to every dedup decision")
+    val batch = graft.llm.Dedup.nearDedup(docs, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == batch, s"compacted stream still equals the batch policy: $a")
+  }
+
   test("streaming near-dedup through the snapshot lake: exactly-once across checkpoint replay and manifest commits") {
     import graft.etl.SnapshotLake
     val work = Files.createTempDirectory("graft-sdedup-lake").toString
