@@ -47,8 +47,17 @@ object FileStats {
 
   /** min/max of one column in one file, as the JSON-storable string form
     * of the column's logical type (numbers for numeric, raw text for
-    * UTF-8). `nRows` is the file's row count (all row groups). */
-  final case class ColRange(min: String, max: String, numeric: Boolean)
+    * UTF-8). `nulls` is the column's TOTAL null count across the file
+    * when every row group reported one (`None` = unknown — older
+    * sidecars, or a row group without the field): the witness
+    * [[graft.etl.SnapshotLake.deleteMatching]]'s whole-file-drop fast
+    * path needs, because "every row is inside the predicate range" is
+    * only provable from min/max when NO row is NULL (a NULL never
+    * matches a range predicate, so dropping a file that holds one would
+    * delete a row the predicate kept). Unknown ⇒ never whole-dropped —
+    * conservative, like every other use of these stats. */
+  final case class ColRange(min: String, max: String, numeric: Boolean,
+                            nulls: Option[Long] = None)
 
   /** Compare two harvested string bounds the way the footer min/max were
     * COMPUTED — unsigned UTF-8 byte order (parquet BINARY/UTF8, the same
@@ -94,6 +103,13 @@ object FileStats {
         val reader = ParquetFileReader.open(in)
         try {
           val ranges = scala.collection.mutable.Map.empty[String, ColRange]
+          // Per-column null totals, accumulated across EVERY row group —
+          // independently of the range merge, because an all-null chunk
+          // contributes no min/max yet its nulls must still count (they
+          // are exactly the rows a whole-file range proof would lose).
+          // One chunk without the field poisons the column to unknown
+          // (None), the conservative direction.
+          val nulls = scala.collection.mutable.Map.empty[String, Option[Long]]
           var rows = 0L
           for (block <- reader.getFooter.getBlocks.asScala) {
             rows += block.getRowCount
@@ -101,8 +117,15 @@ object FileStats {
               val name = chunk.getPath.toDotString
               if (colSet.contains(name)) {
                 val st = chunk.getStatistics
+                val chunkNulls =
+                  if (st != null && st.isNumNullsSet) Some(st.getNumNulls)
+                  else None
+                nulls(name) = (nulls.getOrElse(name, Some(0L)), chunkNulls) match {
+                  case (Some(a), Some(b)) => Some(a + b)
+                  case _ => None
+                }
                 // hasNonNullValue ⇔ the min/max are real values; an all-null
-                // or stats-less chunk contributes nothing (conservative).
+                // or stats-less chunk contributes no range (conservative).
                 // Safety note for BINARY: parquet-mr's chunk-level Statistics
                 // are EXACT-OR-ABSENT — oversized string min/max are dropped
                 // entirely (truncation exists only in column indexes, which
@@ -117,7 +140,10 @@ object FileStats {
               }
             }
           }
-          rel -> FileMeta(ranges.toMap, rows)
+          val withNulls = ranges.toMap.map { case (c, r) =>
+            c -> r.copy(nulls = nulls.getOrElse(c, None))
+          }
+          rel -> FileMeta(withNulls, rows)
         } finally reader.close()
       }
       .collect().toMap
@@ -181,7 +207,8 @@ object FileStats {
       case (dir, perFile) =>
         val json = perFile.toSeq.sortBy(_._1).map { case (rel, cols) =>
           val fields = cols.toSeq.sortBy(_._1).map { case (c, r) =>
-            s""""${esc(c)}":{"min":"${esc(r.min)}","max":"${esc(r.max)}","num":${r.numeric}}"""
+            val nf = r.nulls.map(n => s""","nulls":$n""").getOrElse("")
+            s""""${esc(c)}":{"min":"${esc(r.min)}","max":"${esc(r.max)}","num":${r.numeric}$nf}"""
           }.mkString(",")
           s""""${esc(rel.substring(rel.lastIndexOf('/') + 1))}":{$fields}"""
         }.mkString("{", ",", "}")
@@ -196,15 +223,49 @@ object FileStats {
     val p = Paths.get(root, dir, "_stats.json")
     if (!Files.exists(p)) return Map.empty
     val json = Files.readString(p)
-    // parse of our own writer's format: {"file":{"col":{"min":"..","max":"..","num":b},..},..}
+    // parse of our own writer's format (the "nulls" field is optional —
+    // round-11/12 sidecars lack it and read back as unknown):
+    // {"file":{"col":{"min":"..","max":"..","num":b[,"nulls":n]},..},..}
     val fileRe = """"((?:[^"\\]|\\.)*)":\{((?:[^{}]|\{[^{}]*\})*)\}""".r
-    val colRe = """"((?:[^"\\]|\\.)*)":\{"min":"((?:[^"\\]|\\.)*)","max":"((?:[^"\\]|\\.)*)","num":(true|false)\}""".r
+    val colRe = """"((?:[^"\\]|\\.)*)":\{"min":"((?:[^"\\]|\\.)*)","max":"((?:[^"\\]|\\.)*)","num":(true|false)(?:,"nulls":(\d+))?\}""".r
     fileRe.findAllMatchIn(json).map { fm =>
       val cols = colRe.findAllMatchIn(fm.group(2)).map { cm =>
         unesc(cm.group(1)) -> ColRange(unesc(cm.group(2)), unesc(cm.group(3)),
-          cm.group(4) == "true")
+          cm.group(4) == "true", Option(cm.group(5)).map(_.toLong))
       }.toMap
       s"$dir/${unesc(fm.group(1))}" -> cols
+    }.toMap
+  }
+
+  // ── row-count sidecar (metadata-only aggregates) ────────────────────
+
+  /** Per-file ROW COUNTS as a commit-dir sidecar (`_rows.json`) — written
+    * by every [[SnapshotLake]] commit from the same footer pass that
+    * already produced the manifest's `addedRows`, so it costs nothing
+    * extra. This is what makes `SELECT count(*)` a METADATA-ONLY query at
+    * any version ([[SnapshotLake.fastCount]]): the Delta/Iceberg
+    * numRecords trick — at 100 TB a full count opens zero data files.
+    * Commits from before this sidecar existed read back absent, and every
+    * metadata-only consumer falls back to a real scan (conservative). */
+  def writeRowsSidecar(root: String, rows: Map[String, Long]): Unit =
+    rows.groupBy { case (rel, _) => commitDirOf(rel) }.foreach {
+      case (dir, perFile) =>
+        val json = perFile.toSeq.sortBy(_._1).map { case (rel, n) =>
+          s""""${esc(rel.substring(rel.lastIndexOf('/') + 1))}":$n"""
+        }.mkString("{", ",", "}")
+        Files.writeString(Paths.get(root, dir, "_rows.json"), json)
+        ()
+    }
+
+  /** Row counts of one commit dir, keyed by manifest-relative path;
+    * empty when the commit carries no `_rows.json`. */
+  def readRowsSidecar(root: String, dir: String): Map[String, Long] = {
+    val p = Paths.get(root, dir, "_rows.json")
+    if (!Files.exists(p)) return Map.empty
+    val json = Files.readString(p)
+    val entryRe = """"((?:[^"\\]|\\.)*)":(\d+)""".r
+    entryRe.findAllMatchIn(json).map { m =>
+      s"$dir/${unesc(m.group(1))}" -> m.group(2).toLong
     }.toMap
   }
 

@@ -347,8 +347,13 @@ object SnapshotLake {
       .map { seg =>
         val i = seg.indexOf('=')
         val v = seg.substring(i + 1)
+        // a real partition value is the value of EVERY row in the file
+        // (zero nulls by construction — null rows land under the
+        // sentinel dir instead, whose null count is the row count, i.e.
+        // unknown here: conservative)
         seg.substring(0, i) -> FileStats.ColRange(v, v,
-          numeric = scala.util.Try(v.toDouble).isSuccess)
+          numeric = scala.util.Try(v.toDouble).isSuccess,
+          nulls = if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(0L))
       }.toMap
 
   /** Merge-on-read DELETE: commit `keys` (one column, named for the
@@ -429,6 +434,10 @@ object SnapshotLake {
     if (index.statsCols.nonEmpty)
       FileStats.writeStatsSidecar(root,
         meta.map { case (f, m) => f -> m.ranges })
+    // row counts ride EVERY commit (the footer pass already produced
+    // them for the manifest's addedRows) — the metadata-only count
+    // ([[fastCount]]) needs each live file's entry to answer
+    FileStats.writeRowsSidecar(root, meta.map { case (f, m) => f -> m.rows })
     index.bloomCol.foreach { c =>
       val expected = // sized from footer row counts: no counting scan
         math.max(1L, meta.values.foldLeft(0L)((a, m) => math.max(a, m.rows)))
@@ -1103,6 +1112,285 @@ object SnapshotLake {
     (1L to cur).filter(v => Files.exists(versionFile(root, v))).map { v =>
       val r = readRecord(root, v)
       CommitInfo(v, r.op, r.base, r.tag, files(root, v).size, r.addedRows)
+    }
+  }
+
+  /** RESTORE the table to the state of `toV` — Delta's `RESTORE TABLE …
+    * TO VERSION` re-expressed on the log: ONE new commit whose change
+    * record is the file-set diff head→target, so the restore is O(diff)
+    * manifest bytes and ZERO data movement (the target's immutable files
+    * are simply referenced again). History is preserved — the undone
+    * versions stay time-travelable until vacuum ages them out, and the
+    * restore itself appears in [[history]] as `op=restore` with
+    * `base=toV`. The CAS loop recomputes the diff against the current
+    * head on every attempt, so a racing append's rows are dropped from
+    * the head — RESTORE means "the table IS the target state", exactly
+    * Delta's contract (the racing rows remain in their own version).
+    * `toV` must be within vacuum retention: its manifests must resolve
+    * (else NoSuchFileException) and retention guarantees its data files
+    * still exist. */
+  def restore(root: String, toV: Long): Long = {
+    val target = resolve(root, toV)._1
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentVersion(root).get // ≥ toV: toV resolved above
+      val curSt = resolve(root, cur)._1
+      val curF = curSt.files.toSet
+      val curD = curSt.deletes.toSet
+      if (tryCommit(root, cur + 1, "restore", toV, addedRows = 0L,
+          add = target.files.filterNot(curF),
+          remove = curSt.files.filterNot(target.files.toSet),
+          addDel = target.deletes.filterNot(curD),
+          removeDel = curSt.deletes.filterNot(target.deletes.toSet)))
+        committed = cur + 1
+    }
+    committed
+  }
+
+  /** ZERO-COPY CLONE of version `version` (default: head) of `srcRoot`
+    * into the empty lake `dstRoot` — Delta's SHALLOW CLONE: no data byte
+    * is read or copied, the clone's v1 manifest references the source
+    * snapshot's immutable files, and the two tables evolve independently
+    * from there (appends/merges/vacuums on either side never affect the
+    * other). On POSIX the reference is a HARD LINK per data file and
+    * index sidecar — O(files) metadata ops — which makes the clone even
+    * stronger than Delta's: a vacuum on the source only unlinks the
+    * source's name, the shared inode survives until the clone drops its
+    * own link (no dangling-reference failure mode). On object storage
+    * the same protocol would record absolute source URIs instead and
+    * inherit Delta's source-retention caveat. Index sidecars
+    * (`_stats.json`, `_bloom_*`, `_rows.json`) link over with their
+    * commit dirs, so pruned reads and metadata-only counts work on the
+    * clone unchanged. Returns the clone's version (always 1). */
+  def cloneTo(srcRoot: String, dstRoot: String,
+              version: Option[Long] = None): Long = {
+    val v = version.orElse(currentVersion(srcRoot)).getOrElse(
+      throw new IllegalStateException(s"nothing to clone at $srcRoot"))
+    require(currentVersion(dstRoot).isEmpty,
+      s"clone target $dstRoot must have no commits")
+    val st = resolve(srcRoot, v)._1
+    val all = st.files ++ st.deletes
+    all.foreach { rel =>
+      val dst = Paths.get(dstRoot, rel)
+      Files.createDirectories(dst.getParent)
+      try { Files.createLink(dst, Paths.get(srcRoot, rel)); () }
+      catch { case _: FileAlreadyExistsException => () } // idempotent re-run
+    }
+    all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct.foreach { d =>
+      val srcDir = Paths.get(srcRoot, d)
+      val s = Files.list(srcDir)
+      val sidecars =
+        try s.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("_")).toVector
+        finally s.close()
+      sidecars.foreach { p =>
+        try { Files.createLink(Paths.get(dstRoot, d, p.getFileName.toString), p); () }
+        catch { case _: FileAlreadyExistsException => () }
+      }
+    }
+    if (!tryCommit(dstRoot, 1L, "clone", 0L,
+        add = st.files, addDel = st.deletes))
+      throw new IllegalStateException(
+        s"clone target $dstRoot was committed to concurrently")
+    1L
+  }
+
+  /** What a [[deleteMatching]] commit did to each class of file — the
+    * scale evidence: `carried` files were untouched (range disjoint),
+    * `dropped` files left the manifest with NO rewrite (every row
+    * provably matched), only `rewritten` files cost data IO. */
+  final case class DeleteResult(version: Long, carried: Int, dropped: Int,
+                                rewritten: Int)
+
+  /** Predicate DELETE (copy-on-write) — `DELETE WHERE <conjunction of
+    * ranges>` through the file index, with the three-way classification
+    * every production lake's DELETE does:
+    *
+    *   - files whose stats/partition ranges are DISJOINT from the
+    *     predicate are carried verbatim (zero IO);
+    *   - files EVERY row of which provably matches are dropped from the
+    *     manifest with NO rewrite — the "drop a whole partition by
+    *     metadata" fast path (provable only when min ≥ lo, max ≤ hi AND
+    *     the harvested null count is zero, because a NULL row never
+    *     matches a range predicate and must survive);
+    *   - overlapping files are rewritten keeping the rows that do NOT
+    *     match (NULL-safe: a NULL predicate value survives).
+    *
+    * At 100 TB this is why `DELETE WHERE event_date < retention` on a
+    * date-partitioned table is a manifest-only commit: every in-range
+    * file whole-drops, cost O(metadata). The inverse of [[deleteWhere]]
+    * (merge-on-read key tombstones): pay the write now, read clean
+    * forever. Same CAS/fence semantics as [[merge]] — the read-or-
+    * dropped set aborts on concurrent rewrite ([[abortIfRemoved]]);
+    * racing appends reconcile. Live key tombstones are carried (they
+    * apply file-agnostically). */
+  def deleteMatching(spark: SparkSession, root: String,
+                     preds: Seq[FileStats.Range],
+                     index: IndexSpec = IndexSpec.none): DeleteResult = {
+    require(preds.nonEmpty, "deleteMatching needs at least one predicate")
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val baseV = currentVersion(root).getOrElse(
+      throw new IllegalStateException(s"nothing to delete from at $root"))
+    val baseFiles = files(root, baseV)
+    val stats = baseFiles.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      .flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
+    val ranges = baseFiles.map(f =>
+      f -> (stats.getOrElse(f, Map.empty) ++ pathRangesOf(f))).toMap
+    val candidates = baseFiles.filter(f => FileStats.mayMatch(ranges(f), preds))
+    // whole-file drop: every pred column has a harvested range lying
+    // INSIDE the predicate's bounds and a known-zero null count
+    def inside(r: FileStats.ColRange, p: FileStats.Range): Boolean = {
+      def le(a: String, b: String) =
+        if (r.numeric) a.toDouble <= b.toDouble else FileStats.utf8Cmp(a, b) <= 0
+      r.nulls.contains(0L) &&
+        p.lo.forall(lo => le(lo, r.min)) && p.hi.forall(hi => le(r.max, hi))
+    }
+    val dropped = candidates.filter { f =>
+      preds.forall(p => ranges(f).get(p.col).exists(inside(_, p)))
+    }
+    val rewriteSet = candidates.filterNot(dropped.toSet)
+    val pc = partColsOf(baseFiles)
+    val rewritten: Seq[String] =
+      if (rewriteSet.isEmpty) Nil
+      else {
+        val d0 = readListing(spark, root, rewriteSet)
+        val conj = preds.map { p =>
+          val typed = (s: String) => lit(s).cast(d0.schema(p.col).dataType)
+          (p.lo.map(col(p.col) >= typed(_)) ++ p.hi.map(col(p.col) <= typed(_)))
+            .reduce(_ && _)
+        }.reduce(_ && _)
+        // survivors = rows NOT matching; NULL-valued rows never match a
+        // range predicate, so they must survive (coalesce, not plain NOT)
+        val survivors = d0.filter(not(coalesce(conj, lit(false))))
+        (if (pc.isEmpty) writeData(survivors, root, index)
+         else writeDataPartitioned(survivors, root, pc, index)).files
+      }
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentVersion(root).get
+      val curFiles = files(root, cur)
+      // read-or-dropped set: a racing rewrite of a dropped file would
+      // re-home its rows into files this commit doesn't remove
+      abortIfRemoved(root, baseV, cur, candidates, curFiles, "deleteMatching")
+      if (tryCommit(root, cur + 1, "delete", baseV, addedRows = 0L,
+          add = rewritten, remove = candidates))
+        committed = cur + 1
+    }
+    DeleteResult(committed, baseFiles.size - candidates.size,
+      dropped.size, rewriteSet.size)
+  }
+
+  /** METADATA-ONLY row count of version `v` (default: head) — `SELECT
+    * count(*)` answered entirely from the `_rows.json` sidecars of the
+    * live files: zero data-file opens however large the table (the
+    * Delta/Iceberg numRecords path). `None` — and the caller falls back
+    * to a real scan — when any live file predates the sidecar or the
+    * version holds live key tombstones (their anti-join victims are not
+    * countable from metadata). */
+  def fastCount(root: String, version: Option[Long] = None): Option[Long] = {
+    val v = version.orElse(currentVersion(root)).getOrElse(return None)
+    val st = resolve(root, v)._1
+    if (st.deletes.nonEmpty) return None
+    val rows = st.files.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      .flatMap(dir => FileStats.readRowsSidecar(root, dir)).toMap
+    if (st.files.forall(rows.contains)) Some(st.files.map(rows).sum) else None
+  }
+
+  /** METADATA-ONLY exact (min, max) of `col` at version `v` — the fold
+    * of every live file's harvested range (sidecar or path-encoded
+    * partition tuple). Exact only when EVERY live file carries a range
+    * for the column (a file without stats could hold the true extreme)
+    * and the version has no live tombstones (an anti-joined row could BE
+    * the extreme) — `None` otherwise, and the caller scans. */
+  def statsRange(root: String, col: String,
+                 version: Option[Long] = None): Option[FileStats.ColRange] = {
+    val v = version.orElse(currentVersion(root)).getOrElse(return None)
+    val st = resolve(root, v)._1
+    if (st.deletes.nonEmpty) return None
+    val stats = st.files.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      .flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
+    val rs = st.files.map(f =>
+      (stats.getOrElse(f, Map.empty) ++ pathRangesOf(f)).get(col))
+    if (rs.exists(_.isEmpty)) None
+    else rs.flatten.reduceOption { (a, b) =>
+      require(a.numeric == b.numeric, s"mixed numeric/string stats for $col")
+      def lt(x: String, y: String) =
+        if (a.numeric) x.toDouble < y.toDouble else FileStats.utf8Cmp(x, y) < 0
+      FileStats.ColRange(if (lt(b.min, a.min)) b.min else a.min,
+        if (lt(a.max, b.max)) b.max else a.max, a.numeric,
+        for (x <- a.nulls; y <- b.nulls) yield x + y)
+    }
+  }
+
+  /** CHECK-constrained append — Delta's table constraints on the commit
+    * path: every row must satisfy every named constraint (SQL CHECK
+    * semantics: TRUE and UNKNOWN/NULL pass, only FALSE violates), or the
+    * WHOLE append fails with the constraint's name in the error and NO
+    * version is committed — the half-written data files are unreferenced
+    * orphans [[vacuum]] reaps, exactly the crashed-commit path. The
+    * check is a codegen'd in-row expression (`assert_true` fused into
+    * the write scan), not a separate validation pass: one scan, zero
+    * extra shuffles, at any scale. */
+  def appendChecked(df: DataFrame, root: String,
+                    constraints: Seq[(String, org.apache.spark.sql.Column)],
+                    index: IndexSpec = IndexSpec.none): Long = {
+    require(constraints.nonEmpty, "appendChecked needs constraints")
+    import org.apache.spark.sql.functions.{assert_true, col, concat, concat_ws, lit, when}
+    val allPass = constraints.map { case (_, c) => !(c <=> lit(false)) }
+      .reduce(_ && _)
+    val failed = concat_ws(",", constraints.map { case (n, c) =>
+      when(c <=> lit(false), lit(n))
+    }: _*)
+    val msg = concat(lit("CHECK constraint violated ["), failed, lit("]"))
+    // the guard rides the first output column so column pruning can never
+    // drop it: assert_true returns NULL when it doesn't throw, making the
+    // `when` branch always taken and type-preserving
+    val c0 = df.columns.head
+    val checked = df.withColumn(c0,
+      when(assert_true(allPass, msg).isNull, col(c0)))
+    append(checked, root, index)
+  }
+
+  /** Result of an [[appendExpect]]: the clean commit, and the quarantine
+    * lake's commit when any row violated (None = all clean). */
+  final case class Expected(clean: Long, quarantine: Option[Long])
+
+  /** EXPECTATIONS append — the warn/quarantine flavor of constraints
+    * (dlt's `expect`, the lake-native form of the CSV PERMISSIVE
+    * quarantine S4 keeps): rows satisfying every expectation commit to
+    * `root`; violating rows commit to `quarantineRoot` with a
+    * `_violated` column naming the failed expectations (comma-joined) —
+    * nothing is dropped silently, the audit trail is a queryable lake.
+    * The two commits are independent (not one cross-lake transaction —
+    * the quarantine side is diagnostic data); a crash between them
+    * leaves the clean commit live and the dirty rows re-derivable from
+    * the source. When no row violates, the quarantine write yields zero
+    * rows (known from the footer pass, no counting scan) and no
+    * quarantine version is committed — the empty files are vacuum-
+    * reapable orphans. */
+  def appendExpect(df: DataFrame, root: String, quarantineRoot: String,
+                   expectations: Seq[(String, org.apache.spark.sql.Column)],
+                   index: IndexSpec = IndexSpec.none): Expected = {
+    require(expectations.nonEmpty, "appendExpect needs expectations")
+    import org.apache.spark.sql.functions.{concat_ws, lit, not, when}
+    val failAny = expectations.map { case (_, c) => c <=> lit(false) }
+      .reduce(_ || _)
+    val viol = concat_ws(",", expectations.map { case (n, c) =>
+      when(c <=> lit(false), lit(n))
+    }: _*)
+    val clean = append(df.filter(not(failAny)), root, index)
+    val w = writeData(df.filter(failAny).withColumn("_violated", viol),
+      quarantineRoot)
+    if (w.rows == 0L) Expected(clean, None)
+    else {
+      var committed = -1L
+      while (committed < 0) {
+        val cur = currentVersion(quarantineRoot)
+        if (tryCommit(quarantineRoot, cur.getOrElse(0L) + 1, "append",
+            cur.getOrElse(0L), addedRows = w.rows, add = w.files))
+          committed = cur.getOrElse(0L) + 1
+      }
+      Expected(clean, Some(committed))
     }
   }
 
