@@ -46,6 +46,26 @@ import graft.model.Tables
   *     exactly-once into a destination lake, progress carried by the
   *     destination's own idempotence-tag index (the Delta CDF-source
   *     pattern, composing q223's diff with q226's apply loop).
+  *   - q229: RESTORE TO VERSION ([[SnapshotLake.restore]]) — one
+  *     O(diff) commit re-references the target's immutable files,
+  *     undoing a delete + compaction with zero data movement while the
+  *     undone versions stay time-travelable.
+  *   - q230: ZERO-COPY CLONE ([[SnapshotLake.cloneTo]]) — shallow clone
+  *     via hard links (no data byte read), after which the two tables
+  *     diverge independently; version pins prove isolation both ways.
+  *   - q231: predicate DELETE (copy-on-write,
+  *     [[SnapshotLake.deleteMatching]]) — three-way file
+  *     classification: ranges disjoint → carried verbatim, range inside
+  *     the predicate with zero harvested nulls → whole-dropped by
+  *     METADATA (no rewrite), overlap → survivors rewritten. The
+  *     classification counts are oracle-pinned literals.
+  *   - q232: METADATA-ONLY count/min/max ([[SnapshotLake.fastCount]] /
+  *     [[SnapshotLake.statsRange]]) — answered from the _rows.json and
+  *     _stats.json sidecars with zero data-file opens (the
+  *     Delta/Iceberg numRecords path).
+  *   - q233: expectations ingest ([[SnapshotLake.appendExpect]]) —
+  *     clean rows commit, violators quarantine with a _violated audit
+  *     column; nothing drops silently.
   *   - q221: `OPTIMIZE ZORDER BY` composed with the stats index — the
   *     compaction rewrites the snapshot along the Morton curve of
   *     (l_suppkey, l_partkey) so a two-dimension box predicate prunes on
@@ -341,6 +361,126 @@ object LakeIndexOps {
       SnapshotLake.compactZOrder(s, root, "l_suppkey", "l_partkey", 8,
         SnapshotLake.IndexSpec(Seq("l_suppkey", "l_partkey"), None))
       root
+    }
+
+  /** One restored lake per (session, sf dir): orders landed as two
+    * orderkey-half appends (v1, v2), every mod-97 key tombstoned
+    * merge-on-read (v3), the vector materialized by compaction (v4),
+    * then RESTORE to v2 (v5) — one O(diff) commit that re-references
+    * v2's immutable files, undoing delete + compaction with zero data
+    * movement while v3/v4 stay time-travelable. */
+  private val restoredM = new graft.etl.Memo[(SparkSession, String), String]
+
+  private def restoredLake(s: SparkSession, d: String): String =
+    restoredM((s, d)) {
+      val root = Scratch.tempDir("graft-restore-lake").toString + "/lake"
+      val od = Tables.orders(s, d)
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      for (i <- 0L until 2L) {
+        val lo = maxK * i / 2
+        val cap = if (i == 1) col("o_orderkey") <= maxK
+                  else col("o_orderkey") < maxK / 2
+        SnapshotLake.append(od.filter(col("o_orderkey") >= lo && cap), root, idx)
+      }
+      SnapshotLake.deleteWhere(s, root,
+        od.filter(pmod(col("o_orderkey"), lit(97)) === 0).select("o_orderkey"))
+      SnapshotLake.compact(s, root, partitions = 2)
+      val rv = SnapshotLake.restore(root, 2L)
+      require(rv == 5L, s"restore must commit v5, got $rv")
+      root
+    }
+
+  /** One clone pair per (session, sf dir): a two-append source lake,
+    * zero-copy cloned (hard links, no data read), then DIVERGED — the
+    * clone gains 30 synthetic orders, the source tombstones every
+    * mod-99 key. Neither write is visible on the other side; version
+    * counts pin the independence (src 3, clone 2). */
+  private val clonedM = new graft.etl.Memo[(SparkSession, String), (String, String)]
+
+  private def clonedLakes(s: SparkSession, d: String): (String, String) =
+    clonedM((s, d)) {
+      val src = Scratch.tempDir("graft-clone-src").toString + "/lake"
+      val dst = Scratch.tempDir("graft-clone-dst").toString + "/lake"
+      val od = Tables.orders(s, d)
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      for (i <- 0L until 2L) {
+        val lo = maxK * i / 2
+        val cap = if (i == 1) col("o_orderkey") <= maxK
+                  else col("o_orderkey") < maxK / 2
+        SnapshotLake.append(od.filter(col("o_orderkey") >= lo && cap), src, idx)
+      }
+      SnapshotLake.cloneTo(src, dst)
+      SnapshotLake.append(s.range(1, 31).select(
+        (lit(maxK) + col("id")).as("o_orderkey"),
+        col("id").as("o_custkey"),
+        lit("Z").as("o_orderstatus"),
+        (lit(100.0) + col("id")).as("o_totalprice"),
+        lit("2024-04-01 00:00:00").cast("timestamp").as("o_orderdate"),
+        lit("CLONE").as("o_orderpriority")), dst, idx)
+      SnapshotLake.deleteWhere(s, src,
+        od.filter(pmod(col("o_orderkey"), lit(99)) === 0).select("o_orderkey"))
+      (src, dst)
+    }
+
+  /** One predicate-deleted lake per (session, sf dir): orders landed as
+    * four one-file orderkey-quartile appends (stats-indexed), then ONE
+    * `deleteMatching` over [max/4, max·5/8] — quartile 2 whole-drops by
+    * metadata (range inside the predicate, zero harvested nulls),
+    * quartile 3 rewrites its survivors, quartiles 1 and 4 are carried
+    * verbatim. The classification counts are structurally determined,
+    * so the oracle pins them as literals. */
+  private val predDelM =
+    new graft.etl.Memo[(SparkSession, String), (String, SnapshotLake.DeleteResult)]
+
+  private def predDeletedLake(s: SparkSession, d: String): (String, SnapshotLake.DeleteResult) =
+    predDelM((s, d)) {
+      val root = Scratch.tempDir("graft-preddel-lake").toString + "/lake"
+      val od = Tables.orders(s, d)
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      for (i <- 0L until 4L) {
+        val lo = maxK * i / 4
+        val cap = if (i == 3) col("o_orderkey") <= maxK
+                  else col("o_orderkey") < maxK * (i + 1) / 4
+        SnapshotLake.append(
+          od.filter(col("o_orderkey") >= lo && cap).coalesce(1), root, idx)
+      }
+      val r = SnapshotLake.deleteMatching(s, root, Seq(
+        FileStats.Range("o_orderkey",
+          Some((maxK / 4).toString), Some((maxK * 5 / 8).toString))), idx)
+      (root, r)
+    }
+
+  /** One expectations-checked ingest per (session, sf dir): orders plus
+    * 45 synthetic bad rows (25 unknown-status, 15 negative-price, 5
+    * violating both) appended through `appendExpect` — clean rows land
+    * in the main lake, violators in the quarantine lake with a
+    * `_violated` column naming every failed expectation. */
+  private val expectM = new graft.etl.Memo[(SparkSession, String), (String, String)]
+
+  private def expectLakes(s: SparkSession, d: String): (String, String) =
+    expectM((s, d)) {
+      val root = Scratch.tempDir("graft-expect-lake").toString + "/lake"
+      val quar = Scratch.tempDir("graft-expect-quar").toString + "/lake"
+      val od = Tables.orders(s, d)
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val bad = s.range(1, 46).select(
+        (lit(maxK) + col("id")).as("o_orderkey"),
+        col("id").as("o_custkey"),
+        when(col("id") <= 25 || col("id") > 40, "X").otherwise("O")
+          .as("o_orderstatus"),
+        when(col("id") <= 25, lit(100.0) + col("id"))
+          .when(col("id") <= 40, -(lit(50.0) + col("id")))
+          .otherwise(-(lit(10.0) + col("id"))).as("o_totalprice"),
+        lit("2024-05-01 00:00:00").cast("timestamp").as("o_orderdate"),
+        lit("BAD").as("o_orderpriority"))
+      val r = SnapshotLake.appendExpect(od.unionByName(bad), root, quar, Seq(
+        "price_positive" -> (col("o_totalprice") > 0.0),
+        "status_known" -> col("o_orderstatus").isin("O", "F", "P")))
+      require(r.quarantine.nonEmpty, "the 45 bad rows must quarantine")
+      (root, quar)
     }
 
   /** Exact global (min, max) of `c` read from the index alone — max of
@@ -691,6 +831,168 @@ object LakeIndexOps {
         .withColumn("n_dst_versions",
           lit(SnapshotLake.currentVersion(dst).get))
         .orderBy("o_orderstatus")
+    },
+
+    // ── RESTORE TO VERSION: one O(diff) commit re-references v2's
+    //    immutable files, undoing a delete + compaction with zero data
+    //    movement. The head must equal the full pre-delete table while
+    //    the undone v4 still time-travels to the deleted state — history
+    //    is preserved, not rewritten. n_versions pins the O(diff)
+    //    cadence (2 appends + delete + compact + restore = 5).
+    Q("q229_restore_to_version",
+      s"""WITH pre AS (
+         |  SELECT 'pre_restore' AS phase, o_orderstatus, o_totalprice
+         |  FROM orders WHERE o_orderkey % 97 <> 0),
+         |post AS (
+         |  SELECT 'restored' AS phase, o_orderstatus, o_totalprice
+         |  FROM orders),
+         |u AS (SELECT * FROM pre UNION ALL SELECT * FROM post)
+         |SELECT phase, o_orderstatus, count(*) AS n_rows,
+         |       ${centsSumSql("o_totalprice")} AS total,
+         |       CAST(5 AS BIGINT) AS n_versions
+         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val root = restoredLake(s, d)
+      def leg(v: Option[Long], tag: String) =
+        SnapshotLake.read(s, root, v)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            centsSum("o_totalprice").as("total"))
+          .withColumn("phase", lit(tag))
+          .select("phase", "o_orderstatus", "n_rows", "total")
+      leg(Some(4L), "pre_restore").unionByName(leg(None, "restored"))
+        .withColumn("n_versions",
+          lit(SnapshotLake.currentVersion(root).get))
+        .orderBy("phase", "o_orderstatus")
+    },
+
+    // ── ZERO-COPY CLONE: the clone's v1 hard-links the source snapshot
+    //    (no data byte read or copied — TableOpsSpec pins shared
+    //    inodes), then the two tables DIVERGE: 30 synthetic rows land
+    //    only in the clone, a mod-99 tombstone delete lands only in the
+    //    source. Each side must equal its own reconstruction, and the
+    //    version pins (src 3, clone 2) prove neither write leaked
+    //    across.
+    Q("q230_zero_copy_clone",
+      s"""WITH src AS (
+         |  SELECT 'src' AS side, o_orderstatus, o_totalprice
+         |  FROM orders WHERE o_orderkey % 99 <> 0),
+         |dst AS (
+         |  SELECT 'clone' AS side, o_orderstatus, o_totalprice FROM orders
+         |  UNION ALL
+         |  SELECT 'clone', 'Z', CAST(100.0 + i AS DOUBLE) FROM range(1, 31) t(i)),
+         |u AS (SELECT * FROM src UNION ALL SELECT * FROM dst)
+         |SELECT side, o_orderstatus, count(*) AS n_rows,
+         |       ${centsSumSql("o_totalprice")} AS total,
+         |       CAST(3 AS BIGINT) AS src_version,
+         |       CAST(2 AS BIGINT) AS clone_version
+         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val (src, dst) = clonedLakes(s, d)
+      def leg(root: String, tag: String) =
+        SnapshotLake.read(s, root)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            centsSum("o_totalprice").as("total"))
+          .withColumn("side", lit(tag))
+          .select("side", "o_orderstatus", "n_rows", "total")
+      leg(src, "src").unionByName(leg(dst, "clone"))
+        .withColumn("src_version", lit(SnapshotLake.currentVersion(src).get))
+        .withColumn("clone_version", lit(SnapshotLake.currentVersion(dst).get))
+        .orderBy("side", "o_orderstatus")
+    },
+
+    // ── Predicate DELETE (copy-on-write) with the whole-file-drop fast
+    //    path: DELETE WHERE o_orderkey ∈ [max/4, max·5/8] over four
+    //    one-file quartile commits — quartile 2 leaves the manifest by
+    //    METADATA alone (its range is inside the predicate and its
+    //    harvested null count is zero), quartile 3 rewrites survivors,
+    //    quartiles 1/4 carry verbatim. The oracle pins the surviving
+    //    rows AND the structurally-determined classification counts —
+    //    at 100 TB this is why a retention DELETE on a date-partitioned
+    //    table is a manifest-only commit.
+    Q("q231_predicate_delete",
+      s"""WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+         |keep AS (
+         |  SELECT o_orderstatus, o_totalprice FROM orders, m
+         |  WHERE NOT (o_orderkey >= mx // 4 AND o_orderkey <= mx * 5 // 8))
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         |       ${centsSumSql("o_totalprice")} AS total,
+         |       CAST(2 AS BIGINT) AS carried_files,
+         |       CAST(1 AS BIGINT) AS dropped_files,
+         |       CAST(1 AS BIGINT) AS rewritten_files,
+         |       CAST(5 AS BIGINT) AS n_versions
+         |FROM keep GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val (root, r) = predDeletedLake(s, d)
+      SnapshotLake.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          centsSum("o_totalprice").as("total"))
+        .withColumn("carried_files", lit(r.carried.toLong))
+        .withColumn("dropped_files", lit(r.dropped.toLong))
+        .withColumn("rewritten_files", lit(r.rewritten.toLong))
+        .withColumn("n_versions", lit(r.version))
+        .orderBy("o_orderstatus")
+    },
+
+    // ── METADATA-ONLY aggregates: count(*) and exact min/max answered
+    //    entirely from the _rows.json / _stats.json sidecars of the
+    //    live manifest files — the Delta/Iceberg numRecords path. The
+    //    Spark plan contains NO scan of the data files (the values are
+    //    resolved driver-side from O(files) sidecar bytes); the oracle
+    //    computes the same aggregates the hard way. At 100 TB this is
+    //    the difference between milliseconds and a cluster-wide scan.
+    Q("q232_metadata_only_agg",
+      """SELECT count(*) AS n_rows,
+        |       min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+        |       min(l_partkey) AS min_pkey, max(l_partkey) AS max_pkey
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      val root = indexedLake(s, d)
+      val n = SnapshotLake.fastCount(root).getOrElse(
+        sys.error("every live file must carry a rows sidecar"))
+      val ok = SnapshotLake.statsRange(root, "l_orderkey").get
+      val pk = SnapshotLake.statsRange(root, "l_partkey").get
+      s.range(1).select(
+        lit(n).as("n_rows"),
+        lit(ok.min.toDouble.toLong).as("min_okey"),
+        lit(ok.max.toDouble.toLong).as("max_okey"),
+        lit(pk.min.toDouble.toLong).as("min_pkey"),
+        lit(pk.max.toDouble.toLong).as("max_pkey"))
+    },
+
+    // ── Expectations ingest (CHECK constraints' quarantine flavor):
+    //    orders plus 45 deterministic bad rows flow through
+    //    appendExpect — every real row passes both expectations and
+    //    lands in the clean lake; violators land in the quarantine lake
+    //    with _violated naming each failed expectation (comma-joined in
+    //    declaration order for the 5 rows violating both). Nothing is
+    //    dropped silently: clean + quarantined = input, row for row.
+    Q("q233_expectations_quarantine",
+      s"""WITH bad AS (
+         |  SELECT CASE WHEN i <= 25 THEN 'status_known'
+         |              WHEN i <= 40 THEN 'price_positive'
+         |              ELSE 'price_positive,status_known' END AS grp,
+         |         CASE WHEN i <= 25 THEN CAST(100.0 + i AS DOUBLE)
+         |              WHEN i <= 40 THEN CAST(-(50.0 + i) AS DOUBLE)
+         |              ELSE CAST(-(10.0 + i) AS DOUBLE) END AS v
+         |  FROM range(1, 46) t(i)),
+         |clean AS (SELECT 'clean' AS phase, o_orderstatus AS grp,
+         |                 o_totalprice AS v FROM orders),
+         |quar AS (SELECT 'quarantine' AS phase, grp, v FROM bad),
+         |u AS (SELECT * FROM clean UNION ALL SELECT * FROM quar)
+         |SELECT phase, grp, count(*) AS n_rows,
+         |       ${centsSumSql("v")} AS total
+         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val (root, quar) = expectLakes(s, d)
+      val clean = SnapshotLake.read(s, root)
+        .groupBy(col("o_orderstatus").as("grp"))
+        .agg(count(lit(1)).as("n_rows"), centsSum("o_totalprice").as("total"))
+        .withColumn("phase", lit("clean"))
+      val dirty = SnapshotLake.read(s, quar)
+        .groupBy(col("_violated").as("grp"))
+        .agg(count(lit(1)).as("n_rows"), centsSum("o_totalprice").as("total"))
+        .withColumn("phase", lit("quarantine"))
+      clean.unionByName(dirty)
+        .select("phase", "grp", "n_rows", "total")
+        .orderBy("phase", "grp")
     }
   )
 }
