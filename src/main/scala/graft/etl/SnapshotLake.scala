@@ -1394,6 +1394,97 @@ object SnapshotLake {
     }
   }
 
+  /** A write-audit-publish staging handle: data files (and their index
+    * sidecars) that exist on disk but appear in NO manifest — invisible
+    * to every reader until [[publish]] links them in. */
+  final case class Staged(files: Seq[String], rows: Long)
+
+  /** WRITE-AUDIT-PUBLISH stage 1 (Iceberg's WAP pattern): write `df`'s
+    * data files and index sidecars exactly as [[append]] would — but
+    * publish NO manifest, so production readers cannot see a byte of it.
+    * The audit step reads the staged files directly ([[readStaged]]) or,
+    * cheaper, their commit-time sidecars (row counts and min/max arrive
+    * with the handle's commit dir — a metadata audit costs zero data
+    * reads). [[publish]] turns the audited batch into a normal commit;
+    * [[discard]] removes a rejected one (a crashed stage needs neither —
+    * its files are unreferenced orphans [[vacuum]] reaps, the same
+    * guarantee the exactly-once writers lean on). */
+  def stageAppend(df: DataFrame, root: String,
+                  index: IndexSpec = IndexSpec.none): Staged = {
+    val w = writeData(df, root, index)
+    Staged(w.files, w.rows)
+  }
+
+  /** The audit view of a staged batch: exactly its rows, read from the
+    * staged files (production readers still see nothing). Union with
+    * [[read]] for the post-publish preview. */
+  def readStaged(spark: SparkSession, root: String, staged: Staged): DataFrame =
+    readListing(spark, root, staged.files)
+
+  /** Publish an audited staged batch as a normal append commit — same
+    * CAS loop, O(change) record. With `tag`, publication is exactly-once
+    * ([[appendOnce]]'s contract): a replayed publish of the same tag
+    * returns the existing version and the duplicate staged files stay
+    * orphans for vacuum. */
+  def publish(root: String, staged: Staged, tag: Option[String] = None): Long = {
+    tag.foreach(t => require(t.nonEmpty && !t.exists(c => c == '"' || c == '\\'),
+      s"tag must be quote-free: $t"))
+    var committed = -1L
+    while (committed < 0) {
+      tag.foreach(t => findTag(root, t).foreach(v => return v))
+      val cur = currentVersion(root)
+      if (tryCommit(root, cur.getOrElse(0L) + 1, "append", cur.getOrElse(0L),
+          tag, addedRows = staged.rows, add = staged.files))
+        committed = cur.getOrElse(0L) + 1
+    }
+    committed
+  }
+
+  /** Drop a rejected staged batch: delete its files, sidecars, and
+    * commit dirs. Deterministic cleanup for the audit-failed path;
+    * forgetting to call it merely leaves vacuum-reapable orphans. */
+  def discard(root: String, staged: Staged): Unit = {
+    staged.files.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+    staged.files.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      .foreach { d =>
+        val dir = Paths.get(root, d)
+        if (Files.isDirectory(dir)) {
+          val s = Files.list(dir)
+          val left = try s.iterator().asScala.toVector finally s.close()
+          // only sidecars and FS metadata may remain ("_stats.json",
+          // "_SUCCESS", Hadoop ".…crc" checksums) — they die with the dir
+          if (left.forall { p =>
+              val n = p.getFileName.toString
+              Files.isRegularFile(p) && (n.startsWith("_") || n.startsWith("."))
+            }) {
+            left.foreach(Files.deleteIfExists(_))
+            Files.deleteIfExists(dir)
+            ()
+          }
+        }
+      }
+  }
+
+  /** The op and data files ADDED by commit `v` — the per-commit payload
+    * of the streaming tail source ([[graft.streaming.LakeTail]]): an
+    * append's `add` list IS its rows, no diff join needed. Legacy
+    * full-state manifests predate the change-record shape and are
+    * rejected. */
+  def commitChange(root: String, v: Long): (String, Seq[String]) = {
+    val r = readRecord(root, v)
+    require(r.legacyFull.isEmpty,
+      s"v$v is a legacy full-state manifest; the tail source needs change records")
+    (r.op, r.add)
+  }
+
+  /** Read an explicit subset of one version's files — e.g. a commit's
+    * added files ([[commitChange]]) or a staged batch. Partitioned
+    * commits re-attach their path-encoded columns, mixed listings union
+    * by name. */
+  def readFiles(spark: SparkSession, root: String,
+                rel: Seq[String]): DataFrame =
+    readListing(spark, root, rel)
+
   /** Drop manifests older than the newest `keepVersions`, then delete
     * every data file under `data/` that no RETAINED manifest references
     * and whose mtime is older than `orphanGraceMs` — this reaps both

@@ -66,6 +66,17 @@ import graft.model.Tables
   *   - q233: expectations ingest ([[SnapshotLake.appendExpect]]) —
   *     clean rows commit, violators quarantine with a _violated audit
   *     column; nothing drops silently.
+  *   - q234: WRITE-AUDIT-PUBLISH ([[SnapshotLake.stageAppend]] /
+  *     [[SnapshotLake.publish]] / [[SnapshotLake.discard]]) — staged
+  *     batches live outside every manifest, a metadata-only audit
+  *     (staged sidecars vs head statsRange) gates publication, and a
+  *     tagged publish is exactly-once (Iceberg's WAP).
+  *   - q235: append-only streaming TAIL
+  *     ([[graft.streaming.LakeTail]]) — each append commit's added
+  *     files stream downstream exactly once with no diff join; merges,
+  *     deletes, and compactions are skipped but still advance the
+  *     follower (Delta's skipChangeCommits), the complement of q228's
+  *     CDC replica.
   *   - q221: `OPTIMIZE ZORDER BY` composed with the stats index — the
   *     compaction rewrites the snapshot along the Morton curve of
   *     (l_suppkey, l_partkey) so a two-dimension box predicate prunes on
@@ -481,6 +492,86 @@ object LakeIndexOps {
         "status_known" -> col("o_orderstatus").isin("O", "F", "P")))
       require(r.quarantine.nonEmpty, "the 45 bad rows must quarantine")
       (root, quar)
+    }
+
+  /** One write-audit-publish lake per (session, sf dir): lower-half
+    * orders committed normally (v1), then TWO staged batches — the
+    * upper half (key range disjoint from the head: audit passes,
+    * published exactly-once under a tag) and a duplicate low slice
+    * (range overlaps the head: audit rejects, discarded). The audit is
+    * METADATA-ONLY: it compares the staged commit dir's own sidecar
+    * ranges against the head's statsRange — no data read either way. */
+  private val wapM = new graft.etl.Memo[(SparkSession, String), String]
+
+  private def wapLake(s: SparkSession, d: String): String =
+    wapM((s, d)) {
+      val root = Scratch.tempDir("graft-wap-lake").toString + "/lake"
+      val od = Tables.orders(s, d)
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      SnapshotLake.append(od.filter(col("o_orderkey") < maxK / 2), root, idx)
+      val headMax = SnapshotLake.statsRange(root, "o_orderkey").get.max.toDouble
+      def stagedRange(st: SnapshotLake.Staged): (Double, Double) = {
+        // zero-row part files harvest no range — skip them (they hold no
+        // key to audit); at least one staged file must carry rows
+        val rs = st.files.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+          .flatMap(dir => FileStats.readStatsSidecar(root, dir))
+          .collect { case (f, cols) if st.files.contains(f) => cols.get("o_orderkey") }
+          .flatten
+        require(rs.nonEmpty, "staged batch must carry at least one keyed row")
+        (rs.map(_.min.toDouble).min, rs.map(_.max.toDouble).max)
+      }
+      val good = SnapshotLake.stageAppend(
+        od.filter(col("o_orderkey") >= maxK / 2), root, idx)
+      val bad = SnapshotLake.stageAppend(
+        od.filter(col("o_orderkey") < 1000), root, idx)
+      // the audit: a staged batch may not overlap the head's key space
+      Seq(good -> true, bad -> false).foreach { case (st, expectPass) =>
+        val pass = stagedRange(st)._1 > headMax
+        require(pass == expectPass, s"audit must classify deterministically")
+        if (pass) SnapshotLake.publish(root, st, Some("wap-upper"))
+        else SnapshotLake.discard(root, st)
+      }
+      root
+    }
+
+  /** One tail pipeline per (session, sf dir): a source lake built as
+    * append (lower third) → MERGE (mod-95 upserts in that third —
+    * change commit) → append (mid third) → compact (physical) → append
+    * (upper third), drained through [[graft.streaming.LakeTail]] into a
+    * destination. The tail delivers exactly the three appends' original
+    * rows — the merge and compaction are skipped (Delta's
+    * skipChangeCommits), so the destination equals the ORIGINAL orders
+    * while the source head carries the upserts: the asymmetry IS the
+    * append-bus contract. */
+  private val tailM = new graft.etl.Memo[(SparkSession, String), (String, String)]
+
+  private def tailLakes(s: SparkSession, d: String): (String, String) =
+    tailM((s, d)) {
+      val src = Scratch.tempDir("graft-tail-src").toString + "/lake"
+      val dst = Scratch.tempDir("graft-tail-dst").toString + "/lake"
+      val od = Tables.orders(s, d)
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      SnapshotLake.append(od.filter(col("o_orderkey") < maxK / 3), src, idx)
+      SnapshotLake.merge(s, src,
+        od.filter(col("o_orderkey") < maxK / 3 &&
+            pmod(col("o_orderkey"), lit(95)) === 0)
+          .withColumn("o_orderstatus", lit("T"))
+          .withColumn("o_totalprice", col("o_totalprice") + 4.0),
+        "o_orderkey", idx)
+      SnapshotLake.append(od.filter(
+        col("o_orderkey") >= maxK / 3 && col("o_orderkey") < maxK * 2 / 3),
+        src, idx)
+      SnapshotLake.compact(s, src, partitions = 2)
+      SnapshotLake.append(od.filter(col("o_orderkey") >= maxK * 2 / 3), src, idx)
+      val applied = graft.streaming.LakeTail.drain(s, src, dst,
+        _.select("o_orderkey", "o_orderstatus", "o_totalprice"), idx)
+      require(applied == (1L to 5L),
+        s"the tail must consume all five source versions: $applied")
+      require(graft.streaming.LakeTail.drain(s, src, dst).isEmpty,
+        "a replayed drain must be a no-op")
+      (src, dst)
     }
 
   /** Exact global (min, max) of `c` read from the index alone — max of
@@ -993,6 +1084,69 @@ object LakeIndexOps {
       clean.unionByName(dirty)
         .select("phase", "grp", "n_rows", "total")
         .orderBy("phase", "grp")
+    },
+
+    // ── WRITE-AUDIT-PUBLISH: two staged batches exist on disk but in no
+    //    manifest; a metadata-only audit (staged sidecar ranges vs the
+    //    head's statsRange — zero data reads) publishes the disjoint
+    //    upper half exactly-once and discards the overlapping slice. The
+    //    head must equal the full table with NO trace of the rejected
+    //    batch, and n_versions=2 pins that staging never moved the
+    //    version counter (the Iceberg WAP contract).
+    Q("q234_write_audit_publish",
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |       ${centsSumSql("o_totalprice")} AS total,
+         |       CAST(2 AS BIGINT) AS n_versions,
+         |       CAST(1 AS BIGINT) AS published,
+         |       CAST(1 AS BIGINT) AS discarded
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val root = wapLake(s, d)
+      SnapshotLake.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          centsSum("o_totalprice").as("total"))
+        .withColumn("n_versions", lit(SnapshotLake.currentVersion(root).get))
+        .withColumn("published", lit(1L))
+        .withColumn("discarded", lit(1L))
+        .orderBy("o_orderstatus")
+    },
+
+    // ── Append-only streaming TAIL (Delta's skipChangeCommits): the
+    //    destination accumulates exactly the three appends' ORIGINAL
+    //    rows — the mod-95 merge and the compaction are skipped, never
+    //    re-emitted — while the source head carries the upserts. Both
+    //    sides under one oracle pins the asymmetry that defines the
+    //    append-bus contract, and the version pins (src 5, tail 5)
+    //    prove skipped commits still advance the follower exactly-once.
+    Q("q235_append_tail_follow",
+      s"""WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+         |srcv AS (
+         |  SELECT 'src' AS side,
+         |         CASE WHEN o_orderkey % 95 = 0 AND o_orderkey < mx // 3
+         |              THEN 'T' ELSE o_orderstatus END AS o_orderstatus,
+         |         CASE WHEN o_orderkey % 95 = 0 AND o_orderkey < mx // 3
+         |              THEN o_totalprice + 4.0
+         |              ELSE o_totalprice END AS o_totalprice
+         |  FROM orders, m),
+         |tl AS (SELECT 'tail' AS side, o_orderstatus, o_totalprice FROM orders),
+         |u AS (SELECT * FROM srcv UNION ALL SELECT * FROM tl)
+         |SELECT side, o_orderstatus, count(*) AS n_rows,
+         |       ${centsSumSql("o_totalprice")} AS total,
+         |       CAST(5 AS BIGINT) AS src_version,
+         |       CAST(5 AS BIGINT) AS tail_version
+         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val (src, dst) = tailLakes(s, d)
+      def leg(root: String, tag: String) =
+        SnapshotLake.read(s, root)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            centsSum("o_totalprice").as("total"))
+          .withColumn("side", lit(tag))
+          .select("side", "o_orderstatus", "n_rows", "total")
+      leg(src, "src").unionByName(leg(dst, "tail"))
+        .withColumn("src_version", lit(SnapshotLake.currentVersion(src).get))
+        .withColumn("tail_version", lit(SnapshotLake.currentVersion(dst).get))
+        .orderBy("side", "o_orderstatus")
     }
   )
 }

@@ -193,6 +193,44 @@ class TableOpsSpec extends AnyFunSuite {
     assert(SnapshotLake.read(spark, root).count() == 3L)
   }
 
+  // ── write-audit-publish ─────────────────────────────────────────────
+
+  test("staged batches are invisible until published; discard removes a rejected one; tagged publish is exactly-once") {
+    val root = newRoot("graft-wap")
+    val idx = SnapshotLake.IndexSpec(Seq("x"), None)
+    SnapshotLake.append(Seq(1L, 2L).toDF("x"), root, idx)
+
+    val good = SnapshotLake.stageAppend(Seq(3L, 4L).toDF("x"), root, idx)
+    val bad = SnapshotLake.stageAppend(Seq(-9L).toDF("x"), root, idx)
+    // invisible: head unchanged, no version moved
+    assert(SnapshotLake.currentVersion(root).contains(1L))
+    assert(rows(root) == Set(1L, 2L))
+    // the audit reads the staged rows directly…
+    assert(SnapshotLake.readStaged(spark, root, good)
+      .collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // …or audits by METADATA: the staged commit dir's sidecars carry row
+    // counts and ranges without reading a data byte
+    val dir = good.files.head.substring(0, good.files.head.lastIndexOf('/'))
+    assert(FileStats.readRowsSidecar(root, dir).values.sum == good.rows)
+    val badDir = bad.files.head.substring(0, bad.files.head.lastIndexOf('/'))
+    val badRange = FileStats.readStatsSidecar(root, badDir).values
+      .flatMap(_.get("x")).head
+    assert(badRange.min.toDouble < 0, "the metadata audit catches the bad batch")
+
+    SnapshotLake.discard(root, bad)
+    bad.files.foreach(f => assert(!Files.exists(Paths.get(root, f))))
+    assert(!Files.isDirectory(Paths.get(root, badDir)),
+      "discard sweeps the emptied commit dir and its sidecars")
+
+    val v = SnapshotLake.publish(root, good, Some("wap-b1"))
+    assert(v == 2L)
+    assert(rows(root) == Set(1L, 2L, 3L, 4L))
+    // a crash-replayed publish of the same tag is a no-op returning the
+    // original version (the duplicate staged files would be orphans)
+    assert(SnapshotLake.publish(root, good, Some("wap-b1")) == 2L)
+    assert(SnapshotLake.currentVersion(root).contains(2L))
+  }
+
   test("appendExpect quarantines violating rows with their violation names, commits clean rows") {
     val root = newRoot("graft-expect")
     val quar = newRoot("graft-expect-q")
