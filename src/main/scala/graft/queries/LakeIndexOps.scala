@@ -77,6 +77,11 @@ import graft.model.Tables
   *     deletes, and compactions are skipped but still advance the
   *     follower (Delta's skipChangeCommits), the complement of q228's
   *     CDC replica.
+  *   - q236: incrementally-maintained MATERIALIZED VIEW
+  *     ([[graft.streaming.MatView]]) — per-commit signed group deltas
+  *     from the change feed merged into a view lake exactly-once,
+  *     bit-equal to the from-scratch GROUP BY at every step (the DLT /
+  *     DBSQL MV-maintenance pattern).
   *   - q221: `OPTIMIZE ZORDER BY` composed with the stats index — the
   *     compaction rewrites the snapshot along the Morton curve of
   *     (l_suppkey, l_partkey) so a two-dimension box predicate prunes on
@@ -572,6 +577,52 @@ object LakeIndexOps {
       require(graft.streaming.LakeTail.drain(s, src, dst).isEmpty,
         "a replayed drain must be a no-op")
       (src, dst)
+    }
+
+  /** One incrementally-maintained materialized view per (session, sf
+    * dir): a source lake of orders (plus an exact integer-cents column)
+    * built through five heterogeneous commits — two half appends, a
+    * merge (mod-91 upserts that MOVE rows into group 'M' and add 250
+    * cents, mod-109 tombstone deletes), a physical-only compact, and a
+    * mod-97 merge-on-read delete — with `MatView.refresh` following
+    * commit by commit: per-version signed group deltas merged into the
+    * view lake exactly-once. A second refresh must apply nothing. */
+  private val mvM = new graft.etl.Memo[(SparkSession, String), (String, String)]
+
+  private def mvPipeline(s: SparkSession, d: String): (String, String) =
+    mvM((s, d)) {
+      val src = Scratch.tempDir("graft-mv-src").toString + "/lake"
+      val mv = Scratch.tempDir("graft-mv-view").toString + "/lake"
+      val od = Tables.orders(s, d).withColumn("o_total_cents",
+        round(col("o_totalprice") * 100).cast("long"))
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      for (i <- 0L until 2L) {
+        val lo = maxK * i / 2
+        val cap = if (i == 1) col("o_orderkey") <= maxK
+                  else col("o_orderkey") < maxK / 2
+        SnapshotLake.append(od.filter(col("o_orderkey") >= lo && cap), src, idx)
+      }
+      val isUpd = pmod(col("o_orderkey"), lit(91)) === 0
+      val isDel = pmod(col("o_orderkey"), lit(109)) === 0 && !isUpd
+      SnapshotLake.merge(s, src,
+        od.filter(isUpd)
+          .withColumn("o_orderstatus", lit("M"))
+          .withColumn("o_total_cents", col("o_total_cents") + 250L)
+          .withColumn("__del", lit(false))
+          .unionByName(od.filter(isDel).withColumn("__del", lit(true))),
+        "o_orderkey", idx, Some("__del"))
+      SnapshotLake.compact(s, src, partitions = 2)
+      SnapshotLake.deleteWhere(s, src,
+        od.filter(pmod(col("o_orderkey"), lit(97)) === 0).select("o_orderkey"))
+      val applied = graft.streaming.MatView.refresh(
+        s, src, mv, "o_orderkey", "o_orderstatus", "o_total_cents", idx)
+      require(applied == (1L to 5L),
+        s"the view must follow all five source versions: $applied")
+      require(graft.streaming.MatView.refresh(
+        s, src, mv, "o_orderkey", "o_orderstatus", "o_total_cents", idx).isEmpty,
+        "a replayed refresh must be a no-op")
+      (src, mv)
     }
 
   /** Exact global (min, max) of `c` read from the index alone — max of
@@ -1147,6 +1198,38 @@ object LakeIndexOps {
         .withColumn("src_version", lit(SnapshotLake.currentVersion(src).get))
         .withColumn("tail_version", lit(SnapshotLake.currentVersion(dst).get))
         .orderBy("side", "o_orderstatus")
+    },
+
+    // ── Incrementally-maintained MATERIALIZED VIEW: the view followed
+    //    five heterogeneous source commits (appends, group-moving merge,
+    //    compaction, MOR delete) applying signed group deltas from each
+    //    change feed — and must be BIT-EQUAL to the from-scratch
+    //    GROUP BY of the final head, which is what the oracle computes.
+    //    Per-refresh cost tracked each commit's change mass (the
+    //    compaction fed zero deltas); the version pins (src 5, mv 5)
+    //    prove one exactly-once view commit per source version.
+    Q("q236_incremental_mat_view",
+      """WITH base AS (
+        |  SELECT CASE WHEN o_orderkey % 91 = 0 THEN 'M'
+        |              ELSE o_orderstatus END AS g,
+        |         CAST(round(o_totalprice * 100) AS BIGINT)
+        |           + CASE WHEN o_orderkey % 91 = 0 THEN 250 ELSE 0 END AS cents,
+        |         o_orderkey
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 109 = 0 AND o_orderkey % 91 <> 0)),
+        |final AS (SELECT * FROM base WHERE o_orderkey % 97 <> 0)
+        |SELECT g AS o_orderstatus, count(*) AS n_rows,
+        |       CAST(sum(cents) AS BIGINT) / 100.0 AS total,
+        |       CAST(5 AS BIGINT) AS src_version,
+        |       CAST(5 AS BIGINT) AS mv_version
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val (src, mv) = mvPipeline(s, d)
+      SnapshotLake.read(s, mv)
+        .select(col("o_orderstatus"), col("n_rows"),
+          (col("sum_v") / 100.0).as("total"))
+        .withColumn("src_version", lit(SnapshotLake.currentVersion(src).get))
+        .withColumn("mv_version", lit(SnapshotLake.currentVersion(mv).get))
+        .orderBy("o_orderstatus")
     }
   )
 }
