@@ -1237,17 +1237,7 @@ object SnapshotLake {
     val ranges = baseFiles.map(f =>
       f -> (stats.getOrElse(f, Map.empty) ++ pathRangesOf(f))).toMap
     val candidates = baseFiles.filter(f => FileStats.mayMatch(ranges(f), preds))
-    // whole-file drop: every pred column has a harvested range lying
-    // INSIDE the predicate's bounds and a known-zero null count
-    def inside(r: FileStats.ColRange, p: FileStats.Range): Boolean = {
-      def le(a: String, b: String) =
-        if (r.numeric) a.toDouble <= b.toDouble else FileStats.utf8Cmp(a, b) <= 0
-      r.nulls.contains(0L) &&
-        p.lo.forall(lo => le(lo, r.min)) && p.hi.forall(hi => le(r.max, hi))
-    }
-    val dropped = candidates.filter { f =>
-      preds.forall(p => ranges(f).get(p.col).exists(inside(_, p)))
-    }
+    val dropped = candidates.filter(f => wholeMatch(ranges(f), preds))
     val rewriteSet = candidates.filterNot(dropped.toSet)
     val pc = partColsOf(baseFiles)
     val rewritten: Seq[String] =
@@ -1278,6 +1268,74 @@ object SnapshotLake {
     }
     DeleteResult(committed, baseFiles.size - candidates.size,
       dropped.size, rewriteSet.size)
+  }
+
+  /** True iff EVERY row of a file provably satisfies ALL of `preds`:
+    * each predicate column has a harvested range lying INSIDE the
+    * predicate's bounds and a known-ZERO null count (a NULL row never
+    * matches a range predicate, so unknown or non-zero nulls veto the
+    * proof). The witness behind [[deleteMatching]]'s whole-file drop
+    * and [[fastCountWhere]]'s metadata-counted files. */
+  private def wholeMatch(ranges: Map[String, FileStats.ColRange],
+                         preds: Seq[FileStats.Range]): Boolean =
+    preds.forall { p =>
+      ranges.get(p.col).exists { r =>
+        def le(a: String, b: String) =
+          if (r.numeric) a.toDouble <= b.toDouble
+          else FileStats.utf8Cmp(a, b) <= 0
+        r.nulls.contains(0L) &&
+          p.lo.forall(lo => le(lo, r.min)) && p.hi.forall(hi => le(r.max, hi))
+      }
+    }
+
+  /** A pruning-based predicate count's cost breakdown: `rows` is exact;
+    * `metadataFiles` were counted from their `_rows.json` entry without
+    * being opened (provably all-matching), `scannedFiles` were actually
+    * read and filtered (boundary overlap), `prunedFiles` were skipped
+    * outright (provably disjoint). */
+  final case class CountWhere(rows: Long, metadataFiles: Int,
+                              scannedFiles: Int, prunedFiles: Int)
+
+  /** Exact `SELECT count(*) WHERE <conjunction of ranges>` by PRUNING
+    * ARITHMETIC — the Iceberg/Snowflake trick: files provably disjoint
+    * from the predicate contribute nothing, files provably ALL-matching
+    * ([[wholeMatch]]: range inside bounds, zero nulls) contribute their
+    * sidecar row count WITHOUT being opened, and only the boundary-
+    * overlap files are scanned with the predicate applied. On a
+    * range-ingested 100 TB table a time-band count opens the two edge
+    * files and metadata-counts the interior — however wide the band.
+    * A whole-matching file without a rows-sidecar entry downgrades to a
+    * scan (correct, just slower); live key tombstones make any
+    * metadata count inexact ⇒ `None`, the caller scans. */
+  def fastCountWhere(spark: SparkSession, root: String,
+                     preds: Seq[FileStats.Range],
+                     version: Option[Long] = None): Option[CountWhere] = {
+    require(preds.nonEmpty, "fastCountWhere needs at least one predicate")
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = version.orElse(currentVersion(root)).getOrElse(return None)
+    val st = resolve(root, v)._1
+    if (st.deletes.nonEmpty) return None
+    val dirs = st.files.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    val stats = dirs.flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
+    val rowsBy = dirs.flatMap(dir => FileStats.readRowsSidecar(root, dir)).toMap
+    val ranges = st.files.map(f =>
+      f -> (stats.getOrElse(f, Map.empty) ++ pathRangesOf(f))).toMap
+    val candidates = st.files.filter(f => FileStats.mayMatch(ranges(f), preds))
+    val (whole, partial) = candidates.partition(f =>
+      wholeMatch(ranges(f), preds) && rowsBy.contains(f))
+    val scanned =
+      if (partial.isEmpty) 0L
+      else {
+        val d0 = readListing(spark, root, partial)
+        preds.foldLeft(d0) { (d, p) =>
+          val typed = (s: String) => lit(s).cast(d.schema(p.col).dataType)
+          val lo = p.lo.map(col(p.col) >= typed(_))
+          val hi = p.hi.map(col(p.col) <= typed(_))
+          (lo ++ hi).foldLeft(d)(_ filter _)
+        }.count()
+      }
+    Some(CountWhere(whole.map(rowsBy).sum + scanned, whole.size,
+      partial.size, st.files.size - candidates.size))
   }
 
   /** METADATA-ONLY row count of version `v` (default: head) — `SELECT

@@ -1230,6 +1230,45 @@ object LakeIndexOps {
         .withColumn("src_version", lit(SnapshotLake.currentVersion(src).get))
         .withColumn("mv_version", lit(SnapshotLake.currentVersion(mv).get))
         .orderBy("o_orderstatus")
+    },
+
+    // ── PRUNING-BASED COUNT (Iceberg/Snowflake's count trick): the same
+    //    [max/4, max·5/8] band counted at the intact pre-delete version
+    //    — the interior quartile contributes its sidecar row count
+    //    WITHOUT being opened (metadata_files=1), only the boundary
+    //    quartile is scanned (scanned_files=1), the outer two are
+    //    pruned — and at the post-delete head, where the rewritten
+    //    survivor file's range leaves the band entirely: zero rows from
+    //    zero opened files (all three files pruned). Both legs exact
+    //    under the oracle; on a range-ingested 100 TB table this is a
+    //    band count that opens two edge files however wide the band.
+    Q("q237_pruning_based_count",
+      """WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+        |pre AS (
+        |  SELECT 'pre_delete' AS phase, count(*) AS n_rows,
+        |         CAST(1 AS BIGINT) AS metadata_files,
+        |         CAST(1 AS BIGINT) AS scanned_files,
+        |         CAST(2 AS BIGINT) AS pruned_files
+        |  FROM orders, m
+        |  WHERE o_orderkey >= mx // 4 AND o_orderkey <= mx * 5 // 8),
+        |post AS (
+        |  SELECT 'post_delete', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), CAST(3 AS BIGINT))
+        |SELECT * FROM pre UNION ALL SELECT * FROM post
+        |ORDER BY phase""".stripMargin) { (s, d) =>
+      val (root, _) = predDeletedLake(s, d)
+      val (_, maxK) = statsBounds(root, "o_orderkey", Some(4L))
+      val band = Seq(FileStats.Range("o_orderkey",
+        Some((maxK / 4).toString), Some((maxK * 5 / 8).toString)))
+      def leg(v: Option[Long], tag: String) = {
+        val c = SnapshotLake.fastCountWhere(s, root, band, v).get
+        s.range(1).select(lit(tag).as("phase"), lit(c.rows).as("n_rows"),
+          lit(c.metadataFiles.toLong).as("metadata_files"),
+          lit(c.scannedFiles.toLong).as("scanned_files"),
+          lit(c.prunedFiles.toLong).as("pruned_files"))
+      }
+      leg(Some(4L), "pre_delete").unionByName(leg(None, "post_delete"))
+        .orderBy("phase")
     }
   )
 }

@@ -166,6 +166,50 @@ class TableOpsSpec extends AnyFunSuite {
     assert(SnapshotLake.fastCount(legacy).isEmpty)
   }
 
+  test("fastCountWhere counts interior files from metadata, scans only the boundary, and stays exact") {
+    val root = newRoot("graft-fastwhere")
+    val idx = SnapshotLake.IndexSpec(Seq("x"), None)
+    (0 until 4).foreach { i =>
+      SnapshotLake.append(
+        spark.range(i * 10L, i * 10L + 10).select(col("id").as("x"))
+          .coalesce(1), root, idx)
+    }
+    def scanCount(lo: Long, hi: Long): Long =
+      SnapshotLake.read(spark, root).filter(col("x").between(lo, hi)).count()
+    // interior band: file [10,19] metadata-counted, [20,29] scanned at the
+    // boundary, [0,9]/[30,39] pruned
+    val r = SnapshotLake.fastCountWhere(spark, root,
+      Seq(FileStats.Range("x", Some("10"), Some("25")))).get
+    assert(r == SnapshotLake.CountWhere(scanCount(10, 25), 1, 1, 2))
+    assert(r.rows == 16L)
+    // open-ended predicate: every file whole-matches — zero scans
+    val all = SnapshotLake.fastCountWhere(spark, root,
+      Seq(FileStats.Range("x", Some("0"), None))).get
+    assert(all == SnapshotLake.CountWhere(40L, 4, 0, 0))
+    // a missing rows sidecar downgrades its file to a scan, result exact
+    val f2 = SnapshotLake.files(root, 2L).filterNot(SnapshotLake.files(root, 1L).toSet).head
+    Files.delete(Paths.get(root, f2.substring(0, f2.lastIndexOf('/')), "_rows.json"))
+    val down = SnapshotLake.fastCountWhere(spark, root,
+      Seq(FileStats.Range("x", Some("10"), Some("25")))).get
+    assert(down.rows == 16L && down.metadataFiles == 0 && down.scannedFiles == 2)
+    // live tombstones make any metadata count inexact: refuse
+    SnapshotLake.deleteWhere(spark, root, Seq(12L).toDF("x"))
+    assert(SnapshotLake.fastCountWhere(spark, root,
+      Seq(FileStats.Range("x", Some("10"), Some("25")))).isEmpty)
+  }
+
+  test("fastCountWhere never metadata-counts a file holding NULLs in a predicate column") {
+    val root = newRoot("graft-fastnull")
+    val idx = SnapshotLake.IndexSpec(Seq("x"), None)
+    SnapshotLake.append(
+      Seq(Some(1L), Some(2L), None).toDF("x").coalesce(1), root, idx)
+    val r = SnapshotLake.fastCountWhere(spark, root,
+      Seq(FileStats.Range("x", Some("0"), Some("100")))).get
+    // the NULL row fails the predicate: the file must be SCANNED (its
+    // null count is non-zero) and the exact answer is 2, not 3
+    assert(r == SnapshotLake.CountWhere(2L, 0, 1, 0))
+  }
+
   // ── constraint-checked ingest ───────────────────────────────────────
 
   test("appendChecked commits clean data and aborts the whole commit naming the violated constraint") {
