@@ -1269,6 +1269,47 @@ object LakeIndexOps {
       }
       leg(Some(4L), "pre_delete").unionByName(leg(None, "post_delete"))
         .orderBy("phase")
+    },
+
+    // ── DataSource V2 connector: the lake read through
+    //    spark.read.format("graftlake") — Catalyst pushes the band
+    //    filter into the ScanBuilder, which prunes the file list via
+    //    the sidecar index BEFORE planning (the kept files are the only
+    //    input partitions), re-applies the filter row-level, and prunes
+    //    columns down to the parquet projection. The result must equal
+    //    the oracle's band aggregate exactly, and the `pruned` flag
+    //    (kept < total, resolved from the planned scan itself) proves
+    //    the index fired through the standard source API. File-range
+    //    boundaries inside each commit are sampler-dependent, so the
+    //    oracle pins the inequality, not a count (q219/q227 pin counts
+    //    on layouts built for it).
+    Q("q238_dsv2_connector_scan",
+      s"""WITH b AS (SELECT max(l_orderkey) // 2 AS lo,
+         |                  max(l_orderkey) * 5 // 8 AS hi FROM lineitem)
+         |SELECT l_returnflag,
+         |       count(*) AS n_rows,
+         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |       ${centsSumSql("l_extendedprice")} AS revenue,
+         |       true AS pruned
+         |FROM lineitem, b
+         |WHERE l_orderkey >= b.lo AND l_orderkey <= b.hi
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val root = indexedLake(s, d)
+      val (_, maxK) = statsBounds(root, "l_orderkey")
+      val df = s.read.format("graftlake").load(root)
+        .filter(col("l_orderkey") >= maxK / 2 &&
+          col("l_orderkey") <= maxK * 5 / 8)
+      val scan = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.collectFirst { case g: graft.sources.GraftLakeScan => g }
+        .getOrElse(sys.error("plan must contain the graftlake scan"))
+      df.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          centsSum("l_extendedprice").as("revenue"))
+        .withColumn("pruned", lit(scan.keptFiles < scan.totalFiles))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -1,0 +1,251 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.etl.{FileStats, SnapshotLake}
+
+/** DataSource V2 connector for the snapshot lake —
+  * `spark.read.format("graftlake").option("path", root)` — the
+  * Spark-native packaging of the manifest/index layer:
+  *
+  *   - **Snapshot isolation / time travel**: the scan resolves ONE
+  *     manifest version (`versionAsOf` or head) at planning time and
+  *     holds its explicit file list — commits landing later change
+  *     nothing mid-query, the q217 property exposed through the
+  *     standard reader API.
+  *   - **Filter pushdown → FILE pruning**: range/equality filters reach
+  *     [[GraftLakeScanBuilder.pushFilters]], are converted to
+  *     [[FileStats.Range]]s, and prune the file list through the same
+  *     conservative `mayMatch` every native reader uses — a file the
+  *     sidecar index disproves never becomes an input partition, so
+  *     Catalyst's planner sees only the surviving files. ALL filters
+  *     are reported back as residual (`pushedFilters()` is empty), so
+  *     Spark re-applies them row-level above the scan: pruning is a
+  *     performance lever, never a correctness input — exactly the
+  *     contract of `readPruned`, now composed with any DataFrame query.
+  *   - **Column pruning → parquet projection**: the required schema
+  *     from [[GraftLakeScanBuilder.pruneColumns]] becomes the parquet
+  *     read projection (`parquet.read.schema`), so unselected columns
+  *     are never decoded — `ReadSchema` through a custom connector.
+  *   - One input partition per manifest file: Spark schedules them like
+  *     any other scan (32 files ⇒ 32 tasks), locality-free on object
+  *     storage exactly as Delta/Iceberg connectors plan.
+  *
+  * Scope (documented, enforced): plain (non-hive-partitioned) listings
+  * of primitive-typed columns (long/int/double/float/boolean/string),
+  * no live deletion vectors — the shapes the row-group [[Group]]
+  * converter handles. The native [[SnapshotLake.read]] path keeps full
+  * coverage; this connector exists so the lake participates in the
+  * standard source API with its index intact.
+  */
+class GraftLakeSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftlake"
+
+  private def rootOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graftlake needs .option(\"path\", <lake root>) or load(<root>)")
+    p
+  }
+
+  private def versionOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map(_.toLong)
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapshotLake.read(SparkSession.active, rootOf(options),
+      versionOf(options)).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new GraftLakeTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+final class GraftLakeTable(root: String, schema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graftlake:$root"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLakeScanBuilder(
+      Option(options.get("path")).getOrElse(root),
+      Option(options.get("versionAsOf")).map(_.toLong), schema)
+}
+
+final class GraftLakeScanBuilder(root: String, version: Option[Long],
+                                 fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var ranges: Seq[FileStats.Range] = Nil
+  private var residual: Array[Filter] = Array.empty
+
+  /** Convert prunable conjuncts to index ranges. GreaterThan/LessThan
+    * prune as their inclusive forms — a SUPERSET range, conservative by
+    * construction. Everything is returned as residual: Spark re-applies
+    * every filter row-level, so a range the index can't serve (or a
+    * filter shape this never inspects) costs only unpruned files. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def s(v: Any): Option[String] = v match {
+      case null => None
+      case _: Long | _: Int | _: Double | _: Float | _: Short | _: Byte |
+           _: String => Some(v.toString)
+      case _ => None
+    }
+    ranges = filters.toSeq.flatMap {
+      case EqualTo(a, v) => s(v).map(x => FileStats.Range(a, Some(x), Some(x)))
+      case GreaterThanOrEqual(a, v) => s(v).map(x => FileStats.Range(a, Some(x), None))
+      case GreaterThan(a, v) => s(v).map(x => FileStats.Range(a, Some(x), None))
+      case LessThanOrEqual(a, v) => s(v).map(x => FileStats.Range(a, None, Some(x)))
+      case LessThan(a, v) => s(v).map(x => FileStats.Range(a, None, Some(x)))
+      case _ => None
+    }
+    residual = filters
+    filters // all residual — pruning is advisory, never correctness
+  }
+
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val v = version.orElse(SnapshotLake.currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    require(SnapshotLake.deletesOf(root, v).isEmpty,
+      "graftlake connector does not read versions with live deletion vectors")
+    val all = SnapshotLake.files(root, v)
+    require(all.forall(!_.startsWith("data/commit=")),
+      "graftlake connector reads plain listings (hive-partitioned lakes " +
+        "go through SnapshotLake.read)")
+    fullSchema.fields.foreach { f => GraftLakeScan.parquetTypeOf(f); () }
+    val stats = all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      .flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
+    val kept = all.filter(f =>
+      FileStats.mayMatch(stats.getOrElse(f, Map.empty), ranges))
+    new GraftLakeScan(java.nio.file.Paths.get(root).toAbsolutePath.toString,
+      kept, all.size, required, fullSchema, ranges)
+  }
+}
+
+final case class GraftLakeInputPartition(absPath: String) extends InputPartition
+
+final class GraftLakeScan(rootAbs: String, kept: Seq[String], total: Int,
+                          required: StructType, fullSchema: StructType,
+                          ranges: Seq[FileStats.Range])
+    extends Scan with Batch {
+  /** Pruning evidence for audits: files surviving the pushed ranges. */
+  def keptFiles: Int = kept.size
+  def totalFiles: Int = total
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftLakeScan kept=${kept.size}/$total pruned=${
+      ranges.map(r => s"${r.col}∈[${r.lo.getOrElse("-∞")},${r.hi.getOrElse("∞")}]")
+        .mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    kept.map(f => GraftLakeInputPartition(s"$rootAbs/$f")).toArray
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // count(*)-style empty projection still needs one decodable column
+    // to drive row iteration; emit zero-width rows either way
+    val projection =
+      if (required.nonEmpty) required
+      else StructType(fullSchema.fields.take(1))
+    new GraftLakeReaderFactory(projection, required.isEmpty)
+  }
+}
+
+object GraftLakeScan {
+  /** The parquet projection field for one Spark field — also the
+    * supported-type gate, checked at Scan build time. */
+  def parquetTypeOf(f: StructField): String = f.dataType match {
+    case LongType => s"optional int64 ${f.name};"
+    case IntegerType => s"optional int32 ${f.name};"
+    case DoubleType => s"optional double ${f.name};"
+    case FloatType => s"optional float ${f.name};"
+    case BooleanType => s"optional boolean ${f.name};"
+    case StringType => s"optional binary ${f.name} (UTF8);"
+    case other => throw new UnsupportedOperationException(
+      s"graftlake connector does not decode ${f.name}: $other")
+  }
+}
+
+final class GraftLakeReaderFactory(projection: StructType, emptyRows: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftLakePartitionReader(
+      p.asInstanceOf[GraftLakeInputPartition].absPath, projection, emptyRows)
+}
+
+final class GraftLakePartitionReader(absPath: String, projection: StructType,
+                                     emptyRows: Boolean)
+    extends PartitionReader[InternalRow] {
+  private val reader: ParquetReader[Group] = {
+    val conf = new Configuration()
+    val hPath = new org.apache.hadoop.fs.Path(absPath)
+    // the projection must carry each field's OWN repetition (Spark
+    // writes non-nullable columns as `required`; a blanket `optional`
+    // fails parquet's containment check) — take the requested fields
+    // verbatim from the file's footer schema
+    val fileSchema = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    val proj = new org.apache.parquet.schema.MessageType("graft_projection",
+      projection.fields.map(f =>
+        fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*)
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
+    ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf).build()
+  }
+  private var cur: Group = _
+
+  override def next(): Boolean = { cur = reader.read(); cur != null }
+
+  override def get(): InternalRow =
+    if (emptyRows) new GenericInternalRow(Array.empty[Any])
+    else {
+      val values = new Array[Any](projection.length)
+      val gt = cur.getType
+      var i = 0
+      while (i < projection.length) {
+        val f = projection.fields(i)
+        val gi = gt.getFieldIndex(f.name)
+        values(i) =
+          if (cur.getFieldRepetitionCount(gi) == 0) null
+          else f.dataType match {
+            case LongType => cur.getLong(gi, 0)
+            case IntegerType => cur.getInteger(gi, 0)
+            case DoubleType => cur.getDouble(gi, 0)
+            case FloatType => cur.getFloat(gi, 0)
+            case BooleanType => cur.getBoolean(gi, 0)
+            case StringType => UTF8String.fromString(cur.getString(gi, 0))
+            case other => throw new UnsupportedOperationException(other.toString)
+          }
+        i += 1
+      }
+      new GenericInternalRow(values)
+    }
+
+  override def close(): Unit = reader.close()
+}

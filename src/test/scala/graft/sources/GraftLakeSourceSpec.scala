@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.etl.{FileStats, SnapshotLake}
+
+/** The DSv2 connector under its actual contract: reads equal the native
+  * snapshot reader at any version, pushed filters prune input
+  * partitions through the sidecar index without ever changing an
+  * answer, column pruning reaches the parquet projection, and the
+  * documented scope limits fail loudly. */
+class GraftLakeSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newRoot(): String =
+    Files.createTempDirectory("graft-dsv2").toString + "/lake"
+
+  /** Four one-file key-range commits with stats on x. */
+  private def buildLake(): String = {
+    val root = newRoot()
+    val idx = SnapshotLake.IndexSpec(Seq("x"), None)
+    (0 until 4).foreach { i =>
+      SnapshotLake.append(
+        spark.range(i * 10L, i * 10L + 10)
+          .select(col("id").as("x"), (col("id") * 2).as("y"),
+            org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit("s"),
+              col("id").cast("string")).as("s"))
+          .coalesce(1), root, idx)
+    }
+    root
+  }
+
+  private def lakeScanOf(df: DataFrame): GraftLakeScan =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.collectFirst { case s: GraftLakeScan => s }.getOrElse(
+      fail("plan must contain a GraftLakeScan"))
+
+  test("connector reads equal the native snapshot reader, at head and pinned versions") {
+    val root = buildLake()
+    val viaConnector = spark.read.format("graftlake").load(root)
+    assert(viaConnector.schema == SnapshotLake.read(spark, root).schema)
+    assert(viaConnector.collect().map(_.toSeq).toSet ==
+      SnapshotLake.read(spark, root).collect().map(_.toSeq).toSet)
+    val pinned = spark.read.format("graftlake")
+      .option("versionAsOf", "2").load(root)
+    assert(pinned.count() == 20L)
+    assert(pinned.select("x").collect().map(_.getLong(0)).toSet ==
+      (0L until 20L).toSet)
+  }
+
+  test("pushed range filters prune input partitions through the index, answers unchanged") {
+    val root = buildLake()
+    val df = spark.read.format("graftlake").load(root)
+      .filter(col("x") >= 10L && col("x") <= 25L)
+    val scan = lakeScanOf(df)
+    assert(scan.planInputPartitions().length == 2,
+      s"files [10,19] and [20,29] survive: ${scan.description()}")
+    assert(scan.description().contains("kept=2/4"))
+    // pruning never changes the answer: filters are re-applied row-level
+    assert(df.select("x").collect().map(_.getLong(0)).toSet ==
+      (10L to 25L).toSet)
+    // a point filter through the same path
+    val pt = spark.read.format("graftlake").load(root).filter(col("x") === 35L)
+    assert(lakeScanOf(pt).planInputPartitions().length == 1)
+    assert(pt.select("y").head.getLong(0) == 70L)
+  }
+
+  test("column pruning reaches the parquet projection; count(*) decodes zero columns") {
+    val root = buildLake()
+    val twoCols = spark.read.format("graftlake").load(root).select("s", "x")
+    assert(lakeScanOf(twoCols).readSchema().fieldNames.toSet == Set("s", "x"))
+    assert(twoCols.collect().map(r => r.getString(0)).toSet ==
+      (0 until 40).map(i => s"s$i").toSet)
+    val n = spark.read.format("graftlake").load(root).count()
+    assert(n == 40L)
+  }
+
+  test("documented scope limits fail loudly: deletion vectors and hive-partitioned lakes") {
+    val root = buildLake()
+    SnapshotLake.deleteWhere(spark, root, Seq(3L).toDF("x"))
+    val ex = intercept[Exception] {
+      spark.read.format("graftlake").load(root).collect()
+    }
+    assert(ex.getMessage.contains("deletion vectors"))
+    // the pre-delete version still reads
+    assert(spark.read.format("graftlake").option("versionAsOf", "4")
+      .load(root).count() == 40L)
+
+    val part = newRoot()
+    SnapshotLake.appendPartitioned(
+      Seq((1L, "a"), (2L, "b")).toDF("x", "p"), part, Seq("p"))
+    val ex2 = intercept[Exception] {
+      spark.read.format("graftlake").load(part).collect()
+    }
+    assert(ex2.getMessage.contains("plain listings"))
+  }
+}
