@@ -1310,6 +1310,40 @@ object LakeIndexOps {
           centsSum("l_extendedprice").as("revenue"))
         .withColumn("pruned", lit(scan.keptFiles < scan.totalFiles))
         .orderBy("l_returnflag")
+    },
+
+    // ── Aggregate pushdown through the connector: COUNT(*)/MIN/MAX
+    //    resolve against the rows/stats sidecars at PLANNING time — the
+    //    physical plan's only source is the one-row GraftLakeAggScan, no
+    //    data file is opened (Delta/Iceberg's numRecords fast path via
+    //    the standard SupportsPushDownAggregates contract). q232 is the
+    //    native-API twin; this proves the same metadata answers through
+    //    spark.read.format(...).agg(...) with Spark's own partial-agg
+    //    rewrite on top. `metadata_only` is resolved from the planned
+    //    scan itself — the query fails loudly if the pushdown regresses
+    //    to a file scan.
+    Q("q239_dsv2_agg_pushdown",
+      """SELECT count(*) AS n_rows,
+        |       min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+        |       min(l_partkey) AS min_pkey, max(l_partkey) AS max_pkey,
+        |       true AS metadata_only
+        |FROM lineitem""".stripMargin) { (s, d) =>
+      val root = indexedLake(s, d)
+      val df = s.read.format("graftlake").load(root)
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_orderkey").as("min_okey"), max("l_orderkey").as("max_okey"),
+          min("l_partkey").as("min_pkey"), max("l_partkey").as("max_pkey"))
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.connector.read.Scan] = p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b.scan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+      }.flatten
+      val pushed = scans(df.queryExecution.executedPlan)
+        .collectFirst { case g: graft.sources.GraftLakeAggScan => g }
+      pushed.getOrElse(sys.error("aggregate must push to the metadata scan"))
+      df.withColumn("metadata_only", lit(pushed.nonEmpty))
     }
   )
 }

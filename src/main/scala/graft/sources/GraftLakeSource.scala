@@ -13,8 +13,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -94,11 +95,12 @@ final class GraftLakeTable(root: String, schema: StructType)
 final class GraftLakeScanBuilder(root: String, version: Option[Long],
                                  fullSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var ranges: Seq[FileStats.Range] = Nil
   private var residual: Array[Filter] = Array.empty
+  private var aggPushed: Option[(StructType, Seq[Any])] = None
 
   /** Convert prunable conjuncts to index ranges. GreaterThan/LessThan
     * prune as their inclusive forms — a SUPERSET range, conservative by
@@ -129,7 +131,86 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
+  /** Metadata-only aggregate pushdown — COUNT(*) from the rows
+    * sidecars, MIN/MAX (and COUNT(col) when null totals are known) from
+    * the stats sidecars, answered at PLANNING time with zero data files
+    * read: the Delta/Iceberg `numRecords` fast path through the
+    * standard `SupportsPushDownAggregates` contract. Declared PARTIAL
+    * (`supportCompletePushDown` = false), so Spark still runs a final
+    * aggregate over the one emitted row — min(min), max(max),
+    * sum(count) — and an unpushable shape simply falls back to a real
+    * scan. Refused whenever metadata can't answer EXACTLY: any pushed
+    * or residual filter, a GROUP BY, live deletion vectors, a file
+    * without sidecar coverage, or a non-numeric column (parquet footer
+    * binary stats may be truncated; numeric stats are exact). */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    if (ranges.nonEmpty || residual.nonEmpty) return false
+    val v = version.orElse(SnapshotLake.currentVersion(root))
+      .getOrElse(return false)
+    if (SnapshotLake.deletesOf(root, v).nonEmpty) return false
+    if (SnapshotLake.files(root, v).exists(_.startsWith("data/commit=")))
+      return false
+
+    def numericField(c: String): Option[StructField] =
+      fullSchema.fields.find(_.name == c).filter(f => f.dataType match {
+        case LongType | IntegerType | DoubleType | FloatType => true
+        case _ => false
+      })
+    def parse(dt: DataType, s: String): Any = dt match {
+      case LongType => try s.toLong catch { case _: NumberFormatException => s.toDouble.toLong }
+      case IntegerType => try s.toInt catch { case _: NumberFormatException => s.toDouble.toInt }
+      case DoubleType => s.toDouble
+      case FloatType => s.toFloat
+      case other => throw new IllegalStateException(other.toString)
+    }
+    def nameOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames.head)
+        case _ => None
+      }
+    lazy val totalRows = SnapshotLake.fastCount(root, Some(v))
+
+    val cols: Seq[Option[(StructField, Any)]] =
+      aggregation.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          totalRows.map(n => StructField("count_star", LongType, nullable = false) -> n)
+        case c: Count if !c.isDistinct => c.column match {
+          // count(1)/count(lit) — every row counts, null-free by construction
+          case l: Literal[_] if l.value != null =>
+            totalRows.map(n => StructField("count_lit", LongType, nullable = false) -> n)
+          case e => for {
+            col <- nameOf(e)
+            r <- SnapshotLake.statsRange(root, col, Some(v))
+            nulls <- r.nulls
+            n <- totalRows
+          } yield StructField(s"count_$col", LongType, nullable = false) -> (n - nulls)
+        }
+        case m: Min => for {
+          col <- nameOf(m.column)
+          f <- numericField(col)
+          r <- SnapshotLake.statsRange(root, col, Some(v))
+        } yield StructField(s"min_$col", f.dataType, nullable = true) -> parse(f.dataType, r.min)
+        case m: Max => for {
+          col <- nameOf(m.column)
+          f <- numericField(col)
+          r <- SnapshotLake.statsRange(root, col, Some(v))
+        } yield StructField(s"max_$col", f.dataType, nullable = true) -> parse(f.dataType, r.max)
+        case _: AggregateFunc => None
+      }
+    if (cols.exists(_.isEmpty)) return false
+    val resolved = cols.flatten
+    aggPushed = Some((StructType(resolved.map(_._1)), resolved.map(_._2)))
+    true
+  }
+
+  override def build(): Scan = aggPushed match {
+    case Some((schema, row)) => new GraftLakeAggScan(schema, row)
+    case None => buildFileScan()
+  }
+
+  private def buildFileScan(): Scan = {
     val v = version.orElse(SnapshotLake.currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
     require(SnapshotLake.deletesOf(root, v).isEmpty,
@@ -174,6 +255,35 @@ final class GraftLakeScan(rootAbs: String, kept: Seq[String], total: Int,
     new GraftLakeReaderFactory(projection, required.isEmpty)
   }
 }
+
+/** The scan a fully-pushed aggregate resolves to: ONE synthetic input
+  * partition emitting ONE row of sidecar-derived values, in the
+  * aggregate-expression order Spark expects — no data file is opened.
+  * Spark's final aggregate (the partial-pushdown contract) folds the
+  * single row: min(min)=min, sum(count)=count. */
+final class GraftLakeAggScan(schema: StructType, row: Seq[Any])
+    extends Scan with Batch {
+  def metadataOnly: Boolean = true
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftLakeAggScan metadata-only [${schema.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftLakeAggPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = !emitted && { emitted = true; true }
+          override def get(): InternalRow = new GenericInternalRow(
+            p.asInstanceOf[GraftLakeAggPartition].values.toArray)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+final case class GraftLakeAggPartition(values: Seq[Any]) extends InputPartition
 
 object GraftLakeScan {
   /** The parquet projection field for one Spark field — also the

@@ -84,6 +84,67 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(n == 40L)
   }
 
+  /** Every connector scan in the physical plan, descending through the
+    * AQE wrapper an aggregate's exchange introduces. */
+  private def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.connector.read.Scan] =
+    p.collect {
+      case b: BatchScanExec => Seq(b.scan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansIn(a.executedPlan)
+    }.flatten
+
+  private def aggScanOf(df: DataFrame): Option[GraftLakeAggScan] =
+    scansIn(df.queryExecution.executedPlan)
+      .collectFirst { case s: GraftLakeAggScan => s }
+
+  test("count/min/max push down to a metadata-only scan with sidecar-exact values") {
+    val root = buildLake()
+    val df = spark.read.format("graftlake").load(root)
+      .agg(org.apache.spark.sql.functions.count(
+             org.apache.spark.sql.functions.lit(1)).as("n"),
+           org.apache.spark.sql.functions.min(col("x")).as("mn"),
+           org.apache.spark.sql.functions.max(col("x")).as("mx"))
+    val scan = aggScanOf(df).getOrElse(fail(
+      s"expected GraftLakeAggScan in ${df.queryExecution.executedPlan}"))
+    assert(scan.planInputPartitions().length == 1, "one synthetic partition")
+    val r = df.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (40L, 0L, 39L))
+    // pinned version resolves the aggregate against THAT snapshot
+    val pinned = spark.read.format("graftlake").option("versionAsOf", "2")
+      .load(root).agg(org.apache.spark.sql.functions.max(col("x")).as("mx"))
+    assert(aggScanOf(pinned).isDefined && pinned.head.getLong(0) == 19L)
+  }
+
+  test("aggregate pushdown refuses what metadata cannot answer exactly, falling back to a file scan") {
+    val root = buildLake()
+    def fallsBack(df: DataFrame): Unit = {
+      assert(aggScanOf(df).isEmpty, s"must not push: ${df.queryExecution}")
+      ()
+    }
+    // a filter makes sidecar totals wrong → file scan, answer still right
+    val filtered = spark.read.format("graftlake").load(root)
+      .filter(col("x") >= 10L)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    fallsBack(filtered)
+    assert(filtered.head.getLong(0) == 30L)
+    // no stats harvested for y → refuse min(y)
+    fallsBack(spark.read.format("graftlake").load(root)
+      .agg(org.apache.spark.sql.functions.min(col("y"))))
+    // string column → refuse (binary footer stats may truncate)
+    fallsBack(spark.read.format("graftlake").load(root)
+      .agg(org.apache.spark.sql.functions.min(col("s"))))
+    // GROUP BY → refuse, grouped answers still exact
+    val grouped = spark.read.format("graftlake").load(root)
+      .groupBy((col("x") % 2).as("p"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    fallsBack(grouped)
+    assert(grouped.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 20L, 1L -> 20L))
+  }
+
   test("documented scope limits fail loudly: deletion vectors and hive-partitioned lakes") {
     val root = buildLake()
     SnapshotLake.deleteWhere(spark, root, Seq(3L).toDF("x"))
