@@ -71,7 +71,7 @@ object FileStats {
     * silently dropped while its row matches. Byte-wise unsigned compare
     * restores the harvest's own ordering, keeping the prune conservative
     * for any code point. */
-  private[etl] def utf8Cmp(a: String, b: String): Int =
+  private[graft] def utf8Cmp(a: String, b: String): Int =
     java.util.Arrays.compareUnsigned(
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1344,6 +1344,54 @@ object LakeIndexOps {
         .collectFirst { case g: graft.sources.GraftLakeAggScan => g }
       pushed.getOrElse(sys.error("aggregate must push to the metadata scan"))
       df.withColumn("metadata_only", lit(pushed.nonEmpty))
+    },
+
+    // ── Runtime (join-driven) file pruning through the connector:
+    //    Spark's dynamic-pruning machinery hands the broadcast dim's key
+    //    set to the scan at EXECUTION time (SupportsRuntimeFiltering),
+    //    and files whose sidecar orderkey range disproves every build key
+    //    are dropped before any fact task launches — star-schema DPP
+    //    over a source with no hive partitions at all, the keys
+    //    re-checked by the join itself so pruning can't change answers.
+    //    The dim filter (top eighth of the key space) is NOT pushed into
+    //    the fact scan by Catalyst — only the runtime key set can prune
+    //    here, so `runtime_pruned` (kept < total, read from the executed
+    //    scan) fails loudly if the DPP path regresses.
+    Q("q240_dsv2_runtime_pruned_join",
+      s"""WITH b AS (SELECT max(l_orderkey) * 7 // 8 AS lo FROM lineitem),
+         |d AS (SELECT o_orderkey, o_orderpriority FROM orders, b
+         |      WHERE o_orderkey >= b.lo)
+         |SELECT d.o_orderpriority,
+         |       count(*) AS n_rows,
+         |       ${centsSumSql("l_extendedprice")} AS revenue,
+         |       true AS runtime_pruned
+         |FROM lineitem JOIN d ON l_orderkey = d.o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val root = indexedLake(s, d)
+      val (_, maxK) = statsBounds(root, "l_orderkey")
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderkey") >= maxK * 7 / 8)
+        .select("o_orderkey", "o_orderpriority")
+      val agg = s.read.format("graftlake").load(root)
+        .join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          centsSum("l_extendedprice").as("revenue"))
+      agg.collect() // materialize: runtime filters fire during execution
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.connector.read.Scan] = p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b.scan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+      }.flatten
+      val scan = scans(agg.queryExecution.executedPlan)
+        .collectFirst { case g: graft.sources.GraftLakeScan => g }
+        .getOrElse(sys.error("plan must contain the graftlake scan"))
+      agg.withColumn("runtime_pruned", lit(scan.keptFiles < scan.totalFiles))
+        .orderBy("o_orderpriority")
     }
   )
 }

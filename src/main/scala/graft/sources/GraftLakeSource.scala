@@ -15,7 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -225,7 +225,7 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
     val kept = all.filter(f =>
       FileStats.mayMatch(stats.getOrElse(f, Map.empty), ranges))
     new GraftLakeScan(java.nio.file.Paths.get(root).toAbsolutePath.toString,
-      kept, all.size, required, fullSchema, ranges)
+      kept, all.size, required, fullSchema, ranges, stats)
   }
 }
 
@@ -233,19 +233,79 @@ final case class GraftLakeInputPartition(absPath: String) extends InputPartition
 
 final class GraftLakeScan(rootAbs: String, kept: Seq[String], total: Int,
                           required: StructType, fullSchema: StructType,
-                          ranges: Seq[FileStats.Range])
-    extends Scan with Batch {
+                          ranges: Seq[FileStats.Range],
+                          stats: Map[String, Map[String, FileStats.ColRange]])
+    extends Scan with Batch with SupportsRuntimeFiltering {
+  /** Files still scheduled after static AND runtime pruning. */
+  @volatile private var liveFiles: Seq[String] = kept
   /** Pruning evidence for audits: files surviving the pushed ranges. */
-  def keptFiles: Int = kept.size
+  def keptFiles: Int = liveFiles.size
   def totalFiles: Int = total
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftLakeScan kept=${kept.size}/$total pruned=${
+    s"GraftLakeScan kept=${liveFiles.size}/$total pruned=${
       ranges.map(r => s"${r.col}∈[${r.lo.getOrElse("-∞")},${r.hi.getOrElse("∞")}]")
         .mkString(",")}"
+
+  /** Runtime (join-driven) file pruning — Spark's DPP machinery hands
+    * the build side's key set to the scan at EXECUTION time, after the
+    * dimension is materialized; files whose sidecar range disproves
+    * every key are dropped before any task launches. Same conservative
+    * `mayMatch` as planning-time pruning, and the keys are re-checked
+    * row-level by the join itself, so this can only skip I/O, never
+    * change an answer. */
+  override def filterAttributes(): Array[NamedReference] =
+    // only columns the (pruned) scan still OUTPUTS — Spark resolves
+    // these against readSchema, so an unprojected stats column here
+    // fails analysis even though the sidecar could prune on it
+    stats.valuesIterator.flatMap(_.keysIterator).toSet
+      .intersect(required.fieldNames.toSet).toArray
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(filters: Array[Filter]): Unit = {
+    def str(v: Any): Option[String] = v match {
+      case null => None
+      case _: Long | _: Int | _: Double | _: Float | _: Short | _: Byte |
+           _: String => Some(v.toString)
+      case u: UTF8String => Some(u.toString)
+      case _ => None
+    }
+    // Per filter: a pre-computed [min,max] HULL of the build-side key
+    // set (one comparison per file), refined per-value only when the
+    // set is small — a million-key build side costs one pass to take
+    // the hull, then O(files) work, never O(files × keys).
+    val checks: Seq[String => Boolean] = filters.toSeq.map {
+      case org.apache.spark.sql.sources.In(a, vs) =>
+        val conv = vs.map(str)
+        if (conv.contains(None)) { (_: String) => true } // null/opaque key: no pruning
+        else {
+          val keys = conv.flatten.toSeq
+          if (keys.isEmpty) { (_: String) => false } // empty build side: empty join
+          else {
+            val numeric = fullSchema.fields.find(_.name == a).exists(_.dataType match {
+              case LongType | IntegerType | DoubleType | FloatType |
+                   ShortType | ByteType => true
+              case _ => false
+            })
+            val ord: Ordering[String] =
+              if (numeric) Ordering.by((s: String) => s.toDouble)
+              else (a0: String, b0: String) => FileStats.utf8Cmp(a0, b0)
+            val hull = FileStats.Range(a, Some(keys.min(ord)), Some(keys.max(ord)))
+            (f: String) => {
+              val fr = stats.getOrElse(f, Map.empty)
+              FileStats.mayMatch(fr, Seq(hull)) &&
+                (keys.length > 4096 || keys.exists(k =>
+                  FileStats.mayMatch(fr, Seq(FileStats.Range(a, Some(k), Some(k))))))
+            }
+          }
+        }
+      case _ => (_: String) => true // unknown runtime-filter shape prunes nothing
+    }
+    liveFiles = liveFiles.filter(f => checks.forall(_(f)))
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    kept.map(f => GraftLakeInputPartition(s"$rootAbs/$f")).toArray
+    liveFiles.map(f => GraftLakeInputPartition(s"$rootAbs/$f")).toArray
   override def createReaderFactory(): PartitionReaderFactory = {
     // count(*)-style empty projection still needs one decodable column
     // to drive row iteration; emit zero-width rows either way

@@ -92,6 +92,10 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       case b: BatchScanExec => Seq(b.scan)
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         scansIn(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansIn(q.plan)
+      case r: org.apache.spark.sql.execution.ReusedSubqueryExec =>
+        scansIn(r.child)
     }.flatten
 
   private def aggScanOf(df: DataFrame): Option[GraftLakeAggScan] =
@@ -143,6 +147,22 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     fallsBack(grouped)
     assert(grouped.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(0L -> 20L, 1L -> 20L))
+  }
+
+  test("join-driven runtime filtering prunes files through the sidecar index at execution time") {
+    val root = buildLake()
+    val fact = spark.read.format("graftlake").load(root)
+    val dim = spark.range(0, 40).toDF("k").filter(col("k") >= 34L)
+    val joined = fact.join(
+      org.apache.spark.sql.functions.broadcast(dim), col("x") === col("k"))
+    val rows = joined.collect()
+    assert(rows.length == 6 &&
+      rows.map(_.getLong(0)).toSet == (34L to 39L).toSet)
+    val scan = scansIn(joined.queryExecution.executedPlan)
+      .collectFirst { case s: GraftLakeScan => s }
+      .getOrElse(fail("plan must contain the graftlake scan"))
+    assert(scan.keptFiles == 1,
+      s"only the [30,39] file holds build keys 34..39: ${scan.description()}")
   }
 
   test("documented scope limits fail loudly: deletion vectors and hive-partitioned lakes") {
