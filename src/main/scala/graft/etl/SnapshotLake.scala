@@ -566,6 +566,32 @@ object SnapshotLake {
     committed
   }
 
+  /** Replace the whole table with `df` as a new snapshot version: new
+    * data files, with EVERY previous live file (and live deletion
+    * vector) logged as removed — Delta's INSERT OVERWRITE shape, one
+    * atomic commit. Time travel still reads the pre-overwrite versions;
+    * the removed files stay on disk until [[vacuum]]. The remove list is
+    * O(previous state) by nature of the operation; the data write
+    * happens once, and only the manifest commit CAS-loops (re-resolving
+    * the victim set each attempt, so a racing append's files are
+    * removed too, not resurrected). */
+  def overwrite(df: DataFrame, root: String,
+                index: IndexSpec = IndexSpec.none): Long = {
+    val w = writeData(df, root, index)
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentVersion(root)
+      val prevFiles = cur.map(files(root, _)).getOrElse(Nil)
+      val prevDels = cur.map(deletesOf(root, _)).getOrElse(Nil)
+      val next = cur.getOrElse(0L) + 1
+      if (tryCommit(root, next, "overwrite", cur.getOrElse(0L),
+          addedRows = w.rows, add = w.files, remove = prevFiles,
+          removeDel = prevDels))
+        committed = next
+    }
+    committed
+  }
+
   /** Append `df` as a HIVE-PARTITIONED snapshot version: rows land under
     * `data/commit=<uuid>/<p1=v1>/.../part-*.parquet`, so every file's
     * partition tuple is recorded by its manifest path at commit time —

@@ -1392,6 +1392,38 @@ object LakeIndexOps {
         .getOrElse(sys.error("plan must contain the graftlake scan"))
       agg.withColumn("runtime_pruned", lit(scan.keptFiles < scan.totalFiles))
         .orderBy("o_orderpriority")
+    },
+
+    // ── Write path through the connector: INSERT OVERWRITE creates the
+    //    lake (one atomic snapshot commit replacing any prior state —
+    //    re-runs are idempotent), a second `mode("append")` commit lands
+    //    the R slice, and the read-back rides the same connector with
+    //    the commit-time stats index requested via
+    //    `.option("statsCols", ...)`. The oracle recomputes both slices
+    //    straight from the parquet table, so the whole
+    //    write→manifest→sidecar→read cycle must round-trip every value
+    //    exactly.
+    Q("q241_dsv2_write_roundtrip",
+      s"""SELECT l_returnflag, count(*) AS n_rows,
+         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |       ${centsSumSql("l_extendedprice")} AS revenue
+         |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val root = Scratch.tempDir("graft-dsv2-write").toString + "/lake"
+      val li = Tables.lineitem(s, d).select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      li.filter(col("l_returnflag") === "A")
+        .write.format("graftlake").mode("overwrite")
+        .option("statsCols", "l_orderkey").save(root)
+      li.filter(col("l_returnflag") === "R")
+        .write.format("graftlake").mode("append")
+        .option("statsCols", "l_orderkey").save(root)
+      s.read.format("graftlake").load(root)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          centsSum("l_extendedprice").as("revenue"))
+        .orderBy("l_returnflag")
     }
   )
 }

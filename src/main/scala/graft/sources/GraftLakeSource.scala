@@ -12,7 +12,9 @@ import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
@@ -69,9 +71,14 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
   private def versionOf(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("versionAsOf")).map(_.toLong)
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SnapshotLake.read(SparkSession.active, rootOf(options),
-      versionOf(options)).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = rootOf(options)
+    // a lake with no committed version yet has no schema — the WRITE
+    // path creates it (ACCEPT_ANY_SCHEMA below skips the append-vs-table
+    // schema match that would otherwise reject the first commit)
+    if (SnapshotLake.currentVersion(root).isEmpty) new StructType()
+    else SnapshotLake.read(SparkSession.active, root, versionOf(options)).schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
@@ -81,15 +88,75 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
 }
 
 final class GraftLakeTable(root: String, schema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graftlake:$root"
   override def schema(): StructType = schema
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def capabilities(): java.util.Set[TableCapability] = {
+    // BATCH_WRITE routes DataFrameWriter.save into the v2 plan;
+    // V1_BATCH_WRITE tells it the Write resolves to an InsertableRelation
+    val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+    // creating commit: nothing to enforce against. Existing lake:
+    // schema IS enforced — an append whose columns don't match fails
+    // analysis, the Delta writer contract.
+    if (schema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(
       Option(options.get("path")).getOrElse(root),
       Option(options.get("versionAsOf")).map(_.toLong), schema)
+
+  /** Batch writes via the V1 fallback (`V1_BATCH_WRITE`) — the whole
+    * input lands through [[SnapshotLake.append]]/[[SnapshotLake.overwrite]]
+    * on the driver-side plan, which distributes the actual parquet write
+    * and sidecar harvest itself and serializes only the manifest CAS:
+    * exactly the shape Spark's own JDBC v2 connector uses, with the
+    * lake's snapshot-isolation and index guarantees intact.
+    * `.option("statsCols", "a,b")` / `.option("bloomCol", "k")` request
+    * commit-time sidecar indexes. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftLakeWriteBuilder(
+      Option(info.options.get("path")).getOrElse(root), info.options)
+}
+
+final class GraftLakeWriteBuilder(root: String,
+                                  options: CaseInsensitiveStringMap)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwriteAll = false
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame,
+                            overwrite: Boolean): Unit = {
+          val idx = SnapshotLake.IndexSpec(
+            Option(options.get("statsCols")).toSeq
+              .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+            Option(options.get("bloomCol")).map(_.trim).filter(_.nonEmpty))
+          val replacing = overwriteAll || overwrite
+          // schema enforcement lives HERE: supportsExternalMetadata
+          // means Spark hands the writer the query's own schema, so
+          // analysis never compares it to the table's — an append that
+          // doesn't match the lake (names AND types, Delta's contract)
+          // must fail before any file is written. Overwrite replaces
+          // the table, so any schema is legal.
+          if (!replacing)
+            SnapshotLake.currentVersion(root).foreach { v =>
+              val lake = SnapshotLake
+                .read(data.sparkSession, root, Some(v)).schema
+              def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+              require(shape(data.schema) == shape(lake),
+                s"append schema ${data.schema.simpleString} does not match " +
+                  s"lake schema ${lake.simpleString} at $root")
+            }
+          if (replacing) SnapshotLake.overwrite(data, root, idx)
+          else SnapshotLake.append(data, root, idx)
+          ()
+        }
+      }
+  }
 }
 
 final class GraftLakeScanBuilder(root: String, version: Option[Long],

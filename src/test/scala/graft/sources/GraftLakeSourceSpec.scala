@@ -165,6 +165,44 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       s"only the [30,39] file holds build keys 34..39: ${scan.description()}")
   }
 
+  test("writes through the connector: create, append, overwrite — snapshot commits with indexes") {
+    val root = newRoot()
+    def df(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("x"), (col("id") * 2).as("y")).coalesce(1)
+    // creating write (no version yet) commits v1 — v2 path sources
+    // take explicit append/overwrite modes only
+    df(0, 10).write.format("graftlake").mode("append")
+      .option("statsCols", "x").save(root)
+    assert(SnapshotLake.currentVersion(root).contains(1L))
+    // append commits v2; both rowsets visible
+    df(10, 20).write.format("graftlake").mode("append")
+      .option("statsCols", "x").save(root)
+    val both = spark.read.format("graftlake").load(root)
+    assert(both.count() == 20L)
+    // the requested stats index fires for pushed filters
+    val pruned = both.filter(col("x") >= 15L)
+    assert(lakeScanOf(pruned).description().contains("kept=1/2"))
+    assert(pruned.count() == 5L)
+    // overwrite replaces the whole table atomically; time travel keeps v2
+    df(100, 105).write.format("graftlake").mode("overwrite").save(root)
+    assert(spark.read.format("graftlake").load(root)
+      .select("x").collect().map(_.getLong(0)).toSet == (100L until 105L).toSet)
+    assert(spark.read.format("graftlake").option("versionAsOf", "2")
+      .load(root).count() == 20L)
+    // schema enforcement on an existing lake (by-position, Spark's
+    // save() contract): wrong arity and unsafe casts both fail analysis
+    intercept[Exception] {
+      spark.range(5).select(col("id").as("x"))
+        .write.format("graftlake").mode("append").save(root)
+    }
+    intercept[Exception] {
+      spark.range(5)
+        .select(col("id").cast("string").as("x"), col("id").as("y"))
+        .write.format("graftlake").mode("append").save(root)
+    }
+    ()
+  }
+
   test("documented scope limits fail loudly: deletion vectors and hive-partitioned lakes") {
     val root = buildLake()
     SnapshotLake.deleteWhere(spark, root, Seq(3L).toDF("x"))
