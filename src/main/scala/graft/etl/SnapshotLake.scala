@@ -1561,6 +1561,16 @@ object SnapshotLake {
     (r.op, r.add)
   }
 
+  /** One commit's FULL delta: (op, added files, removed files, added
+    * deletion vectors) — what a streaming consumer needs to tell an
+    * append from a rewrite before deciding to emit or abort. */
+  def commitDelta(root: String, v: Long): (String, Seq[String], Seq[String], Seq[String]) = {
+    val r = readRecord(root, v)
+    require(r.legacyFull.isEmpty,
+      s"v$v is a legacy full-state manifest; the tail source needs change records")
+    (r.op, r.add, r.remove, r.addDel)
+  }
+
   /** Read an explicit subset of one version's files — e.g. a commit's
     * added files ([[commitChange]]) or a staged batch. Partitioned
     * commits re-attach their path-encoded columns, mixed listings union

@@ -95,8 +95,8 @@ final class GraftLakeTable(root: String, schema: StructType)
     // BATCH_WRITE routes DataFrameWriter.save into the v2 plan;
     // V1_BATCH_WRITE tells it the Write resolves to an InsertableRelation
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
     // creating commit: nothing to enforce against. Existing lake:
     // schema IS enforced — an append whose columns don't match fails
     // analysis, the Delta writer contract.
@@ -106,7 +106,11 @@ final class GraftLakeTable(root: String, schema: StructType)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(
       Option(options.get("path")).getOrElse(root),
-      Option(options.get("versionAsOf")).map(_.toLong), schema)
+      Option(options.get("versionAsOf")).map(_.toLong), schema,
+      startingVersion = Option(options.get("startingVersion"))
+        .map(_.toLong).getOrElse(0L),
+      ignoreChanges = Option(options.get("ignoreChanges"))
+        .exists(_.toBoolean))
 
   /** Batch writes via the V1 fallback (`V1_BATCH_WRITE`) — the whole
     * input lands through [[SnapshotLake.append]]/[[SnapshotLake.overwrite]]
@@ -160,7 +164,9 @@ final class GraftLakeWriteBuilder(root: String,
 }
 
 final class GraftLakeScanBuilder(root: String, version: Option[Long],
-                                 fullSchema: StructType)
+                                 fullSchema: StructType,
+                                 startingVersion: Long = 0L,
+                                 ignoreChanges: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -292,7 +298,8 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
     val kept = all.filter(f =>
       FileStats.mayMatch(stats.getOrElse(f, Map.empty), ranges))
     new GraftLakeScan(java.nio.file.Paths.get(root).toAbsolutePath.toString,
-      kept, all.size, required, fullSchema, ranges, stats)
+      kept, all.size, required, fullSchema, ranges, stats,
+      root, startingVersion, ignoreChanges)
   }
 }
 
@@ -301,7 +308,9 @@ final case class GraftLakeInputPartition(absPath: String) extends InputPartition
 final class GraftLakeScan(rootAbs: String, kept: Seq[String], total: Int,
                           required: StructType, fullSchema: StructType,
                           ranges: Seq[FileStats.Range],
-                          stats: Map[String, Map[String, FileStats.ColRange]])
+                          stats: Map[String, Map[String, FileStats.ColRange]],
+                          root: String = "", startingVersion: Long = 0L,
+                          ignoreChanges: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering {
   /** Files still scheduled after static AND runtime pruning. */
   @volatile private var liveFiles: Seq[String] = kept
