@@ -331,29 +331,69 @@ object SnapshotLake {
         .map(seg => seg.substring(0, seg.indexOf('='))).toSeq
     }.getOrElse(Seq.empty)
 
+  private val NullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Partition columns of a LISTING whose every encoded value parses
+    * numerically (the null sentinel aside, which discovery maps to NULL
+    * without affecting the column's type) — the same merge-across-
+    * partitions rule Spark's partition type inference applies, computed
+    * once per listing so every file of a column compares the same way.
+    * Deciding numericness per VALUE instead (the old shape) let a
+    * string-typed column with one numeric-looking dir ("25" next to
+    * "abc") compare numerically in [[wholeMatch]]/[[FileStats.mayMatch]]
+    * while the re-applied row predicate compared as string — advisory in
+    * [[readPruned]], but a correctness input in [[deleteMatching]] and
+    * [[fastCountWhere]]. */
+  private def pathNumericCols(rel: Seq[String]): Set[String] = {
+    val vals = rel.filter(_.startsWith("data/commit=")).flatMap { f =>
+      f.split('/').drop(2).dropRight(1).iterator.filter(_.contains('=')).map { seg =>
+        val i = seg.indexOf('=')
+        seg.substring(0, i) -> seg.substring(i + 1)
+      }
+    }
+    vals.groupMap(_._1)(_._2).collect {
+      case (c, vs) if vs.forall(v =>
+        v == NullPart || scala.util.Try(v.toDouble).isSuccess) => c
+    }.toSet
+  }
+
+  /** Path-encoded partition ranges for a whole listing, numericness
+    * decided listing-wide ([[pathNumericCols]]) — the form the DSv2
+    * connector composes with the stats sidecars. */
+  private[graft] def pathRangeIndex(rel: Seq[String])
+      : Map[String, Map[String, FileStats.ColRange]] = {
+    val nc = pathNumericCols(rel)
+    rel.map(f => f -> pathRangesOf(f, nc)).toMap
+  }
+
   /** The hive partition tuple a file's path encodes, as EXACT ranges: a
     * partition value is both min and max of its column for every row of
     * the file — so partition pruning and stats pruning compose through
     * the one [[FileStats.mayMatch]] mechanism, in [[readPruned]] and in
     * [[merge]]'s candidate targeting alike. Values are the writer's
-    * hive-encoded strings; numeric-looking values compare numerically
-    * (matching partition discovery's type inference). The null partition
-    * (`__HIVE_DEFAULT_PARTITION__`) keeps its sentinel string form —
-    * range preds may then prune the file, which stays exact because the
-    * re-applied row filter rejects NULL values anyway. */
-  private def pathRangesOf(rel: String): Map[String, FileStats.ColRange] =
+    * hive-encoded strings; a column compares numerically only when the
+    * WHOLE listing's values do (`numericCols`, from [[pathNumericCols]])
+    * — matching partition discovery's merged type inference, so the
+    * metadata comparison and the re-applied row predicate always agree.
+    * The null partition (`__HIVE_DEFAULT_PARTITION__`) keeps its
+    * sentinel string form — range preds may then prune the file, which
+    * stays exact because the re-applied row filter rejects NULL values
+    * anyway. */
+  private def pathRangesOf(rel: String,
+                           numericCols: Set[String]): Map[String, FileStats.ColRange] =
     if (!rel.startsWith("data/commit=")) Map.empty
-    else rel.split('/').iterator.drop(2).filter(_.contains('='))
+    else rel.split('/').drop(2).dropRight(1).iterator.filter(_.contains('='))
       .map { seg =>
         val i = seg.indexOf('=')
+        val c = seg.substring(0, i)
         val v = seg.substring(i + 1)
         // a real partition value is the value of EVERY row in the file
         // (zero nulls by construction — null rows land under the
         // sentinel dir instead, whose null count is the row count, i.e.
         // unknown here: conservative)
-        seg.substring(0, i) -> FileStats.ColRange(v, v,
-          numeric = scala.util.Try(v.toDouble).isSuccess,
-          nulls = if (v == "__HIVE_DEFAULT_PARTITION__") None else Some(0L))
+        c -> FileStats.ColRange(v, v,
+          numeric = v != NullPart && numericCols.contains(c),
+          nulls = if (v == NullPart) None else Some(0L))
       }.toMap
 
   /** Merge-on-read DELETE: commit `keys` (one column, named for the
@@ -833,9 +873,10 @@ object SnapshotLake {
     val statsByFile: Map[String, Map[String, FileStats.ColRange]] =
       all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
         .flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
+    val numCols = pathNumericCols(all)
     val kept = all.filter { f =>
       FileStats.mayMatch(
-        statsByFile.getOrElse(f, Map.empty) ++ pathRangesOf(f), preds)
+        statsByFile.getOrElse(f, Map.empty) ++ pathRangesOf(f, numCols), preds)
     }
     val df0 =
       if (kept.isEmpty) // provably-empty result still needs the schema
@@ -982,8 +1023,9 @@ object SnapshotLake {
     import org.apache.spark.sql.functions.{col, not}
     val stats = fileList.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
       .flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
+    val numCols = pathNumericCols(fileList)
     val ranges = fileList.map(f =>
-      f -> (stats.getOrElse(f, Map.empty) ++ pathRangesOf(f))).toMap
+      f -> (stats.getOrElse(f, Map.empty) ++ pathRangesOf(f, numCols))).toMap
     val (ranged, blind) = fileList.partition(f => ranges(f).contains(key))
     val statsRows = ranged.map { f =>
       val r = ranges(f)(key); (f, r.min, r.max, r.numeric)
@@ -1260,8 +1302,9 @@ object SnapshotLake {
     val baseFiles = files(root, baseV)
     val stats = baseFiles.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
       .flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
+    val numCols = pathNumericCols(baseFiles)
     val ranges = baseFiles.map(f =>
-      f -> (stats.getOrElse(f, Map.empty) ++ pathRangesOf(f))).toMap
+      f -> (stats.getOrElse(f, Map.empty) ++ pathRangesOf(f, numCols))).toMap
     val candidates = baseFiles.filter(f => FileStats.mayMatch(ranges(f), preds))
     val dropped = candidates.filter(f => wholeMatch(ranges(f), preds))
     val rewriteSet = candidates.filterNot(dropped.toSet)
@@ -1344,8 +1387,9 @@ object SnapshotLake {
     val dirs = st.files.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
     val stats = dirs.flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
     val rowsBy = dirs.flatMap(dir => FileStats.readRowsSidecar(root, dir)).toMap
+    val numCols = pathNumericCols(st.files)
     val ranges = st.files.map(f =>
-      f -> (stats.getOrElse(f, Map.empty) ++ pathRangesOf(f))).toMap
+      f -> (stats.getOrElse(f, Map.empty) ++ pathRangesOf(f, numCols))).toMap
     val candidates = st.files.filter(f => FileStats.mayMatch(ranges(f), preds))
     val (whole, partial) = candidates.partition(f =>
       wholeMatch(ranges(f), preds) && rowsBy.contains(f))
@@ -1393,8 +1437,9 @@ object SnapshotLake {
     if (st.deletes.nonEmpty) return None
     val stats = st.files.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
       .flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
+    val numCols = pathNumericCols(st.files)
     val rs = st.files.map(f =>
-      (stats.getOrElse(f, Map.empty) ++ pathRangesOf(f)).get(col))
+      (stats.getOrElse(f, Map.empty) ++ pathRangesOf(f, numCols)).get(col))
     if (rs.exists(_.isEmpty)) None
     else rs.flatten.reduceOption { (a, b) =>
       require(a.numeric == b.numeric, s"mixed numeric/string stats for $col")

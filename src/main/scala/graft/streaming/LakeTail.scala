@@ -54,12 +54,34 @@ object LakeTail {
                    v: Long, transform: DataFrame => DataFrame,
                    index: SnapshotLake.IndexSpec = SnapshotLake.IndexSpec.none): Long = {
     val (op, add) = SnapshotLake.commitChange(srcRoot, v)
-    val payload =
-      if (op == "append" && add.nonEmpty)
-        SnapshotLake.readFiles(spark, srcRoot, add)
-      else // skipped commit: schema-only empty batch, tag still advances
-        SnapshotLake.read(spark, srcRoot, Some(v)).limit(0)
-    SnapshotLake.appendOnce(transform(payload), dstRoot, tagFor(v), index)
+    if (op == "append" && add.nonEmpty)
+      SnapshotLake.appendOnce(
+        transform(SnapshotLake.readFiles(spark, srcRoot, add)),
+        dstRoot, tagFor(v), index)
+    else {
+      // Skipped commit: a schema-only empty batch, tag still advances.
+      // Version v's own state may list NO files (a delete or overwrite
+      // that emptied the table) — reading it would throw and stall the
+      // tail on the very commit it must skip past, so the schema comes
+      // from the newest version ≤ v that HAS files, transformed like any
+      // payload; failing that, from the destination verbatim (no
+      // transform: it is already in output shape). A source with no
+      // file-bearing history and no destination yet has nothing to know
+      // a schema from — skip the tag too; every such version is an
+      // op≠append no-op, so the re-walk on the next drain stays O(1)
+      // manifest reads per version and applies nothing twice.
+      val srcEmpty = (v to 1L by -1L).iterator
+        .find(w => SnapshotLake.files(srcRoot, w).nonEmpty)
+        .map(w => transform(SnapshotLake.read(spark, srcRoot, Some(w)).limit(0)))
+      val payload = srcEmpty.orElse(
+        SnapshotLake.currentVersion(dstRoot)
+          .filter(dv => SnapshotLake.files(dstRoot, dv).nonEmpty)
+          .map(dv => SnapshotLake.read(spark, dstRoot, Some(dv)).limit(0)))
+      payload match {
+        case Some(p) => SnapshotLake.appendOnce(p, dstRoot, tagFor(v), index)
+        case None => SnapshotLake.currentVersion(dstRoot).getOrElse(0L)
+      }
+    }
   }
 
   /** Drain every source version after the newest one the destination

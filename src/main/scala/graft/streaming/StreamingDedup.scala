@@ -91,6 +91,18 @@ object StreamingDedup {
   private def batchDir(root: String, kind: String, batchId: Long): String =
     s"$root/$kind/b=$batchId"
 
+  /** Scope dynamic partition overwrite to `body`: the per-batch state
+    * rewrites need it (replay idempotence = replace only this batch's
+    * partition), but leaving it set on the shared session would silently
+    * change the semantics of any unrelated INSERT OVERWRITE the user
+    * runs afterward — so the previous mode is restored on every exit. */
+  private def withDynamicPartitionOverwrite[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Bucket count of the state tables. Test-scale constant; production
     * sizes it to the cluster (buckets ≥ executor slots) — the mechanics
     * are identical. */
@@ -163,21 +175,22 @@ object StreamingDedup {
                          threshold: Double): DataFrame = {
     val spark = batch.sparkSession
     ensureStateTables(spark, stateRoot)
-    // replay idempotence: INSERT OVERWRITE replaces only this batch's
-    // partition — never the accumulated corpus state
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     // ── 1. index the batch and COMMIT the index before deduping: the
     //      policy needs every seen doc as a potential dominator, dropped
-    //      or not.
-    Dedup.bandsOf(Dedup.minhashSignatures(batch))
-      .select(col("doc_id"),
-        xxhash64(col("band"), col("slice")).as("bkey"),
-        lit(batchId).as("b"))
-      .write.mode("overwrite").insertInto(bandsTable(stateRoot))
-    Dedup.shingleSets(batch)
-      .select(col("doc_id"), col("shingles"), lit(batchId).as("b"))
-      .write.mode("overwrite").insertInto(setsTable(stateRoot))
+    //      or not. Replay idempotence: dynamic INSERT OVERWRITE replaces
+    //      only this batch's partition — never the accumulated corpus
+    //      state (mode scoped to these two writes).
+    withDynamicPartitionOverwrite(spark) {
+      Dedup.bandsOf(Dedup.minhashSignatures(batch))
+        .select(col("doc_id"),
+          xxhash64(col("band"), col("slice")).as("bkey"),
+          lit(batchId).as("b"))
+        .write.mode("overwrite").insertInto(bandsTable(stateRoot))
+      Dedup.shingleSets(batch)
+        .select(col("doc_id"), col("shingles"), lit(batchId).as("b"))
+        .write.mode("overwrite").insertInto(setsTable(stateRoot))
+    }
 
     // ── 2. candidates: within-batch LSH self-join (a < b) plus batch ⋈
     //      corpus band index — all on the bucketed state, so the corpus
@@ -291,25 +304,35 @@ object StreamingDedup {
         } finally s.close()
       }
       if (batchDirs.nonEmpty) {
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         val tmp = java.nio.file.Files
           .createTempDirectory("graft-dedup-compact").resolve("stage")
         spark.table(t).filter(col("b") < upToBatch)
           .drop("b").write.parquet(tmp.toString)
-        spark.read.parquet(tmp.toString)
-          .withColumn("b", lit(-1L))
-          .write.mode("overwrite").insertInto(t)
+        withDynamicPartitionOverwrite(spark) {
+          spark.read.parquet(tmp.toString)
+            .withColumn("b", lit(-1L))
+            .write.mode("overwrite").insertInto(t)
+        }
         // the archive partition now holds every consolidated row; the
-        // per-batch source partitions are dead weight — drop their dirs
-        // (file-source tables discover partitions from the filesystem)
+        // per-batch source partitions are dead weight — drop them from
+        // the CATALOG first (dynamic-partition inserts registered them;
+        // deleting only the dirs would leave stale partition metadata:
+        // wrong SHOW PARTITIONS, per-read FileNotFound noise, and a
+        // harder failure under a Hive-backed catalog), then sweep any
+        // leftover files the drop retained.
         batchDirs.foreach { n =>
+          spark.sql(
+            s"ALTER TABLE $t DROP IF EXISTS PARTITION (b=${n.stripPrefix("b=")})")
           val d = loc.resolve(n)
-          val s = java.nio.file.Files.list(d)
-          try {
-            import scala.jdk.CollectionConverters._
-            s.iterator().asScala.toVector.foreach(java.nio.file.Files.deleteIfExists(_))
-          } finally s.close()
-          java.nio.file.Files.deleteIfExists(d); ()
+          if (java.nio.file.Files.isDirectory(d)) {
+            val s = java.nio.file.Files.list(d)
+            try {
+              import scala.jdk.CollectionConverters._
+              s.iterator().asScala.toVector.foreach(java.nio.file.Files.deleteIfExists(_))
+            } finally s.close()
+            java.nio.file.Files.deleteIfExists(d)
+          }
+          ()
         }
         spark.sql(s"REFRESH TABLE $t")
         ()

@@ -123,6 +123,50 @@ class TableOpsSpec extends AnyFunSuite {
     assert(rows(root, Some(4L)) == (0L until 40L).toSet)
   }
 
+  test("path-derived partition ranges compare as the LISTING's merged type, not per-value shape") {
+    // a string-typed partition column holding one numeric-LOOKING value
+    // next to a non-numeric one: Spark's partition discovery infers
+    // StringType for the whole column, so the row-level predicate
+    // compares as string — the metadata classification must agree.
+    // String semantics: "25" ∈ ["1","3"] (lexical), "abc" ∉.
+    val root = newRoot("graft-partnum")
+    val idx = SnapshotLake.IndexSpec(Seq("x"), None)
+    SnapshotLake.appendPartitioned(
+      spark.range(0, 10).select(col("id").as("x"), lit("25").as("p"))
+        .repartition(1), root, Seq("p"), idx)
+    SnapshotLake.appendPartitioned(
+      spark.range(10, 20).select(col("id").as("x"), lit("abc").as("p"))
+        .repartition(1), root, Seq("p"), idx)
+    // metadata count must match the row-level predicate's string semantics
+    val c = SnapshotLake.fastCountWhere(spark, root,
+      Seq(FileStats.Range("p", Some("1"), Some("3")))).get
+    assert(c.rows == 10L, s"p='25' is inside ['1','3'] as a string: $c")
+    assert(c.metadataFiles == 1 && c.scannedFiles == 0,
+      s"the all-'25' file proves whole-match from its path tuple: $c")
+    // the delete must remove exactly what the row predicate matches —
+    // under the per-value numeric inference the '25' file classified
+    // DISJOINT (25.0 ∉ [1.0, 3.0]) and its rows wrongly survived
+    val r = SnapshotLake.deleteMatching(spark, root,
+      Seq(FileStats.Range("p", Some("1"), Some("3"))), idx)
+    assert(r.dropped == 1 && r.rewritten == 0,
+      s"the p='25' file whole-drops by metadata: $r")
+    assert(rows(root) == (10L until 20L).toSet,
+      "exactly the string-matching rows are gone")
+    // an ALL-numeric partition listing still compares numerically:
+    // p=9 < p=25 numerically even though '9' > '25' lexically
+    val num = newRoot("graft-partnum-all")
+    SnapshotLake.appendPartitioned(
+      spark.range(0, 5).select(col("id").as("x"), lit("9").as("p"))
+        .repartition(1), num, Seq("p"), idx)
+    SnapshotLake.appendPartitioned(
+      spark.range(5, 10).select(col("id").as("x"), lit("25").as("p"))
+        .repartition(1), num, Seq("p"), idx)
+    val cn = SnapshotLake.fastCountWhere(spark, num,
+      Seq(FileStats.Range("p", Some("3"), Some("10")))).get
+    assert(cn.rows == 5L && cn.metadataFiles == 1,
+      s"numeric listing: only p=9 is inside [3,10]: $cn")
+  }
+
   test("deleteMatching never drops or deletes NULL rows (they fail the predicate)") {
     val root = newRoot("graft-delnull")
     val idx = SnapshotLake.IndexSpec(Seq("x"), None)

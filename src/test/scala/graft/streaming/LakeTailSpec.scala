@@ -81,6 +81,23 @@ class LakeTailSpec extends AnyFunSuite {
     assert(SnapshotLake.tagVersion(dst, "tail-v7").isDefined)
   }
 
+  test("a commit that EMPTIES the source never stalls the tail; the empty state is skipped past") {
+    val src = newRoot("empty-src")
+    SnapshotLake.append(kv(0, 10), src, idx) // v1
+    // v2 whole-drops every file: the state lists NO files — the shape
+    // that used to throw inside the skipped-commit schema read
+    SnapshotLake.deleteMatching(spark, src,
+      Seq(graft.etl.FileStats.Range("k", Some("0"), Some("9"))), idx)
+    SnapshotLake.append(kv(10, 15), src, idx) // v3
+    val dst = newRoot("empty-dst")
+    val applied = LakeTail.drain(spark, src, dst, identity, idx)
+    assert(applied == (1L to 3L), s"the empty v2 must not stall: $applied")
+    assert(contents(dst) == (0 until 15).map(i => i.toLong -> s"v$i").toMap)
+    assert(SnapshotLake.tagVersion(dst, "tail-v2").isDefined,
+      "the skipped empty commit still advances the applied tag")
+    assert(LakeTail.drain(spark, src, dst, identity, idx).isEmpty)
+  }
+
   test("the per-batch transform runs on every emitted batch (and on no skipped one)") {
     val src = newRoot("src")
     SnapshotLake.append(kv(0, 5), src, idx)

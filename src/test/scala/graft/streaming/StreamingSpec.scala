@@ -597,7 +597,12 @@ class StreamingSpec extends AnyFunSuite {
     }
     // archive batches 0-1 on one twin; 2 is the newest committed batch and
     // must stay (the replay horizon)
+    val overwriteModeBefore =
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     StreamingDedup.compactState(spark, s"$work/a", 2L)
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") ==
+      overwriteModeBefore,
+      "the dynamic-overwrite mode must be scoped, not left on the session")
     val parts = {
       import scala.jdk.CollectionConverters._
       val s = Files.list(java.nio.file.Paths.get(s"$work/a", "bands_tbl"))
@@ -607,6 +612,14 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(parts == Set("b=-1", "b=2"),
       s"batches 0-1 consolidated into the archive partition: $parts")
+    // the CATALOG agrees with the filesystem: dynamic inserts registered
+    // b=0 and b=1, and the compaction must deregister them (stale catalog
+    // partitions mean wrong SHOW PARTITIONS and per-read FileNotFound)
+    val catParts = spark
+      .sql(s"SHOW PARTITIONS ${StreamingDedup.bandsTable(s"$work/a")}")
+      .collect().map(_.getString(0)).toSet
+    assert(catParts == Set("b=-1", "b=2"),
+      s"archived partitions must leave the catalog too: $catParts")
     // a crash-replayed newest batch reads the identical prior state through
     // the archive partition (b = -1 < 2) and rewrites identical output
     StreamingDedup.processBatch(slice(8, 10), s"$work/a", 2L, 0.5)
