@@ -2,26 +2,28 @@ package graft.sources
 
 import java.util.{Map => JMap}
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.hadoop.conf.Configuration
-import org.apache.parquet.example.data.Group
-import org.apache.parquet.hadoop.ParquetReader
-import org.apache.parquet.hadoop.api.ReadSupport
-import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapred.FileSplit
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.etl.{FileStats, SnapshotLake}
 
@@ -37,27 +39,36 @@ import graft.etl.{FileStats, SnapshotLake}
   *   - **Filter pushdown → FILE pruning**: range/equality filters reach
   *     [[GraftLakeScanBuilder.pushFilters]], are converted to
   *     [[FileStats.Range]]s, and prune the file list through the same
-  *     conservative `mayMatch` every native reader uses — a file the
-  *     sidecar index disproves never becomes an input partition, so
-  *     Catalyst's planner sees only the surviving files. ALL filters
-  *     are reported back as residual (`pushedFilters()` is empty), so
-  *     Spark re-applies them row-level above the scan: pruning is a
-  *     performance lever, never a correctness input — exactly the
-  *     contract of `readPruned`, now composed with any DataFrame query.
+  *     conservative `mayMatch` every native reader uses — composed with
+  *     the path-encoded partition tuples of hive-partitioned commits, so
+  *     partition pruning and stats pruning fire through one mechanism
+  *     (the q227 property through the standard API). ALL filters are
+  *     reported back as residual (`pushedFilters()` is empty), so Spark
+  *     re-applies them row-level above the scan: pruning is a
+  *     performance lever, never a correctness input.
   *   - **Column pruning → parquet projection**: the required schema
   *     from [[GraftLakeScanBuilder.pruneColumns]] becomes the parquet
-  *     read projection (`parquet.read.schema`), so unselected columns
-  *     are never decoded — `ReadSchema` through a custom connector.
+  *     read projection, so unselected columns are never decoded.
+  *   - **Vectorized decode**: each input partition reads through
+  *     Spark's own [[VectorizedParquetRecordReader]] and emits
+  *     [[ColumnarBatch]]es (`supportColumnarReads`), so a connector scan
+  *     feeds whole-stage codegen through the same columnar path as the
+  *     built-in parquet source — one footer open per file, no per-value
+  *     boxing. Hive partition values ride as constant vectors
+  *     (`initBatch`), and a column a file predates materializes as
+  *     nulls, the mergeSchema-evolution contract.
+  *   - **Deletion vectors**: a version with live key tombstones reads
+  *     through the row-based path — each task loads the version's
+  *     tombstone key set (the per-task analog of Delta's per-file DV
+  *     read; the vector is O(deleted keys) between compactions by the
+  *     [[SnapshotLake.deleteWhere]] contract) and filters rows during
+  *     the scan, equal by construction to the native reader's anti-join.
   *   - One input partition per manifest file: Spark schedules them like
-  *     any other scan (32 files ⇒ 32 tasks), locality-free on object
-  *     storage exactly as Delta/Iceberg connectors plan.
+  *     any other scan, locality-free on object storage exactly as
+  *     Delta/Iceberg connectors plan.
   *
-  * Scope (documented, enforced): plain (non-hive-partitioned) listings
-  * of primitive-typed columns (long/int/double/float/boolean/string),
-  * no live deletion vectors — the shapes the row-group [[Group]]
-  * converter handles. The native [[SnapshotLake.read]] path keeps full
-  * coverage; this connector exists so the lake participates in the
-  * standard source API with its index intact.
+  * Decode scope = whatever Spark's vectorized parquet reader decodes —
+  * the same types the built-in source supports.
   */
 class GraftLakeSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftlake"
@@ -77,7 +88,10 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
     // path creates it (ACCEPT_ANY_SCHEMA below skips the append-vs-table
     // schema match that would otherwise reject the first commit)
     if (SnapshotLake.currentVersion(root).isEmpty) new StructType()
-    else SnapshotLake.read(SparkSession.active, root, versionOf(options)).schema
+    else SnapshotLake.read(SparkSession.active, root, versionOf(options),
+      // opt-in schema-on-read evolution, the native reader's q156
+      // contract: the scan null-fills a column any one file predates
+      mergeSchema = options.getBoolean("mergeSchema", false)).schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -93,7 +107,9 @@ final class GraftLakeTable(root: String, schema: StructType)
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] = {
     // BATCH_WRITE routes DataFrameWriter.save into the v2 plan;
-    // V1_BATCH_WRITE tells it the Write resolves to an InsertableRelation
+    // V1_BATCH_WRITE tells it the Write resolves to an InsertableRelation;
+    // MICRO_BATCH_READ is backed by GraftLakeMicroBatchStream (the
+    // append-tail streaming source over the manifest log)
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
@@ -108,9 +124,11 @@ final class GraftLakeTable(root: String, schema: StructType)
       Option(options.get("path")).getOrElse(root),
       Option(options.get("versionAsOf")).map(_.toLong), schema,
       startingVersion = Option(options.get("startingVersion"))
-        .map(_.toLong).getOrElse(0L),
-      ignoreChanges = Option(options.get("ignoreChanges"))
-        .exists(_.toBoolean))
+        .map(_.toLong).getOrElse(1L),
+      skipChangeCommits = Option(options.get("skipChangeCommits"))
+        .exists(_.toBoolean),
+      maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger"))
+        .map(_.toLong))
 
   /** Batch writes via the V1 fallback (`V1_BATCH_WRITE`) — the whole
     * input lands through [[SnapshotLake.append]]/[[SnapshotLake.overwrite]]
@@ -165,8 +183,9 @@ final class GraftLakeWriteBuilder(root: String,
 
 final class GraftLakeScanBuilder(root: String, version: Option[Long],
                                  fullSchema: StructType,
-                                 startingVersion: Long = 0L,
-                                 ignoreChanges: Boolean = false)
+                                 startingVersion: Long = 1L,
+                                 skipChangeCommits: Boolean = false,
+                                 maxVersionsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -284,33 +303,82 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
   }
 
   private def buildFileScan(): Scan = {
+    val spark = SparkSession.active
     val v = version.orElse(SnapshotLake.currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    require(SnapshotLake.deletesOf(root, v).isEmpty,
-      "graftlake connector does not read versions with live deletion vectors")
     val all = SnapshotLake.files(root, v)
-    require(all.forall(!_.startsWith("data/commit=")),
-      "graftlake connector reads plain listings (hive-partitioned lakes " +
-        "go through SnapshotLake.read)")
-    fullSchema.fields.foreach { f => GraftLakeScan.parquetTypeOf(f); () }
-    val stats = all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    val rootAbs = java.nio.file.Paths.get(root).toAbsolutePath.toString
+    // sidecar min/max composed with path-encoded partition tuples: the
+    // two pruning levels of the native readPruned, one mayMatch
+    val sidecars = all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
       .flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
-    val kept = all.filter(f =>
-      FileStats.mayMatch(stats.getOrElse(f, Map.empty), ranges))
-    new GraftLakeScan(java.nio.file.Paths.get(root).toAbsolutePath.toString,
-      kept, all.size, required, fullSchema, ranges, stats,
-      root, startingVersion, ignoreChanges)
+    val pathIdx = SnapshotLake.pathRangeIndex(all)
+    val stats = all.map(f =>
+      f -> (sidecars.getOrElse(f, Map.empty) ++ pathIdx.getOrElse(f, Map.empty))).toMap
+    val kept = all.filter(f => FileStats.mayMatch(stats(f), ranges))
+    val lengths = kept.map(f =>
+      f -> java.nio.file.Files.size(java.nio.file.Paths.get(root, f))).toMap
+    // live deletion vectors: ship the tombstone FILES (path + length +
+    // key column), not their keys — each reader task loads the set
+    val dvRel = SnapshotLake.deletesOf(root, v)
+    val dv =
+      if (dvRel.isEmpty) None
+      else {
+        val keyField = spark.read
+          .parquet(dvRel.map(f => s"$rootAbs/$f"): _*).schema.fields.head
+        Some(GraftLakeDv(
+          dvRel.map(f => (s"$rootAbs/$f",
+            java.nio.file.Files.size(java.nio.file.Paths.get(root, f)))),
+          keyField))
+      }
+    val hconf = {
+      val c = spark.sessionState.newHadoopConf()
+      // the keys ParquetReadSupport / ParquetToSparkSchemaConverter
+      // resolve from the task-side conf — set explicitly like
+      // ParquetFileFormat.buildReaderWithPartitionValues does
+      val sc = spark.sessionState.conf
+      c.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, sc.isParquetBinaryAsString)
+      c.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, sc.isParquetINT96AsTimestamp)
+      c.setBoolean(SQLConf.CASE_SENSITIVE.key, sc.caseSensitiveAnalysis)
+      c.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+        sc.parquetInferTimestampNTZEnabled)
+      c.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, sc.legacyParquetNanosAsLong)
+      c.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, sc.parquetFieldIdReadEnabled)
+      c.setBoolean(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID.key,
+        sc.ignoreMissingParquetFieldId)
+      new SerializableConfiguration(c)
+    }
+    new GraftLakeScan(root, rootAbs, kept, all.size, required, fullSchema,
+      ranges, stats, lengths, dv, hconf,
+      startingVersion, skipChangeCommits, maxVersionsPerTrigger)
   }
 }
 
-final case class GraftLakeInputPartition(absPath: String) extends InputPartition
+/** One manifest file = one input partition: absolute path, byte length
+  * (the split range and, on object storage, the saved HEAD request),
+  * and the hive partition tuple its path encodes (raw encoded values;
+  * decoded into constant vectors on the executor). */
+final case class GraftLakeInputPartition(absPath: String, length: Long,
+                                         partVals: Seq[(String, String)])
+    extends InputPartition
 
-final class GraftLakeScan(rootAbs: String, kept: Seq[String], total: Int,
+/** The live tombstone vector of the scanned version: file list (path,
+  * length) plus the key column. Each reader task materializes the key
+  * set once — O(deleted keys) work per task, the merge-on-read tax the
+  * native reader pays as an anti-join, cleared by compaction. */
+final case class GraftLakeDv(paths: Seq[(String, Long)], keyField: StructField)
+
+final class GraftLakeScan(root: String, rootAbs: String,
+                          kept: Seq[String], total: Int,
                           required: StructType, fullSchema: StructType,
                           ranges: Seq[FileStats.Range],
                           stats: Map[String, Map[String, FileStats.ColRange]],
-                          root: String = "", startingVersion: Long = 0L,
-                          ignoreChanges: Boolean = false)
+                          lengths: Map[String, Long],
+                          dv: Option[GraftLakeDv],
+                          hconf: SerializableConfiguration,
+                          startingVersion: Long = 1L,
+                          skipChangeCommits: Boolean = false,
+                          maxVersionsPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering {
   /** Files still scheduled after static AND runtime pruning. */
   @volatile private var liveFiles: Seq[String] = kept
@@ -381,15 +449,18 @@ final class GraftLakeScan(rootAbs: String, kept: Seq[String], total: Int,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    liveFiles.map(f => GraftLakeInputPartition(s"$rootAbs/$f")).toArray
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // count(*)-style empty projection still needs one decodable column
-    // to drive row iteration; emit zero-width rows either way
-    val projection =
-      if (required.nonEmpty) required
-      else StructType(fullSchema.fields.take(1))
-    new GraftLakeReaderFactory(projection, required.isEmpty)
-  }
+    liveFiles.map(f => GraftLakeInputPartition(s"$rootAbs/$f", lengths(f),
+      GraftLakeScan.partTupleOf(f))).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLakeReaderFactory(required, dv, hconf)
+
+  /** `spark.readStream.format("graftlake")` — the append-tail streaming
+    * source over the manifest log (offsets = versions); see
+    * [[GraftLakeMicroBatchStream]]. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftLakeMicroBatchStream(root, rootAbs, required,
+      startingVersion, skipChangeCommits, maxVersionsPerTrigger, hconf)
 }
 
 /** The scan a fully-pushed aggregate resolves to: ONE synthetic input
@@ -422,76 +493,223 @@ final class GraftLakeAggScan(schema: StructType, row: Seq[Any])
 final case class GraftLakeAggPartition(values: Seq[Any]) extends InputPartition
 
 object GraftLakeScan {
-  /** The parquet projection field for one Spark field — also the
-    * supported-type gate, checked at Scan build time. */
-  def parquetTypeOf(f: StructField): String = f.dataType match {
-    case LongType => s"optional int64 ${f.name};"
-    case IntegerType => s"optional int32 ${f.name};"
-    case DoubleType => s"optional double ${f.name};"
-    case FloatType => s"optional float ${f.name};"
-    case BooleanType => s"optional boolean ${f.name};"
-    case StringType => s"optional binary ${f.name} (UTF8);"
-    case other => throw new UnsupportedOperationException(
-      s"graftlake connector does not decode ${f.name}: $other")
-  }
-}
+  private val NullPart = "__HIVE_DEFAULT_PARTITION__"
 
-final class GraftLakeReaderFactory(projection: StructType, emptyRows: Boolean)
-    extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftLakePartitionReader(
-      p.asInstanceOf[GraftLakeInputPartition].absPath, projection, emptyRows)
-}
-
-final class GraftLakePartitionReader(absPath: String, projection: StructType,
-                                     emptyRows: Boolean)
-    extends PartitionReader[InternalRow] {
-  private val reader: ParquetReader[Group] = {
-    val conf = new Configuration()
-    val hPath = new org.apache.hadoop.fs.Path(absPath)
-    // the projection must carry each field's OWN repetition (Spark
-    // writes non-nullable columns as `required`; a blanket `optional`
-    // fails parquet's containment check) — take the requested fields
-    // verbatim from the file's footer schema
-    val fileSchema = {
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hPath, conf))
-      try r.getFooter.getFileMetaData.getSchema finally r.close()
-    }
-    val proj = new org.apache.parquet.schema.MessageType("graft_projection",
-      projection.fields.map(f =>
-        fileSchema.getType(fileSchema.getFieldIndex(f.name))): _*)
-    conf.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
-    ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf).build()
-  }
-  private var cur: Group = _
-
-  override def next(): Boolean = { cur = reader.read(); cur != null }
-
-  override def get(): InternalRow =
-    if (emptyRows) new GenericInternalRow(Array.empty[Any])
-    else {
-      val values = new Array[Any](projection.length)
-      val gt = cur.getType
-      var i = 0
-      while (i < projection.length) {
-        val f = projection.fields(i)
-        val gi = gt.getFieldIndex(f.name)
-        values(i) =
-          if (cur.getFieldRepetitionCount(gi) == 0) null
-          else f.dataType match {
-            case LongType => cur.getLong(gi, 0)
-            case IntegerType => cur.getInteger(gi, 0)
-            case DoubleType => cur.getDouble(gi, 0)
-            case FloatType => cur.getFloat(gi, 0)
-            case BooleanType => cur.getBoolean(gi, 0)
-            case StringType => UTF8String.fromString(cur.getString(gi, 0))
-            case other => throw new UnsupportedOperationException(other.toString)
-          }
-        i += 1
+  /** The hive partition tuple a relative lake path encodes, raw (still
+    * path-escaped): `data/commit=<uuid>/p=v/part-x.parquet` → [(p, v)]. */
+  private[sources] def partTupleOf(rel: String): Seq[(String, String)] =
+    if (!rel.startsWith("data/commit=")) Nil
+    else rel.split('/').drop(2).dropRight(1).toSeq.filter(_.contains('='))
+      .map { seg =>
+        val i = seg.indexOf('=')
+        (seg.substring(0, i), seg.substring(i + 1))
       }
-      new GenericInternalRow(values)
+
+  /** Undo hive's %xx path escaping (the writer's encoding for special
+    * chars in partition values — ':', '/', control chars). */
+  private[sources] def unescapePath(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          val hex = s.substring(i + 1, i + 3)
+          try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+          catch { case _: NumberFormatException => sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
     }
 
-  override def close(): Unit = reader.close()
+  /** One hive-encoded partition value as the Catalyst-internal constant
+    * the column vector carries, converted to the column's RESOLVED type
+    * (the connector's schema came from the native read's partition
+    * discovery, so the types are discovery's own). */
+  private[sources] def catalystPartValue(raw: String, dt: DataType): Any = {
+    val v = unescapePath(raw)
+    if (v == NullPart) null
+    else dt match {
+      case StringType => UTF8String.fromString(v)
+      case LongType => v.toLong
+      case IntegerType => v.toInt
+      case ShortType => v.toShort
+      case ByteType => v.toByte
+      case DoubleType => v.toDouble
+      case FloatType => v.toFloat
+      case BooleanType => v.toBoolean
+      case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+      case TimestampType => // discovery parses in the writer's local zone
+        DateTimeUtils.fromJavaTimestamp(java.sql.Timestamp.valueOf(v))
+      case d: DecimalType => Decimal(new java.math.BigDecimal(v), d.precision, d.scale)
+      case other => throw new UnsupportedOperationException(
+        s"graftlake partition value type: $other")
+    }
+  }
+
+  /** Open Spark's vectorized parquet reader on one lake file: the
+    * projection minus this file's partition columns becomes the parquet
+    * requested schema (one footer open, inside the reader), the
+    * partition values become constant vectors via `initBatch`, and a
+    * requested column the file predates materializes as nulls (the
+    * schema-evolution contract). Returns the reader plus the
+    * permutation mapping each `out` field to its batch-column ordinal
+    * (the reader emits data columns first, then partition columns). */
+  private[sources] def openVectorized(confBase: Configuration, p: GraftLakeInputPartition,
+                                      out: StructType, columnar: Boolean)
+      : (VectorizedParquetRecordReader, Array[Int]) = {
+    val partMap = p.partVals.toMap
+    val dataFields = out.fields.filter(f => !partMap.contains(f.name))
+    val partFields = out.fields.filter(f => partMap.contains(f.name))
+    val conf = new Configuration(confBase)
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
+      StructType(dataFields).json)
+    // files are written by this library (Spark 3+ writers): proleptic
+    // calendar, no rebase — CORRECTED on both epochs
+    val reader = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+    try {
+      reader.initialize(
+        new FileSplit(new HPath(p.absPath), 0, p.length, Array.empty[String]),
+        new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+      val pvals: Array[Any] =
+        partFields.map(f => catalystPartValue(partMap(f.name), f.dataType)).toArray
+      reader.initBatch(StructType(partFields), new GenericInternalRow(pvals))
+      if (columnar) reader.enableReturningBatches()
+    } catch { case t: Throwable => reader.close(); throw t }
+    val ordinalOf = (dataFields.map(_.name) ++ partFields.map(_.name))
+      .zipWithIndex.toMap
+    (reader, out.fields.map(f => ordinalOf(f.name)))
+  }
+}
+
+final class GraftLakeReaderFactory(required: StructType,
+                                   dv: Option[GraftLakeDv],
+                                   conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  // columnar is the default path; a live tombstone vector needs row
+  // filtering during the scan, so those versions read row-based
+  override def supportColumnarReads(p: InputPartition): Boolean = dv.isEmpty
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    new GraftLakeColumnarReader(
+      p.asInstanceOf[GraftLakeInputPartition], required, conf.value)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftLakeRowReader(
+      p.asInstanceOf[GraftLakeInputPartition], required, dv, conf.value)
+}
+
+/** The hot path: whole [[ColumnarBatch]]es straight from Spark's
+  * vectorized parquet reader into the scan's ColumnarToRow /
+  * whole-stage-codegen consumer — the wrapper batch only PERMUTES the
+  * reader's column vectors into the required order (data columns are
+  * emitted in requested order, partition constants appended; the
+  * projection may interleave them). Vectors are reused across batches,
+  * so the wrapper is built once and re-counted per batch. */
+final class GraftLakeColumnarReader(p: GraftLakeInputPartition,
+                                    required: StructType, conf: Configuration)
+    extends PartitionReader[ColumnarBatch] {
+  private val (inner, perm) =
+    GraftLakeScan.openVectorized(conf, p, required, columnar = true)
+  private var wrapped: ColumnarBatch = _
+  override def next(): Boolean = inner.nextKeyValue()
+  override def get(): ColumnarBatch = {
+    val b = inner.getCurrentValue.asInstanceOf[ColumnarBatch]
+    if (wrapped == null) {
+      val cols = new Array[ColumnVector](perm.length)
+      var i = 0
+      while (i < perm.length) { cols(i) = b.column(perm(i)); i += 1 }
+      wrapped = new ColumnarBatch(cols)
+    }
+    wrapped.setNumRows(b.numRows())
+    wrapped
+  }
+  override def close(): Unit = inner.close()
+}
+
+/** The row path, used only when the scanned version carries live key
+  * tombstones: the same vectorized decode iterated row-wise, each row
+  * probed against the version's tombstone key set (loaded once per
+  * task) and surviving rows emitted through a bound projection in the
+  * required column order. Equal by construction to the native reader's
+  * anti-join; compaction clears the vector and the scan goes columnar
+  * again. */
+final class GraftLakeRowReader(p: GraftLakeInputPartition,
+                               required: StructType,
+                               dv: Option[GraftLakeDv], conf: Configuration)
+    extends PartitionReader[InternalRow] {
+  private val keyExtra = dv.map(_.keyField)
+    .filter(f => !required.fieldNames.contains(f.name))
+  private val readOut = StructType(required.fields ++ keyExtra)
+  private val (inner, perm) =
+    GraftLakeScan.openVectorized(conf, p, readOut, columnar = false)
+  private val keyOrd = dv.map(d => perm(readOut.fieldIndex(d.keyField.name)))
+  private val keyType = dv.map(_.keyField.dataType)
+  private val tomb: java.util.HashSet[Any] =
+    dv.map(d => GraftLakeRowReader.loadKeys(conf, d)).orNull
+  private val proj = UnsafeProjection.create(
+    required.fields.zipWithIndex.map { case (f, i) =>
+      BoundReference(perm(i), f.dataType, nullable = true)
+    })
+  private var cur: InternalRow = _
+
+  override def next(): Boolean = {
+    while (inner.nextKeyValue()) {
+      val r = inner.getCurrentValue.asInstanceOf[InternalRow]
+      val dead = keyOrd.exists { o =>
+        !r.isNullAt(o) &&
+          tomb.contains(GraftLakeRowReader.keyOf(r, o, keyType.get, own = false))
+      }
+      if (!dead) { cur = r; return true }
+    }
+    false
+  }
+  override def get(): InternalRow = proj(cur)
+  override def close(): Unit = inner.close()
+}
+
+object GraftLakeRowReader {
+  /** One tombstone/probe key in set-comparable form. `own = true` copies
+    * string bytes out of the (reused) batch memory for storage; probe
+    * values are transient and compare content-wise without a copy. */
+  private def keyOf(r: InternalRow, i: Int, dt: DataType, own: Boolean): Any =
+    dt match {
+      case LongType => java.lang.Long.valueOf(r.getLong(i))
+      case IntegerType => java.lang.Long.valueOf(r.getInt(i).toLong)
+      case ShortType => java.lang.Long.valueOf(r.getShort(i).toLong)
+      case ByteType => java.lang.Long.valueOf(r.getByte(i).toLong)
+      case DoubleType => java.lang.Double.valueOf(r.getDouble(i))
+      case FloatType => java.lang.Double.valueOf(r.getFloat(i).toDouble)
+      case BooleanType => java.lang.Boolean.valueOf(r.getBoolean(i))
+      case StringType =>
+        val u = r.getUTF8String(i); if (own) u.clone() else u
+      case DateType => java.lang.Long.valueOf(r.getInt(i).toLong)
+      case TimestampType => java.lang.Long.valueOf(r.getLong(i))
+      case other => throw new UnsupportedOperationException(
+        s"graftlake tombstone key type: $other")
+    }
+
+  /** Materialize the version's tombstone key set from its DV files —
+    * one vectorized pass per file, null keys skipped (a null tombstone
+    * matches no row under the anti-join's equi-semantics). */
+  private[sources] def loadKeys(conf: Configuration,
+                                d: GraftLakeDv): java.util.HashSet[Any] = {
+    val set = new java.util.HashSet[Any]()
+    val schema = StructType(Seq(d.keyField))
+    d.paths.foreach { case (path, len) =>
+      val (r, _) = GraftLakeScan.openVectorized(conf,
+        GraftLakeInputPartition(path, len, Nil), schema, columnar = false)
+      try {
+        while (r.nextKeyValue()) {
+          val row = r.getCurrentValue.asInstanceOf[InternalRow]
+          if (!row.isNullAt(0)) {
+            set.add(keyOf(row, 0, d.keyField.dataType, own = true)); ()
+          }
+        }
+      } finally r.close()
+    }
+    set
+  }
 }

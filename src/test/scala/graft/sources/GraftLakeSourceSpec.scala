@@ -203,23 +203,70 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     ()
   }
 
-  test("documented scope limits fail loudly: deletion vectors and hive-partitioned lakes") {
+  test("deletion-vector versions read through the row path, equal to the native anti-join") {
     val root = buildLake()
-    SnapshotLake.deleteWhere(spark, root, Seq(3L).toDF("x"))
-    val ex = intercept[Exception] {
-      spark.read.format("graftlake").load(root).collect()
-    }
-    assert(ex.getMessage.contains("deletion vectors"))
-    // the pre-delete version still reads
+    SnapshotLake.deleteWhere(spark, root,
+      Seq(3L, 17L, 35L).toDF("x")) // v5: merge-on-read tombstones
+    val df = spark.read.format("graftlake").load(root)
+    assert(df.count() == 37L)
+    assert(df.select("x").collect().map(_.getLong(0)).toSet ==
+      (0L until 40L).toSet -- Set(3L, 17L, 35L))
+    assert(df.collect().map(_.toSeq).toSet ==
+      SnapshotLake.read(spark, root).collect().map(_.toSeq).toSet)
+    // projection that does NOT include the tombstone key still filters
+    assert(df.select("y").collect().map(_.getLong(0)).toSet ==
+      ((0L until 40L).toSet -- Set(3L, 17L, 35L)).map(_ * 2))
+    // the pre-delete version still reads (columnar path, no vector)
     assert(spark.read.format("graftlake").option("versionAsOf", "4")
       .load(root).count() == 40L)
+    // compaction clears the vector; reads go columnar and stay equal
+    SnapshotLake.compact(spark, root)
+    assert(spark.read.format("graftlake").load(root).count() == 37L)
+  }
 
+  test("hive-partitioned lakes read through the connector, partition tuple pruned and re-attached") {
     val part = newRoot()
+    val idx = SnapshotLake.IndexSpec(Seq("x"), None)
     SnapshotLake.appendPartitioned(
-      Seq((1L, "a"), (2L, "b")).toDF("x", "p"), part, Seq("p"))
-    val ex2 = intercept[Exception] {
-      spark.read.format("graftlake").load(part).collect()
-    }
-    assert(ex2.getMessage.contains("plain listings"))
+      Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("x", "p").repartition(1),
+      part, Seq("p"), idx)
+    SnapshotLake.appendPartitioned(
+      Seq((4L, "b"), (5L, "c")).toDF("x", "p").repartition(1),
+      part, Seq("p"), idx)
+    val df = spark.read.format("graftlake").load(part)
+    assert(df.schema.fieldNames.toSet == Set("x", "p"))
+    assert(df.collect().map(r => (r.getAs[Long]("x"), r.getAs[String]("p"))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "a"), (4L, "b"), (5L, "c")))
+    // the partition column itself projects from the path, not the file
+    assert(df.select("p").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a", "a", "b", "b", "c"))
+    // partition-tuple pruning composes with the pushed filter: p='c'
+    // survives only the one file of the second commit
+    val pc = spark.read.format("graftlake").load(part).filter(col("p") === "c")
+    assert(lakeScanOf(pc).keptFiles == 1,
+      s"partition pruning through the connector: ${lakeScanOf(pc).description()}")
+    assert(pc.select("x").head.getLong(0) == 5L)
+    // and the stats index prunes within partitions (x >= 4)
+    val px = spark.read.format("graftlake").load(part).filter(col("x") >= 4L)
+    assert(px.collect().map(_.getAs[Long]("x")).toSet == Set(4L, 5L))
+  }
+
+  test("array columns and schema evolution decode through the vectorized path") {
+    val root = newRoot()
+    SnapshotLake.append(
+      Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f))).toDF("id", "emb"),
+      root)
+    // a later commit adds a column; older files surface it as NULL
+    // (mergeSchema = the native reader's opt-in evolution contract)
+    SnapshotLake.append(
+      Seq((3L, Seq(5.0f, 6.0f), "new")).toDF("id", "emb", "tag"), root)
+    val df = spark.read.format("graftlake")
+      .option("mergeSchema", "true").load(root)
+    val rows = df.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[scala.collection.Seq[Float]]("emb").toSeq,
+      Option(r.getAs[String]("tag")))).toSet
+    assert(rows == Set(
+      (1L, Seq(1.0f, 2.0f), None), (2L, Seq(3.0f, 4.0f), None),
+      (3L, Seq(5.0f, 6.0f), Some("new"))))
   }
 }
