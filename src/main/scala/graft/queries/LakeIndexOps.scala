@@ -625,6 +625,61 @@ object LakeIndexOps {
       (src, mv)
     }
 
+  /** One readStream-drained tail per (session, sf dir): the q235 source
+    * shape — append (lower third) → MERGE (mod-95 upserts: change
+    * commit) → append (mid third) → compact (physical) → append (upper
+    * third) — drained through the CONNECTOR's streaming source
+    * (`spark.readStream.format("graftlake")`, offsets = versions,
+    * `skipChangeCommits`, one version per trigger) into a destination
+    * lake, exactly-once per micro-batch via the destination's tag
+    * index. A second drain from the same checkpoint must apply
+    * nothing. */
+  private val mbsTailM = new graft.etl.Memo[(SparkSession, String), (String, String)]
+
+  private def mbsTailLakes(s: SparkSession, d: String): (String, String) =
+    mbsTailM((s, d)) {
+      val src = Scratch.tempDir("graft-mbs-src").toString + "/lake"
+      val dst = Scratch.tempDir("graft-mbs-dst").toString + "/lake"
+      val ckpt = Scratch.tempDir("graft-mbs-ckpt").toString
+      val od = Tables.orders(s, d)
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      SnapshotLake.append(od.filter(col("o_orderkey") < maxK / 3), src, idx)
+      SnapshotLake.merge(s, src,
+        od.filter(col("o_orderkey") < maxK / 3 &&
+            pmod(col("o_orderkey"), lit(95)) === 0)
+          .withColumn("o_orderstatus", lit("T"))
+          .withColumn("o_totalprice", col("o_totalprice") + 4.0),
+        "o_orderkey", idx)
+      SnapshotLake.append(od.filter(
+        col("o_orderkey") >= maxK / 3 && col("o_orderkey") < maxK * 2 / 3),
+        src, idx)
+      SnapshotLake.compact(s, src, partitions = 2)
+      SnapshotLake.append(od.filter(col("o_orderkey") >= maxK * 2 / 3), src, idx)
+      def drain(): Unit = {
+        val q = s.readStream.format("graftlake")
+          .option("skipChangeCommits", "true")
+          .option("maxVersionsPerTrigger", "1")
+          .load(src)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (df: org.apache.spark.sql.DataFrame, id: Long) =>
+              SnapshotLake.appendOnce(df, dst, s"mbs-$id", idx); ()
+          }
+          .start()
+        require(q.awaitTermination(300000), "stream drain must finish")
+      }
+      drain()
+      val v = SnapshotLake.currentVersion(dst)
+      drain() // caught-up restart: resumes from the checkpoint, applies nothing
+      require(SnapshotLake.currentVersion(dst) == v,
+        s"a replayed drain must commit nothing: $v vs ${SnapshotLake.currentVersion(dst)}")
+      (src, dst)
+    }
+
   /** Exact global (min, max) of `c` read from the index alone — max of
     * per-file maxes / min of mins, a driver-side sidecar fold with NO
     * data scan (valid because every live file of these fixtures carries
@@ -1377,7 +1432,10 @@ object LakeIndexOps {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_rows"),
           centsSum("l_extendedprice").as("revenue"))
-      agg.collect() // materialize: runtime filters fire during execution
+      // ONE execution: the collect both materializes the result (runtime
+      // filters fire during it) and feeds the returned frame — the scan's
+      // kept/total are read from that same execution's plan
+      val rows = agg.collect()
       def scans(p: org.apache.spark.sql.execution.SparkPlan)
           : Seq[org.apache.spark.sql.connector.read.Scan] = p.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
@@ -1390,7 +1448,8 @@ object LakeIndexOps {
       val scan = scans(agg.queryExecution.executedPlan)
         .collectFirst { case g: graft.sources.GraftLakeScan => g }
         .getOrElse(sys.error("plan must contain the graftlake scan"))
-      agg.withColumn("runtime_pruned", lit(scan.keptFiles < scan.totalFiles))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+        .withColumn("runtime_pruned", lit(scan.keptFiles < scan.totalFiles))
         .orderBy("o_orderpriority")
     },
 
@@ -1424,6 +1483,153 @@ object LakeIndexOps {
           sum(col("l_quantity").cast("long")).as("sum_qty"),
           centsSum("l_extendedprice").as("revenue"))
         .orderBy("l_returnflag")
+    },
+
+    // ── STREAMING read through the connector:
+    //    spark.readStream.format("graftlake") follows the manifest log
+    //    (offsets = versions; one version per trigger here) and emits
+    //    each append commit's rows exactly once into a second lake —
+    //    the q235 tail contract behind Spark's standard micro-batch
+    //    machinery, with skipChangeCommits skipping the merge and the
+    //    compaction while still advancing the offset, restart resuming
+    //    from the checkpoint (the fixture proves a replayed drain
+    //    applies nothing). The tail side must equal the ORIGINAL orders
+    //    while the source head carries the upserts — the asymmetry IS
+    //    the append-bus contract, and the version pins (src 5, tail 5:
+    //    one destination commit per source version, skips commit empty)
+    //    prove exactly-once delivery per micro-batch.
+    Q("q242_dsv2_streaming_tail",
+      s"""WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+         |srcv AS (
+         |  SELECT 'src' AS side,
+         |         CASE WHEN o_orderkey % 95 = 0 AND o_orderkey < mx // 3
+         |              THEN 'T' ELSE o_orderstatus END AS o_orderstatus,
+         |         CASE WHEN o_orderkey % 95 = 0 AND o_orderkey < mx // 3
+         |              THEN o_totalprice + 4.0
+         |              ELSE o_totalprice END AS o_totalprice
+         |  FROM orders, m),
+         |tl AS (SELECT 'tail' AS side, o_orderstatus, o_totalprice FROM orders),
+         |u AS (SELECT * FROM srcv UNION ALL SELECT * FROM tl)
+         |SELECT side, o_orderstatus, count(*) AS n_rows,
+         |       ${centsSumSql("o_totalprice")} AS total,
+         |       CAST(5 AS BIGINT) AS src_version,
+         |       CAST(5 AS BIGINT) AS tail_version
+         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val (src, dst) = mbsTailLakes(s, d)
+      def leg(root: String, tag: String) =
+        SnapshotLake.read(s, root)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            centsSum("o_totalprice").as("total"))
+          .withColumn("side", lit(tag))
+          .select("side", "o_orderstatus", "n_rows", "total")
+      leg(src, "src").unionByName(leg(dst, "tail"))
+        .withColumn("src_version", lit(SnapshotLake.currentVersion(src).get))
+        .withColumn("tail_version", lit(SnapshotLake.currentVersion(dst).get))
+        .orderBy("side", "o_orderstatus")
+    },
+
+    // ── FILTERED COUNT pushed through the connector (q237's pruning
+    //    arithmetic behind the standard SupportsPushDownAggregates
+    //    contract): `.option("exactPushdown", "true")` accepts the band
+    //    filters as PUSHED, which is what lets Spark push the aggregate;
+    //    the scan then answers interior files from their _rows.json
+    //    sidecars (metadata_files), opens ONLY the boundary file with a
+    //    filter-columns-only projection (scanned_files), and never
+    //    touches the provably-disjoint rest (pruned_files). The
+    //    evidence counts resolve from the planned GraftLakeCountScan
+    //    itself and the post-delete head answers 0 from zero opened
+    //    files — both legs exact under the oracle, same literals as
+    //    q237's native fastCountWhere.
+    Q("q243_dsv2_filtered_count",
+      """WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+        |pre AS (
+        |  SELECT 'pre_delete' AS phase, count(*) AS n_rows,
+        |         CAST(1 AS BIGINT) AS metadata_files,
+        |         CAST(1 AS BIGINT) AS scanned_files,
+        |         CAST(2 AS BIGINT) AS pruned_files
+        |  FROM orders, m
+        |  WHERE o_orderkey >= mx // 4 AND o_orderkey <= mx * 5 // 8),
+        |post AS (
+        |  SELECT 'post_delete', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), CAST(3 AS BIGINT))
+        |SELECT * FROM pre UNION ALL SELECT * FROM post
+        |ORDER BY phase""".stripMargin) { (s, d) =>
+      val (root, _) = predDeletedLake(s, d)
+      val (_, maxK) = statsBounds(root, "o_orderkey", Some(4L))
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.connector.read.Scan] = p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b.scan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+      }.flatten
+      def leg(v: Option[Long], tag: String) = {
+        var r = s.read.format("graftlake").option("exactPushdown", "true")
+        v.foreach(x => r = r.option("versionAsOf", x.toString))
+        val df = r.load(root)
+          .filter(col("o_orderkey") >= maxK / 4 &&
+            col("o_orderkey") <= maxK * 5 / 8)
+          .agg(count(lit(1)).as("n_rows"))
+        val scan = scans(df.queryExecution.executedPlan)
+          .collectFirst { case c: graft.sources.GraftLakeCountScan => c }
+          .getOrElse(sys.error("the filtered count must push to the count scan"))
+        df.select(lit(tag).as("phase"), col("n_rows"),
+          lit(scan.metadataFiles.toLong).as("metadata_files"),
+          lit(scan.scannedFiles.toLong).as("scanned_files"),
+          lit(scan.prunedFiles.toLong).as("pruned_files"))
+      }
+      leg(Some(4L), "pre_delete").unionByName(leg(None, "post_delete"))
+        .orderBy("phase")
+    },
+
+    // ── SQL surface via the V2 TableCatalog: a lake registered once
+    //    (CREATE TABLE ... USING graftlake LOCATION ...) answers PASTED
+    //    SQL with time travel — `VERSION AS OF 4` resolves through
+    //    TableCatalog.loadTable(ident, version) into a version-pinned
+    //    connector table, and the band predicate still prunes files
+    //    through the sidecar index (`pruned` is read from the executed
+    //    scan, failing loudly if the index stops firing through SQL).
+    //    The q90/q94 verbatim-SQL story extended to the lake.
+    Q("q244_sql_catalog_time_travel",
+      s"""WITH m AS (SELECT max(o_orderkey) AS mx FROM orders)
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         |       ${centsSumSql("o_totalprice")} AS total,
+         |       true AS pruned
+         |FROM orders, m
+         |WHERE o_orderkey >= mx // 4 AND o_orderkey <= mx * 5 // 8
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val (root, _) = predDeletedLake(s, d)
+      val (_, maxK) = statsBounds(root, "o_orderkey", Some(4L))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+        Scratch.tempDir("graft-cat-warehouse").toString)
+      val tbl = f"orders_pd_${scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff}%08x"
+      s.sql(s"CREATE TABLE IF NOT EXISTS graft_cat.lakes.$tbl " +
+        s"USING graftlake LOCATION '$root'")
+      val df = s.sql(
+        s"""SELECT o_orderstatus, count(*) AS n_rows,
+           |       CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / CAST(100.0 AS DOUBLE) AS total
+           |FROM graft_cat.lakes.$tbl VERSION AS OF 4
+           |WHERE o_orderkey >= ${maxK / 4} AND o_orderkey <= ${maxK * 5 / 8}
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.connector.read.Scan] = p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b.scan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+      }.flatten
+      val scan = scans(df.queryExecution.executedPlan)
+        .collectFirst { case g: graft.sources.GraftLakeScan => g }
+        .getOrElse(sys.error("SQL over the catalog table must plan the graftlake scan"))
+      df.withColumn("pruned", lit(scan.keptFiles < scan.totalFiles))
+        .orderBy("o_orderstatus")
     }
   )
 }

@@ -1,0 +1,184 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.etl.SnapshotLake
+
+/** V2 [[TableCatalog]] over snapshot lakes — the SQL surface of the
+  * connector. Register once:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.GraftLakeCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/lakes
+  * }}}
+  *
+  * and pasted SQL works against lake tables with the index intact:
+  *
+  * {{{
+  *   CREATE TABLE graft.marts.orders USING graftlake
+  *     LOCATION '/data/lakes/existing/orders'      -- external, or omit
+  *   SELECT ... FROM graft.marts.orders VERSION AS OF 4 WHERE ...
+  *   INSERT INTO graft.marts.orders SELECT ...
+  * }}}
+  *
+  * Layout: an identifier `ns1.ns2.t` resolves to
+  * `<warehouse>/ns1/ns2/t`. A MANAGED table's lake lives in that
+  * directory itself (the first INSERT commits version 1); an EXTERNAL
+  * table (`LOCATION`) records a `_location.json` pointer there and the
+  * lake stays where it is — DROP removes only the pointer, the Delta
+  * external-table contract. Time travel (`VERSION AS OF n`) rides
+  * [[TableCatalog.loadTable(Identifier, String)]] into a version-pinned
+  * [[GraftLakeTable]], so the pinned scan keeps filter→file pruning,
+  * aggregate pushdown, and runtime file pruning. The catalog itself
+  * holds NO state beyond the filesystem: table existence is the
+  * manifest directory (or pointer), which makes it safe for any number
+  * of concurrent sessions — the manifest CAS is the only coordinator. */
+class GraftLakeCatalog extends TableCatalog {
+  private var catName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    val w = options.get("warehouse")
+    require(w != null,
+      s"graftlake catalog '$name' needs spark.sql.catalog.$name.warehouse")
+    warehouse = Paths.get(w)
+    Files.createDirectories(warehouse)
+    ()
+  }
+
+  override def name(): String = catName
+
+  private def dirOf(ident: Identifier): Path =
+    ident.namespace.foldLeft(warehouse)(_ resolve _).resolve(ident.name)
+
+  /** Spark qualifies LOCATION clauses into URIs (`file:/tmp/x`);
+    * the lake layer wants plain local paths. */
+  private def normalize(l: String): String =
+    try {
+      val u = new java.net.URI(l)
+      if (u.getScheme == "file") Paths.get(u).toString else l
+    } catch { case _: Exception => l }
+
+  /** The lake root an identifier resolves to: the `_location.json`
+    * pointer if present (external table), else the table directory
+    * itself when it holds a manifest log or a CREATE TABLE schema
+    * marker (managed — the marker is what makes an empty managed table
+    * resolvable before its first commit). */
+  private def rootOf(ident: Identifier): Option[String] = {
+    val d = dirOf(ident)
+    val ptr = d.resolve("_location.json")
+    if (Files.exists(ptr)) {
+      val s = new String(Files.readAllBytes(ptr),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val m = """"location"\s*:\s*"([^"]*)"""".r
+      m.findFirstMatchIn(s).map(g => normalize(g.group(1)))
+    } else if (Files.isDirectory(d.resolve("_manifests")) ||
+      Files.exists(d.resolve("_schema.json"))) Some(d.toString)
+    else None
+  }
+
+  /** The declared schema of a table with no committed version yet. */
+  private def declaredSchema(ident: Identifier): Option[StructType] = {
+    val f = dirOf(ident).resolve("_schema.json")
+    if (!Files.exists(f)) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      new String(Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType])
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    rootOf(ident).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = namespace.foldLeft(warehouse)(_ resolve _)
+    if (!Files.isDirectory(base)) Array.empty
+    else {
+      val s = Files.list(base)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .filter(tableExists)
+        .toArray
+      finally s.close()
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF n` — Spark's time-travel syntax resolves here. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLong))
+
+  private def load(ident: Identifier, v: Option[Long]): Table = {
+    val root = rootOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    val schema =
+      if (SnapshotLake.currentVersion(root).isEmpty)
+        declaredSchema(ident).getOrElse(new StructType())
+      else SnapshotLake.read(SparkSession.active, root, v).schema
+    new GraftLakeTable(root, schema, versionAsOf = v)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graftlake tables partition at WRITE time (appendPartitioned), " +
+        "not in the catalog definition")
+    val d = dirOf(ident)
+    Files.createDirectories(d)
+    Option(properties.get(TableCatalog.PROP_LOCATION)).map(normalize)
+      .filter(l => Paths.get(l).toAbsolutePath != d.toAbsolutePath) match {
+      case Some(l) =>
+        Files.write(d.resolve("_location.json"),
+          s"""{"location":"$l"}""".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+      case None =>
+        // managed: persist the declared schema so the table resolves
+        // (and enforces its shape) before the first commit lands
+        Files.write(d.resolve("_schema.json"),
+          schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    load(ident, None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    rootOf(ident) match {
+      case None => false
+      case Some(root) =>
+        val d = dirOf(ident)
+        val external = Files.exists(d.resolve("_location.json"))
+        // external: drop only the pointer, the lake survives (Delta's
+        // external-table contract); managed: the data goes with it
+        val victim = if (external) d else Paths.get(root)
+        def rm(p: Path): Unit = {
+          if (Files.isDirectory(p)) {
+            val s = Files.list(p)
+            try s.iterator().asScala.toVector.foreach(rm) finally s.close()
+          }
+          Files.deleteIfExists(p); ()
+        }
+        rm(victim)
+        if (!external) rm(d)
+        true
+    }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graftlake table schemas evolve through commits (mergeSchema), not ALTER")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "rename by CREATE TABLE ... LOCATION + DROP of the old pointer")
+}

@@ -42,10 +42,14 @@ import graft.etl.{FileStats, SnapshotLake}
   *     conservative `mayMatch` every native reader uses — composed with
   *     the path-encoded partition tuples of hive-partitioned commits, so
   *     partition pruning and stats pruning fire through one mechanism
-  *     (the q227 property through the standard API). ALL filters are
-  *     reported back as residual (`pushedFilters()` is empty), so Spark
-  *     re-applies them row-level above the scan: pruning is a
-  *     performance lever, never a correctness input.
+  *     (the q227 property through the standard API). By default ALL
+  *     filters are reported back as residual (`pushedFilters()` is
+  *     empty), so Spark re-applies them row-level above the scan:
+  *     pruning is a performance lever, never a correctness input. With
+  *     `.option("exactPushdown", "true")` the exactly-evaluable shapes
+  *     are ACCEPTED as pushed and applied in the readers instead, which
+  *     is what lets a filtered COUNT push down to the
+  *     metadata+boundary hybrid ([[GraftLakeCountScan]]).
   *   - **Column pruning → parquet projection**: the required schema
   *     from [[GraftLakeScanBuilder.pruneColumns]] becomes the parquet
   *     read projection, so unselected columns are never decoded.
@@ -101,9 +105,11 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 }
 
-final class GraftLakeTable(root: String, schema: StructType)
+final class GraftLakeTable(root: String, schema: StructType,
+                           versionAsOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"graftlake:$root"
+  override def name(): String =
+    s"graftlake:$root${versionAsOf.map(v => s"@v$v").getOrElse("")}"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] = {
     // BATCH_WRITE routes DataFrameWriter.save into the v2 plan;
@@ -122,13 +128,16 @@ final class GraftLakeTable(root: String, schema: StructType)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(
       Option(options.get("path")).getOrElse(root),
-      Option(options.get("versionAsOf")).map(_.toLong), schema,
+      Option(options.get("versionAsOf")).map(_.toLong)
+        .orElse(versionAsOf), schema,
       startingVersion = Option(options.get("startingVersion"))
         .map(_.toLong).getOrElse(1L),
       skipChangeCommits = Option(options.get("skipChangeCommits"))
         .exists(_.toBoolean),
       maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger"))
-        .map(_.toLong))
+        .map(_.toLong),
+      exactPushdown = Option(options.get("exactPushdown"))
+        .exists(_.toBoolean))
 
   /** Batch writes via the V1 fallback (`V1_BATCH_WRITE`) — the whole
     * input lands through [[SnapshotLake.append]]/[[SnapshotLake.overwrite]]
@@ -185,20 +194,52 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
                                  fullSchema: StructType,
                                  startingVersion: Long = 1L,
                                  skipChangeCommits: Boolean = false,
-                                 maxVersionsPerTrigger: Option[Long] = None)
+                                 maxVersionsPerTrigger: Option[Long] = None,
+                                 exactPushdown: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var ranges: Seq[FileStats.Range] = Nil
+  private var exact: Array[Filter] = Array.empty
   private var residual: Array[Filter] = Array.empty
   private var aggPushed: Option[(StructType, Seq[Any])] = None
+  private var countPushed: Option[GraftLakeCountScan] = None
+
+  /** Filter shapes the readers evaluate with EXACTLY Spark's semantics —
+    * comparisons on integral and (binary-collated) string columns, plus
+    * IsNotNull — the gate for `exactPushdown` mode accepting a filter as
+    * PUSHED. Floats are excluded (NaN ordering), as is anything nested
+    * or typed outside the gate. */
+  private def exactlyEvaluable(f: Filter): Boolean = {
+    def ok(col: String, v: Any): Boolean = v != null &&
+      fullSchema.fields.find(_.name == col).exists(_.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => v.isInstanceOf[Number]
+        case StringType => v.isInstanceOf[String]
+        case _ => false
+      })
+    f match {
+      case EqualTo(a, v) => ok(a, v)
+      case GreaterThan(a, v) => ok(a, v)
+      case GreaterThanOrEqual(a, v) => ok(a, v)
+      case LessThan(a, v) => ok(a, v)
+      case LessThanOrEqual(a, v) => ok(a, v)
+      case org.apache.spark.sql.sources.IsNotNull(a) =>
+        fullSchema.fieldNames.contains(a)
+      case _ => false
+    }
+  }
 
   /** Convert prunable conjuncts to index ranges. GreaterThan/LessThan
     * prune as their inclusive forms — a SUPERSET range, conservative by
-    * construction. Everything is returned as residual: Spark re-applies
-    * every filter row-level, so a range the index can't serve (or a
-    * filter shape this never inspects) costs only unpruned files. */
+    * construction. By default everything is returned as residual: Spark
+    * re-applies every filter row-level, so a range the index can't serve
+    * (or a filter shape this never inspects) costs only unpruned files.
+    * With `.option("exactPushdown", "true")` the exactly-evaluable
+    * shapes are ACCEPTED as pushed instead — the readers then apply them
+    * row-level (a correctness input, which is what lets a filtered
+    * COUNT push down to the metadata+boundary hybrid), trading the
+    * columnar decode path for file skips and metadata counts. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def s(v: Any): Option[String] = v match {
       case null => None
@@ -214,11 +255,18 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
       case LessThan(a, v) => s(v).map(x => FileStats.Range(a, None, Some(x)))
       case _ => None
     }
-    residual = filters
-    filters // all residual — pruning is advisory, never correctness
+    if (exactPushdown) {
+      val (acc, rest) = filters.partition(exactlyEvaluable)
+      exact = acc
+      residual = rest
+      rest
+    } else {
+      residual = filters
+      filters // all residual — pruning is advisory, never correctness
+    }
   }
 
-  override def pushedFilters(): Array[Filter] = Array.empty
+  override def pushedFilters(): Array[Filter] = exact
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -237,6 +285,7 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
     * binary stats may be truncated; numeric stats are exact). */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (aggregation.groupByExpressions.nonEmpty) return false
+    if (exact.nonEmpty) return pushFilteredCount(aggregation)
     if (ranges.nonEmpty || residual.nonEmpty) return false
     val v = version.orElse(SnapshotLake.currentVersion(root))
       .getOrElse(return false)
@@ -297,9 +346,87 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
     true
   }
 
-  override def build(): Scan = aggPushed match {
-    case Some((schema, row)) => new GraftLakeAggScan(schema, row)
-    case None => buildFileScan()
+  /** Filtered COUNT through the connector — the q237 pruning-arithmetic
+    * hybrid behind the standard `SupportsPushDownAggregates` contract,
+    * reachable only in `exactPushdown` mode (Spark pushes an aggregate
+    * only when every filter was accepted as pushed):
+    *
+    *   - files provably DISJOINT from the predicate ranges contribute
+    *     nothing and are never opened;
+    *   - files EVERY row of which provably matches every filter (bounds
+    *     strictly inside the predicate — bound-min > v proves true-min
+    *     > v even if footer bounds are outer approximations — and zero
+    *     harvested nulls) contribute their `_rows.json` count WITHOUT
+    *     being opened;
+    *   - the boundary files become counting partitions: each reader
+    *     decodes ONLY the filter columns, counts the matching rows, and
+    *     emits one row; Spark's final aggregate (partial-pushdown
+    *     contract) sums the interior row with the boundary counts.
+    *
+    * On a range-ingested 100 TB table a band count through the plain
+    * `spark.read...count()` API opens the two edge files and
+    * metadata-counts the interior — however wide the band. */
+  private def pushFilteredCount(aggregation: Aggregation): Boolean = {
+    if (residual.nonEmpty) return false // a filter we can't apply exactly
+    val nCounts = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => true
+      case c: Count if !c.isDistinct => c.column match {
+        case l: Literal[_] if l.value != null => true
+        case _ => false
+      }
+      case _ => false
+    }
+    if (nCounts.isEmpty || nCounts.exists(!_)) return false
+    val v = version.orElse(SnapshotLake.currentVersion(root))
+      .getOrElse(return false)
+    if (SnapshotLake.deletesOf(root, v).nonEmpty) return false
+
+    val all = SnapshotLake.files(root, v)
+    val rootAbs = java.nio.file.Paths.get(root).toAbsolutePath.toString
+    val dirs = all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    val sidecars = dirs.flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
+    val rowsBy = dirs.flatMap(dir => FileStats.readRowsSidecar(root, dir)).toMap
+    val pathIdx = SnapshotLake.pathRangeIndex(all)
+    val stats = all.map(f =>
+      f -> (sidecars.getOrElse(f, Map.empty) ++ pathIdx.getOrElse(f, Map.empty))).toMap
+    val candidates = all.filter(f => FileStats.mayMatch(stats(f), ranges))
+    val (whole, boundary) = candidates.partition(f =>
+      rowsBy.contains(f) &&
+        exact.forall(GraftLakeCountScan.wholeMatch(stats(f), _)))
+    val filterCols = StructType(exact.flatMap(GraftLakeCountScan.colOf).distinct
+      .flatMap(c => fullSchema.fields.find(_.name == c)))
+    val parts = boundary.map(f => GraftLakeInputPartition(s"$rootAbs/$f",
+      java.nio.file.Files.size(java.nio.file.Paths.get(root, f)),
+      GraftLakeScan.partTupleOf(f)))
+    countPushed = Some(new GraftLakeCountScan(nCounts.size,
+      whole.map(rowsBy).sum, whole.size, all.size - candidates.size,
+      parts, exact, filterCols, sessionConf()))
+    true
+  }
+
+  private def sessionConf(): SerializableConfiguration = {
+    val spark = SparkSession.active
+    val c = spark.sessionState.newHadoopConf()
+    // the keys ParquetReadSupport / ParquetToSparkSchemaConverter
+    // resolve from the task-side conf — set explicitly like
+    // ParquetFileFormat.buildReaderWithPartitionValues does
+    val sc = spark.sessionState.conf
+    c.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, sc.isParquetBinaryAsString)
+    c.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, sc.isParquetINT96AsTimestamp)
+    c.setBoolean(SQLConf.CASE_SENSITIVE.key, sc.caseSensitiveAnalysis)
+    c.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sc.parquetInferTimestampNTZEnabled)
+    c.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, sc.legacyParquetNanosAsLong)
+    c.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, sc.parquetFieldIdReadEnabled)
+    c.setBoolean(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID.key,
+      sc.ignoreMissingParquetFieldId)
+    new SerializableConfiguration(c)
+  }
+
+  override def build(): Scan = (aggPushed, countPushed) match {
+    case (Some((schema, row)), _) => new GraftLakeAggScan(schema, row)
+    case (None, Some(cs)) => cs
+    case _ => buildFileScan()
   }
 
   private def buildFileScan(): Scan = {
@@ -331,26 +458,9 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
             java.nio.file.Files.size(java.nio.file.Paths.get(root, f)))),
           keyField))
       }
-    val hconf = {
-      val c = spark.sessionState.newHadoopConf()
-      // the keys ParquetReadSupport / ParquetToSparkSchemaConverter
-      // resolve from the task-side conf — set explicitly like
-      // ParquetFileFormat.buildReaderWithPartitionValues does
-      val sc = spark.sessionState.conf
-      c.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, sc.isParquetBinaryAsString)
-      c.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, sc.isParquetINT96AsTimestamp)
-      c.setBoolean(SQLConf.CASE_SENSITIVE.key, sc.caseSensitiveAnalysis)
-      c.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
-        sc.parquetInferTimestampNTZEnabled)
-      c.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, sc.legacyParquetNanosAsLong)
-      c.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, sc.parquetFieldIdReadEnabled)
-      c.setBoolean(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID.key,
-        sc.ignoreMissingParquetFieldId)
-      new SerializableConfiguration(c)
-    }
     new GraftLakeScan(root, rootAbs, kept, all.size, required, fullSchema,
-      ranges, stats, lengths, dv, hconf,
-      startingVersion, skipChangeCommits, maxVersionsPerTrigger)
+      ranges, stats, lengths, dv, sessionConf(),
+      startingVersion, skipChangeCommits, maxVersionsPerTrigger, exact)
   }
 }
 
@@ -378,7 +488,8 @@ final class GraftLakeScan(root: String, rootAbs: String,
                           hconf: SerializableConfiguration,
                           startingVersion: Long = 1L,
                           skipChangeCommits: Boolean = false,
-                          maxVersionsPerTrigger: Option[Long] = None)
+                          maxVersionsPerTrigger: Option[Long] = None,
+                          exact: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsRuntimeFiltering {
   /** Files still scheduled after static AND runtime pruning. */
   @volatile private var liveFiles: Seq[String] = kept
@@ -452,7 +563,7 @@ final class GraftLakeScan(root: String, rootAbs: String,
     liveFiles.map(f => GraftLakeInputPartition(s"$rootAbs/$f", lengths(f),
       GraftLakeScan.partTupleOf(f))).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLakeReaderFactory(required, dv, hconf)
+    new GraftLakeReaderFactory(required, dv, hconf, exact, fullSchema)
 
   /** `spark.readStream.format("graftlake")` — the append-tail streaming
     * source over the manifest log (offsets = versions); see
@@ -588,17 +699,22 @@ object GraftLakeScan {
 
 final class GraftLakeReaderFactory(required: StructType,
                                    dv: Option[GraftLakeDv],
-                                   conf: SerializableConfiguration)
+                                   conf: SerializableConfiguration,
+                                   exact: Array[Filter] = Array.empty,
+                                   fullSchema: StructType = new StructType())
     extends PartitionReaderFactory {
-  // columnar is the default path; a live tombstone vector needs row
-  // filtering during the scan, so those versions read row-based
-  override def supportColumnarReads(p: InputPartition): Boolean = dv.isEmpty
+  // columnar is the default path; a live tombstone vector or accepted
+  // exact filters need row-level work during the scan, so those read
+  // row-based
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    dv.isEmpty && exact.isEmpty
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
     new GraftLakeColumnarReader(
       p.asInstanceOf[GraftLakeInputPartition], required, conf.value)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftLakeRowReader(
-      p.asInstanceOf[GraftLakeInputPartition], required, dv, conf.value)
+      p.asInstanceOf[GraftLakeInputPartition], required, dv, conf.value,
+      exact, fullSchema)
 }
 
 /** The hot path: whole [[ColumnarBatch]]es straight from Spark's
@@ -638,17 +754,27 @@ final class GraftLakeColumnarReader(p: GraftLakeInputPartition,
   * again. */
 final class GraftLakeRowReader(p: GraftLakeInputPartition,
                                required: StructType,
-                               dv: Option[GraftLakeDv], conf: Configuration)
+                               dv: Option[GraftLakeDv], conf: Configuration,
+                               exact: Array[Filter] = Array.empty,
+                               fullSchema: StructType = new StructType())
     extends PartitionReader[InternalRow] {
-  private val keyExtra = dv.map(_.keyField)
+  // read projection = required ∪ tombstone key ∪ exact-filter columns;
+  // the extras drive row filtering and are projected away on emit
+  private val extras = (dv.map(_.keyField).toSeq ++
+    exact.flatMap(GraftLakeCountScan.colOf).distinct
+      .flatMap(c => fullSchema.fields.find(_.name == c)))
     .filter(f => !required.fieldNames.contains(f.name))
-  private val readOut = StructType(required.fields ++ keyExtra)
+    .distinctBy(_.name)
+  private val readOut = StructType(required.fields ++ extras)
   private val (inner, perm) =
     GraftLakeScan.openVectorized(conf, p, readOut, columnar = false)
   private val keyOrd = dv.map(d => perm(readOut.fieldIndex(d.keyField.name)))
   private val keyType = dv.map(_.keyField.dataType)
   private val tomb: java.util.HashSet[Any] =
     dv.map(d => GraftLakeRowReader.loadKeys(conf, d)).orNull
+  private val preds: Array[InternalRow => Boolean] = exact.map(f =>
+    GraftLakeCountScan.compile(f,
+      c => perm(readOut.fieldIndex(c)), c => readOut(c).dataType))
   private val proj = UnsafeProjection.create(
     required.fields.zipWithIndex.map { case (f, i) =>
       BoundReference(perm(i), f.dataType, nullable = true)
@@ -662,7 +788,7 @@ final class GraftLakeRowReader(p: GraftLakeInputPartition,
         !r.isNullAt(o) &&
           tomb.contains(GraftLakeRowReader.keyOf(r, o, keyType.get, own = false))
       }
-      if (!dead) { cur = r; return true }
+      if (!dead && preds.forall(_(r))) { cur = r; return true }
     }
     false
   }
@@ -711,5 +837,152 @@ object GraftLakeRowReader {
       } finally r.close()
     }
     set
+  }
+}
+
+/** The scan a filtered COUNT pushes to in `exactPushdown` mode: one
+  * synthetic partition carrying the metadata-counted interior total
+  * plus one counting partition per boundary file — each decodes ONLY
+  * the filter columns, counts matching rows, and emits a single row;
+  * Spark's final aggregate sums them (the partial-pushdown contract).
+  * `metadataFiles`/`scannedFiles`/`prunedFiles` are the audit evidence
+  * queries pin, resolved from the planned scan itself. */
+final class GraftLakeCountScan(nCounts: Int, interior: Long,
+                               val metadataFiles: Int, val prunedFiles: Int,
+                               boundary: Seq[GraftLakeInputPartition],
+                               filters: Array[Filter], filterCols: StructType,
+                               hconf: SerializableConfiguration)
+    extends Scan with Batch {
+  def scannedFiles: Int = boundary.size
+  def metadataOnly: Boolean = boundary.isEmpty
+  override def readSchema(): StructType = StructType(
+    (0 until nCounts).map(i => StructField(s"count_$i", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftLakeCountScan interior=$interior metadata=$metadataFiles " +
+      s"scanned=${boundary.size} pruned=$prunedFiles filters=${filters.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    (GraftLakeCountPartition(interior, None) +:
+      boundary.map(p => GraftLakeCountPartition(0L, Some(p)))).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLakeCountReaderFactory(nCounts, filters, filterCols, hconf)
+}
+
+final case class GraftLakeCountPartition(interior: Long,
+                                         file: Option[GraftLakeInputPartition])
+    extends InputPartition
+
+final class GraftLakeCountReaderFactory(nCounts: Int, filters: Array[Filter],
+                                        filterCols: StructType,
+                                        conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[GraftLakeCountPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      private def countFile(fp: GraftLakeInputPartition): Long = {
+        val (r, perm) = GraftLakeScan.openVectorized(
+          conf.value, fp, filterCols, columnar = false)
+        val preds = filters.map(f => GraftLakeCountScan.compile(f,
+          c => perm(filterCols.fieldIndex(c)), c => filterCols(c).dataType))
+        try {
+          var n = 0L
+          while (r.nextKeyValue()) {
+            val row = r.getCurrentValue.asInstanceOf[InternalRow]
+            if (preds.forall(_(row))) n += 1
+          }
+          n
+        } finally r.close()
+      }
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = {
+        val n = cp.file.map(countFile).getOrElse(cp.interior)
+        new GenericInternalRow(Array.fill[Any](nCounts)(n))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+object GraftLakeCountScan {
+  /** The single column a supported exact filter references. */
+  private[sources] def colOf(f: Filter): Option[String] = f match {
+    case EqualTo(a, _) => Some(a)
+    case GreaterThan(a, _) => Some(a)
+    case GreaterThanOrEqual(a, _) => Some(a)
+    case LessThan(a, _) => Some(a)
+    case LessThanOrEqual(a, _) => Some(a)
+    case org.apache.spark.sql.sources.IsNotNull(a) => Some(a)
+    case _ => None
+  }
+
+  /** True iff EVERY row of a file provably satisfies `f`, from its
+    * harvested/path-derived range: bounds strictly inside the predicate
+    * plus a known-ZERO null count. Sound even for outer-approximation
+    * bounds (bound-min ≤ true-min, so bound-min > v proves
+    * true-min > v), and STRICTNESS-aware — the inclusive superset
+    * ranges mayMatch prunes with would over-claim for `>`/`<`. */
+  private[sources] def wholeMatch(stats: Map[String, FileStats.ColRange],
+                                  f: Filter): Boolean = {
+    def chk(a: String, v: Any)(test: (Int, Int) => Boolean): Boolean =
+      stats.get(a).exists { r =>
+        r.nulls.contains(0L) && {
+          val lit = v.toString
+          def c(x: String): Int =
+            if (r.numeric) java.lang.Double.compare(x.toDouble, lit.toDouble)
+            else FileStats.utf8Cmp(x, lit)
+          test(c(r.min), c(r.max))
+        }
+      }
+    f match {
+      case EqualTo(a, v) => chk(a, v)((mn, mx) => mn == 0 && mx == 0)
+      case GreaterThan(a, v) => chk(a, v)((mn, _) => mn > 0)
+      case GreaterThanOrEqual(a, v) => chk(a, v)((mn, _) => mn >= 0)
+      case LessThan(a, v) => chk(a, v)((_, mx) => mx < 0)
+      case LessThanOrEqual(a, v) => chk(a, v)((_, mx) => mx <= 0)
+      case org.apache.spark.sql.sources.IsNotNull(a) =>
+        stats.get(a).exists(_.nulls.contains(0L))
+      case _ => false
+    }
+  }
+
+  /** Compile one accepted exact filter to a row predicate with Spark's
+    * own semantics: null never matches a comparison, integrals compare
+    * as longs, strings by binary collation (UTF8String.compareTo —
+    * utf8Cmp's in-memory twin). The acceptance gate
+    * (`exactlyEvaluable`) guarantees only these shapes arrive. */
+  private[sources] def compile(f: Filter, ordOf: String => Int,
+                               typeOf: String => DataType): InternalRow => Boolean = {
+    def longAt(o: Int, dt: DataType): InternalRow => Long = dt match {
+      case LongType => _.getLong(o)
+      case IntegerType => _.getInt(o).toLong
+      case ShortType => _.getShort(o).toLong
+      case ByteType => _.getByte(o).toLong
+      case other => throw new UnsupportedOperationException(other.toString)
+    }
+    def cmp(a: String, v: Any)(test: Int => Boolean): InternalRow => Boolean = {
+      val o = ordOf(a)
+      typeOf(a) match {
+        case dt @ (LongType | IntegerType | ShortType | ByteType) =>
+          val lit = v.asInstanceOf[Number].longValue
+          val get = longAt(o, dt)
+          r => !r.isNullAt(o) && test(java.lang.Long.compare(get(r), lit))
+        case StringType =>
+          val lit = UTF8String.fromString(v.asInstanceOf[String])
+          r => !r.isNullAt(o) && test(r.getUTF8String(o).compareTo(lit))
+        case other => throw new UnsupportedOperationException(
+          s"graftlake exact filter on $a: $other")
+      }
+    }
+    f match {
+      case EqualTo(a, v) => cmp(a, v)(_ == 0)
+      case GreaterThan(a, v) => cmp(a, v)(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v)(_ >= 0)
+      case LessThan(a, v) => cmp(a, v)(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v)(_ <= 0)
+      case org.apache.spark.sql.sources.IsNotNull(a) =>
+        val o = ordOf(a); r => !r.isNullAt(o)
+      case other => throw new UnsupportedOperationException(other.toString)
+    }
   }
 }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
 
@@ -52,7 +52,18 @@ final class GraftLakeMicroBatchStream(root: String, rootAbs: String,
                                       skipChangeCommits: Boolean,
                                       maxVersionsPerTrigger: Option[Long],
                                       hconf: SerializableConfiguration)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow's drain bound: the head version captured when
+    * the trigger starts — batches step toward it (maxVersionsPerTrigger
+    * at a time) and the query stops there, commits racing the drain
+    * left for the next run (Spark's AvailableNow contract). */
+  @volatile private var availableNowBound: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowBound =
+      Some(SnapshotLake.currentVersion(root).getOrElse(startingVersion - 1))
 
   override def initialOffset(): Offset = GraftLakeOffset(startingVersion - 1)
 
@@ -66,14 +77,18 @@ final class GraftLakeMicroBatchStream(root: String, rootAbs: String,
       "latestOffset(Offset, ReadLimit) is the admission-control form")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val head = SnapshotLake.currentVersion(root)
-      .getOrElse(startingVersion - 1)
+    val head = availableNowBound.getOrElse(
+      SnapshotLake.currentVersion(root).getOrElse(startingVersion - 1))
     val s = start.asInstanceOf[GraftLakeOffset].version
     GraftLakeOffset(maxVersionsPerTrigger match {
       case Some(n) => math.min(head, s + math.max(1L, n))
       case None => head
     })
   }
+
+  override def reportLatestOffset(): Offset =
+    GraftLakeOffset(SnapshotLake.currentVersion(root)
+      .getOrElse(startingVersion - 1))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftLakeOffset].version

@@ -203,6 +203,57 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     ()
   }
 
+  test("exactPushdown accepts evaluable filters as pushed and the readers apply them exactly") {
+    val root = buildLake()
+    def exact(df: DataFrame => DataFrame) = df(
+      spark.read.format("graftlake").option("exactPushdown", "true").load(root))
+    // range + equality on integrals: rows filtered IN the reader (no
+    // Filter node re-application) must equal the default path's
+    val a = exact(_.filter(col("x") >= 10L && col("x") <= 25L))
+    assert(a.select("x").collect().map(_.getLong(0)).toSet == (10L to 25L).toSet)
+    val b = exact(_.filter(col("s") === "s17"))
+    assert(b.collect().map(r => (r.getAs[Long]("x"), r.getAs[String]("s"))).toSeq ==
+      Seq((17L, "s17")))
+    // projection that drops the filter column still filters on it
+    val c = exact(_.filter(col("x") > 35L).select("y"))
+    assert(c.collect().map(_.getLong(0)).toSet == (36L until 40L).map(_ * 2).toSet)
+  }
+
+  test("a filtered count pushes to the metadata+boundary hybrid count scan") {
+    val root = buildLake() // four files: [0,9] [10,19] [20,29] [30,39]
+    val df = spark.read.format("graftlake").option("exactPushdown", "true")
+      .load(root)
+      .filter(col("x") >= 10L && col("x") <= 25L)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val scan = scansIn(df.queryExecution.executedPlan)
+      .collectFirst { case s: GraftLakeCountScan => s }
+      .getOrElse(fail(s"expected GraftLakeCountScan: ${df.queryExecution}"))
+    assert(scan.metadataFiles == 1, "file [10,19] counts from _rows.json")
+    assert(scan.scannedFiles == 1, "file [20,29] is the boundary")
+    assert(scan.prunedFiles == 2, "files [0,9] and [30,39] prune")
+    assert(df.head.getLong(0) == 16L)
+    // a whole-table filtered count where every file whole-matches is
+    // pure metadata; a filter we can't evaluate exactly falls back
+    val all = spark.read.format("graftlake").option("exactPushdown", "true")
+      .load(root).filter(col("x") >= 0L).count()
+    assert(all == 40L)
+    val contains = spark.read.format("graftlake").option("exactPushdown", "true")
+      .load(root).filter(col("s").contains("s1")).count()
+    assert(contains == 11L, "unsupported shape stays residual and exact")
+    // strictness: x > 9 must NOT whole-drop... er, whole-COUNT file
+    // [10,19] wrongly if bounds touch; > 10 keeps it a boundary file
+    val strict = spark.read.format("graftlake").option("exactPushdown", "true")
+      .load(root).filter(col("x") > 10L)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val ss = scansIn(strict.queryExecution.executedPlan)
+      .collectFirst { case s: GraftLakeCountScan => s }.get
+    assert(ss.scannedFiles == 1 && ss.metadataFiles == 2,
+      s"min == literal under > is a boundary, not a whole match: ${ss.description()}")
+    assert(strict.head.getLong(0) == 29L)
+  }
+
   test("deletion-vector versions read through the row path, equal to the native anti-join") {
     val root = buildLake()
     SnapshotLake.deleteWhere(spark, root,

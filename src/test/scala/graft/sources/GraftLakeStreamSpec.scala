@@ -1,0 +1,131 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.etl.SnapshotLake
+
+/** The connector's streaming source under its actual contract: offsets
+  * are lake versions, each append commit's rows arrive exactly once
+  * whatever the trigger cadence, change commits skip (with the option)
+  * or fail loudly (without), restarts resume from the checkpointed
+  * offset, and startingVersion bounds the replayed history. */
+class GraftLakeStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def newDir(tag: String): String =
+    Files.createTempDirectory(s"graft-mbs-$tag").toString
+
+  private def kv(lo: Int, hi: Int) =
+    (lo until hi).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+
+  private val idx = SnapshotLake.IndexSpec(Seq("k"), None)
+
+  /** Drain the graftlake stream AvailableNow into a destination lake,
+    * exactly-once per micro-batch via the destination's tag index. */
+  private def drain(src: String, dst: String, ckpt: String,
+                    maxVersionsPerTrigger: Option[Long] = Some(1L),
+                    skipChanges: Boolean = true,
+                    startingVersion: Option[Long] = None,
+                    select: Seq[String] = Nil): Unit = {
+    var r = spark.readStream.format("graftlake")
+      .option("skipChangeCommits", skipChanges.toString)
+    maxVersionsPerTrigger.foreach(n =>
+      r = r.option("maxVersionsPerTrigger", n.toString))
+    startingVersion.foreach(v => r = r.option("startingVersion", v.toString))
+    val in = r.load(src)
+    val q = (if (select.isEmpty) in else in.select(select.map(col): _*))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        SnapshotLake.appendOnce(df, dst, s"mbs-$id", idx); ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), "drain must finish")
+  }
+
+  private def contents(root: String): Map[Long, String] =
+    SnapshotLake.read(spark, root)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+
+  /** Appends interleaved with a change commit and a compaction (the
+    * LakeTailSpec shape): the stream must deliver exactly the appends. */
+  private def buildSrc(root: String): Unit = {
+    SnapshotLake.append(kv(0, 10), root, idx) // v1
+    SnapshotLake.merge(spark, root,
+      Seq((3L, "X3", false), (7L, "dead", true)).toDF("k", "v", "__del"),
+      "k", idx, Some("__del")) // v2: change commit
+    SnapshotLake.append(kv(10, 20), root, idx) // v3
+    SnapshotLake.compact(spark, root) // v4: physical only
+    SnapshotLake.append(kv(20, 25), root, idx) // v5
+  }
+
+  private val appendsOnly: Map[Long, String] =
+    (0 until 25).map(i => i.toLong -> s"v$i").toMap
+
+  test("readStream drains the appends exactly once; change and physical commits skip; cadence is irrelevant") {
+    val src = newDir("src") + "/lake"
+    buildSrc(src)
+    // one version per trigger vs everything in one batch: same contents
+    val perV = newDir("dstA") + "/lake"
+    drain(src, perV, newDir("cpA"), maxVersionsPerTrigger = Some(1L))
+    val oneShot = newDir("dstB") + "/lake"
+    drain(src, oneShot, newDir("cpB"), maxVersionsPerTrigger = None)
+    assert(contents(perV) == appendsOnly, "per-version cadence")
+    assert(contents(oneShot) == appendsOnly, "single-batch cadence")
+    // the source head differs (the merge applied there): append bus, not replica
+    assert(contents(src)(3L) == "X3")
+  }
+
+  test("a restarted stream resumes from its checkpoint and sees only new commits") {
+    val src = newDir("src") + "/lake"
+    SnapshotLake.append(kv(0, 10), src, idx) // v1
+    SnapshotLake.append(kv(10, 15), src, idx) // v2
+    val dst = newDir("dst") + "/lake"
+    val ckpt = newDir("cp")
+    drain(src, dst, ckpt)
+    assert(contents(dst) == (0 until 15).map(i => i.toLong -> s"v$i").toMap)
+    val dstV1 = SnapshotLake.currentVersion(dst).get
+    // nothing new: a re-drain applies nothing
+    drain(src, dst, ckpt)
+    assert(SnapshotLake.currentVersion(dst).contains(dstV1),
+      "caught-up restart must not commit")
+    // two more source commits; the resumed stream delivers exactly them
+    SnapshotLake.compact(spark, src) // v3: skipped
+    SnapshotLake.append(kv(15, 18), src, idx) // v4
+    drain(src, dst, ckpt)
+    assert(contents(dst) == (0 until 18).map(i => i.toLong -> s"v$i").toMap)
+  }
+
+  test("without skipChangeCommits a change commit fails the stream with a clear error") {
+    val src = newDir("src") + "/lake"
+    buildSrc(src)
+    val ex = intercept[StreamingQueryException] {
+      drain(src, newDir("dst") + "/lake", newDir("cp"), skipChanges = false)
+    }
+    val msg = Option(ex.getCause).map(_.toString).getOrElse(ex.toString)
+    assert(msg.contains("change commit") && msg.contains("skipChangeCommits"),
+      s"the failure must name the commit and the option: $msg")
+  }
+
+  test("startingVersion bounds the history; column pruning rides the stream") {
+    val src = newDir("src") + "/lake"
+    SnapshotLake.append(kv(0, 10), src, idx) // v1
+    SnapshotLake.append(kv(10, 15), src, idx) // v2
+    SnapshotLake.append(kv(15, 20), src, idx) // v3
+    val dst = newDir("dst") + "/lake"
+    drain(src, dst, newDir("cp"), startingVersion = Some(2L),
+      select = Seq("k"))
+    val ks = SnapshotLake.read(spark, dst)
+    assert(ks.schema.fieldNames.toSeq == Seq("k"), "pruned to the selection")
+    assert(ks.collect().map(_.getLong(0)).toSet == (10L until 20L).toSet,
+      "version 1 is before startingVersion")
+  }
+}
