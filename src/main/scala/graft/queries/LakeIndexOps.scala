@@ -1630,6 +1630,75 @@ object LakeIndexOps {
         .getOrElse(sys.error("SQL over the catalog table must plan the graftlake scan"))
       df.withColumn("pruned", lit(scan.keptFiles < scan.totalFiles))
         .orderBy("o_orderstatus")
+    },
+
+    // ── Deletion-vector versions through the connector: v3 holds LIVE
+    //    mod-13 key tombstones (merge-on-read — the connector's row path
+    //    loads the vector per task and filters during the scan), v4 is
+    //    the compaction that materialized them away (columnar path
+    //    again). Both legs must aggregate identically — the vector is a
+    //    physical state, not a semantic one — and equal the oracle's
+    //    NOT (mod 13) aggregate. The version pins prove the two legs
+    //    really read different physical states.
+    Q("q245_dsv2_dv_read",
+      s"""WITH f AS (SELECT l_returnflag, l_quantity, l_extendedprice
+         |           FROM lineitem WHERE l_orderkey % 13 <> 0),
+         |a AS (SELECT 'dv_live' AS phase, l_returnflag,
+         |             count(*) AS n_rows,
+         |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |             ${centsSumSql("l_extendedprice")} AS revenue,
+         |             CAST(3 AS BIGINT) AS version
+         |      FROM f GROUP BY 2),
+         |b AS (SELECT 'materialized' AS phase, l_returnflag,
+         |             count(*), CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT),
+         |             ${centsSumSql("l_extendedprice")}, CAST(4 AS BIGINT)
+         |      FROM f GROUP BY 2)
+         |SELECT * FROM a UNION ALL SELECT * FROM b
+         |ORDER BY phase, l_returnflag""".stripMargin) { (s, d) =>
+      val root = dvLake(s, d)
+      def leg(v: Long, tag: String) =
+        s.read.format("graftlake").option("versionAsOf", v.toString).load(root)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            centsSum("l_extendedprice").as("revenue"))
+          .select(lit(tag).as("phase"), col("l_returnflag"), col("n_rows"),
+            col("sum_qty"), col("revenue"), lit(v).as("version"))
+      leg(3L, "dv_live").unionByName(leg(4L, "materialized"))
+        .orderBy("phase", "l_returnflag")
+    },
+
+    // ── Hive-partitioned lake through the connector: the partition
+    //    tuple is path-encoded (no partition column bytes in any data
+    //    file) — the connector re-attaches it as constant vectors, and
+    //    a partition predicate prunes FILES through the same mayMatch
+    //    as the stats index (q227's composition through the standard
+    //    source API). The aggregate groups BY the path-derived column,
+    //    and `pruned` (kept < total, from the executed scan) fails
+    //    loudly if partition pruning stops firing through the
+    //    connector.
+    Q("q246_dsv2_partitioned_read",
+      s"""WITH m AS (SELECT max(o_orderkey) AS mx FROM orders)
+         |SELECT o_orderpriority, count(*) AS n_rows,
+         |       ${centsSumSql("o_totalprice")} AS total,
+         |       true AS pruned
+         |FROM orders, m
+         |WHERE o_orderpriority >= '3' AND o_orderkey <= mx // 2
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val root = partitionedLake(s, d)
+      val (_, maxK) = statsBounds(root, "o_orderkey")
+      val df = s.read.format("graftlake").load(root)
+        .filter(col("o_orderpriority") >= "3" && col("o_orderkey") <= maxK / 2)
+      val scan = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.collectFirst { case g: graft.sources.GraftLakeScan => g }
+        .getOrElse(sys.error("plan must contain the graftlake scan"))
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          centsSum("o_totalprice").as("total"))
+        .withColumn("pruned", lit(scan.keptFiles < scan.totalFiles))
+        .orderBy("o_orderpriority")
     }
   )
 }
