@@ -680,6 +680,46 @@ object LakeIndexOps {
       (src, dst)
     }
 
+  /** One SQL-lifecycle lake per (session, sf dir): orders landed as four
+    * one-file orderkey-quartile appends (v1-v4, stats-indexed),
+    * registered in the graftlake V2 catalog, then mutated ENTIRELY
+    * through pasted SQL — `DELETE FROM ... WHERE <band>` (v5: quartile 2
+    * whole-drops by metadata, quartile 3 rewrites survivors) and
+    * `CALL graft_cat.system.restore(version => 4)` (v6: the delete
+    * undone with zero data movement). Returns (root, catalog table
+    * name). */
+  private val sqlLifeM = new graft.etl.Memo[(SparkSession, String), (String, String)]
+
+  private def sqlLifecycleLake(s: SparkSession, d: String): (String, String) =
+    sqlLifeM((s, d)) {
+      val root = Scratch.tempDir("graft-sqllife-lake").toString + "/lake"
+      val od = Tables.orders(s, d)
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      for (i <- 0L until 4L) {
+        val lo = maxK * i / 4
+        val cap = if (i == 3) col("o_orderkey") <= maxK
+                  else col("o_orderkey") < maxK * (i + 1) / 4
+        SnapshotLake.append(
+          od.filter(col("o_orderkey") >= lo && cap).coalesce(1), root, idx)
+      }
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+        Scratch.tempDir("graft-cat-warehouse").toString)
+      val tbl = f"orders_sqllife_${scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff}%08x"
+      s.sql(s"CREATE TABLE IF NOT EXISTS graft_cat.lakes.$tbl " +
+        s"USING graftlake LOCATION '$root'")
+      s.sql(s"DELETE FROM graft_cat.lakes.$tbl " +
+        s"WHERE o_orderkey >= ${maxK / 4} AND o_orderkey <= ${maxK * 5 / 8}")
+      require(SnapshotLake.currentVersion(root).contains(5L),
+        "the SQL DELETE must commit v5")
+      s.sql(s"CALL graft_cat.system.restore(table => 'lakes.$tbl', version => 4)")
+      require(SnapshotLake.currentVersion(root).contains(6L),
+        "the CALL restore must commit v6")
+      (root, tbl)
+    }
+
   /** Exact global (min, max) of `c` read from the index alone — max of
     * per-file maxes / min of mins, a driver-side sidecar fold with NO
     * data scan (valid because every live file of these fixtures carries
@@ -1699,6 +1739,48 @@ object LakeIndexOps {
           centsSum("o_totalprice").as("total"))
         .withColumn("pruned", lit(scan.keptFiles < scan.totalFiles))
         .orderBy("o_orderpriority")
+    },
+
+    // ── The SQL table LIFECYCLE: a catalog-registered lake mutated
+    //    entirely through pasted SQL — `DELETE FROM ... WHERE <band>`
+    //    (v5: the copy-on-write three-way classification behind
+    //    SupportsDelete — quartile 2 whole-drops by metadata) and
+    //    `CALL graft_cat.system.restore(...)` (v6: the delete undone,
+    //    zero data movement) — each state read back through VERSION AS
+    //    OF with its op pinned from the CALL history procedure. The
+    //    restored head must be BIT-EQUAL to the pre-delete table: the
+    //    whole DELETE→RESTORE round trip is manifest arithmetic.
+    Q("q247_sql_delete_restore",
+      s"""WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+         |pre AS (SELECT 'a_pre_delete' AS phase, count(*) AS n_rows,
+         |               ${centsSumSql("o_totalprice")} AS total,
+         |               CAST(4 AS BIGINT) AS version, 'append' AS op
+         |        FROM orders),
+         |post AS (SELECT 'b_post_delete', count(*),
+         |                ${centsSumSql("o_totalprice")},
+         |                CAST(5 AS BIGINT), 'delete'
+         |         FROM orders, m
+         |         WHERE o_orderkey < mx // 4 OR o_orderkey > mx * 5 // 8),
+         |res AS (SELECT 'c_restored', count(*),
+         |               ${centsSumSql("o_totalprice")},
+         |               CAST(6 AS BIGINT), 'restore'
+         |        FROM orders)
+         |SELECT * FROM pre UNION ALL SELECT * FROM post
+         |UNION ALL SELECT * FROM res ORDER BY phase""".stripMargin) { (s, d) =>
+      val (root, tbl) = sqlLifecycleLake(s, d)
+      val ops = s.sql(s"CALL graft_cat.system.history(table => 'lakes.$tbl')")
+        .select("version", "op").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      def leg(v: Long, tag: String) =
+        s.read.format("graftlake").option("versionAsOf", v.toString).load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            centsSum("o_totalprice").as("total"))
+          .select(lit(tag).as("phase"), col("n_rows"), col("total"),
+            lit(v).as("version"), lit(ops(v)).as("op"))
+      leg(4L, "a_pre_delete")
+        .unionByName(leg(5L, "b_post_delete"))
+        .unionByName(leg(6L, "c_restored"))
+        .orderBy("phase")
     }
   )
 }

@@ -43,7 +43,8 @@ import graft.etl.SnapshotLake
   * holds NO state beyond the filesystem: table existence is the
   * manifest directory (or pointer), which makes it safe for any number
   * of concurrent sessions — the manifest CAS is the only coordinator. */
-class GraftLakeCatalog extends TableCatalog {
+class GraftLakeCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catName: String = _
   private var warehouse: Path = _
 
@@ -181,4 +182,117 @@ class GraftLakeCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "rename by CREATE TABLE ... LOCATION + DROP of the old pointer")
+
+  // ── CALL procedures: the table-maintenance ops as SQL ──────────────
+  //    (the Iceberg `CALL catalog.system.<proc>` surface):
+  //      CALL graft.system.restore(table => 'ns.t', version => 2)
+  //      CALL graft.system.vacuum(table => 'ns.t', keep_versions => 3)
+  //      CALL graft.system.compact(table => 'ns.t', partitions => 4)
+  //      CALL graft.system.history(table => 'ns.t')
+  //    Each resolves the table like any read, runs the corresponding
+  //    SnapshotLake op, and returns its result rows as a LocalScan.
+
+  private def identOf(table: String): Identifier = {
+    val parts = table.split('.')
+    Identifier.of(parts.dropRight(1), parts.last)
+  }
+
+  private def tableRoot(table: String): String =
+    rootOf(identOf(table)).getOrElse(
+      throw new NoSuchTableException(identOf(table)))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftLakeCatalog.ProcNames.map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")) &&
+      GraftLakeCatalog.ProcNames.contains(ident.name),
+      s"unknown graftlake procedure $ident (have: system.${
+        GraftLakeCatalog.ProcNames.mkString(", system.")})")
+    new GraftLakeProcedure(ident.name, tableRoot)
+  }
+}
+
+object GraftLakeCatalog {
+  private[sources] val ProcNames =
+    Array("restore", "vacuum", "compact", "history")
+}
+
+/** One maintenance procedure, bound by name. `call` runs the lake op
+  * and returns its summary (or, for `history`, the full commit log) as
+  * a [[org.apache.spark.sql.connector.read.LocalScan]]. */
+final class GraftLakeProcedure(pname: String, tableRoot: String => String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = pname
+  override def description(): String = s"graftlake table maintenance: $pname"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  private def p(n: String, dt: DataType) = ProcedureParameter.in(n, dt).build()
+
+  override def parameters(): Array[ProcedureParameter] = pname match {
+    case "restore" => Array(p("table", StringType), p("version", LongType))
+    case "vacuum" => Array(p("table", StringType), p("keep_versions", IntegerType))
+    case "compact" => Array(p("table", StringType), p("partitions", IntegerType))
+    case "history" => Array(p("table", StringType))
+  }
+
+  private final case class ResultScan(schema: StructType,
+                                      out: Array[InternalRow])
+      extends org.apache.spark.sql.connector.read.LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = out
+    override def description(): String = s"graftlake $pname result"
+  }
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val root = tableRoot(input.getUTF8String(0).toString)
+    val scan: Scan = pname match {
+      case "restore" =>
+        val toV = input.getLong(1)
+        val rv = graft.etl.SnapshotLake.restore(root, toV)
+        ResultScan(
+          StructType(Seq(StructField("restored_to", LongType, nullable = false),
+            StructField("new_version", LongType, nullable = false))),
+          Array(new GenericInternalRow(Array[Any](toV, rv))))
+      case "vacuum" =>
+        graft.etl.SnapshotLake.vacuum(root, input.getInt(1))
+        ResultScan(
+          StructType(Seq(StructField("kept_versions", IntegerType, nullable = false))),
+          Array(new GenericInternalRow(Array[Any](input.getInt(1)))))
+      case "compact" =>
+        val v = graft.etl.SnapshotLake.compact(spark, root, input.getInt(1))
+        ResultScan(
+          StructType(Seq(StructField("new_version", LongType, nullable = false))),
+          Array(new GenericInternalRow(Array[Any](v))))
+      case "history" =>
+        val rows = graft.etl.SnapshotLake.history(root).map { ci =>
+          new GenericInternalRow(Array[Any](ci.version,
+            UTF8String.fromString(ci.op), ci.base,
+            ci.tag.map(UTF8String.fromString).orNull, ci.nFiles, ci.rows))
+            : InternalRow
+        }
+        ResultScan(
+          StructType(Seq(StructField("version", LongType, nullable = false),
+            StructField("op", StringType, nullable = false),
+            StructField("base", LongType, nullable = false),
+            StructField("tag", StringType, nullable = true),
+            StructField("n_files", IntegerType, nullable = false),
+            StructField("added_rows", LongType, nullable = false))),
+          rows.toArray)
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
 }

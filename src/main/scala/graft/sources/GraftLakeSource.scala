@@ -107,9 +107,56 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
 
 final class GraftLakeTable(root: String, schema: StructType,
                            versionAsOf: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     s"graftlake:$root${versionAsOf.map(v => s"@v$v").getOrElse("")}"
+
+  /** `DELETE FROM <catalog table> WHERE <conjunction of inclusive
+    * ranges>` — mapped straight onto [[SnapshotLake.deleteMatching]]'s
+    * copy-on-write three-way classification (carried / whole-dropped by
+    * metadata / survivors rewritten), so a retention delete issued as
+    * PASTED SQL is a manifest-only commit when the partition layout
+    * allows it. Accepted shapes: `=`, `>=`, `<=` on any column (the
+    * inclusive ranges deleteMatching's re-applied row predicate
+    * expresses exactly), plus IsNotNull conjuncts on a column that also
+    * carries a range (implied, droppable). Anything else — strict
+    * bounds, OR, IS NULL, truncate-all — refuses via [[canDeleteWhere]]
+    * and Spark reports the delete as unsupported rather than running a
+    * wrong one. */
+  private def rangesOf(filters: Array[Filter]): Option[Seq[FileStats.Range]] = {
+    def s(v: Any): Option[String] = v match {
+      case null => None
+      case _: Long | _: Int | _: Double | _: Float | _: Short | _: Byte |
+           _: String => Some(v.toString)
+      case _ => None
+    }
+    val converted = filters.toSeq.map {
+      case EqualTo(a, v) => s(v).map(x => Some(FileStats.Range(a, Some(x), Some(x))))
+      case GreaterThanOrEqual(a, v) => s(v).map(x => Some(FileStats.Range(a, Some(x), None)))
+      case LessThanOrEqual(a, v) => s(v).map(x => Some(FileStats.Range(a, None, Some(x))))
+      case org.apache.spark.sql.sources.IsNotNull(a)
+        if filters.exists {
+          case EqualTo(`a`, _) | GreaterThanOrEqual(`a`, _) |
+               LessThanOrEqual(`a`, _) => true
+          case _ => false
+        } => Some(None) // implied by the column's own range conjunct
+      case _ => None
+    }
+    if (converted.exists(_.isEmpty)) None
+    else Some(converted.flatten.flatten).filter(_.nonEmpty)
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    versionAsOf.isEmpty && rangesOf(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val preds = rangesOf(filters).getOrElse(throw new UnsupportedOperationException(
+      s"graftlake DELETE supports conjunctions of =, >=, <= ranges; got " +
+        filters.mkString(", ")))
+    SnapshotLake.deleteMatching(SparkSession.active, root, preds)
+    ()
+  }
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] = {
     // BATCH_WRITE routes DataFrameWriter.save into the v2 plan;

@@ -67,6 +67,55 @@ class GraftLakeCatalogSpec extends AnyFunSuite {
       "dropping an external table must not touch the lake")
   }
 
+  test("DELETE FROM maps onto the copy-on-write predicate delete; unsupported shapes refuse loudly") {
+    val root = buildLake() // four one-file key-range commits, stats on x
+    spark.sql(s"CREATE TABLE graft_cat.ns.del USING graftlake LOCATION '$root'")
+    // x BETWEEN 10 AND 25: file [10,19] whole-drops by METADATA, file
+    // [20,29] rewrites survivors, the outer two carry verbatim
+    spark.sql("DELETE FROM graft_cat.ns.del WHERE x >= 10 AND x <= 25")
+    assert(spark.sql("SELECT x FROM graft_cat.ns.del")
+      .collect().map(_.getLong(0)).toSet == ((0L to 9L) ++ (26L to 39L)).toSet)
+    val hist = SnapshotLake.history(root)
+    assert(hist.last.op == "delete" && hist.last.version == 5L)
+    // the whole-drop really was metadata-only: [0,9] and [30,39] carried,
+    // [10,19] gone without a rewritten replacement
+    val files4 = SnapshotLake.files(root, 4L).toSet
+    val files5 = SnapshotLake.files(root, 5L).toSet
+    assert((files4 intersect files5).size == 2, "two files carried verbatim")
+    // a shape deleteMatching can't express exactly refuses (no wrong delete)
+    val ex = intercept[Exception] {
+      spark.sql("DELETE FROM graft_cat.ns.del WHERE x > 30 OR x IS NULL")
+    }
+    assert(ex.getMessage.toLowerCase.contains("delete"))
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.del")
+      .head.getLong(0) == 24L, "the refused delete removed nothing")
+    spark.sql("DROP TABLE graft_cat.ns.del")
+    ()
+  }
+
+  test("CALL procedures: history, restore, compact, vacuum run the lake ops from SQL") {
+    val root = buildLake() // v1..v4
+    spark.sql(s"CREATE TABLE graft_cat.ns.proc USING graftlake LOCATION '$root'")
+    val hist = spark.sql("CALL graft_cat.system.history(table => 'ns.proc')")
+    assert(hist.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      (1L to 4L).map(v => (v, "append")))
+    // restore to v2 commits v5 with zero data movement
+    val r = spark.sql(
+      "CALL graft_cat.system.restore(table => 'ns.proc', version => 2)").head
+    assert((r.getLong(0), r.getLong(1)) == (2L, 5L))
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.proc")
+      .head.getLong(0) == 20L, "the table IS v2's state again")
+    // compact commits v6; vacuum keeps the table readable
+    val c = spark.sql(
+      "CALL graft_cat.system.compact(table => 'ns.proc', partitions => 2)").head
+    assert(c.getLong(0) == 6L)
+    spark.sql("CALL graft_cat.system.vacuum(table => 'ns.proc', keep_versions => 2)")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.proc")
+      .head.getLong(0) == 20L)
+    spark.sql("DROP TABLE graft_cat.ns.proc")
+    ()
+  }
+
   test("managed table: INSERT creates version 1, INSERT INTO appends, DROP removes the data") {
     spark.sql("CREATE TABLE graft_cat.ns.managed (x BIGINT, y BIGINT) USING graftlake")
     spark.sql("INSERT INTO graft_cat.ns.managed SELECT id AS x, id * 2 AS y FROM range(10)")
