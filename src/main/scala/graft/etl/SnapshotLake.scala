@@ -701,6 +701,40 @@ object SnapshotLake {
     }
   }
 
+  /** Exactly-once append of PRE-WRITTEN data files — [[appendOnce]]'s
+    * commit half, for writers that landed their parquet through their
+    * own distributed path (the connector's streaming SINK: executors
+    * write task files, the driver commits the epoch). Harvests the
+    * sidecar indexes + row counts for `rel` (one distributed footer
+    * pass, same as any commit), then runs the tagged CAS loop. Replay
+    * semantics identical to appendOnce: an existing tag wins and the
+    * caller's files stay unreferenced orphans for [[vacuum]]. An empty
+    * `rel` commits an empty tagged version — a no-data epoch still
+    * advances exactly-once state. */
+  def commitStreamedFiles(spark: SparkSession, root: String,
+                          rel: Seq[String], tag: String,
+                          index: IndexSpec = IndexSpec.none): Long = {
+    require(tag.nonEmpty && !tag.exists(c => c == '"' || c == '\\'),
+      s"tag must be quote-free: $tag")
+    def existing: Option[Long] = findTag(root, tag)
+    existing.getOrElse {
+      val w = indexAndCount(spark, root, rel, index)
+      var committed = -1L
+      while (committed < 0) {
+        existing match {
+          case Some(v) => return v // a racing same-tag writer won
+          case None =>
+            val cur = currentVersion(root)
+            if (tryCommit(root, cur.getOrElse(0L) + 1, "append",
+                cur.getOrElse(0L), Some(tag),
+                addedRows = w.rows, add = w.files))
+              committed = cur.getOrElse(0L) + 1
+        }
+      }
+      committed
+    }
+  }
+
   /** Compact the current snapshot: rewrite its files as one coalesced set
     * and commit a manifest carrying (rewritten files ∪ anything appended
     * since the compaction's base version). Readers of older versions are

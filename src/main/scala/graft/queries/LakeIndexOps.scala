@@ -720,6 +720,43 @@ object LakeIndexOps {
       (root, tbl)
     }
 
+  /** One PURE-CONNECTOR streaming pipeline per (session, sf dir):
+    * `spark.readStream.format("graftlake")` over q242's five-commit
+    * source, written back through `writeStream.format("graftlake")` —
+    * no foreachBatch glue at all. Exactly-once rides the SINK's
+    * epoch-tagged manifest commits; a re-drain from the same
+    * checkpoint must commit nothing. */
+  private val sinkM = new graft.etl.Memo[(SparkSession, String), (String, String)]
+
+  private def sinkTailLakes(s: SparkSession, d: String): (String, String) =
+    sinkM((s, d)) {
+      val (src, _) = mbsTailLakes(s, d)
+      val dst = Scratch.tempDir("graft-sink-dst").toString + "/lake"
+      val ckpt = Scratch.tempDir("graft-sink-ckpt").toString
+      def drain(): Unit = {
+        val q = s.readStream.format("graftlake")
+          .option("skipChangeCommits", "true")
+          .option("maxVersionsPerTrigger", "1")
+          .load(src)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .writeStream
+          .format("graftlake")
+          .option("path", dst)
+          .option("statsCols", "o_orderkey")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), "sink drain must finish")
+      }
+      drain()
+      val v = SnapshotLake.currentVersion(dst)
+      drain() // caught-up restart from the checkpoint: nothing commits
+      require(SnapshotLake.currentVersion(dst) == v,
+        s"a replayed sink drain must commit nothing: $v vs ${SnapshotLake.currentVersion(dst)}")
+      (src, dst)
+    }
+
   /** Exact global (min, max) of `c` read from the index alone — max of
     * per-file maxes / min of mins, a driver-side sidecar fold with NO
     * data scan (valid because every live file of these fixtures carries
@@ -1781,6 +1818,48 @@ object LakeIndexOps {
         .unionByName(leg(5L, "b_post_delete"))
         .unionByName(leg(6L, "c_restored"))
         .orderBy("phase")
+    },
+
+    // ── The PURE-CONNECTOR streaming pipeline:
+    //    readStream.format("graftlake") → writeStream.format("graftlake")
+    //    with NO foreachBatch glue — executors write epoch-task parquet
+    //    through Spark's own ParquetWriteSupport, the driver turns each
+    //    epoch into ONE tagged manifest commit (exactly-once: the
+    //    fixture proves a checkpoint-replayed drain commits nothing),
+    //    and the sink's commits harvest the requested stats index like
+    //    any other. Same oracle as q242: the tail equals the ORIGINAL
+    //    appends while the source head carries the upserts, and the
+    //    version pins (src 5, tail 5 — one sink commit per source
+    //    version, skipped commits included) prove per-epoch delivery.
+    Q("q248_dsv2_streaming_sink",
+      s"""WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+         |srcv AS (
+         |  SELECT 'src' AS side,
+         |         CASE WHEN o_orderkey % 95 = 0 AND o_orderkey < mx // 3
+         |              THEN 'T' ELSE o_orderstatus END AS o_orderstatus,
+         |         CASE WHEN o_orderkey % 95 = 0 AND o_orderkey < mx // 3
+         |              THEN o_totalprice + 4.0
+         |              ELSE o_totalprice END AS o_totalprice
+         |  FROM orders, m),
+         |tl AS (SELECT 'tail' AS side, o_orderstatus, o_totalprice FROM orders),
+         |u AS (SELECT * FROM srcv UNION ALL SELECT * FROM tl)
+         |SELECT side, o_orderstatus, count(*) AS n_rows,
+         |       ${centsSumSql("o_totalprice")} AS total,
+         |       CAST(5 AS BIGINT) AS src_version,
+         |       CAST(5 AS BIGINT) AS tail_version
+         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val (src, dst) = sinkTailLakes(s, d)
+      def leg(root: String, tag: String) =
+        SnapshotLake.read(s, root)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"),
+            centsSum("o_totalprice").as("total"))
+          .withColumn("side", lit(tag))
+          .select("side", "o_orderstatus", "n_rows", "total")
+      leg(src, "src").unionByName(leg(dst, "tail"))
+        .withColumn("src_version", lit(SnapshotLake.currentVersion(src).get))
+        .withColumn("tail_version", lit(SnapshotLake.currentVersion(dst).get))
+        .orderBy("side", "o_orderstatus")
     }
   )
 }

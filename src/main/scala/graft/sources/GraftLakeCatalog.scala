@@ -218,7 +218,7 @@ class GraftLakeCatalog extends TableCatalog
 
 object GraftLakeCatalog {
   private[sources] val ProcNames =
-    Array("restore", "vacuum", "compact", "history")
+    Array("restore", "vacuum", "compact", "compact_zorder", "history")
 }
 
 /** One maintenance procedure, bound by name. `call` runs the lake op
@@ -245,6 +245,9 @@ final class GraftLakeProcedure(pname: String, tableRoot: String => String)
     case "restore" => Array(p("table", StringType), p("version", LongType))
     case "vacuum" => Array(p("table", StringType), p("keep_versions", IntegerType))
     case "compact" => Array(p("table", StringType), p("partitions", IntegerType))
+    case "compact_zorder" => Array(p("table", StringType),
+      p("col_a", StringType), p("col_b", StringType),
+      p("partitions", IntegerType))
     case "history" => Array(p("table", StringType))
   }
 
@@ -274,6 +277,17 @@ final class GraftLakeProcedure(pname: String, tableRoot: String => String)
           Array(new GenericInternalRow(Array[Any](input.getInt(1)))))
       case "compact" =>
         val v = graft.etl.SnapshotLake.compact(spark, root, input.getInt(1))
+        ResultScan(
+          StructType(Seq(StructField("new_version", LongType, nullable = false))),
+          Array(new GenericInternalRow(Array[Any](v))))
+      case "compact_zorder" =>
+        // OPTIMIZE ... ZORDER BY (a, b): rewrite along the Morton curve
+        // with min/max harvested on both dimensions, so 2-D box
+        // predicates prune at the file level afterwards
+        val a = input.getUTF8String(1).toString
+        val b = input.getUTF8String(2).toString
+        val v = graft.etl.SnapshotLake.compactZOrder(spark, root, a, b,
+          input.getInt(3), graft.etl.SnapshotLake.IndexSpec(Seq(a, b), None))
         ResultScan(
           StructType(Seq(StructField("new_version", LongType, nullable = false))),
           Array(new GenericInternalRow(Array[Any](v))))

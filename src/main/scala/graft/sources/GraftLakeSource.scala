@@ -162,10 +162,13 @@ final class GraftLakeTable(root: String, schema: StructType,
     // BATCH_WRITE routes DataFrameWriter.save into the v2 plan;
     // V1_BATCH_WRITE tells it the Write resolves to an InsertableRelation;
     // MICRO_BATCH_READ is backed by GraftLakeMicroBatchStream (the
-    // append-tail streaming source over the manifest log)
+    // append-tail streaming source over the manifest log);
+    // STREAMING_WRITE by GraftLakeStreamingWrite (epoch-tagged
+    // exactly-once manifest commits of executor-written task files)
     val caps = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
     // creating commit: nothing to enforce against. Existing lake:
     // schema IS enforced — an append whose columns don't match fails
     // analysis, the Delta writer contract.
@@ -196,15 +199,29 @@ final class GraftLakeTable(root: String, schema: StructType,
     * commit-time sidecar indexes. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftLakeWriteBuilder(
-      Option(info.options.get("path")).getOrElse(root), info.options)
+      Option(info.options.get("path")).getOrElse(root), info.options,
+      info.schema(), info.queryId())
 }
 
 final class GraftLakeWriteBuilder(root: String,
-                                  options: CaseInsensitiveStringMap)
+                                  options: CaseInsensitiveStringMap,
+                                  writeSchema: StructType = new StructType(),
+                                  queryId: String = "")
     extends WriteBuilder with SupportsTruncate {
   private var overwriteAll = false
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
   override def build(): Write = new V1Write {
+    /** The streaming sink (`df.writeStream.format("graftlake")`) — see
+      * [[GraftLakeStreamingWrite]]. */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      val idx = SnapshotLake.IndexSpec(
+        Option(options.get("statsCols")).toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+        Option(options.get("bloomCol")).map(_.trim).filter(_.nonEmpty))
+      new GraftLakeStreamingWrite(root,
+        java.nio.file.Paths.get(root).toAbsolutePath.toString,
+        writeSchema, idx, queryId, GraftLakeConf.session())
+    }
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: org.apache.spark.sql.DataFrame,
@@ -451,24 +468,7 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
     true
   }
 
-  private def sessionConf(): SerializableConfiguration = {
-    val spark = SparkSession.active
-    val c = spark.sessionState.newHadoopConf()
-    // the keys ParquetReadSupport / ParquetToSparkSchemaConverter
-    // resolve from the task-side conf — set explicitly like
-    // ParquetFileFormat.buildReaderWithPartitionValues does
-    val sc = spark.sessionState.conf
-    c.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, sc.isParquetBinaryAsString)
-    c.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, sc.isParquetINT96AsTimestamp)
-    c.setBoolean(SQLConf.CASE_SENSITIVE.key, sc.caseSensitiveAnalysis)
-    c.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
-      sc.parquetInferTimestampNTZEnabled)
-    c.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, sc.legacyParquetNanosAsLong)
-    c.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, sc.parquetFieldIdReadEnabled)
-    c.setBoolean(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID.key,
-      sc.ignoreMissingParquetFieldId)
-    new SerializableConfiguration(c)
-  }
+  private def sessionConf(): SerializableConfiguration = GraftLakeConf.session()
 
   override def build(): Scan = (aggPushed, countPushed) match {
     case (Some((schema, row)), _) => new GraftLakeAggScan(schema, row)
@@ -649,6 +649,37 @@ final class GraftLakeAggScan(schema: StructType, row: Seq[Any])
 }
 
 final case class GraftLakeAggPartition(values: Seq[Any]) extends InputPartition
+
+/** The task-side Hadoop conf every connector reader/writer ships: the
+  * session conf plus the SQLConf keys ParquetReadSupport /
+  * ParquetToSparkSchemaConverter / ParquetWriteSupport resolve from it
+  * — set explicitly like ParquetFileFormat does on both of its paths. */
+private[sources] object GraftLakeConf {
+  def session(): SerializableConfiguration = {
+    val spark = SparkSession.active
+    val c = spark.sessionState.newHadoopConf()
+    val sc = spark.sessionState.conf
+    // read side
+    c.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, sc.isParquetBinaryAsString)
+    c.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, sc.isParquetINT96AsTimestamp)
+    c.setBoolean(SQLConf.CASE_SENSITIVE.key, sc.caseSensitiveAnalysis)
+    c.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sc.parquetInferTimestampNTZEnabled)
+    c.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, sc.legacyParquetNanosAsLong)
+    c.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, sc.parquetFieldIdReadEnabled)
+    c.setBoolean(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID.key,
+      sc.ignoreMissingParquetFieldId)
+    // write side (the streaming sink's ParquetWriteSupport)
+    c.setBoolean(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, sc.writeLegacyParquetFormat)
+    c.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sc.parquetOutputTimestampType.toString)
+    c.setBoolean(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sc.parquetFieldIdWriteEnabled)
+    c.setBoolean(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sc.parquetAnnotateVariantLogicalType)
+    new SerializableConfiguration(c)
+  }
+}
 
 object GraftLakeScan {
   private val NullPart = "__HIVE_DEFAULT_PARTITION__"

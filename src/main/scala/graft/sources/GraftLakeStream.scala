@@ -119,3 +119,121 @@ final class GraftLakeMicroBatchStream(root: String, rootAbs: String,
   override def commit(end: Offset): Unit = () // progress lives in the checkpoint
   override def stop(): Unit = ()
 }
+
+/** One epoch-task's contribution: the task file it wrote (empty for a
+  * zero-row partition — no file is even created) plus its row count. */
+final case class GraftLakeFilesMsg(files: Seq[String], rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** The connector's streaming SINK — `df.writeStream
+  * .format("graftlake")` — the write half of the streaming story:
+  * executors write their epoch-task parquet files straight into the
+  * lake's data area through Spark's own [[org.apache.spark.sql
+  * .execution.datasources.parquet.ParquetWriteSupport]] (the same
+  * encoder the built-in sink uses), and the DRIVER turns each epoch's
+  * commit messages into ONE tagged manifest commit
+  * ([[graft.etl.SnapshotLake.commitStreamedFiles]]) — sidecar indexes
+  * harvested like any commit (`.option("statsCols", ...)` /
+  * `.option("bloomCol", ...)` work).
+  *
+  * Exactly-once: the epoch tag is `stream-<queryId>-e<epochId>`
+  * (queryId = the checkpoint-stable streaming query id) — a
+  * crash-replayed epoch finds its tag and commits nothing; its re-run
+  * task files, like any attempt that lost the task-commit
+  * coordination, stay unreferenced orphans for vacuum. That is the
+  * appendOnce contract surfaced through the standard sink API, so
+  * `readStream.format("graftlake") → writeStream.format("graftlake")`
+  * is an end-to-end exactly-once lake-to-lake pipeline with no
+  * foreachBatch glue. */
+final class GraftLakeStreamingWrite(root: String, rootAbs: String,
+                                    schema: org.apache.spark.sql.types.StructType,
+                                    index: SnapshotLake.IndexSpec,
+                                    queryId: String,
+                                    hconf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftLakeStreamWriterFactory(rootAbs, schema, queryId, hconf)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.toSeq.collect { case m: GraftLakeFilesMsg => m.files }.flatten
+    SnapshotLake.commitStreamedFiles(
+      org.apache.spark.sql.SparkSession.active, root, files,
+      s"stream-$queryId-e$epochId", index)
+    ()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    // nothing was linked into any manifest: the written task files are
+    // unreferenced orphans, exactly what vacuum's sweep exists for
+    ()
+}
+
+final case class GraftLakeStreamWriterFactory(
+    rootAbs: String, schema: org.apache.spark.sql.types.StructType,
+    queryId: String, hconf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new GraftLakeDataWriter(rootAbs,
+      // epoch-deterministic DIRECTORY, attempt-unique FILE name: a
+      // replayed epoch (or a speculative attempt) never collides with
+      // a live writer, and only committed messages' names are linked
+      s"data/stream-$queryId-e$epochId",
+      f"part-$partitionId%05d-t$taskId.parquet", schema, hconf.value)
+}
+
+/** Task-side parquet writer over InternalRow — lazily opened so a
+  * zero-row partition writes nothing at all. */
+final class GraftLakeDataWriter(rootAbs: String, relDir: String,
+                                fileName: String,
+                                schema: org.apache.spark.sql.types.StructType,
+                                conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.write.WriterCommitMessage
+  import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+
+  private var rows = 0L
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+
+  private final class RowWriterBuilder(path: org.apache.hadoop.fs.Path)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[InternalRow, RowWriterBuilder](path) {
+    override def self(): RowWriterBuilder = this
+    override def getWriteSupport(c: org.apache.hadoop.conf.Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+      new ParquetWriteSupport
+  }
+
+  private def open(): Unit = {
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(rootAbs, relDir))
+    val c = new org.apache.hadoop.conf.Configuration(conf)
+    ParquetWriteSupport.setSchema(schema, c)
+    writer = new RowWriterBuilder(
+      new org.apache.hadoop.fs.Path(s"$rootAbs/$relDir/$fileName"))
+      .withConf(c)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+  }
+
+  override def write(record: InternalRow): Unit = {
+    if (writer == null) open()
+    writer.write(record)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    GraftLakeFilesMsg(if (rows > 0) Seq(s"$relDir/$fileName") else Nil, rows)
+  }
+
+  override def abort(): Unit = close()
+
+  override def close(): Unit = {
+    if (writer != null) { writer.close(); writer = null }
+  }
+}

@@ -112,6 +112,12 @@ class GraftLakeCatalogSpec extends AnyFunSuite {
     spark.sql("CALL graft_cat.system.vacuum(table => 'ns.proc', keep_versions => 2)")
     assert(spark.sql("SELECT count(*) FROM graft_cat.ns.proc")
       .head.getLong(0) == 20L)
+    // OPTIMIZE ZORDER as a procedure: rewrite + 2-D index, content intact
+    val z = spark.sql("CALL graft_cat.system.compact_zorder(" +
+      "table => 'ns.proc', col_a => 'x', col_b => 'y', partitions => 2)").head
+    assert(z.getLong(0) == 7L)
+    assert(spark.sql("SELECT sum(x) FROM graft_cat.ns.proc")
+      .head.getLong(0) == (0L until 20L).sum)
     spark.sql("DROP TABLE graft_cat.ns.proc")
     ()
   }

@@ -115,6 +115,55 @@ class GraftLakeStreamSpec extends AnyFunSuite {
       s"the failure must name the commit and the option: $msg")
   }
 
+  test("the streaming SINK: readStream → writeStream lake-to-lake, exactly-once per epoch, indexed commits") {
+    val src = newDir("sink-src") + "/lake"
+    buildSrc(src) // appends 0-25 interleaved with a merge and a compact
+    val dst = newDir("sink-dst") + "/lake"
+    val ckpt = newDir("sink-cp")
+    def drainToSink(): Unit = {
+      val q = spark.readStream.format("graftlake")
+        .option("skipChangeCommits", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load(src)
+        .writeStream
+        .format("graftlake")
+        .option("path", dst)
+        .option("statsCols", "k")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "sink drain must finish")
+    }
+    drainToSink()
+    assert(contents(dst) == appendsOnly,
+      "the pure-connector pipeline delivers exactly the appends")
+    // one tagged commit per epoch (empty epochs included): 5 versions
+    assert(SnapshotLake.currentVersion(dst).contains(5L))
+    assert(SnapshotLake.tagOf(dst, 1L).exists(_.startsWith("stream-")))
+    // the sink's commits carried the requested stats index: pruned reads work
+    val pruned = SnapshotLake.readPruned(spark, dst,
+      Seq(graft.etl.FileStats.Range("k", Some("20"), None)))
+    assert(pruned.kept < pruned.total,
+      s"sink commits must harvest sidecars: ${pruned.kept}/${pruned.total}")
+    assert(pruned.df.select("k").collect().map(_.getLong(0)).toSet ==
+      (20L until 25L).toSet)
+    // caught-up restart: no new versions
+    drainToSink()
+    assert(SnapshotLake.currentVersion(dst).contains(5L))
+    // new source commits flow through the SAME checkpoint, exactly once
+    SnapshotLake.append(kv(25, 30), src, idx)
+    drainToSink()
+    assert(contents(dst) ==
+      (0 until 30).map(i => i.toLong -> s"v$i").toMap)
+    assert(SnapshotLake.currentVersion(dst).contains(6L))
+    // a replayed epoch commits nothing: same tag, same data
+    val files6 = SnapshotLake.files(dst, 6L)
+    drainToSink()
+    assert(SnapshotLake.files(dst,
+      SnapshotLake.currentVersion(dst).get) == files6)
+  }
+
   test("startingVersion bounds the history; column pruning rides the stream") {
     val src = newDir("src") + "/lake"
     SnapshotLake.append(kv(0, 10), src, idx) // v1
