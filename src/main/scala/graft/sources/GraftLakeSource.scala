@@ -895,11 +895,32 @@ object GraftLakeRowReader {
         s"graftlake tombstone key type: $other")
     }
 
+  /** Per-executor cache of materialized tombstone sets, keyed by the
+    * version's DV file list (immutable once committed, so the list IS
+    * the identity): the first task of a scan pays the load, the other
+    * N-1 tasks on the executor reuse it — the per-task analog of
+    * Delta's DV read without the per-task re-read. Soft values: under
+    * memory pressure the JVM reclaims the sets and a later task simply
+    * reloads. */
+  private val keyCache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[(String, Long)],
+      java.lang.ref.SoftReference[java.util.HashSet[Any]]]()
+
+  private[sources] def loadKeys(conf: Configuration,
+                                d: GraftLakeDv): java.util.HashSet[Any] = {
+    val cached = Option(keyCache.get(d.paths)).flatMap(r => Option(r.get()))
+    cached.getOrElse {
+      val set = loadKeysUncached(conf, d)
+      keyCache.put(d.paths, new java.lang.ref.SoftReference(set))
+      set
+    }
+  }
+
   /** Materialize the version's tombstone key set from its DV files —
     * one vectorized pass per file, null keys skipped (a null tombstone
     * matches no row under the anti-join's equi-semantics). */
-  private[sources] def loadKeys(conf: Configuration,
-                                d: GraftLakeDv): java.util.HashSet[Any] = {
+  private def loadKeysUncached(conf: Configuration,
+                               d: GraftLakeDv): java.util.HashSet[Any] = {
     val set = new java.util.HashSet[Any]()
     val schema = StructType(Seq(d.keyField))
     d.paths.foreach { case (path, len) =>
