@@ -108,9 +108,23 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
 final class GraftLakeTable(root: String, schema: StructType,
                            versionAsOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String =
     s"graftlake:$root${versionAsOf.map(v => s"@v$v").getOrElse("")}"
+
+  /** `_file` — the manifest-relative path of the file each row came
+    * from, as a hidden metadata column (`SELECT _file, ...`): the
+    * standard lakehouse lineage/debugging surface, emitted by the
+    * readers as a per-partition constant (zero decode cost). */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "manifest-relative path of the row's data file"
+    })
 
   /** `DELETE FROM <catalog table> WHERE <conjunction of inclusive
     * ranges>` — mapped straight onto [[SnapshotLake.deleteMatching]]'s
@@ -608,7 +622,9 @@ final class GraftLakeScan(root: String, rootAbs: String,
 
   override def planInputPartitions(): Array[InputPartition] =
     liveFiles.map(f => GraftLakeInputPartition(s"$rootAbs/$f", lengths(f),
-      GraftLakeScan.partTupleOf(f))).toArray
+      // the hive tuple plus the `_file` metadata constant (emitted only
+      // when the projection asks for it)
+      GraftLakeScan.partTupleOf(f) :+ ("_file" -> f))).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLakeReaderFactory(required, dv, hconf, exact, fullSchema)
 
@@ -764,8 +780,12 @@ object GraftLakeScan {
       reader.initialize(
         new FileSplit(new HPath(p.absPath), 0, p.length, Array.empty[String]),
         new TaskAttemptContextImpl(conf, new TaskAttemptID()))
-      val pvals: Array[Any] =
-        partFields.map(f => catalystPartValue(partMap(f.name), f.dataType)).toArray
+      val pvals: Array[Any] = partFields.map { f =>
+        // `_file` carries the manifest-relative path VERBATIM (no hive
+        // unescape — %xx inside a partition dir is part of the name)
+        if (f.name == "_file") UTF8String.fromString(partMap(f.name))
+        else catalystPartValue(partMap(f.name), f.dataType)
+      }.toArray
       reader.initBatch(StructType(partFields), new GenericInternalRow(pvals))
       if (columnar) reader.enableReturningBatches()
     } catch { case t: Throwable => reader.close(); throw t }

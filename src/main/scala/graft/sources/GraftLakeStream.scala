@@ -100,7 +100,7 @@ final class GraftLakeMicroBatchStream(root: String, rootAbs: String,
           add.map { f =>
             GraftLakeInputPartition(s"$rootAbs/$f",
               java.nio.file.Files.size(java.nio.file.Paths.get(root, f)),
-              GraftLakeScan.partTupleOf(f))
+              GraftLakeScan.partTupleOf(f) :+ ("_file" -> f))
           }
         case "compact" => Nil // physical-only: never re-emitted
         case other if skipChangeCommits => Nil

@@ -203,6 +203,53 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     ()
   }
 
+  test("the default read path is COLUMNAR: batches feed ColumnarToRow, the row path only under DV/exact filters") {
+    val root = buildLake()
+    def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+    // plain scan: the factory reports columnar and the plan converts
+    // batches (this is the pin that the decode parity rests on — a
+    // regression to row-based reads shows up HERE, not just in bench)
+    val plain = spark.read.format("graftlake").load(root).filter(col("x") >= 5L)
+    val scan = lakeScanOf(plain)
+    assert(scan.toBatch.createReaderFactory()
+      .supportColumnarReads(scan.planInputPartitions().head),
+      "the default path must offer columnar batches")
+    assert(planOf(plain).contains("ColumnarToRow"),
+      s"plan must consume batches columnar:\n${planOf(plain)}")
+    // live tombstones force the row path (per-task DV filter)
+    SnapshotLake.deleteWhere(spark, root, Seq(3L).toDF("x"))
+    val dv = spark.read.format("graftlake").load(root)
+    val dvScan = lakeScanOf(dv)
+    assert(!dvScan.toBatch.createReaderFactory()
+      .supportColumnarReads(dvScan.planInputPartitions().head),
+      "a DV version must read row-based")
+    assert(dv.count() == 39L)
+  }
+
+  test("_file metadata column: per-row lineage as a constant vector, usable in filters and groups") {
+    val root = buildLake() // four one-file commits
+    val df = spark.read.format("graftlake").load(root)
+      .select(col("x"), col("_file"))
+    val byFile = df.collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(byFile.size == 4, s"four files: ${byFile.keySet}")
+    assert(byFile.keySet.forall(_.startsWith("data/")),
+      "manifest-relative paths")
+    // each file holds exactly its commit's key decade
+    assert(byFile.values.toSet ==
+      (0 until 4).map(i => (i * 10L until i * 10L + 10).toSet).toSet)
+    // grouping by _file — the per-file row-count audit a lake admin runs
+    val counts = spark.read.format("graftlake").load(root)
+      .groupBy("_file")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(counts == Seq(10L, 10L, 10L, 10L))
+    // _file stays hidden from SELECT * (the metadata-column contract)
+    assert(!spark.read.format("graftlake").load(root)
+      .columns.contains("_file"))
+  }
+
   test("exactPushdown accepts evaluable filters as pushed and the readers apply them exactly") {
     val root = buildLake()
     def exact(df: DataFrame => DataFrame) = df(
