@@ -781,6 +781,36 @@ object SnapshotLake {
     committed
   }
 
+  /** REPLACE a set of live files with pre-written replacements — the
+    * commit half of Spark's group-based (copy-on-write) row-level
+    * operations (SQL UPDATE / MERGE INTO / rewrite-shape DELETE through
+    * the connector): the executors already wrote the affected groups'
+    * post-state rows; this harvests the sidecar indexes for the new
+    * files (one distributed footer pass) and commits `removed` out /
+    * `added` in under the same serializable-writer fence every
+    * rewriting commit checks ([[abortIfRemoved]]) — a racing rewrite of
+    * any replaced file aborts rather than resurrecting stale rows.
+    * Racing appends reconcile; live key tombstones are carried
+    * (file-agnostic, tombstone-wins like [[merge]]). `baseV` is the
+    * version the caller's scan resolved. */
+  private[graft] def commitReplace(spark: SparkSession, root: String,
+                                   baseV: Long, removed: Seq[String],
+                                   added: Seq[String], op: String,
+                                   index: IndexSpec = IndexSpec.none): Long = {
+    val w = indexAndCount(spark, root, added, index)
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentVersion(root).getOrElse(
+        throw new IllegalStateException(s"nothing to replace at $root"))
+      val curFiles = files(root, cur)
+      abortIfRemoved(root, baseV, cur, removed, curFiles, op)
+      if (tryCommit(root, cur + 1, op, baseV, addedRows = w.rows,
+          add = w.files, remove = removed))
+        committed = cur + 1
+    }
+    committed
+  }
+
   /** The serializable-writer fence every REWRITING commit (compact /
     * Z-order / merge) checks inside its CAS loop: if any file the
     * rewrite READ has been removed by a commit that raced past `baseV`,

@@ -757,6 +757,66 @@ object LakeIndexOps {
       (src, dst)
     }
 
+  /** One SQL-DML lake per (session, sf dir): the orders quartile lake
+    * (v1-v4) mutated through the GROUP-BASED row-level rewrites — a SQL
+    * `UPDATE` (v5: lower-half mod-97 rows restatused/repriced; only the
+    * files holding matched rows rewrite, the runtime group filter
+    * narrows the scan) and a SQL `MERGE INTO` (v6: mod-91 matched
+    * updates, mod-107 matched deletes, 30 not-matched inserts above the
+    * key max — one statement, one commit). Returns (root, table). */
+  private val sqlDmlM = new graft.etl.Memo[(SparkSession, String), (String, String)]
+
+  private def sqlDmlLake(s: SparkSession, d: String): (String, String) =
+    sqlDmlM((s, d)) {
+      val root = Scratch.tempDir("graft-sqldml-lake").toString + "/lake"
+      val od = Tables.orders(s, d)
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      for (i <- 0L until 4L) {
+        val lo = maxK * i / 4
+        val cap = if (i == 3) col("o_orderkey") <= maxK
+                  else col("o_orderkey") < maxK * (i + 1) / 4
+        SnapshotLake.append(
+          od.filter(col("o_orderkey") >= lo && cap).coalesce(1), root, idx)
+      }
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+        Scratch.tempDir("graft-cat-warehouse").toString)
+      val h = f"${scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff}%08x"
+      val tbl = s"graft_cat.lakes.orders_dml_$h"
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING graftlake LOCATION '$root'")
+      s.sql(s"""UPDATE $tbl SET o_totalprice = o_totalprice + 2.0,
+               |o_orderstatus = 'U'
+               |WHERE o_orderkey % 97 = 0 AND o_orderkey < ${maxK / 2}""".stripMargin)
+      require(SnapshotLake.currentVersion(root).contains(5L),
+        "the SQL UPDATE must commit v5")
+      val isUpd = pmod(col("o_orderkey"), lit(91)) === 0
+      val isDel = pmod(col("o_orderkey"), lit(107)) === 0 && !isUpd
+      od.filter(isUpd).select(col("o_orderkey").as("k"))
+        .withColumn("del", lit(false))
+        .unionByName(od.filter(isDel).select(col("o_orderkey").as("k"))
+          .withColumn("del", lit(true)))
+        .unionByName(s.range(1, 31).select(
+          (lit(maxK) + col("id")).as("k"), lit(false).as("del")))
+        .withColumn("ck", col("k") % 1000)
+        .withColumn("price", lit(1000.0) + (col("k") - maxK))
+        .createOrReplaceTempView(s"dml_src_$h")
+      s.sql(
+        s"""MERGE INTO $tbl AS tgt USING dml_src_$h AS src
+           |ON tgt.o_orderkey = src.k
+           |WHEN MATCHED AND src.del THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M',
+           |  o_totalprice = tgt.o_totalprice + 3.0
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
+           |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+           |VALUES (src.k, src.ck, 'N', src.price,
+           |  CAST('2024-06-01 00:00:00' AS TIMESTAMP), 'DML')""".stripMargin)
+      require(SnapshotLake.currentVersion(root).contains(6L),
+        "the SQL MERGE must commit v6")
+      (root, tbl)
+    }
+
   /** Exact global (min, max) of `c` read from the index alone — max of
     * per-file maxes / min of mins, a driver-side sidecar fold with NO
     * data scan (valid because every live file of these fixtures carries
@@ -1860,6 +1920,49 @@ object LakeIndexOps {
         .withColumn("src_version", lit(SnapshotLake.currentVersion(src).get))
         .withColumn("tail_version", lit(SnapshotLake.currentVersion(dst).get))
         .orderBy("side", "o_orderstatus")
+    },
+
+    // ── SQL UPDATE + MERGE INTO over a catalog lake table — Spark's
+    //    group-based copy-on-write row-level rewrites behind
+    //    SupportsRowLevelOperations: the UPDATE's runtime group filter
+    //    narrows the rewrite to the files holding matched rows (the
+    //    `_file` metadata column drives it), the MERGE applies matched
+    //    updates, matched deletes, and not-matched inserts in ONE
+    //    statement and ONE manifest commit, and the conflict fence +
+    //    sidecar re-harvest ride every rewrite. The oracle replays both
+    //    statements over raw orders with CASE/filter/UNION arithmetic —
+    //    the engine's final state must hash-match it exactly, with the
+    //    version pins (update v5, merge v6) proving one commit each.
+    Q("q249_sql_update_merge",
+      s"""WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+         |u AS (SELECT o_orderkey,
+         |             CASE WHEN o_orderkey % 97 = 0 AND o_orderkey < mx // 2
+         |                  THEN 'U' ELSE o_orderstatus END AS st,
+         |             CASE WHEN o_orderkey % 97 = 0 AND o_orderkey < mx // 2
+         |                  THEN o_totalprice + 2.0
+         |                  ELSE o_totalprice END AS price
+         |      FROM orders, m),
+         |g AS (SELECT CASE WHEN o_orderkey % 91 = 0 THEN 'M' ELSE st END AS st,
+         |             CASE WHEN o_orderkey % 91 = 0 THEN price + 3.0
+         |                  ELSE price END AS price
+         |      FROM u
+         |      WHERE NOT (o_orderkey % 107 = 0 AND o_orderkey % 91 <> 0)),
+         |ins AS (SELECT 'N' AS st, 1000.0 + i AS price FROM range(1, 31) t(i)),
+         |f AS (SELECT st, price FROM g UNION ALL SELECT st, price FROM ins)
+         |SELECT st AS o_orderstatus, count(*) AS n_rows,
+         |       ${centsSumSql("price")} AS total,
+         |       CAST(5 AS BIGINT) AS update_version,
+         |       CAST(6 AS BIGINT) AS merge_version
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val (root, tbl) = sqlDmlLake(s, d)
+      s.sql(s"SELECT o_orderstatus, o_totalprice FROM $tbl")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          centsSum("o_totalprice").as("total"))
+        .withColumn("update_version", lit(5L))
+        .withColumn("merge_version",
+          lit(SnapshotLake.currentVersion(root).get))
+        .orderBy("o_orderstatus")
     }
   )
 }

@@ -109,7 +109,19 @@ final class GraftLakeTable(root: String, schema: StructType,
                            versionAsOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL UPDATE / MERGE INTO / rewrite-shape DELETE — the group-based
+    * copy-on-write rewrite ([[GraftLakeRowLevelOperation]]). A pinned
+    * `VERSION AS OF` table refuses: history is immutable. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(versionAsOf.isEmpty,
+      s"cannot run ${info.command} against a pinned version of $root")
+    () => new GraftLakeRowLevelOperation(root, schema, info.command)
+  }
   override def name(): String =
     s"graftlake:$root${versionAsOf.map(v => s"@v$v").getOrElse("")}"
 
@@ -273,7 +285,8 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
                                  startingVersion: Long = 1L,
                                  skipChangeCommits: Boolean = false,
                                  maxVersionsPerTrigger: Option[Long] = None,
-                                 exactPushdown: Boolean = false)
+                                 exactPushdown: Boolean = false,
+                                 onBuild: GraftLakeScan => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -519,9 +532,12 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
             java.nio.file.Files.size(java.nio.file.Paths.get(root, f)))),
           keyField))
       }
-    new GraftLakeScan(root, rootAbs, kept, all.size, required, fullSchema,
-      ranges, stats, lengths, dv, sessionConf(),
-      startingVersion, skipChangeCommits, maxVersionsPerTrigger, exact)
+    val scan = new GraftLakeScan(root, rootAbs, kept, all.size, required,
+      fullSchema, ranges, stats, lengths, dv, sessionConf(),
+      startingVersion, skipChangeCommits, maxVersionsPerTrigger, exact,
+      v, sidecars.valuesIterator.flatMap(_.keysIterator).toSet)
+    onBuild(scan)
+    scan
   }
 }
 
@@ -550,13 +566,21 @@ final class GraftLakeScan(root: String, rootAbs: String,
                           startingVersion: Long = 1L,
                           skipChangeCommits: Boolean = false,
                           maxVersionsPerTrigger: Option[Long] = None,
-                          exact: Array[Filter] = Array.empty)
+                          exact: Array[Filter] = Array.empty,
+                          resolvedVersion: Long = -1L,
+                          sidecarCols: Set[String] = Set.empty)
     extends Scan with Batch with SupportsRuntimeFiltering {
   /** Files still scheduled after static AND runtime pruning. */
   @volatile private var liveFiles: Seq[String] = kept
   /** Pruning evidence for audits: files surviving the pushed ranges. */
   def keptFiles: Int = liveFiles.size
   def totalFiles: Int = total
+  /** The files a row-level rewrite must replace (post runtime group
+    * filtering), the version it read, and the columns whose sidecar
+    * stats a rewrite commit should re-harvest. */
+  private[sources] def currentFiles: Seq[String] = liveFiles
+  private[sources] def version: Long = resolvedVersion
+  private[sources] def statsColumns: Seq[String] = sidecarCols.toSeq.sorted
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -574,8 +598,10 @@ final class GraftLakeScan(root: String, rootAbs: String,
   override def filterAttributes(): Array[NamedReference] =
     // only columns the (pruned) scan still OUTPUTS — Spark resolves
     // these against readSchema, so an unprojected stats column here
-    // fails analysis even though the sidecar could prune on it
-    stats.valuesIterator.flatMap(_.keysIterator).toSet
+    // fails analysis even though the sidecar could prune on it.
+    // `_file` (when projected) lets the row-level rewrite machinery
+    // narrow the scan to exactly the matched GROUPS at runtime.
+    (stats.valuesIterator.flatMap(_.keysIterator).toSet + "_file")
       .intersect(required.fieldNames.toSet).toArray
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
   override def filter(filters: Array[Filter]): Unit = {
@@ -591,6 +617,10 @@ final class GraftLakeScan(root: String, rootAbs: String,
     // set is small — a million-key build side costs one pass to take
     // the hull, then O(files) work, never O(files × keys).
     val checks: Seq[String => Boolean] = filters.toSeq.map {
+      case org.apache.spark.sql.sources.In("_file", vs) =>
+        // group filtering: the build side IS the file list
+        val names = vs.flatMap(str).toSet
+        (f: String) => names.contains(f)
       case org.apache.spark.sql.sources.In(a, vs) =>
         val conv = vs.map(str)
         if (conv.contains(None)) { (_: String) => true } // null/opaque key: no pruning
