@@ -42,9 +42,29 @@ final class GraftLakeRowLevelOperation(root: String, fullSchema: StructType,
                                        cmd: RowLevelOperation.Command)
     extends RowLevelOperation {
 
-  /** The scan instance Spark built for this operation — the write's
-    * commit reads its post-group-filter file list and resolved version. */
-  @volatile private var cowScan: GraftLakeScan = _
+  /** Every scan Spark built from this operation: the main COW scan
+    * plus, when runtime group filtering fires, the matching-rows
+    * subquery's scan. The write's commit must replace exactly what the
+    * MAIN scan read — identified structurally ([[mainScan]]), never by
+    * build order. */
+  private val builtScans =
+    new java.util.concurrent.CopyOnWriteArrayList[GraftLakeScan]()
+
+  /** The scan whose files the rewrite replaces: the runtime-filtered
+    * one when group filtering fired (only the main scan ever RECEIVES
+    * the runtime filter — the subquery scan feeds it), else the scan
+    * with the widest surviving file list (the subquery scan carries the
+    * condition's static pruning; the main scan must read whole
+    * groups). */
+  private[sources] def mainScan: GraftLakeScan = {
+    import scala.jdk.CollectionConverters._
+    val all = builtScans.asScala.toSeq
+    require(all.nonEmpty, "the row-level operation committed without a scan")
+    all.filter(_.wasRuntimeFiltered) match {
+      case Seq(one) => one
+      case _ => all.maxBy(_.currentFiles.size)
+    }
+  }
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -53,7 +73,7 @@ final class GraftLakeRowLevelOperation(root: String, fullSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(root, None, fullSchema,
-      onBuild = s => cowScan = s)
+      onBuild = s => { builtScans.add(s); () })
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -61,7 +81,7 @@ final class GraftLakeRowLevelOperation(root: String, fullSchema: StructType,
         override def toBatch: BatchWrite =
           new GraftLakeReplaceWrite(root,
             java.nio.file.Paths.get(root).toAbsolutePath.toString,
-            info.schema(), cmd, () => cowScan, GraftLakeConf.session())
+            info.schema(), cmd, () => mainScan, GraftLakeConf.session())
       }
     }
 
@@ -85,7 +105,6 @@ final class GraftLakeReplaceWrite(root: String, rootAbs: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val scan = scanOf()
-    require(scan != null, "the row-level operation committed without a scan")
     val added = messages.toSeq.collect { case m: GraftLakeFilesMsg => m.files }.flatten
     val op = cmd match {
       case RowLevelOperation.Command.DELETE => "delete"

@@ -572,6 +572,8 @@ final class GraftLakeScan(root: String, rootAbs: String,
     extends Scan with Batch with SupportsRuntimeFiltering {
   /** Files still scheduled after static AND runtime pruning. */
   @volatile private var liveFiles: Seq[String] = kept
+  /** Whether a runtime (join/group) filter narrowed this scan. */
+  @volatile private var filtered = false
   /** Pruning evidence for audits: files surviving the pushed ranges. */
   def keptFiles: Int = liveFiles.size
   def totalFiles: Int = total
@@ -579,6 +581,7 @@ final class GraftLakeScan(root: String, rootAbs: String,
     * filtering), the version it read, and the columns whose sidecar
     * stats a rewrite commit should re-harvest. */
   private[sources] def currentFiles: Seq[String] = liveFiles
+  private[sources] def wasRuntimeFiltered: Boolean = filtered
   private[sources] def version: Long = resolvedVersion
   private[sources] def statsColumns: Seq[String] = sidecarCols.toSeq.sorted
   override def readSchema(): StructType = required
@@ -648,6 +651,7 @@ final class GraftLakeScan(root: String, rootAbs: String,
       case _ => (_: String) => true // unknown runtime-filter shape prunes nothing
     }
     liveFiles = liveFiles.filter(f => checks.forall(_(f)))
+    filtered = true
   }
 
   override def planInputPartitions(): Array[InputPartition] =
