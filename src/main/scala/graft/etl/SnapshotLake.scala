@@ -240,6 +240,13 @@ object SnapshotLake {
   /** The file listing of version `v` (paths relative to `root`). */
   def files(root: String, v: Long): Seq[String] = resolve(root, v)._1.files
 
+  /** Whether version `v`'s record is still within the retention horizon
+    * — vacuumed records read as absent, and resolving one throws, so
+    * history walkers must stop here (the bound [[legacyTagsBelow]]
+    * applies internally, exposed for external walkers like LakeTail). */
+  def versionExists(root: String, v: Long): Boolean =
+    v >= 1L && Files.exists(versionFile(root, v))
+
   /** Publish the full resolved state of `v` (plus the tag index) as a
     * checkpoint, via the same link(2) create-if-absent primitive as
     * commits — content is a pure function of the log, so a racing
@@ -348,7 +355,10 @@ object SnapshotLake {
     val vals = rel.filter(_.startsWith("data/commit=")).flatMap { f =>
       f.split('/').drop(2).dropRight(1).iterator.filter(_.contains('=')).map { seg =>
         val i = seg.indexOf('=')
-        seg.substring(0, i) -> seg.substring(i + 1)
+        // vote on the DECODED value — predicates carry unescaped
+        // literals, so '1%2E5' must vote as the string it decodes to
+        seg.substring(0, i) ->
+          graft.sources.GraftLakeScan.unescapePath(seg.substring(i + 1))
       }
     }
     vals.groupMap(_._1)(_._2).collect {
@@ -386,7 +396,11 @@ object SnapshotLake {
       .map { seg =>
         val i = seg.indexOf('=')
         val c = seg.substring(0, i)
-        val v = seg.substring(i + 1)
+        // DECODE hive's %xx escaping before building the range:
+        // predicates compare unescaped literals ('a:b', not 'a%3Ab'),
+        // and deleteMatching/fastCountWhere consume these ranges as
+        // correctness inputs, not just pruning advice
+        val v = graft.sources.GraftLakeScan.unescapePath(seg.substring(i + 1))
         // a real partition value is the value of EVERY row in the file
         // (zero nulls by construction — null rows land under the
         // sentinel dir instead, whose null count is the row count, i.e.

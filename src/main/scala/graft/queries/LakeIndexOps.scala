@@ -1564,6 +1564,15 @@ object LakeIndexOps {
       val dim = Tables.orders(s, d)
         .filter(col("o_orderkey") >= maxK * 7 / 8)
         .select("o_orderkey", "o_orderpriority")
+      // The broadcast hint is DELIBERATE, not a workaround: the dim is a
+      // native parquet relation whose size estimate is the unfiltered
+      // file size — at the 100× audit that is ~270 MB, over the 10 MB
+      // threshold, while the filter's top-eighth slice is broadcast-safe
+      // knowledge only the author has (no ANALYZE on raw paths). The
+      // runtime-pruned flag below fails loudly if the broadcast (and
+      // with it the runtime filter) ever stops firing. Small CONNECTOR
+      // dims auto-broadcast hint-free from SupportsReportStatistics —
+      // pinned by PlanShapeSpec's counterfactual.
       val agg = s.read.format("graftlake").load(root)
         .join(broadcast(dim), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")

@@ -50,19 +50,24 @@ final class GraftLakeRowLevelOperation(root: String, fullSchema: StructType,
   private val builtScans =
     new java.util.concurrent.CopyOnWriteArrayList[GraftLakeScan]()
 
-  /** The scan whose files the rewrite replaces: the runtime-filtered
-    * one when group filtering fired (only the main scan ever RECEIVES
-    * the runtime filter — the subquery scan feeds it), else the scan
-    * with the widest surviving file list (the subquery scan carries the
-    * condition's static pruning; the main scan must read whole
-    * groups). */
+  /** The scan whose files the rewrite replaces, identified STRUCTURALLY:
+    * only the main COW scan ever receives the `In("_file", …)` GROUP
+    * filter (the condition subquery's scan can receive join-key DPP
+    * filters, but never the file-group one — it FEEDS it). When group
+    * filtering didn't fire at all, a single built scan is trivially the
+    * main one; any other shape is ambiguous and must fail loudly rather
+    * than risk `commitReplace` removing files nobody rewrote. */
   private[sources] def mainScan: GraftLakeScan = {
     import scala.jdk.CollectionConverters._
     val all = builtScans.asScala.toSeq
     require(all.nonEmpty, "the row-level operation committed without a scan")
-    all.filter(_.wasRuntimeFiltered) match {
+    all.filter(_.wasFileGroupFiltered) match {
       case Seq(one) => one
-      case _ => all.maxBy(_.currentFiles.size)
+      case Seq() if all.sizeIs == 1 => all.head
+      case marked => throw new IllegalStateException(
+        s"cannot identify the row-level rewrite's main scan: ${marked.size} " +
+          s"of ${all.size} scans received the _file group filter — refusing " +
+          "to commit a replace whose removed-file set is ambiguous")
     }
   }
 

@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
 import org.apache.spark.sql.internal.SQLConf
@@ -532,10 +532,15 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
             java.nio.file.Files.size(java.nio.file.Paths.get(root, f)))),
           keyField))
       }
+    // per-file row counts for estimateStatistics — the rows sidecars of
+    // the same directories the stats sidecars came from (zero extra I/O
+    // beyond files the planner already listed)
+    val rowsBy = all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      .flatMap(dir => FileStats.readRowsSidecar(root, dir)).toMap
     val scan = new GraftLakeScan(root, rootAbs, kept, all.size, required,
       fullSchema, ranges, stats, lengths, dv, sessionConf(),
       startingVersion, skipChangeCommits, maxVersionsPerTrigger, exact,
-      v, sidecars.valuesIterator.flatMap(_.keysIterator).toSet)
+      v, sidecars.valuesIterator.flatMap(_.keysIterator).toSet, rowsBy)
     onBuild(scan)
     scan
   }
@@ -568,12 +573,20 @@ final class GraftLakeScan(root: String, rootAbs: String,
                           maxVersionsPerTrigger: Option[Long] = None,
                           exact: Array[Filter] = Array.empty,
                           resolvedVersion: Long = -1L,
-                          sidecarCols: Set[String] = Set.empty)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+                          sidecarCols: Set[String] = Set.empty,
+                          rowsBy: Map[String, Long] = Map.empty)
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
   /** Files still scheduled after static AND runtime pruning. */
   @volatile private var liveFiles: Seq[String] = kept
   /** Whether a runtime (join/group) filter narrowed this scan. */
   @volatile private var filtered = false
+  /** Whether the `In("_file", …)` GROUP filter specifically arrived —
+    * only the row-level rewrite's MAIN scan ever receives it (the
+    * condition subquery's scan gets at most join-key DPP filters), so
+    * this is the structural marker [[GraftLakeRowLevelOperation.mainScan]]
+    * selects by. */
+  @volatile private var fileFiltered = false
   /** Pruning evidence for audits: files surviving the pushed ranges. */
   def keptFiles: Int = liveFiles.size
   def totalFiles: Int = total
@@ -582,6 +595,7 @@ final class GraftLakeScan(root: String, rootAbs: String,
     * stats a rewrite commit should re-harvest. */
   private[sources] def currentFiles: Seq[String] = liveFiles
   private[sources] def wasRuntimeFiltered: Boolean = filtered
+  private[sources] def wasFileGroupFiltered: Boolean = fileFiltered
   private[sources] def version: Long = resolvedVersion
   private[sources] def statsColumns: Seq[String] = sidecarCols.toSeq.sorted
   override def readSchema(): StructType = required
@@ -590,6 +604,38 @@ final class GraftLakeScan(root: String, rootAbs: String,
     s"GraftLakeScan kept=${liveFiles.size}/$total pruned=${
       ranges.map(r => s"${r.col}∈[${r.lo.getOrElse("-∞")},${r.hi.getOrElse("∞")}]")
         .mkString(",")}"
+
+  /** Planning-time statistics from the manifest sidecars — what lets
+    * Catalyst auto-broadcast a small connector-read dimension into a
+    * fact join WITHOUT a `broadcast()` hint, and AQE size its shuffles
+    * from real numbers instead of a default estimate:
+    *
+    *   - `sizeInBytes`: sum of the POST-pruning file lengths — the same
+    *     on-disk estimate Spark's own file sources report
+    *     (`fileCompressionFactor` left at its 1.0 default), so a pushed
+    *     range that prunes 99% of a table shrinks its join-side estimate
+    *     by the same 99%;
+    *   - `numRows`: sum of the pruned files' `_rows.json` counts, exact
+    *     when every kept file has sidecar coverage (an upper bound while
+    *     deletion vectors are live — statistics are estimates, the DV
+    *     anti-join only shrinks the result).
+    *
+    * Costs ZERO extra I/O: both inputs were already in hand from
+    * planning the scan. */
+  override def estimateStatistics(): Statistics = {
+    val files = liveFiles
+    val bytes = files.iterator.map(f => lengths.getOrElse(f, 0L)).sum
+    val rows: Option[Long] =
+      if (rowsBy.nonEmpty && files.forall(rowsBy.contains))
+        Some(files.iterator.map(rowsBy).sum)
+      else None
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
+  }
 
   /** Runtime (join-driven) file pruning — Spark's DPP machinery hands
     * the build side's key set to the scan at EXECUTION time, after the
@@ -652,6 +698,10 @@ final class GraftLakeScan(root: String, rootAbs: String,
     }
     liveFiles = liveFiles.filter(f => checks.forall(_(f)))
     filtered = true
+    if (filters.exists {
+      case org.apache.spark.sql.sources.In("_file", _) => true
+      case _ => false
+    }) fileFiltered = true
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -667,8 +717,13 @@ final class GraftLakeScan(root: String, rootAbs: String,
     * [[GraftLakeMicroBatchStream]]. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    // forward the ACCEPTED exact filters: pushFilters reported them as
+    // pushed (not residual), so the stream's readers must apply them —
+    // dropping them here would return unfiltered rows Spark never
+    // re-filters
     new GraftLakeMicroBatchStream(root, rootAbs, required,
-      startingVersion, skipChangeCommits, maxVersionsPerTrigger, hconf)
+      startingVersion, skipChangeCommits, maxVersionsPerTrigger, hconf,
+      exact, fullSchema)
 }
 
 /** The scan a fully-pushed aggregate resolves to: ONE synthetic input
@@ -746,7 +801,7 @@ object GraftLakeScan {
 
   /** Undo hive's %xx path escaping (the writer's encoding for special
     * chars in partition values — ':', '/', control chars). */
-  private[sources] def unescapePath(s: String): String =
+  private[graft] def unescapePath(s: String): String =
     if (!s.contains('%')) s
     else {
       val sb = new java.lang.StringBuilder(s.length)
@@ -1081,10 +1136,22 @@ object GraftLakeCountScan {
       stats.get(a).exists { r =>
         r.nulls.contains(0L) && {
           val lit = v.toString
-          def c(x: String): Int =
-            if (r.numeric) java.lang.Double.compare(x.toDouble, lit.toDouble)
-            else FileStats.utf8Cmp(x, lit)
-          test(c(r.min), c(r.max))
+          // Exact-precision compare: Double collapses longs beyond 2^53
+          // to equal values, which could wrongly PROVE a whole-file
+          // match (a metadata count of rows the predicate rejects).
+          // BigDecimal keeps full precision for integral and decimal
+          // stat encodings alike; an unparseable bound (NaN/Infinity)
+          // proves nothing — the file falls back to boundary scanning.
+          def c(x: String): Option[Int] =
+            if (r.numeric)
+              try Some(new java.math.BigDecimal(x)
+                .compareTo(new java.math.BigDecimal(lit)))
+              catch { case _: NumberFormatException => None }
+            else Some(FileStats.utf8Cmp(x, lit))
+          (c(r.min), c(r.max)) match {
+            case (Some(mn), Some(mx)) => test(mn, mx)
+            case _ => false
+          }
         }
       }
     f match {

@@ -51,7 +51,9 @@ final class GraftLakeMicroBatchStream(root: String, rootAbs: String,
                                       startingVersion: Long,
                                       skipChangeCommits: Boolean,
                                       maxVersionsPerTrigger: Option[Long],
-                                      hconf: SerializableConfiguration)
+                                      hconf: SerializableConfiguration,
+                                      exact: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                                      fullSchema: StructType = new StructType())
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -114,7 +116,9 @@ final class GraftLakeMicroBatchStream(root: String, rootAbs: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLakeReaderFactory(required, None, hconf)
+    // the scan accepted these filters as EXACT (pushed, not residual) —
+    // the streaming readers apply them just like the batch readers do
+    new GraftLakeReaderFactory(required, None, hconf, exact, fullSchema)
 
   override def commit(end: Offset): Unit = () // progress lives in the checkpoint
   override def stop(): Unit = ()

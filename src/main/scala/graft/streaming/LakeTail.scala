@@ -70,7 +70,12 @@ object LakeTail {
       // a schema from — skip the tag too; every such version is an
       // op≠append no-op, so the re-walk on the next drain stays O(1)
       // manifest reads per version and applies nothing twice.
+      // Bounded at the retention edge: a version past the vacuum horizon
+      // has no record, so resolving it would THROW — stop the walk there
+      // and let the destination-schema fallback engage instead of
+      // stalling the tail on the very commit it must skip.
       val srcEmpty = (v to 1L by -1L).iterator
+        .takeWhile(w => SnapshotLake.versionExists(srcRoot, w))
         .find(w => SnapshotLake.files(srcRoot, w).nonEmpty)
         .map(w => transform(SnapshotLake.read(spark, srcRoot, Some(w)).limit(0)))
       val payload = srcEmpty.orElse(

@@ -719,4 +719,39 @@ class SnapshotLakeSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(100L, 101L),
       "plain files surface NULL partition values (the mergeSchema contract)")
   }
+
+  test("hive-escaped partition values decode before range classification: DELETE and fast counts see the real value") {
+    val root = newRoot()
+    // ':' hive-escapes to %3A and '=' to %3D in partition directory names;
+    // predicates carry the UNESCAPED literal — comparing it against raw
+    // path text would misclassify (a DELETE that silently deletes nothing)
+    val df = Seq((1L, "a:b"), (2L, "a:b"), (3L, "c=d"), (4L, "plain"))
+      .toDF("x", "cat")
+    SnapshotLake.appendPartitioned(df.repartition(1), root, Seq("cat"))
+    assert(SnapshotLake.files(root, 1L).exists(_.contains("%3A")),
+      "the fixture must actually exercise escaped directory names")
+    // metadata-exact count on the escaped value: zero files scanned
+    val cnt = SnapshotLake.fastCountWhere(spark, root,
+      Seq(FileStats.Range("cat", Some("a:b"), Some("a:b"))))
+    assert(cnt.exists(c => c.rows == 2L && c.scannedFiles == 0),
+      s"escaped partition must whole-match from metadata: $cnt")
+    // DELETE on the escaped value: a whole-file drop, no rewrite, no miss
+    val res = SnapshotLake.deleteMatching(spark, root,
+      Seq(FileStats.Range("cat", Some("a:b"), Some("a:b"))))
+    assert(res.dropped == 1 && res.rewritten == 0,
+      s"the escaped partition classifies as a WHOLE drop: $res")
+    assert(SnapshotLake.read(spark, root).select("x").collect()
+      .map(_.getLong(0)).toSet == Set(3L, 4L))
+    // numericness vote runs on DECODED values: '1.5' arrives as '1%2E5'
+    // only if the writer escapes dots — it doesn't — but a mixed listing
+    // with an escaped string next to numerics must still vote STRING
+    val root2 = newRoot()
+    SnapshotLake.appendPartitioned(
+      Seq((1L, "25"), (2L, "a:b")).toDF("x", "cat").repartition(1),
+      root2, Seq("cat"))
+    val miss = SnapshotLake.fastCountWhere(spark, root2,
+      Seq(FileStats.Range("cat", Some("a:b"), Some("a:b"))))
+    assert(miss.exists(_.rows == 1L),
+      s"mixed listing compares as string and still finds the row: $miss")
+  }
 }

@@ -327,4 +327,59 @@ class PlanShapeSpec extends AnyFunSuite {
       setsPlan.contains("Bucketed: true"),
       s"sets scan must be bucketed:\n$setsPlan")
   }
+
+  test("connector scans report statistics: a small graftlake dim auto-broadcasts with NO hint; big stats refuse") {
+    // SupportsReportStatistics counterfactual: without reported stats a
+    // DSv2 relation defaults to spark.sql.defaultSizeInBytes (Long.Max)
+    // and the first unhinted dim⋈fact join goes sort-merge — the r14
+    // verdict's #1 missing item. With the sidecar-derived estimate the
+    // size-based JoinSelection rule fires on its own.
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.etl.SnapshotLake
+    val dir = java.nio.file.Files.createTempDirectory("graft-scanstats").toString
+    val dimRoot = s"$dir/dim"
+    val factRoot = s"$dir/fact"
+    SnapshotLake.append(spark.range(0, 100)
+      .select(col("id").as("k"),
+        concat(lit("name"), col("id").cast("string")).as("name"))
+      .coalesce(1), dimRoot, SnapshotLake.IndexSpec(Seq("k"), None))
+    SnapshotLake.append(spark.range(0, 50000)
+      .select((col("id") % 100).as("k"), col("id").as("v")).coalesce(4),
+      factRoot, SnapshotLake.IndexSpec(Seq("k", "v"), None))
+    val dim = spark.read.format("graftlake").load(dimRoot)
+    val fact = spark.read.format("graftlake").load(factRoot)
+    val joined = fact.join(dim, "k") // NO broadcast() hint anywhere
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"a ~3 KB connector dim must auto-broadcast from its reported stats:\n$p")
+    // counterfactual: the SAME join with the threshold below the dim's
+    // reported size must NOT broadcast — proving the decision came from
+    // the scan's statistics, not from some other default
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+      val p2 = fact.join(dim, "k").queryExecution.executedPlan.toString
+      assert(!p2.contains("BroadcastHashJoin"),
+        s"stats above the threshold must refuse the auto-broadcast:\n$p2")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // the estimate itself: exact numRows from the rows sidecars, bytes
+    // from the post-pruning file lengths
+    val scan = dim.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.collectFirst { case s: graft.sources.GraftLakeScan => s }.get
+    val st = scan.estimateStatistics()
+    assert(st.numRows.getAsLong == 100L, "sidecar row counts are exact")
+    assert(st.sizeInBytes.getAsLong > 0L)
+    // and pruning shrinks the estimate: a pushed range keeping one of the
+    // fact's four files reports roughly a quarter of the bytes
+    val whole = fact.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.collectFirst { case s: graft.sources.GraftLakeScan => s }.get
+    val pruned = fact.filter(col("v") < 100L).queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.collectFirst { case s: graft.sources.GraftLakeScan => s }.get
+    assert(pruned.estimateStatistics().sizeInBytes.getAsLong <
+      whole.estimateStatistics().sizeInBytes.getAsLong,
+      "a pushed filter must shrink the reported size with the pruned files")
+  }
 }

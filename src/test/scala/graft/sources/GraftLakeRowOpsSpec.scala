@@ -92,6 +92,42 @@ class GraftLakeRowOpsSpec extends AnyFunSuite {
     assert(rows(t) == expected)
   }
 
+  test("mainScan selects the scan that RECEIVED the _file group filter, never the widest survivor") {
+    import org.apache.spark.sql.connector.write.RowLevelOperation
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val (_, root) = table()
+    val schema = SnapshotLake.read(spark, root).schema
+    val op = new GraftLakeRowLevelOperation(root, schema,
+      RowLevelOperation.Command.UPDATE)
+    def build(): GraftLakeScan = op.newScanBuilder(CaseInsensitiveStringMap.empty)
+      .build().asInstanceOf[GraftLakeScan]
+    val subquery = build()
+    val main = build()
+    val files = main.currentFiles
+    // the condition subquery gets a join-key DPP filter (keys 0 and 39:
+    // the index keeps TWO of the four files); the main scan gets the
+    // GROUP filter narrowed to ONE file — strictly fewer survivors, the
+    // exact shape where picking the widest scan replaces unrewritten files
+    subquery.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("x", Array[Any](0L, 39L))))
+    main.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("_file", Array[Any](files.head))))
+    assert(subquery.currentFiles.size > main.currentFiles.size,
+      "the trap requires the subquery scan to survive wider")
+    assert(op.mainScan eq main,
+      "the _file-filtered scan is the main scan even when narrower")
+    // two _file-marked scans are ambiguous: refuse rather than guess
+    subquery.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("_file", Array[Any](files.head))))
+    intercept[IllegalStateException](op.mainScan)
+    // no group filter at all: a single built scan is trivially the main one
+    val op2 = new GraftLakeRowLevelOperation(root, schema,
+      RowLevelOperation.Command.DELETE)
+    val only = op2.newScanBuilder(CaseInsensitiveStringMap.empty)
+      .build().asInstanceOf[GraftLakeScan]
+    assert(op2.mainScan eq only)
+  }
+
   test("a DELETE the metadata path refuses falls back to the rewrite and deletes correctly") {
     val (t, root) = table()
     // OR + IS NULL — canDeleteWhere says no, the COW rewrite says yes

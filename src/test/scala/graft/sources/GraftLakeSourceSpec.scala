@@ -367,4 +367,53 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       (1L, Seq(1.0f, 2.0f), None), (2L, Seq(3.0f, 4.0f), None),
       (3L, Seq(5.0f, 6.0f), Some("new"))))
   }
+
+  test("filtered-count wholeMatch compares integral stats at full precision — no 2^53 Double collapse") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThanOrEqual}
+    // 2^53 + 1: equal to 2^53 as a Double, distinct as a Long
+    val big = "9007199254740993"
+    val st = Map("k" -> FileStats.ColRange(big, big, numeric = true,
+      nulls = Some(0L)))
+    assert(!GraftLakeCountScan.wholeMatch(st, EqualTo("k", 9007199254740992L)),
+      "Double compare would wrongly PROVE every row equals 2^53")
+    assert(GraftLakeCountScan.wholeMatch(st, EqualTo("k", 9007199254740993L)))
+    assert(GraftLakeCountScan.wholeMatch(st, GreaterThan("k", 9007199254740992L)),
+      "full precision must still prove the strict bound 2^53+1 > 2^53")
+    assert(!GraftLakeCountScan.wholeMatch(st, LessThanOrEqual("k", 9007199254740992L)))
+    // an unparseable numeric bound proves nothing (falls back to a scan)
+    // rather than throwing or over-claiming
+    val nan = Map("f" -> FileStats.ColRange("NaN", "NaN", numeric = true,
+      nulls = Some(0L)))
+    assert(!GraftLakeCountScan.wholeMatch(nan, EqualTo("f", 1.0d)))
+  }
+
+  test("exact filters accepted by a scan used as a micro-batch STREAM reach the streaming readers") {
+    val root = newRoot()
+    val idx = SnapshotLake.IndexSpec(Seq("x"), None)
+    SnapshotLake.append(spark.range(0L, 10L).select(col("id").as("x"),
+      (col("id") * 2).as("y")).coalesce(1), root, idx) // v1
+    SnapshotLake.append(spark.range(10L, 20L).select(col("id").as("x"),
+      (col("id") * 2).as("y")).coalesce(1), root, idx) // v2
+    val schema = SnapshotLake.read(spark, root).schema
+    val sb = new GraftLakeScanBuilder(root, None, schema,
+      exactPushdown = true)
+    val residual = sb.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThan("x", 14L)))
+    assert(residual.isEmpty, "the integral filter must be accepted as exact")
+    val scan = sb.build().asInstanceOf[GraftLakeScan]
+    val stream = scan.toMicroBatchStream("unused")
+    val parts = stream.planInputPartitions(GraftLakeOffset(0L),
+      GraftLakeOffset(2L))
+    val rf = stream.createReaderFactory()
+    val got = parts.flatMap { p =>
+      val r = rf.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      try { while (r.next()) buf += r.get().getLong(0) } finally r.close()
+      buf
+    }.toSet
+    // Spark re-applies NOTHING for a fully-pushed filter: the streaming
+    // readers themselves must filter, or unmatched rows leak downstream
+    assert(got == (15L until 20L).toSet,
+      s"streaming readers must apply the pushed exact filter: $got")
+  }
 }

@@ -98,6 +98,28 @@ class LakeTailSpec extends AnyFunSuite {
     assert(LakeTail.drain(spark, src, dst, identity, idx).isEmpty)
   }
 
+  test("a skipped commit whose empty-state walk would cross the vacuum horizon falls back to the destination schema") {
+    val src = newRoot("vac-src")
+    SnapshotLake.append(kv(0, 10), src, idx) // v1
+    val dst = newRoot("vac-dst")
+    LakeTail.drain(spark, src, dst, identity, idx) // dst applied v1
+    // v2 whole-drops everything (state lists NO files), v3 is another
+    // change commit over the still-empty state
+    SnapshotLake.deleteMatching(spark, src,
+      Seq(graft.etl.FileStats.Range("k", Some("0"), Some("9"))), idx)
+    SnapshotLake.deleteWhere(spark, src, Seq(99L).toDF("k"))
+    // vacuum to the last 2 versions: v1's record is GONE — the schema
+    // walk from v2/v3 finds no file-bearing version inside the horizon
+    // and must stop at the retention edge instead of throwing
+    SnapshotLake.vacuum(src, keepVersions = 2)
+    val applied = LakeTail.drain(spark, src, dst, identity, idx)
+    assert(applied == Seq(2L, 3L), s"both skipped commits advance: $applied")
+    assert(SnapshotLake.tagVersion(dst, "tail-v2").isDefined)
+    assert(SnapshotLake.tagVersion(dst, "tail-v3").isDefined)
+    assert(contents(dst) == (0 until 10).map(i => i.toLong -> s"v$i").toMap,
+      "the destination content is untouched by the skipped commits")
+  }
+
   test("the per-batch transform runs on every emitted batch (and on no skipped one)") {
     val src = newRoot("src")
     SnapshotLake.append(kv(0, 5), src, idx)
