@@ -136,6 +136,12 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val n = if (oneShot(name)) 1 else runs
       var times = Vector.empty[Double]
+      // per-run GC deltas IN RUN ORDER (times above get sorted): when a
+      // spread anomaly fires (BENCH_r14's q191: run 1 fast, runs 2-3
+      // ~20× slower, unreproducible on the build box), this is what
+      // separates "the later runs collected garbage" from "the later
+      // runs executed differently" without needing the box in hand.
+      var runGc = Vector.empty[Long]
       var err: Option[String] = None
       var i = 0
       if (warmLap && !oneShot(name)) {
@@ -148,10 +154,12 @@ object Bench {
       val wall0 = System.nanoTime()
       while (i < n && err.isEmpty) {
         val t0 = System.nanoTime()
+        val g0 = gcMs
         try fn(spark, sfDir).count()
         catch { case e: Throwable => err = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
         val t = (System.nanoTime() - t0) / 1e9
         times :+= t
+        runGc :+= gcMs - g0
         // drop this query's persisted intermediates (LSH signatures etc.) —
         // they are per-query, and letting them accumulate across the whole
         // inventory starves later queries' execution memory. Outside the
@@ -186,8 +194,11 @@ object Bench {
       val best = if (sorted.isEmpty) Double.MaxValue else sorted.head
       val med = if (sorted.isEmpty) Double.MaxValue else sorted(sorted.size / 2)
       val worst = if (sorted.isEmpty) 0.0 else sorted.last
+      val runsField = times.map(t =>
+        "%.3f".formatLocal(java.util.Locale.ROOT, t)).mkString("[", ",", "]")
+      val runGcField = runGc.mkString("[", ",", "]")
       appendDetail(
-        s"""{"q":${jstr(name)},"best":${"%.3f".formatLocal(java.util.Locale.ROOT, best)},"med":${"%.3f".formatLocal(java.util.Locale.ROOT, med)},"worst":${"%.3f".formatLocal(java.util.Locale.ROOT, worst)},"wall":${"%.3f".formatLocal(java.util.Locale.ROOT, wallS)},"gc_ms":$queryGcMs,"cleanup_gc_ms":$cleanupGcMs,"heap_mb":$heapMb}""")
+        s"""{"q":${jstr(name)},"best":${"%.3f".formatLocal(java.util.Locale.ROOT, best)},"med":${"%.3f".formatLocal(java.util.Locale.ROOT, med)},"worst":${"%.3f".formatLocal(java.util.Locale.ROOT, worst)},"runs":$runsField,"run_gc_ms":$runGcField,"wall":${"%.3f".formatLocal(java.util.Locale.ROOT, wallS)},"gc_ms":$queryGcMs,"cleanup_gc_ms":$cleanupGcMs,"heap_mb":$heapMb}""")
       R(name, best, med, worst, n, err)
     }
     // 3-decimal seconds: ~70 full-precision doubles push the line past the

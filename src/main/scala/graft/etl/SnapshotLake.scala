@@ -6,6 +6,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Snapshot-isolated lake commits — the manifest/version protocol a
   * multi-writer 100 TB lake needs (VERDICT r10 item 2). The plain
@@ -101,10 +102,14 @@ object SnapshotLake {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** The resolved snapshot of one version: its full file listing and its
-    * live key-tombstone (deletion-vector) files, both in commit order. */
+  /** The resolved snapshot of one version: its full file listing, its
+    * live key-tombstone (deletion-vector) files (both in commit order),
+    * and the DECLARED schema if an `evolve` commit set one — base64 of
+    * the StructType JSON, so the hand-rolled record parsers never meet a
+    * quote or brace from inside a schema. */
   private final case class LakeState(files: Vector[String],
-                                     deletes: Vector[String])
+                                     deletes: Vector[String],
+                                     schemaB64: Option[String] = None)
   private val EmptyState = LakeState(Vector.empty, Vector.empty)
 
   /** One parsed log record. `legacyFull` carries the full listing of a
@@ -115,7 +120,8 @@ object SnapshotLake {
       tag: Option[String], addedRows: Long,
       add: Seq[String], remove: Seq[String],
       addDel: Seq[String], removeDel: Seq[String],
-      legacyFull: Option[LakeState])
+      legacyFull: Option[LakeState],
+      schemaB64: Option[String] = None)
 
   // minimal parsers of our own writer's format (uuid-based paths and
   // quote-free tags — nothing needing escape can reach these fields)
@@ -158,7 +164,8 @@ object SnapshotLake {
     Record(v, strField(json, "op").getOrElse("?"), longField(json, "base"),
       strField(json, "tag"), longField(json, "addedRows"),
       arrField(json, "add"), arrField(json, "remove"),
-      arrField(json, "addDel"), arrField(json, "removeDel"), legacy)
+      arrField(json, "addDel"), arrField(json, "removeDel"), legacy,
+      strField(json, "schemaB64"))
   }
 
   private def readCkpt(root: String, v: Long): (LakeState, Map[String, Long]) = {
@@ -174,7 +181,8 @@ object SnapshotLake {
       }
     }
     (LakeState(arrField(json, "files").toVector,
-      arrField(json, "deletes").toVector), tags)
+      arrField(json, "deletes").toVector,
+      strField(json, "schemaB64")), tags)
   }
 
   private def applyRec(s: LakeState, r: Record): LakeState =
@@ -182,7 +190,11 @@ object SnapshotLake {
       val rm = r.remove.toSet
       val rd = r.removeDel.toSet
       LakeState(s.files.filterNot(rm) ++ r.add,
-        s.deletes.filterNot(rd) ++ r.addDel)
+        s.deletes.filterNot(rd) ++ r.addDel,
+        // the declared schema sticks until a later evolve replaces it —
+        // RESTORE deliberately keeps the head schema (Delta restores
+        // data, evolution is forward-only here; documented contract)
+        r.schemaB64.orElse(s.schemaB64))
     }
 
   /** Resolve version `v`: nearest checkpoint at-or-below (or the empty
@@ -268,8 +280,10 @@ object SnapshotLake {
     def arr(xs: Seq[String]) = xs.map(f => s""""$f"""").mkString("[", ",", "]")
     val kept = tags.toSeq.filter(_._2 >= pruneTagsBelow).sortBy(_._1)
     if (exists && kept.size == tags.size) return // nothing to prune
+    val schemaField =
+      st.schemaB64.map(b => s""""schemaB64":"$b",""").getOrElse("")
     val json = s"""{"version":$v,"files":${arr(st.files)},""" +
-      s""""deletes":${arr(st.deletes)},""" +
+      s""""deletes":${arr(st.deletes)},$schemaField""" +
       s""""tags":{${kept.map { case (t, tv) => s""""$t":$tv""" }.mkString(",")}}}"""
     val tmp = manifestDir(root).resolve(s".tmp-ck-${UUID.randomUUID()}")
     Files.writeString(tmp, json)
@@ -294,14 +308,120 @@ object SnapshotLake {
            mergeSchema: Boolean = false): DataFrame = {
     val v = version.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    val rel = files(root, v)
+    val st = resolve(root, v)._1
+    val rel = st.files
     if (rel.isEmpty)
       throw new IllegalStateException(s"version $v of $root lists no files")
     // mergeSchema = schema-on-read evolution (the q156 contract on the
     // manifest lake): commits may add columns; older files surface them
     // as NULL, and a version pinned BEFORE the column landed never sees
     // it — schema history rides version history for free.
-    applyDeletes(spark, root, v, readListing(spark, root, rel, mergeSchema))
+    // A DECLARED schema (an `evolve` commit at-or-below v) goes further:
+    // the read is FORCED through mergeSchema (files written before and
+    // after the evolution coexist in one listing) and then aligned to
+    // the declared column set/order/types — `ALTER TABLE ADD COLUMN`
+    // becomes visible before any new-column file exists, old files
+    // null-fill, and a version pinned before the evolve never sees it.
+    val decl = st.schemaB64.map(b => nullableized(decodeSchema(b)))
+    val base = applyDeletes(spark, root, v,
+      readListing(spark, root, rel, mergeSchema, userSchema = decl))
+    decl.map(alignTo(base, _)).getOrElse(base)
+  }
+
+  /** Declared schemas apply all-nullable at read time: pre-evolution
+    * files null-fill added columns, so nothing stricter can hold. */
+  private def nullableized(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** Project `df` onto a declared schema: matching columns cast to the
+    * declared type (identity for unevolved columns, a widening cast
+    * after UpdateColumnType), absent columns null-filled — the read-side
+    * half of [[evolveSchema]]'s contract. */
+  private def alignTo(df: DataFrame, decl: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    df.select(decl.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** [[readListing]] aligned to the version's declared schema when one
+    * exists — every REWRITE path (compact / merge / deleteMatching)
+    * reads through this, so an evolved lake's mixed-schema listing
+    * materializes the declared shape instead of tripping the union. */
+  private def readDeclared(spark: SparkSession, root: String, v: Long,
+                           rel: Seq[String]): DataFrame = {
+    val decl = resolve(root, v)._1.schemaB64
+      .map(b => nullableized(decodeSchema(b)))
+    val df = readListing(spark, root, rel, userSchema = decl)
+    decl.map(alignTo(df, _)).getOrElse(df)
+  }
+
+  private def encodeSchema(s: StructType): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def decodeSchema(b64: String): StructType =
+    org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.util.Base64.getDecoder.decode(b64),
+        java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+
+  /** The declared schema of version `v` (head when None), if any
+    * `evolve` commit at-or-below it set one. */
+  def declaredSchema(root: String,
+                     version: Option[Long] = None): Option[StructType] =
+    version.orElse(currentVersion(root))
+      .flatMap(v => resolve(root, v)._1.schemaB64).map(decodeSchema)
+
+  /** Commit `newSchema` as the lake's DECLARED schema — a metadata-only
+    * `evolve` version (no file changes, CAS-retried like any commit):
+    * the write-side twin of the mergeSchema read contract, backing SQL
+    * `ALTER TABLE … ADD COLUMN` through the catalog. Evolution is
+    * ADDITIVE/WIDENING only, validated against the current declared (or
+    * on-file) schema: every existing column must survive under its name
+    * with its type unchanged or safely widened — drops and renames are
+    * rewrites, not metadata commits, and are refused here. Readers at
+    * any version ≥ this commit see the declared column set (old files
+    * null-fill the additions); a version pinned below it reads exactly
+    * the pre-evolution shape. Returns the committed version. */
+  def evolveSchema(spark: SparkSession, root: String,
+                   newSchema: StructType): Long = {
+    val widens: Set[(org.apache.spark.sql.types.DataType,
+                     org.apache.spark.sql.types.DataType)] = {
+      import org.apache.spark.sql.types._
+      val ints = Seq(ByteType, ShortType, IntegerType, LongType)
+      val intPairs = for {
+        (a, i) <- ints.zipWithIndex; b <- ints.drop(i + 1)
+      } yield (a: DataType, b: DataType)
+      (intPairs :+ (FloatType -> DoubleType)).toSet
+    }
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentVersion(root).getOrElse(
+        throw new IllegalStateException(
+          s"nothing to evolve at $root (no committed version)"))
+      val before = declaredSchema(root, Some(cur)).getOrElse {
+        val fs = files(root, cur)
+        if (fs.isEmpty) new StructType()
+        else readListing(spark, root, fs, mergeSchema = true).schema
+      }
+      before.fields.foreach { f =>
+        val after = newSchema.fields.find(_.name == f.name).getOrElse(
+          throw new IllegalArgumentException(
+            s"schema evolution cannot DROP column '${f.name}' — " +
+              "dropping or renaming is a rewrite, not a metadata commit"))
+        require(after.dataType == f.dataType ||
+          widens((f.dataType, after.dataType)),
+          s"schema evolution cannot change '${f.name}' from " +
+            s"${f.dataType.simpleString} to ${after.dataType.simpleString} " +
+            "— only widening casts evolve as metadata")
+      }
+      if (tryCommit(root, cur + 1, "evolve", cur,
+          schemaB64 = Some(encodeSchema(newSchema))))
+        committed = cur + 1
+    }
+    committed
   }
 
   /** Read the data files of one manifest listing (or any subset of one).
@@ -316,9 +436,18 @@ object SnapshotLake {
     * same contract as mergeSchema evolution, and what keeps partition
     * discovery from ever seeing conflicting directory structures. */
   private def readListing(spark: SparkSession, root: String, rel: Seq[String],
-                          mergeSchema: Boolean = false): DataFrame = {
+                          mergeSchema: Boolean = false,
+                          userSchema: Option[StructType] = None): DataFrame = {
     val (part, plain) = rel.partition(_.startsWith("data/commit="))
-    def reader = spark.read.option("mergeSchema", mergeSchema.toString)
+    // A DECLARED schema reads as a USER-SPECIFIED schema, not through
+    // mergeSchema inference: StructType.merge refuses INT vs BIGINT
+    // footers, while the parquet readers natively WIDEN a narrower
+    // physical type into the requested column (and null-fill a missing
+    // one) — exactly the two shapes schema evolution produces.
+    def reader = {
+      val r = spark.read.option("mergeSchema", mergeSchema.toString)
+      userSchema.fold(r)(r.schema)
+    }
     val sides = Seq(
       if (part.isEmpty) None
       else Some(reader.option("basePath", Paths.get(root, "data").toString)
@@ -581,13 +710,15 @@ object SnapshotLake {
                         addedRows: Long = -1L,
                         add: Seq[String] = Nil, remove: Seq[String] = Nil,
                         addDel: Seq[String] = Nil,
-                        removeDel: Seq[String] = Nil): Boolean = {
+                        removeDel: Seq[String] = Nil,
+                        schemaB64: Option[String] = None): Boolean = {
     Files.createDirectories(manifestDir(root))
     def arr(xs: Seq[String]) = xs.map(f => s""""$f"""").mkString("[", ",", "]")
     val tagField = tag.map(t => s""""tag":"$t",""").getOrElse("")
     val rowsField = if (addedRows >= 0) s""""addedRows":$addedRows,""" else ""
+    val schemaField = schemaB64.map(b => s""""schemaB64":"$b",""").getOrElse("")
     val json =
-      s"""{"version":$version,"op":"$op",$tagField$rowsField"base":$base,""" +
+      s"""{"version":$version,"op":"$op",$tagField$rowsField$schemaField"base":$base,""" +
         s""""add":${arr(add)},"remove":${arr(remove)},""" +
         s""""addDel":${arr(addDel)},"removeDel":${arr(removeDel)}}"""
     val tmp = manifestDir(root).resolve(s".tmp-${UUID.randomUUID()}")
@@ -766,7 +897,7 @@ object SnapshotLake {
     // merge-on-read debt is paid here, once) — and preserves the lake's
     // hive partitioning when it has one
     val materialized = applyDeletes(spark, root, baseV,
-      readListing(spark, root, baseFiles)).repartition(partitions)
+      readDeclared(spark, root, baseV, baseFiles)).repartition(partitions)
     val pc = partColsOf(baseFiles)
     val rewritten =
       (if (pc.isEmpty) writeData(materialized, root)
@@ -1052,7 +1183,7 @@ object SnapshotLake {
     }
     val survivors =
       if (touched.isEmpty) newRows
-      else readListing(spark, root, touched)
+      else readDeclared(spark, root, baseV, touched)
         .join(hint(upKeys), Seq(key), "left_anti")
         .unionByName(newRows)
     // a partitioned lake's rewrite stays partitioned (updates must carry
@@ -1390,7 +1521,7 @@ object SnapshotLake {
     val rewritten: Seq[String] =
       if (rewriteSet.isEmpty) Nil
       else {
-        val d0 = readListing(spark, root, rewriteSet)
+        val d0 = readDeclared(spark, root, baseV, rewriteSet)
         val conj = preds.map { p =>
           val typed = (s: String) => lit(s).cast(d0.schema(p.col).dataType)
           (p.lo.map(col(p.col) >= typed(_)) ++ p.hi.map(col(p.col) <= typed(_)))

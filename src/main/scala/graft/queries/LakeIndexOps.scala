@@ -817,6 +817,127 @@ object LakeIndexOps {
       (root, tbl)
     }
 
+  /** One SQL-schema-evolved catalog lake per (session, sf dir): orders
+    * landed as four key-range commits (v1-v4), `ALTER TABLE … ADD COLUMN
+    * rebate DOUBLE` as a metadata-only evolve commit (v5 — no file
+    * carries the column yet), then 40 rows WITH the column inserted
+    * through the connector (v6). Returns (root, table). */
+  private val evoM = new graft.etl.Memo[(SparkSession, String), (String, String)]
+
+  private def evoLake(s: SparkSession, d: String): (String, String) =
+    evoM((s, d)) {
+      val root = Scratch.tempDir("graft-evo-lake").toString + "/lake"
+      val od = Tables.orders(s, d)
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      for (i <- 0L until 4L) {
+        val lo = maxK * i / 4
+        val cap = if (i == 3) col("o_orderkey") <= maxK
+                  else col("o_orderkey") < maxK * (i + 1) / 4
+        SnapshotLake.append(
+          od.filter(col("o_orderkey") >= lo && cap).coalesce(1), root, idx)
+      }
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+        Scratch.tempDir("graft-cat-warehouse").toString)
+      val h = f"${scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff}%08x"
+      val tbl = s"graft_cat.lakes.orders_evo_$h"
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING graftlake LOCATION '$root'")
+      s.sql(s"ALTER TABLE $tbl ADD COLUMN rebate DOUBLE") // v5: metadata only
+      require(SnapshotLake.currentVersion(root).contains(5L),
+        "ALTER TABLE ADD COLUMN must commit the evolve version v5")
+      s.range(1, 41).select(
+        (lit(maxK) + col("id")).as("o_orderkey"),
+        (col("id") % 100).as("o_custkey"),
+        lit("E").as("o_orderstatus"),
+        (lit(100.0) + col("id").cast("double")).as("o_totalprice"),
+        lit(java.sql.Timestamp.valueOf("2024-07-01 00:00:00")).as("o_orderdate"),
+        lit("EVO").as("o_orderpriority"),
+        (col("id").cast("double") / 4.0).as("rebate"))
+        .createOrReplaceTempView(s"evo_src_$h")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM evo_src_$h") // v6
+      require(SnapshotLake.currentVersion(root).contains(6L),
+        "the evolved-shape INSERT must commit v6")
+      (root, tbl)
+    }
+
+  /** One catalog lake per (session, sf dir) mutated by a MERGE whose
+    * clause matrix includes BOTH `WHEN NOT MATCHED BY SOURCE` forms
+    * (UPDATE and DELETE) next to the classic three: orders v1-v4, one
+    * MERGE commit v5. Source = keys ≡ 0 (mod 89) plus 20 above-max
+    * inserts. Returns (root, table). */
+  private val nmbsM = new graft.etl.Memo[(SparkSession, String), (String, String)]
+
+  private def nmbsLake(s: SparkSession, d: String): (String, String) =
+    nmbsM((s, d)) {
+      val root = Scratch.tempDir("graft-nmbs-lake").toString + "/lake"
+      val od = Tables.orders(s, d)
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      for (i <- 0L until 4L) {
+        val lo = maxK * i / 4
+        val cap = if (i == 3) col("o_orderkey") <= maxK
+                  else col("o_orderkey") < maxK * (i + 1) / 4
+        SnapshotLake.append(
+          od.filter(col("o_orderkey") >= lo && cap).coalesce(1), root, idx)
+      }
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+        Scratch.tempDir("graft-cat-warehouse").toString)
+      val h = f"${scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff}%08x"
+      val tbl = s"graft_cat.lakes.orders_nmbs_$h"
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING graftlake LOCATION '$root'")
+      od.filter(pmod(col("o_orderkey"), lit(89)) === 0)
+        .select(col("o_orderkey").as("k"))
+        .unionByName(s.range(1, 21).select((lit(maxK) + col("id")).as("k")))
+        .withColumn("price", lit(2000.0) + (col("k") - maxK))
+        .createOrReplaceTempView(s"nmbs_src_$h")
+      s.sql(
+        s"""MERGE INTO $tbl AS tgt USING nmbs_src_$h AS src
+           |ON tgt.o_orderkey = src.k
+           |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M',
+           |  o_totalprice = tgt.o_totalprice + 3.0
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
+           |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+           |VALUES (src.k, src.k % 1000, 'N', src.price,
+           |  CAST('2024-06-01 00:00:00' AS TIMESTAMP), 'NMBS')
+           |WHEN NOT MATCHED BY SOURCE AND tgt.o_orderkey % 101 = 0
+           |  THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE AND tgt.o_orderkey % 103 = 0
+           |  THEN UPDATE SET o_orderstatus = 'X',
+           |    o_totalprice = tgt.o_totalprice + 7.0""".stripMargin)
+      require(SnapshotLake.currentVersion(root).contains(5L),
+        "the five-clause MERGE must commit exactly one version (v5)")
+      (root, tbl)
+    }
+
+  /** One bloom-indexed lake per (session, sf dir) for the CONNECTOR
+    * point-lookup proof: lineitem's EVEN orderkeys only (so an odd
+    * in-hull probe key is absent BY CONSTRUCTION at every scale), four
+    * one-file range commits, per-file blooms on l_orderkey at fpp 1e-8
+    * (the kept=0 pin must not ride false-positive luck). */
+  private val bloomM = new graft.etl.Memo[(SparkSession, String), String]
+
+  private def bloomLake(s: SparkSession, d: String): String =
+    bloomM((s, d)) {
+      val root = Scratch.tempDir("graft-bloom-lake").toString + "/lake"
+      val li = Tables.lineitem(s, d).select(LiCols.map(col): _*)
+        .filter(col("l_orderkey") % 2 === 0)
+      val maxK = li.agg(max("l_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(
+        Seq("l_orderkey"), Some("l_orderkey"), bloomFpp = 1e-8)
+      for (i <- 0L until 4L) {
+        val lo = maxK * i / 4
+        val cap = if (i == 3) col("l_orderkey") <= maxK
+                  else col("l_orderkey") < maxK * (i + 1) / 4
+        SnapshotLake.append(
+          li.filter(col("l_orderkey") >= lo && cap).coalesce(1), root, idx)
+      }
+      root
+    }
+
   /** Exact global (min, max) of `c` read from the index alone — max of
     * per-file maxes / min of mins, a driver-side sidecar fold with NO
     * data scan (valid because every live file of these fixtures carries
@@ -1972,6 +2093,133 @@ object LakeIndexOps {
         .withColumn("merge_version",
           lit(SnapshotLake.currentVersion(root).get))
         .orderBy("o_orderstatus")
+    },
+
+    // ── SQL DDL schema evolution through the V2 catalog: `ALTER TABLE
+    //    … ADD COLUMN rebate DOUBLE` maps onto a metadata-only `evolve`
+    //    commit (v5 — the write-side twin of the mergeSchema read
+    //    contract), the evolved shape INSERTs through the connector
+    //    (v6), and BOTH reads hash-check: the head (old files null-fill
+    //    the column, inserts carry it) and a `VERSION AS OF 4` pin that
+    //    predates the evolution (the column ABSENT — n_cols proves it).
+    Q("q250_sql_schema_evolution",
+      s"""WITH m AS (SELECT count(*) AS n FROM orders),
+         |reb AS (SELECT CAST(i AS DOUBLE) / 4.0 AS rebate FROM range(1, 41) t(i))
+         |SELECT 'head' AS side, m.n + 40 AS n_rows, CAST(7 AS BIGINT) AS n_cols,
+         |       CAST(40 AS BIGINT) AS rebate_rows,
+         |       (SELECT ${centsSumSql("rebate")} FROM reb) AS rebate_cents
+         |FROM m
+         |UNION ALL
+         |SELECT 'pre', m.n, CAST(6 AS BIGINT), CAST(0 AS BIGINT),
+         |       CAST(0 AS DOUBLE)
+         |FROM m
+         |ORDER BY side""".stripMargin) { (s, d) =>
+      val (_, tbl) = evoLake(s, d)
+      val head = s.sql(s"SELECT * FROM $tbl")
+      val pre = s.sql(s"SELECT * FROM $tbl VERSION AS OF 4")
+      val headLeg = head.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("rebate")).as("rebate_rows"),
+        centsSum("rebate").as("rebate_cents"))
+        .withColumn("side", lit("head"))
+        .withColumn("n_cols", lit(head.schema.size.toLong))
+      val preLeg = pre.agg(count(lit(1)).as("n_rows"))
+        .withColumn("rebate_rows", lit(0L))
+        .withColumn("rebate_cents", lit(0.0))
+        .withColumn("side", lit("pre"))
+        .withColumn("n_cols", lit(pre.schema.size.toLong))
+      val cols = Seq("side", "n_rows", "n_cols", "rebate_rows", "rebate_cents")
+      headLeg.select(cols.map(col): _*)
+        .unionByName(preLeg.select(cols.map(col): _*))
+        .orderBy("side")
+    },
+
+    // ── MERGE with the FULL Delta clause matrix — `WHEN NOT MATCHED BY
+    //    SOURCE` in both its DELETE and UPDATE forms (first-match-wins
+    //    ordering), next to matched-update and not-matched-insert, all in
+    //    ONE statement and ONE group-based copy-on-write commit. The
+    //    oracle replays the clause algebra over raw orders: matched keys
+    //    (mod 89) restatus/reprice, unmatched mod-101 targets DELETE
+    //    (clause order shields mod-103 overlaps), remaining mod-103
+    //    targets update to 'X'/+7, 20 above-max source rows insert.
+    Q("q251_merge_not_matched_by_source",
+      s"""WITH base AS (
+         |  SELECT CASE WHEN o_orderkey % 89 = 0 THEN 'M'
+         |              WHEN o_orderkey % 103 = 0 THEN 'X'
+         |              ELSE o_orderstatus END AS st,
+         |         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 3.0
+         |              WHEN o_orderkey % 103 = 0 THEN o_totalprice + 7.0
+         |              ELSE o_totalprice END AS price
+         |  FROM orders
+         |  WHERE NOT (o_orderkey % 89 <> 0 AND o_orderkey % 101 = 0)),
+         |ins AS (SELECT 'N' AS st, 2000.0 + i AS price FROM range(1, 21) t(i)),
+         |f AS (SELECT st, price FROM base UNION ALL SELECT st, price FROM ins)
+         |SELECT st AS o_orderstatus, count(*) AS n_rows,
+         |       ${centsSumSql("price")} AS total,
+         |       CAST(5 AS BIGINT) AS merge_version
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val (root, tbl) = nmbsLake(s, d)
+      s.sql(s"SELECT o_orderstatus, o_totalprice FROM $tbl")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          centsSum("o_totalprice").as("total"))
+        .withColumn("merge_version",
+          lit(SnapshotLake.currentVersion(root).get))
+        .orderBy("o_orderstatus")
+    },
+
+    // ── Bloom point lookup THROUGH the connector (q220's property on
+    //    the standard filter API): a pushed equality on the bloom-indexed
+    //    key consults the per-file bloom sidecars at planning time — the
+    //    definitely-absent probe (an odd key over an even-keys-only lake,
+    //    absent by construction at every scale) schedules ZERO input
+    //    partitions (kept=0 pinned), and the {min, max} IN-probe keeps
+    //    exactly the two files holding them. fpp 1e-8 on the fixture so
+    //    the kept pins never ride false-positive luck.
+    Q("q252_dsv2_bloom_point_lookup",
+      """WITH e AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0),
+        |b AS (SELECT min(l_orderkey) AS mn, max(l_orderkey) AS mx FROM e),
+        |hit AS (SELECT count(*) AS n_rows,
+        |               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |        FROM e, b WHERE l_orderkey = b.mn OR l_orderkey = b.mx)
+        |SELECT 'absent' AS side, CAST(0 AS BIGINT) AS n_rows,
+        |       CAST(0 AS BIGINT) AS sum_qty,
+        |       CAST(0 AS BIGINT) AS kept_files, CAST(4 AS BIGINT) AS total_files
+        |UNION ALL
+        |SELECT 'hit', n_rows, sum_qty, CAST(2 AS BIGINT), CAST(4 AS BIGINT)
+        |FROM hit
+        |ORDER BY side""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val root = bloomLake(s, d)
+      val (mn, mx) = statsBounds(root, "l_orderkey")
+      val oddProbe = ((mn + mx) / 2) | 1L // odd ⇒ absent, inside the hull
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.connector.read.Scan] = p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b.scan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+      }.flatten
+      // ONE execution per leg: the collect materializes the aggregate and
+      // the kept/total evidence reads from that same execution's plan
+      def leg(df: org.apache.spark.sql.DataFrame, side: String) = {
+        val agg = df.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("l_quantity").cast("long")), lit(0L)).as("q"))
+        val row = agg.collect()(0)
+        val scan = scans(agg.queryExecution.executedPlan)
+          .collectFirst { case g: graft.sources.GraftLakeScan => g }
+          .getOrElse(sys.error("plan must contain the graftlake scan"))
+        (side, row.getLong(0), row.getLong(1),
+          scan.keptFiles.toLong, scan.totalFiles.toLong)
+      }
+      val load = s.read.format("graftlake").load(root)
+      Seq(
+        leg(load.filter(col("l_orderkey") === oddProbe), "absent"),
+        leg(load.filter(col("l_orderkey").isin(mn, mx)), "hit"))
+        .toDF("side", "n_rows", "sum_qty", "kept_files", "total_files")
+        .orderBy("side")
     }
   )
 }

@@ -175,9 +175,62 @@ class GraftLakeCatalog extends TableCatalog
         true
     }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graftlake table schemas evolve through commits (mergeSchema), not ALTER")
+  /** SQL DDL schema evolution — the write-side twin of the mergeSchema
+    * read contract: `ALTER TABLE t ADD COLUMN(S) …` (and a widening
+    * `ALTER COLUMN … TYPE`) maps to a metadata-only `evolve` commit
+    * ([[SnapshotLake.evolveSchema]]). The new column is visible at the
+    * new version before any file carries it (old files null-fill); a
+    * `VERSION AS OF` pin below the evolve commit still reads the
+    * pre-evolution shape. Drops, renames, repositioning, and narrowing
+    * casts refuse loudly — those are rewrites, not metadata commits. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    val spark = SparkSession.active
+    if (SnapshotLake.currentVersion(root).isEmpty) {
+      // managed table before its first commit: evolve the declared
+      // schema marker itself — there is no version to anchor a commit to
+      val cur = declaredSchema(ident).getOrElse(new StructType())
+      val evolved = applyChanges(cur, changes)
+      Files.write(dirOf(ident).resolve("_schema.json"),
+        evolved.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } else {
+      val cur = SnapshotLake.declaredSchema(root)
+        .getOrElse(SnapshotLake.read(spark, root).schema)
+      SnapshotLake.evolveSchema(spark, root, applyChanges(cur, changes))
+    }
+    load(ident, None)
+  }
+
+  /** Fold supported [[TableChange]]s over a schema: AddColumn (top-level,
+    * nullable — old files must null-fill it) and widening
+    * UpdateColumnType; everything else refuses with the reason. */
+  private def applyChanges(schema: StructType,
+                           changes: Seq[TableChange]): StructType =
+    changes.foldLeft(schema) {
+      case (s, add: TableChange.AddColumn) =>
+        require(add.fieldNames.length == 1,
+          s"graftlake ALTER supports top-level columns only: ${
+            add.fieldNames.mkString(".")}")
+        require(!s.fieldNames.contains(add.fieldNames.head),
+          s"column '${add.fieldNames.head}' already exists")
+        require(add.isNullable,
+          s"added column '${add.fieldNames.head}' must be nullable — " +
+            "files written before the evolution null-fill it")
+        s.add(org.apache.spark.sql.types.StructField(
+          add.fieldNames.head, add.dataType, nullable = true))
+      case (s, upd: TableChange.UpdateColumnType) =>
+        require(upd.fieldNames.length == 1,
+          s"graftlake ALTER supports top-level columns only: ${
+            upd.fieldNames.mkString(".")}")
+        org.apache.spark.sql.types.StructType(s.fields.map { f =>
+          if (f.name == upd.fieldNames.head) f.copy(dataType = upd.newDataType)
+          else f
+        }) // widening is validated by evolveSchema against the old type
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graftlake ALTER supports ADD COLUMN and widening ALTER COLUMN " +
+          s"TYPE only; ${other.getClass.getSimpleName} is a rewrite, " +
+          "not a metadata commit")
+    }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(

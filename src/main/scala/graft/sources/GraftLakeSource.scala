@@ -292,6 +292,7 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
 
   private var required: StructType = fullSchema
   private var ranges: Seq[FileStats.Range] = Nil
+  private var bloomProbes: Seq[(String, Seq[String])] = Nil
   private var exact: Array[Filter] = Array.empty
   private var residual: Array[Filter] = Array.empty
   private var aggPushed: Option[(StructType, Seq[Any])] = None
@@ -344,6 +345,20 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
       case GreaterThan(a, v) => s(v).map(x => FileStats.Range(a, Some(x), None))
       case LessThanOrEqual(a, v) => s(v).map(x => FileStats.Range(a, None, Some(x)))
       case LessThan(a, v) => s(v).map(x => FileStats.Range(a, None, Some(x)))
+      case _ => None
+    }
+    // POINT predicates additionally consult the per-file bloom sidecars
+    // (when the commit wrote them): a definitely-absent key prunes files
+    // the min/max hull alone cannot disprove — readPointLookup's q220
+    // property through the standard filter API. Advisory like the range
+    // pruning (Spark re-applies these row-level); capped so a huge
+    // IN-list costs the blooms nothing.
+    bloomProbes = filters.toSeq.flatMap {
+      case EqualTo(a, v) => s(v).map(x => a -> Seq(x))
+      case org.apache.spark.sql.sources.In(a, vs)
+          if vs.nonEmpty && vs.length <= 64 =>
+        val conv = vs.toSeq.map(s)
+        if (conv.contains(None)) None else Some(a -> conv.flatten)
       case _ => None
     }
     if (exactPushdown) {
@@ -516,7 +531,24 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
     val pathIdx = SnapshotLake.pathRangeIndex(all)
     val stats = all.map(f =>
       f -> (sidecars.getOrElse(f, Map.empty) ++ pathIdx.getOrElse(f, Map.empty))).toMap
-    val kept = all.filter(f => FileStats.mayMatch(stats(f), ranges))
+    val keptByRange = all.filter(f => FileStats.mayMatch(stats(f), ranges))
+    // bloom level: files whose bloom disproves EVERY probed key drop;
+    // a file without a bloom sidecar is conservatively kept
+    val kept =
+      if (bloomProbes.isEmpty) keptByRange
+      else {
+        val dirs = keptByRange.map(f => f.substring(0, f.lastIndexOf('/')))
+          .distinct
+        val byCol = bloomProbes.map(_._1).distinct.map { c =>
+          c -> dirs.flatMap(dir =>
+            FileStats.readBloomSidecar(root, dir, c)).toMap
+        }.toMap
+        keptByRange.filter { f =>
+          bloomProbes.forall { case (c, vals) =>
+            byCol(c).get(f).forall(bf => vals.exists(bf.mightContainString))
+          }
+        }
+      }
     val lengths = kept.map(f =>
       f -> java.nio.file.Files.size(java.nio.file.Paths.get(root, f))).toMap
     // live deletion vectors: ship the tombstone FILES (path + length +

@@ -105,6 +105,7 @@ final class GraftLakeMicroBatchStream(root: String, rootAbs: String,
               GraftLakeScan.partTupleOf(f) :+ ("_file" -> f))
           }
         case "compact" => Nil // physical-only: never re-emitted
+        case "evolve" => Nil // metadata-only: no row ever changes
         case other if skipChangeCommits => Nil
         case other => throw new UnsupportedOperationException(
           s"graftlake streaming source hit a change commit (version $v, " +

@@ -720,6 +720,61 @@ class SnapshotLakeSpec extends AnyFunSuite {
       "plain files surface NULL partition values (the mergeSchema contract)")
   }
 
+  test("evolve commits declare ADD COLUMN before any file carries it; widening and rewrites honor the declared schema") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val root = newRoot()
+    SnapshotLake.append(Seq((1L, 10), (2L, 20)).toDF("x", "n"), root) // v1: n INT
+    val evolved = StructType(Seq(
+      StructField("x", LongType), StructField("n", LongType), // n widened
+      StructField("tag", StringType))) // tag added
+    val v2 = SnapshotLake.evolveSchema(spark, root, evolved)
+    assert(v2 == 2L)
+    assert(SnapshotLake.declaredSchema(root).contains(evolved))
+    // visible BEFORE any file carries the column; old files null-fill
+    val head = SnapshotLake.read(spark, root)
+    assert(head.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("x", LongType), ("n", LongType), ("tag", StringType)))
+    assert(head.collect().map(r =>
+      (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet ==
+      Set((1L, 10L, None), (2L, 20L, None)))
+    // a version pinned below the evolve reads the pre-evolution shape
+    val pinned = SnapshotLake.read(spark, root, Some(1L))
+    assert(pinned.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("x", LongType), ("n", IntegerType)))
+    // appends may now carry the new shape; the mixed listing aligns
+    SnapshotLake.append(Seq((3L, 30L, "t3")).toDF("x", "n", "tag"), root) // v3
+    def contents() = SnapshotLake.read(spark, root).collect().map(r =>
+      (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(contents() == Set((1L, 10L, None), (2L, 20L, None),
+      (3L, 30L, Some("t3"))))
+    // refusals: drop and narrowing are rewrites, not metadata commits
+    intercept[IllegalArgumentException] {
+      SnapshotLake.evolveSchema(spark, root, StructType(Seq(
+        StructField("x", LongType), StructField("tag", StringType))))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLake.evolveSchema(spark, root, StructType(Seq(
+        StructField("x", LongType), StructField("n", IntegerType),
+        StructField("tag", StringType))))
+    }
+    // rewrites read through the declared schema: a merge and a compaction
+    // over the mixed pre/post-evolution files keep every value
+    SnapshotLake.merge(spark, root,
+      Seq((2L, 200L, "t2")).toDF("x", "n", "tag"), "x") // v4
+    assert(contents() == Set((1L, 10L, None), (2L, 200L, Some("t2")),
+      (3L, 30L, Some("t3"))))
+    SnapshotLake.compact(spark, root) // v5: materializes declared shape
+    assert(contents() == Set((1L, 10L, None), (2L, 200L, Some("t2")),
+      (3L, 30L, Some("t3"))))
+    // checkpoints persist the declaration: vacuum past the evolve commit
+    // and the schema survives resolution from the checkpoint alone
+    SnapshotLake.vacuum(root, keepVersions = 2)
+    assert(SnapshotLake.declaredSchema(root).contains(evolved),
+      "the declared schema must ride the checkpoint across vacuum")
+    assert(contents() == Set((1L, 10L, None), (2L, 200L, Some("t2")),
+      (3L, 30L, Some("t3"))))
+  }
+
   test("hive-escaped partition values decode before range classification: DELETE and fast counts see the real value") {
     val root = newRoot()
     // ':' hive-escapes to %3A and '=' to %3D in partition directory names;

@@ -35,6 +35,47 @@ class GraftLakeCatalogSpec extends AnyFunSuite {
     root
   }
 
+  test("ALTER TABLE ADD COLUMN / widening ALTER COLUMN TYPE commit schema evolution; other shapes refuse") {
+    // four one-file commits with y deliberately INT (widening target)
+    val root = Files.createTempDirectory("graft-cat-ev").toString + "/lake"
+    val idx = SnapshotLake.IndexSpec(Seq("x"), None)
+    (0 until 4).foreach { i =>
+      SnapshotLake.append(
+        spark.range(i * 10L, i * 10L + 10)
+          .select(col("id").as("x"), (col("id") * 2).cast("int").as("y"))
+          .coalesce(1), root, idx)
+    }
+    spark.sql(s"CREATE TABLE graft_cat.ns.ev USING graftlake LOCATION '$root'")
+    spark.sql("ALTER TABLE graft_cat.ns.ev ADD COLUMN note STRING") // v5
+    // visible immediately, old files null-fill
+    val head = spark.sql("SELECT x, y, note FROM graft_cat.ns.ev")
+    assert(head.schema.fieldNames.toSeq == Seq("x", "y", "note"))
+    assert(head.count() == 40L)
+    assert(head.filter(col("note").isNull).count() == 40L)
+    // a pinned pre-evolution version never sees the column
+    val pre = spark.sql("SELECT * FROM graft_cat.ns.ev VERSION AS OF 4")
+    assert(pre.schema.fieldNames.toSeq == Seq("x", "y"))
+    // INSERT with the evolved shape through the connector
+    spark.sql("INSERT INTO graft_cat.ns.ev VALUES (100, 200, 'new')") // v6
+    val rows = spark.sql(
+      "SELECT x, note FROM graft_cat.ns.ev WHERE x >= 39 ORDER BY x")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(rows.toSeq == Seq((39L, None), (100L, Some("new"))))
+    // widening ALTER COLUMN TYPE evolves as metadata too
+    spark.sql("ALTER TABLE graft_cat.ns.ev ALTER COLUMN y TYPE BIGINT")
+    assert(spark.table("graft_cat.ns.ev").schema("y").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT sum(y) FROM graft_cat.ns.ev").head.getLong(0) ==
+      (0L until 40L).map(_ * 2).sum + 200L)
+    // refusals: drop, rename, narrowing
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft_cat.ns.ev DROP COLUMN note"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft_cat.ns.ev RENAME COLUMN note TO memo"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft_cat.ns.ev ALTER COLUMN y TYPE INT"))
+  }
+
   test("external table: pasted SQL with VERSION AS OF rides the pruned connector scan") {
     val root = buildLake()
     SnapshotLake.deleteWhere(spark, root, Seq(5L).toDF("x")) // v5
