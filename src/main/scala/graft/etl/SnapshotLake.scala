@@ -337,7 +337,7 @@ object SnapshotLake {
     * declared type (identity for unevolved columns, a widening cast
     * after UpdateColumnType), absent columns null-filled — the read-side
     * half of [[evolveSchema]]'s contract. */
-  private def alignTo(df: DataFrame, decl: StructType): DataFrame = {
+  private[graft] def alignTo(df: DataFrame, decl: StructType): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val have = df.columns.toSet
     df.select(decl.fields.toSeq.map { f =>
@@ -385,17 +385,44 @@ object SnapshotLake {
     * any version ≥ this commit see the declared column set (old files
     * null-fill the additions); a version pinned below it reads exactly
     * the pre-evolution shape. Returns the committed version. */
+  /** (narrow, wide) pairs a metadata-only evolution may cross: the
+    * parquet readers promote these natively under a requested schema. */
+  private[graft] val Widens: Set[(org.apache.spark.sql.types.DataType,
+                                  org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    val ints = Seq(ByteType, ShortType, IntegerType, LongType)
+    val intPairs = for {
+      (a, i) <- ints.zipWithIndex; b <- ints.drop(i + 1)
+    } yield (a: DataType, b: DataType)
+    (intPairs :+ (FloatType -> DoubleType)).toSet
+  }
+
+  /** The schema an auto-merging APPEND evolves the lake to (the write
+    * option `mergeSchema=true` — Delta's autoMerge): every lake column
+    * survives (widened where the incoming data is wider; the lake type
+    * stands where the data is narrower or absent), and data-only
+    * columns append as nullable. Irreconcilable types refuse. */
+  private[graft] def mergeForWrite(lake: StructType,
+                                   data: StructType): StructType = {
+    val merged = lake.fields.map { f =>
+      data.fields.find(_.name == f.name) match {
+        case Some(d) if d.dataType == f.dataType => f
+        case Some(d) if Widens((f.dataType, d.dataType)) =>
+          f.copy(dataType = d.dataType)
+        case Some(d) if Widens((d.dataType, f.dataType)) => f
+        case Some(d) => throw new IllegalArgumentException(
+          s"mergeSchema cannot reconcile column '${f.name}': lake " +
+            s"${f.dataType.simpleString} vs append ${d.dataType.simpleString}")
+        case None => f // absent from the append: null-fills at write
+      }
+    } ++ data.fields.filterNot(d => lake.fieldNames.contains(d.name))
+      .map(_.copy(nullable = true))
+    StructType(merged)
+  }
+
   def evolveSchema(spark: SparkSession, root: String,
                    newSchema: StructType): Long = {
-    val widens: Set[(org.apache.spark.sql.types.DataType,
-                     org.apache.spark.sql.types.DataType)] = {
-      import org.apache.spark.sql.types._
-      val ints = Seq(ByteType, ShortType, IntegerType, LongType)
-      val intPairs = for {
-        (a, i) <- ints.zipWithIndex; b <- ints.drop(i + 1)
-      } yield (a: DataType, b: DataType)
-      (intPairs :+ (FloatType -> DoubleType)).toSet
-    }
+    val widens = Widens
     var committed = -1L
     while (committed < 0) {
       val cur = currentVersion(root).getOrElse(

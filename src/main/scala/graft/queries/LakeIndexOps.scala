@@ -913,6 +913,52 @@ object LakeIndexOps {
       (root, tbl)
     }
 
+  /** One renamed + auto-merge-evolved catalog lake per (session, sf
+    * dir): orders as two half-range commits (v1-v2), a WIDER batch
+    * (new `rebate` column) appended through the connector write with
+    * `.option("mergeSchema", "true")` — ONE evolve commit (v3) + the
+    * append (v4), Delta's autoMerge — then `ALTER TABLE … RENAME TO`.
+    * Returns (root, renamed table, old table name). */
+  private val renM = new graft.etl.Memo[(SparkSession, String), (String, String, String)]
+
+  private def renamedLake(s: SparkSession, d: String): (String, String, String) =
+    renM((s, d)) {
+      val root = Scratch.tempDir("graft-ren-lake").toString + "/lake"
+      val od = Tables.orders(s, d)
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      SnapshotLake.append(
+        od.filter(col("o_orderkey") < maxK / 2).coalesce(1), root, idx)
+      SnapshotLake.append(
+        od.filter(col("o_orderkey") >= maxK / 2).coalesce(1), root, idx)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+        Scratch.tempDir("graft-cat-warehouse").toString)
+      val h = f"${scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff}%08x"
+      val tbl0 = s"graft_cat.lakes.orders_ren_$h"
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl0 USING graftlake LOCATION '$root'")
+      s.range(1, 41).select(
+        (lit(maxK) + col("id")).as("o_orderkey"),
+        (col("id") % 100).as("o_custkey"),
+        lit("R").as("o_orderstatus"),
+        (lit(100.0) + col("id").cast("double")).as("o_totalprice"),
+        // match the lake's at-rest timestamp flavor exactly (testdata
+        // generations vary between TIMESTAMP and TIMESTAMP_NTZ) — the
+        // auto-merge reconciles additions/widenings, never tz-flavor
+        lit("2024-07-01 00:00:00")
+          .cast(od.schema("o_orderdate").dataType).as("o_orderdate"),
+        lit("REN").as("o_orderpriority"),
+        (col("id").cast("double") / 4.0).as("rebate"))
+        .write.format("graftlake").mode("append")
+        .option("mergeSchema", "true").save(root) // v3 evolve + v4 append
+      require(SnapshotLake.currentVersion(root).contains(4L),
+        "autoMerge must commit exactly one evolve (v3) plus the append (v4)")
+      val tbl = s"graft_cat.lakes.orders_ren2_$h"
+      s.sql(s"ALTER TABLE $tbl0 RENAME TO lakes.orders_ren2_$h")
+      (root, tbl, tbl0)
+    }
+
   /** One bloom-indexed lake per (session, sf dir) for the CONNECTOR
     * point-lookup proof: lineitem's EVEN orderkeys only (so an odd
     * in-hull probe key is absent BY CONSTRUCTION at every scale), four
@@ -2219,6 +2265,51 @@ object LakeIndexOps {
         leg(load.filter(col("l_orderkey") === oddProbe), "absent"),
         leg(load.filter(col("l_orderkey").isin(mn, mx)), "hit"))
         .toDF("side", "n_rows", "sum_qty", "kept_files", "total_files")
+        .orderBy("side")
+    },
+
+    // ── ALTER TABLE RENAME TO + write-side mergeSchema auto-evolution:
+    //    a WIDER batch (new rebate column) appends through the plain
+    //    `df.write.format("graftlake").option("mergeSchema","true")` —
+    //    ONE metadata-only evolve commit plus the append (Delta's
+    //    autoMerge) — then the table renames; reads through the NEW
+    //    name cover the head (additions carried, old files null-fill)
+    //    and a pre-evolution pin, with the version count and the old
+    //    name's absence pinned alongside.
+    Q("q253_rename_automerge_append",
+      s"""WITH m AS (SELECT count(*) AS n FROM orders),
+         |reb AS (SELECT CAST(i AS DOUBLE) / 4.0 AS rebate FROM range(1, 41) t(i))
+         |SELECT 'head' AS side, m.n + 40 AS n_rows, CAST(7 AS BIGINT) AS n_cols,
+         |       CAST(40 AS BIGINT) AS rebate_rows,
+         |       (SELECT ${centsSumSql("rebate")} FROM reb) AS rebate_cents,
+         |       CAST(4 AS BIGINT) AS n_versions, TRUE AS old_name_gone
+         |FROM m
+         |UNION ALL
+         |SELECT 'pre', m.n, CAST(6 AS BIGINT), CAST(0 AS BIGINT),
+         |       CAST(0 AS DOUBLE), CAST(4 AS BIGINT), TRUE
+         |FROM m
+         |ORDER BY side""".stripMargin) { (s, d) =>
+      val (root, tbl, oldTbl) = renamedLake(s, d)
+      val head = s.sql(s"SELECT * FROM $tbl")
+      val pre = s.sql(s"SELECT * FROM $tbl VERSION AS OF 2")
+      val oldGone = !s.catalog.tableExists(oldTbl)
+      val nv = SnapshotLake.currentVersion(root).get
+      val headLeg = head.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("rebate")).as("rebate_rows"),
+        centsSum("rebate").as("rebate_cents"))
+        .withColumn("side", lit("head"))
+        .withColumn("n_cols", lit(head.schema.size.toLong))
+      val preLeg = pre.agg(count(lit(1)).as("n_rows"))
+        .withColumn("rebate_rows", lit(0L))
+        .withColumn("rebate_cents", lit(0.0))
+        .withColumn("side", lit("pre"))
+        .withColumn("n_cols", lit(pre.schema.size.toLong))
+      val cols = Seq("side", "n_rows", "n_cols", "rebate_rows", "rebate_cents")
+      headLeg.select(cols.map(col): _*)
+        .unionByName(preLeg.select(cols.map(col): _*))
+        .withColumn("n_versions", lit(nv))
+        .withColumn("old_name_gone", lit(oldGone))
         .orderBy("side")
     }
   )

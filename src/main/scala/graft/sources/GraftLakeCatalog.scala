@@ -232,9 +232,21 @@ class GraftLakeCatalog extends TableCatalog
           "not a metadata commit")
     }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "rename by CREATE TABLE ... LOCATION + DROP of the old pointer")
+  /** `ALTER TABLE … RENAME TO …` — an atomic directory move: a managed
+    * table's lake lives in its identifier directory and moves with it;
+    * an external table moves only its `_location.json` pointer (the
+    * lake stays where LOCATION put it — the same split as DROP). No
+    * manifest is touched, so every pinned version, tag, and sidecar
+    * survives the rename verbatim. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val from = dirOf(oldIdent)
+    val to = dirOf(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
 
   // ── CALL procedures: the table-maintenance ops as SQL ──────────────
   //    (the Iceberg `CALL catalog.system.<proc>` surface):

@@ -257,23 +257,36 @@ final class GraftLakeWriteBuilder(root: String,
               .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
             Option(options.get("bloomCol")).map(_.trim).filter(_.nonEmpty))
           val replacing = overwriteAll || overwrite
+          val autoMerge = options.getBoolean("mergeSchema", false)
           // schema enforcement lives HERE: supportsExternalMetadata
           // means Spark hands the writer the query's own schema, so
           // analysis never compares it to the table's — an append that
           // doesn't match the lake (names AND types, Delta's contract)
           // must fail before any file is written. Overwrite replaces
-          // the table, so any schema is legal.
+          // the table, so any schema is legal. The write option
+          // `mergeSchema=true` (Delta's autoMerge) instead EVOLVES the
+          // lake to (lake ∪ append) — additions and widenings as one
+          // metadata-only evolve commit — and aligns the batch to it.
+          var payload = data
           if (!replacing)
             SnapshotLake.currentVersion(root).foreach { v =>
               val lake = SnapshotLake
                 .read(data.sparkSession, root, Some(v)).schema
               def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
-              require(shape(data.schema) == shape(lake),
-                s"append schema ${data.schema.simpleString} does not match " +
-                  s"lake schema ${lake.simpleString} at $root")
+              if (shape(data.schema) != shape(lake)) {
+                require(autoMerge,
+                  s"append schema ${data.schema.simpleString} does not match " +
+                    s"lake schema ${lake.simpleString} at $root — write with " +
+                    ".option(\"mergeSchema\", \"true\") to evolve the lake " +
+                    "to the union (additions/widenings only)")
+                val evolved = SnapshotLake.mergeForWrite(lake, data.schema)
+                if (shape(evolved) != shape(lake))
+                  SnapshotLake.evolveSchema(data.sparkSession, root, evolved)
+                payload = SnapshotLake.alignTo(data, evolved)
+              }
             }
-          if (replacing) SnapshotLake.overwrite(data, root, idx)
-          else SnapshotLake.append(data, root, idx)
+          if (replacing) SnapshotLake.overwrite(payload, root, idx)
+          else SnapshotLake.append(payload, root, idx)
           ()
         }
       }

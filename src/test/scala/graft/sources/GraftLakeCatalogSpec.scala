@@ -76,6 +76,30 @@ class GraftLakeCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE graft_cat.ns.ev ALTER COLUMN y TYPE INT"))
   }
 
+  test("ALTER TABLE RENAME TO moves the identifier; manifests, tags, and pinned versions survive verbatim") {
+    // managed: the lake moves with the identifier directory
+    spark.sql("CREATE TABLE graft_cat.ns.ren_a (x BIGINT, y BIGINT) USING graftlake")
+    spark.sql("INSERT INTO graft_cat.ns.ren_a VALUES (1, 2), (3, 4)")
+    spark.sql("INSERT INTO graft_cat.ns.ren_a VALUES (5, 6)")
+    spark.sql("ALTER TABLE graft_cat.ns.ren_a RENAME TO ns.ren_b")
+    assert(!spark.catalog.tableExists("graft_cat.ns.ren_a"))
+    assert(spark.sql("SELECT sum(x) FROM graft_cat.ns.ren_b").head.getLong(0) == 9L)
+    // version history survives the move
+    assert(spark.sql("SELECT sum(x) FROM graft_cat.ns.ren_b VERSION AS OF 1")
+      .head.getLong(0) == 4L)
+    // external: only the pointer moves, the lake stays put
+    val root = buildLake()
+    spark.sql(s"CREATE TABLE graft_cat.ns.ren_ext USING graftlake LOCATION '$root'")
+    spark.sql("ALTER TABLE graft_cat.ns.ren_ext RENAME TO ns.ren_ext2")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.ren_ext2")
+      .head.getLong(0) == 40L)
+    assert(SnapshotLake.currentVersion(root).contains(4L),
+      "the external lake itself must not move")
+    // renaming over an existing table refuses
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft_cat.ns.ren_ext2 RENAME TO ns.ren_b"))
+  }
+
   test("external table: pasted SQL with VERSION AS OF rides the pruned connector scan") {
     val root = buildLake()
     SnapshotLake.deleteWhere(spark, root, Seq(5L).toDF("x")) // v5

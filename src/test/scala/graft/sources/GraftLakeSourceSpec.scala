@@ -368,6 +368,42 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       (3L, Seq(5.0f, 6.0f), Some("new"))))
   }
 
+  test("write option mergeSchema=true auto-evolves the lake to the append's union; without it the append refuses") {
+    val root = newRoot()
+    SnapshotLake.append(
+      spark.range(0, 5).select(col("id").as("k"),
+        (col("id") * 2).cast("int").as("n")), root) // v1: n INT
+    // a wider + additive batch refuses without the option…
+    val batch = spark.range(5, 8).select(col("id").as("k"),
+      (col("id") * 2).as("n"), // LONG: widens
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("t"),
+        col("id").cast("string")).as("tag")) // new column
+    intercept[Exception](
+      batch.write.format("graftlake").mode("append").save(root))
+    // …and evolves + appends with it: one evolve commit, one append
+    batch.write.format("graftlake").mode("append")
+      .option("mergeSchema", "true").save(root)
+    assert(SnapshotLake.currentVersion(root).contains(3L),
+      "exactly one evolve commit (v2) plus the append (v3)")
+    val df = spark.read.format("graftlake").load(root)
+    assert(df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      Seq(("k", "bigint"), ("n", "bigint"), ("tag", "string")))
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1),
+      Option(r.getString(2)))).toSet ==
+      ((0L until 5L).map(i => (i, i * 2, None)) ++
+        (5L until 8L).map(i => (i, i * 2, Some(s"t$i")))).toSet)
+    // a batch MISSING a column also rides the option (null-fill), with
+    // no gratuitous evolve commit — the union adds nothing new
+    spark.range(8, 9).select(col("id").as("k")).write.format("graftlake")
+      .mode("append").option("mergeSchema", "true").save(root)
+    assert(SnapshotLake.currentVersion(root).contains(4L),
+      "no evolve commit when the union equals the lake schema")
+    val after = spark.read.format("graftlake").load(root)
+    assert(after.filter(col("k") === 8L).collect().map(r =>
+      (r.isNullAt(1), r.isNullAt(2))).toSeq == Seq((true, true)))
+  }
+
   test("filtered-count wholeMatch compares integral stats at full precision — no 2^53 Double collapse") {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThanOrEqual}
     // 2^53 + 1: equal to 2^53 as a Double, distinct as a Long
