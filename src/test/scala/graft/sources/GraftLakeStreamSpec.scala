@@ -104,6 +104,37 @@ class GraftLakeStreamSpec extends AnyFunSuite {
     assert(contents(dst) == (0 until 18).map(i => i.toLong -> s"v$i").toMap)
   }
 
+  test("the streaming source reads an evolved lake: the evolve commit is skipped, pre-evolution batches null-fill") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = newDir("evo-src") + "/lake"
+    SnapshotLake.append(kv(0, 5), src, idx) // v1: (k, v)
+    SnapshotLake.evolveSchema(spark, src, StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("tag", StringType)))) // v2: metadata only
+    SnapshotLake.append(
+      Seq((5L, "v5", "t5"), (6L, "v6", "t6")).toDF("k", "v", "tag"),
+      src, idx) // v3: the evolved shape
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[String])]
+    val q = spark.readStream.format("graftlake").load(src)
+      .writeStream
+      .option("checkpointLocation", newDir("evo-cp"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= df.collect().map(r =>
+            (r.getAs[Long]("k"), Option(r.getAs[String]("tag"))))
+        }
+        ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), "drain must finish")
+    // the stream's schema is the DECLARED head schema; v1's files
+    // null-fill the added column, v3 carries it, v2 emits nothing
+    assert(got.toSet ==
+      ((0L until 5L).map(k => k -> None) ++
+        Seq(5L -> Some("t5"), 6L -> Some("t6"))).toSet)
+  }
+
   test("without skipChangeCommits a change commit fails the stream with a clear error") {
     val src = newDir("src") + "/lake"
     buildSrc(src)
