@@ -775,6 +775,30 @@ class SnapshotLakeSpec extends AnyFunSuite {
       (3L, 30L, Some("t3"))))
   }
 
+  test("an evolve commit racing appends: both land under CAS, no row lost, the declaration survives") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = newRoot()
+    SnapshotLake.append(Seq((0L, "v0")).toDF("k", "v"), root) // v1
+    val decl = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType), StructField("tag", StringType)))
+    // four appenders race one evolver; every CAS loser retries
+    val writers = (1 to 4).map(i => Future {
+      SnapshotLake.append(Seq((i.toLong, s"v$i")).toDF("k", "v"), root)
+    }) :+ Future { SnapshotLake.evolveSchema(spark, root, decl) }
+    val versions = Await.result(Future.sequence(writers), 120.seconds)
+    assert(versions.sorted == (2L to 6L),
+      s"five racing commits take five distinct versions: $versions")
+    assert(SnapshotLake.declaredSchema(root).contains(decl),
+      "the declaration survives whatever commit order the race produced")
+    val head = SnapshotLake.read(spark, root)
+    assert(head.schema.fieldNames.toSeq == Seq("k", "v", "tag"))
+    assert(head.select("k").collect().map(_.getLong(0)).toSet ==
+      (0L to 4L).toSet, "no racing append lost")
+  }
+
   test("hive-escaped partition values decode before range classification: DELETE and fast counts see the real value") {
     val root = newRoot()
     // ':' hive-escapes to %3A and '=' to %3D in partition directory names;
