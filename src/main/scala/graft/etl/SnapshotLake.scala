@@ -259,6 +259,26 @@ object SnapshotLake {
   def versionExists(root: String, v: Long): Boolean =
     v >= 1L && Files.exists(versionFile(root, v))
 
+  /** The newest version committed at-or-before `epochMillis` — the
+    * resolution behind SQL `TIMESTAMP AS OF` (Delta's contract: the
+    * snapshot a reader at that wall-clock instant would have seen).
+    * Commit instants are the manifest records' mtimes: a record links
+    * atomically with its content, so its mtime IS its publish instant.
+    * `None` when the instant predates the first retained commit —
+    * either before the table existed or past the vacuum horizon, and
+    * both must refuse rather than silently read a different snapshot.
+    * O(versions-after-the-instant) stat calls from the head, bounded by
+    * retention. */
+  def versionAsOfTimestamp(root: String, epochMillis: Long): Option[Long] = {
+    var v = currentVersion(root).getOrElse(return None)
+    while (versionExists(root, v)) {
+      if (Files.getLastModifiedTime(versionFile(root, v)).toMillis
+            <= epochMillis) return Some(v)
+      v -= 1
+    }
+    None
+  }
+
   /** Publish the full resolved state of `v` (plus the tag index) as a
     * checkpoint, via the same link(2) create-if-absent primitive as
     * commits — content is a pure function of the log, so a racing

@@ -121,6 +121,21 @@ class GraftLakeCatalog extends TableCatalog
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(version.toLong))
 
+  /** `TIMESTAMP AS OF t` — Spark hands the instant in MICROseconds;
+    * it resolves to the newest version committed at-or-before it
+    * (manifest-record mtimes, [[SnapshotLake.versionAsOfTimestamp]]),
+    * then loads exactly like a `VERSION AS OF` pin. An instant before
+    * the first retained commit refuses with the valid range rather
+    * than silently reading some other snapshot. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val root = rootOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    val v = SnapshotLake.versionAsOfTimestamp(root, timestampMicros / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(timestampMicros / 1000L)} " +
+          s"predates the first retained commit of $ident"))
+    load(ident, Some(v))
+  }
+
   private def load(ident: Identifier, v: Option[Long]): Table = {
     val root = rootOf(ident).getOrElse(throw new NoSuchTableException(ident))
     val schema =

@@ -76,6 +76,34 @@ class GraftLakeCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE graft_cat.ns.ev ALTER COLUMN y TYPE INT"))
   }
 
+  test("TIMESTAMP AS OF resolves the newest commit at-or-before the instant; a pre-table instant refuses") {
+    val root = Files.createTempDirectory("graft-cat-ts").toString + "/lake"
+    SnapshotLake.append(Seq((1L, 10L)).toDF("x", "y"), root) // v1
+    Thread.sleep(1200) // manifest mtimes carry second-class granularity
+    val between = java.time.Instant.now()
+    Thread.sleep(1200)
+    SnapshotLake.append(Seq((2L, 20L)).toDF("x", "y"), root) // v2
+    spark.sql(s"CREATE TABLE graft_cat.ns.ts USING graftlake LOCATION '$root'")
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    val pinned = spark.sql(
+      s"SELECT x FROM graft_cat.ns.ts TIMESTAMP AS OF '${fmt.format(between)}'")
+    assert(pinned.collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "the instant between the commits resolves to v1")
+    // an instant at-or-after the head commit reads the head
+    val now = spark.sql(
+      s"SELECT x FROM graft_cat.ns.ts TIMESTAMP AS OF '${
+        fmt.format(java.time.Instant.now())}' ORDER BY x")
+    assert(now.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // before the table existed: refuse, never a silent other snapshot
+    val ex = intercept[Exception](spark.sql(
+      "SELECT x FROM graft_cat.ns.ts TIMESTAMP AS OF '2001-01-01 00:00:00'")
+      .collect())
+    assert(ex.toString.contains("predates") ||
+      Option(ex.getCause).exists(_.toString.contains("predates")), ex.toString)
+  }
+
   test("ALTER TABLE RENAME TO moves the identifier; manifests, tags, and pinned versions survive verbatim") {
     // managed: the lake moves with the identifier directory
     spark.sql("CREATE TABLE graft_cat.ns.ren_a (x BIGINT, y BIGINT) USING graftlake")
