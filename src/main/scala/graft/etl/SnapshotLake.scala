@@ -464,7 +464,7 @@ object SnapshotLake {
             s"${f.dataType.simpleString} to ${after.dataType.simpleString} " +
             "— only widening casts evolve as metadata")
       }
-      if (tryCommit(root, cur + 1, "evolve", cur,
+      if (tryCommit(root, cur + 1, "evolve", cur, addedRows = 0L,
           schemaB64 = Some(encodeSchema(newSchema))))
         committed = cur + 1
     }

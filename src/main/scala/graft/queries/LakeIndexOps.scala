@@ -855,6 +855,7 @@ object LakeIndexOps {
         lit(java.sql.Timestamp.valueOf("2024-07-01 00:00:00")).as("o_orderdate"),
         lit("EVO").as("o_orderpriority"),
         (col("id").cast("double") / 4.0).as("rebate"))
+        .coalesce(1) // one data file: keeps v6's file count oracle-predictable
         .createOrReplaceTempView(s"evo_src_$h")
       s.sql(s"INSERT INTO $tbl SELECT * FROM evo_src_$h") // v6
       require(SnapshotLake.currentVersion(root).contains(6L),
@@ -2311,6 +2312,45 @@ object LakeIndexOps {
         .withColumn("n_versions", lit(nv))
         .withColumn("old_name_gone", lit(oldGone))
         .orderBy("side")
+    },
+
+    // ── Metadata tables (`<table>.history` / `<table>.files` — the
+    //    Iceberg surface): the commit log and the live file inventory
+    //    as queryable relations, resolved ENTIRELY from manifests and
+    //    sidecars (no data file opens — the scan is a driver-local
+    //    row set). The oracle reconstructs every history row — per-
+    //    quartile ingest counts, the metadata-only evolve, the evolved
+    //    append — and the files-side totals from raw orders arithmetic.
+    Q("q254_metadata_tables",
+      s"""WITH m AS (SELECT max(o_orderkey) AS mx, count(*) AS n FROM orders),
+         |h AS (
+         |  SELECT CAST(1 AS BIGINT) AS version, 'append' AS op,
+         |         CAST(1 AS BIGINT) AS n_files,
+         |         (SELECT count(*) FROM orders, m
+         |          WHERE o_orderkey < (mx * 1) // 4) AS added_rows
+         |  UNION ALL SELECT 2, 'append', 2,
+         |         (SELECT count(*) FROM orders, m
+         |          WHERE o_orderkey >= (mx * 1) // 4 AND o_orderkey < (mx * 2) // 4)
+         |  UNION ALL SELECT 3, 'append', 3,
+         |         (SELECT count(*) FROM orders, m
+         |          WHERE o_orderkey >= (mx * 2) // 4 AND o_orderkey < (mx * 3) // 4)
+         |  UNION ALL SELECT 4, 'append', 4,
+         |         (SELECT count(*) FROM orders, m
+         |          WHERE o_orderkey >= (mx * 3) // 4 AND o_orderkey <= mx)
+         |  UNION ALL SELECT 5, 'evolve', 4, 0
+         |  UNION ALL SELECT 6, 'append', 5, 40)
+         |SELECT h.version, h.op, h.n_files, h.added_rows,
+         |       CAST(5 AS BIGINT) AS live_files,
+         |       m.n + 40 AS live_rows
+         |FROM h, m ORDER BY version""".stripMargin) { (s, d) =>
+      val (_, tbl) = evoLake(s, d)
+      val fsum = s.sql(
+        s"SELECT count(*) AS lf, CAST(sum(rows) AS BIGINT) AS lr FROM $tbl.files").head
+      s.sql(s"""SELECT version, op, CAST(n_files AS BIGINT) AS n_files,
+               |added_rows FROM $tbl.history""".stripMargin)
+        .withColumn("live_files", lit(fsum.getLong(0)))
+        .withColumn("live_rows", lit(fsum.getLong(1)))
+        .orderBy("version")
     }
   )
 }

@@ -115,7 +115,26 @@ class GraftLakeCatalog extends TableCatalog
     }
   }
 
-  override def loadTable(ident: Identifier): Table = load(ident, None)
+  override def loadTable(ident: Identifier): Table =
+    metadataTable(ident).getOrElse(load(ident, None))
+
+  /** Iceberg-style METADATA TABLES: `SELECT * FROM cat.ns.t.history` /
+    * `cat.ns.t.files` — the trailing name selects the metadata view of
+    * the parent identifier's lake. `history` is the commit log (the
+    * CALL procedure's rows as a queryable relation); `files` is the
+    * HEAD version's live file inventory with per-file byte lengths and
+    * sidecar row counts. Both resolve driver-side from manifest
+    * metadata — no data file is ever opened. */
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    if (ident.namespace.isEmpty) return None
+    if (!GraftLakeMetaTable.Names.contains(ident.name)) return None
+    val parent = Identifier.of(ident.namespace.dropRight(1),
+      ident.namespace.last)
+    // a REAL table named `history` shadows the metadata view of its
+    // namespace — explicit data wins over sugar
+    if (rootOf(ident).isDefined) return None
+    rootOf(parent).map(root => new GraftLakeMetaTable(root, ident.name))
+  }
 
   /** `VERSION AS OF n` — Spark's time-travel syntax resolves here. */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -299,6 +318,76 @@ class GraftLakeCatalog extends TableCatalog
 object GraftLakeCatalog {
   private[sources] val ProcNames =
     Array("restore", "vacuum", "compact", "compact_zorder", "history")
+}
+
+/** One metadata table (`<table>.history` / `<table>.files`), resolved
+  * entirely from manifest metadata as a driver-local scan. */
+final class GraftLakeMetaTable(root: String, kind: String)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = s"graftlake:$root.$kind"
+
+  override def schema(): StructType = kind match {
+    case "history" => GraftLakeMetaTable.HistorySchema
+    case "files" => GraftLakeMetaTable.FilesSchema
+  }
+
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  private def rows(): Array[InternalRow] = kind match {
+    case "history" =>
+      SnapshotLake.history(root).map { ci =>
+        new GenericInternalRow(Array[Any](ci.version,
+          UTF8String.fromString(ci.op), ci.base,
+          ci.tag.map(UTF8String.fromString).orNull, ci.nFiles, ci.rows))
+          : InternalRow
+      }.toArray
+    case "files" =>
+      val spark = SparkSession.active
+      val v = SnapshotLake.currentVersion(root).getOrElse(
+        return Array.empty)
+      val live = SnapshotLake.files(root, v)
+      val rowsBy = live.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+        .flatMap(dir => graft.etl.FileStats.readRowsSidecar(root, dir)).toMap
+      live.map { f =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString(f),
+          java.nio.file.Files.size(java.nio.file.Paths.get(root, f)),
+          rowsBy.get(f).map(Long.box).orNull)): InternalRow
+      }.toArray
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      // resolved at SCAN time, so a re-run of a cached plan sees the
+      // lake's current state like any metadata query would
+      private val out = GraftLakeMetaTable.this.rows()
+      override def readSchema(): StructType = schema()
+      override def rows(): Array[InternalRow] = out
+      override def description(): String = name()
+    }
+}
+
+object GraftLakeMetaTable {
+  private[sources] val Names = Set("history", "files")
+  import org.apache.spark.sql.types._
+  private[sources] val HistorySchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("base", LongType, nullable = false),
+    StructField("tag", StringType, nullable = true),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("added_rows", LongType, nullable = false)))
+  private[sources] val FilesSchema = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("rows", LongType, nullable = true)))
 }
 
 /** One maintenance procedure, bound by name. `call` runs the lake op

@@ -76,6 +76,29 @@ class GraftLakeCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE graft_cat.ns.ev ALTER COLUMN y TYPE INT"))
   }
 
+  test("metadata tables: <table>.history is the commit log, <table>.files the live inventory — zero data reads") {
+    val root = buildLake() // 4 one-file appends of 10 rows each
+    SnapshotLake.compact(spark, root) // v5: 40 rows in 1 file
+    spark.sql(s"CREATE TABLE graft_cat.ns.meta USING graftlake LOCATION '$root'")
+    val hist = spark.sql(
+      "SELECT version, op, n_files, added_rows FROM graft_cat.ns.meta.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(hist.toSeq == Seq( // n_files = the version's LIVE file count
+      (1L, "append", 1, 10L), (2L, "append", 2, 10L),
+      (3L, "append", 3, 10L), (4L, "append", 4, 10L),
+      (5L, "compact", 1, 0L)))
+    val files = spark.sql(
+      "SELECT count(*) AS n, sum(rows) AS r, sum(bytes) > 0 AS sized FROM graft_cat.ns.meta.files")
+      .head
+    assert((files.getLong(0), files.getLong(1), files.getBoolean(2)) ==
+      (1L, 40L, true), "post-compaction head: one live file of 40 rows")
+    // a REAL table named like a metadata view shadows the sugar
+    spark.sql("CREATE TABLE graft_cat.ns.meta.history (z BIGINT) USING graftlake")
+    spark.sql("INSERT INTO graft_cat.ns.meta.history VALUES (7)")
+    assert(spark.sql("SELECT z FROM graft_cat.ns.meta.history").head.getLong(0) == 7L,
+      "explicit data wins over the metadata view")
+  }
+
   test("TIMESTAMP AS OF resolves the newest commit at-or-before the instant; a pre-table instant refuses") {
     val root = Files.createTempDirectory("graft-cat-ts").toString + "/lake"
     SnapshotLake.append(Seq((1L, 10L)).toDF("x", "y"), root) // v1
