@@ -116,7 +116,7 @@ class GraftLakeCatalog extends TableCatalog
   }
 
   override def loadTable(ident: Identifier): Table =
-    metadataTable(ident).getOrElse(load(ident, None))
+    metadataTable(ident, None).getOrElse(load(ident, None))
 
   /** Iceberg-style METADATA TABLES: `SELECT * FROM cat.ns.t.history` /
     * `cat.ns.t.files` — the trailing name selects the metadata view of
@@ -125,7 +125,8 @@ class GraftLakeCatalog extends TableCatalog
     * HEAD version's live file inventory with per-file byte lengths and
     * sidecar row counts. Both resolve driver-side from manifest
     * metadata — no data file is ever opened. */
-  private def metadataTable(ident: Identifier): Option[Table] = {
+  private def metadataTable(ident: Identifier,
+                            version: Option[Long]): Option[Table] = {
     if (ident.namespace.isEmpty) return None
     if (!GraftLakeMetaTable.Names.contains(ident.name)) return None
     val parent = Identifier.of(ident.namespace.dropRight(1),
@@ -133,12 +134,16 @@ class GraftLakeCatalog extends TableCatalog
     // a REAL table named `history` shadows the metadata view of its
     // namespace — explicit data wins over sugar
     if (rootOf(ident).isDefined) return None
-    rootOf(parent).map(root => new GraftLakeMetaTable(root, ident.name))
+    rootOf(parent).map(root => new GraftLakeMetaTable(root, ident.name, version))
   }
 
-  /** `VERSION AS OF n` — Spark's time-travel syntax resolves here. */
+  /** `VERSION AS OF n` — Spark's time-travel syntax resolves here; it
+    * pins metadata tables too (`t.files VERSION AS OF 2` is the pinned
+    * version's inventory, `t.history VERSION AS OF 2` the log up to
+    * it). */
   override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, Some(version.toLong))
+    metadataTable(ident, Some(version.toLong))
+      .getOrElse(load(ident, Some(version.toLong)))
 
   /** `TIMESTAMP AS OF t` — Spark hands the instant in MICROseconds;
     * it resolves to the newest version committed at-or-before it
@@ -320,9 +325,12 @@ object GraftLakeCatalog {
     Array("restore", "vacuum", "compact", "compact_zorder", "history")
 }
 
-/** One metadata table (`<table>.history` / `<table>.files`), resolved
-  * entirely from manifest metadata as a driver-local scan. */
-final class GraftLakeMetaTable(root: String, kind: String)
+/** One metadata table (`<table>.history` / `<table>.files` /
+  * `<table>.detail`), resolved entirely from manifest metadata as a
+  * driver-local scan; `versionAsOf` pins files/detail to a version's
+  * inventory and truncates history to commits at-or-below it. */
+final class GraftLakeMetaTable(root: String, kind: String,
+                               versionAsOf: Option[Long] = None)
     extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -335,32 +343,52 @@ final class GraftLakeMetaTable(root: String, kind: String)
   override def schema(): StructType = kind match {
     case "history" => GraftLakeMetaTable.HistorySchema
     case "files" => GraftLakeMetaTable.FilesSchema
+    case "detail" => GraftLakeMetaTable.DetailSchema
   }
 
   override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
 
+  private def inventory(v: Long): Seq[(String, Long, Option[Long])] = {
+    val live = SnapshotLake.files(root, v)
+    val rowsBy = live.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      .flatMap(dir => graft.etl.FileStats.readRowsSidecar(root, dir)).toMap
+    live.map(f => (f,
+      java.nio.file.Files.size(java.nio.file.Paths.get(root, f)),
+      rowsBy.get(f)))
+  }
+
   private def rows(): Array[InternalRow] = kind match {
     case "history" =>
-      SnapshotLake.history(root).map { ci =>
+      SnapshotLake.history(root)
+        .filter(ci => versionAsOf.forall(ci.version <= _)).map { ci =>
         new GenericInternalRow(Array[Any](ci.version,
           UTF8String.fromString(ci.op), ci.base,
           ci.tag.map(UTF8String.fromString).orNull, ci.nFiles, ci.rows))
           : InternalRow
       }.toArray
     case "files" =>
-      val spark = SparkSession.active
-      val v = SnapshotLake.currentVersion(root).getOrElse(
-        return Array.empty)
-      val live = SnapshotLake.files(root, v)
-      val rowsBy = live.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
-        .flatMap(dir => graft.etl.FileStats.readRowsSidecar(root, dir)).toMap
-      live.map { f =>
+      val v = versionAsOf.orElse(SnapshotLake.currentVersion(root))
+        .getOrElse(return Array.empty)
+      inventory(v).map { case (f, bytes, nRows) =>
         new GenericInternalRow(Array[Any](UTF8String.fromString(f),
-          java.nio.file.Files.size(java.nio.file.Paths.get(root, f)),
-          rowsBy.get(f).map(Long.box).orNull)): InternalRow
+          bytes, nRows.map(Long.box).orNull)): InternalRow
       }.toArray
+    case "detail" =>
+      val v = versionAsOf.orElse(SnapshotLake.currentVersion(root))
+        .getOrElse(return Array.empty)
+      val inv = inventory(v)
+      val spark = SparkSession.active
+      val schemaStr = SnapshotLake.read(spark, root, Some(v))
+        .schema.simpleString
+      Array(new GenericInternalRow(Array[Any](
+        UTF8String.fromString(root), v, inv.size.toLong,
+        inv.iterator.map(_._2).sum,
+        if (inv.forall(_._3.isDefined)) Long.box(inv.iterator.flatMap(_._3).sum)
+        else null,
+        SnapshotLake.deletesOf(root, v).size.toLong,
+        UTF8String.fromString(schemaStr))))
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -375,7 +403,7 @@ final class GraftLakeMetaTable(root: String, kind: String)
 }
 
 object GraftLakeMetaTable {
-  private[sources] val Names = Set("history", "files")
+  private[sources] val Names = Set("history", "files", "detail")
   import org.apache.spark.sql.types._
   private[sources] val HistorySchema = StructType(Seq(
     StructField("version", LongType, nullable = false),
@@ -388,6 +416,14 @@ object GraftLakeMetaTable {
     StructField("path", StringType, nullable = false),
     StructField("bytes", LongType, nullable = false),
     StructField("rows", LongType, nullable = true)))
+  private[sources] val DetailSchema = StructType(Seq(
+    StructField("location", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false),
+    StructField("total_rows", LongType, nullable = true),
+    StructField("n_delete_files", LongType, nullable = false),
+    StructField("schema_string", StringType, nullable = false)))
 }
 
 /** One maintenance procedure, bound by name. `call` runs the lake op

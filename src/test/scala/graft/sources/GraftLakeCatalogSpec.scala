@@ -92,6 +92,20 @@ class GraftLakeCatalogSpec extends AnyFunSuite {
       .head
     assert((files.getLong(0), files.getLong(1), files.getBoolean(2)) ==
       (1L, 40L, true), "post-compaction head: one live file of 40 rows")
+    // VERSION AS OF pins the metadata views too: v4 = pre-compaction
+    val pinned = spark.sql(
+      "SELECT count(*) AS n, sum(rows) AS r FROM graft_cat.ns.meta.files VERSION AS OF 4").head
+    assert((pinned.getLong(0), pinned.getLong(1)) == (4L, 40L),
+      "the pinned inventory is the four pre-compaction files")
+    assert(spark.sql(
+      "SELECT max(version) FROM graft_cat.ns.meta.history VERSION AS OF 4")
+      .head.getLong(0) == 4L, "history truncates at the pin")
+    // .detail: the one-row DESCRIBE DETAIL summary
+    val det = spark.sql(
+      "SELECT version, n_files, total_rows, n_delete_files, schema_string FROM graft_cat.ns.meta.detail").head
+    assert((det.getLong(0), det.getLong(1), det.getLong(2), det.getLong(3)) ==
+      (5L, 1L, 40L, 0L))
+    assert(det.getString(4).contains("x") && det.getString(4).contains("y"))
     // a REAL table named like a metadata view shadows the sugar
     spark.sql("CREATE TABLE graft_cat.ns.meta.history (z BIGINT) USING graftlake")
     spark.sql("INSERT INTO graft_cat.ns.meta.history VALUES (7)")
