@@ -84,7 +84,7 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
   }
 
   private def versionOf(options: CaseInsensitiveStringMap): Option[Long] =
-    Option(options.get("versionAsOf")).map(_.toLong)
+    GraftLakeSource.resolvePin(rootOf(options), options)
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = rootOf(options)
@@ -103,6 +103,34 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
     new GraftLakeTable(properties.get("path"), schema)
 
   override def supportsExternalMetadata(): Boolean = true
+}
+
+object GraftLakeSource {
+  /** The version pin the reader options select: `versionAsOf` directly,
+    * or `timestampAsOf` ("yyyy-MM-dd HH:mm:ss[.SSS]" or ISO-8601, UTC
+    * when zoneless) resolved to the newest commit at-or-before the
+    * instant — the DataFrame-reader twin of SQL `TIMESTAMP AS OF`.
+    * Both together refuse: a read pinned two ways is a bug at the call
+    * site, never a precedence puzzle. */
+  private[sources] def resolvePin(root: String,
+                                  options: CaseInsensitiveStringMap): Option[Long] = {
+    val byVersion = Option(options.get("versionAsOf")).map(_.toLong)
+    val byTime = Option(options.get("timestampAsOf")).map { s =>
+      require(byVersion.isEmpty,
+        "options versionAsOf and timestampAsOf are mutually exclusive")
+      val millis =
+        try java.time.Instant.parse(s).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        }
+      SnapshotLake.versionAsOfTimestamp(root, millis).getOrElse(
+        throw new IllegalArgumentException(
+          s"timestampAsOf $s predates the first retained commit of $root"))
+    }
+    byVersion.orElse(byTime)
+  }
 }
 
 final class GraftLakeTable(root: String, schema: StructType,
@@ -204,7 +232,8 @@ final class GraftLakeTable(root: String, schema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(
       Option(options.get("path")).getOrElse(root),
-      Option(options.get("versionAsOf")).map(_.toLong)
+      GraftLakeSource.resolvePin(
+        Option(options.get("path")).getOrElse(root), options)
         .orElse(versionAsOf), schema,
       startingVersion = Option(options.get("startingVersion"))
         .map(_.toLong).getOrElse(1L),

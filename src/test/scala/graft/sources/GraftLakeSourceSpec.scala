@@ -368,6 +368,29 @@ class GraftLakeSourceSpec extends AnyFunSuite {
       (3L, Seq(5.0f, 6.0f), Some("new"))))
   }
 
+  test("reader option timestampAsOf pins the newest commit at-or-before the instant") {
+    val root = newRoot()
+    SnapshotLake.append(spark.range(0, 3).select(col("id").as("x")), root) // v1
+    Thread.sleep(1200)
+    val between = java.time.Instant.now()
+    Thread.sleep(1200)
+    SnapshotLake.append(spark.range(3, 5).select(col("id").as("x")), root) // v2
+    val pinned = spark.read.format("graftlake")
+      .option("timestampAsOf", between.toString).load(root)
+    assert(pinned.count() == 3L, "the instant between the commits reads v1")
+    // the space-separated local form parses as UTC too
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+    assert(spark.read.format("graftlake")
+      .option("timestampAsOf", fmt.format(between)).load(root).count() == 3L)
+    // both pins together refuse; a pre-table instant refuses
+    intercept[Exception](spark.read.format("graftlake")
+      .option("timestampAsOf", between.toString)
+      .option("versionAsOf", "1").load(root).count())
+    intercept[Exception](spark.read.format("graftlake")
+      .option("timestampAsOf", "2001-01-01T00:00:00Z").load(root).count())
+  }
+
   test("write option mergeSchema=true auto-evolves the lake to the append's union; without it the append refuses") {
     val root = newRoot()
     SnapshotLake.append(
