@@ -380,8 +380,14 @@ final class GraftLakeMetaTable(root: String, kind: String,
         .getOrElse(return Array.empty)
       val inv = inventory(v)
       val spark = SparkSession.active
-      val schemaStr = SnapshotLake.read(spark, root, Some(v))
-        .schema.simpleString
+      // an emptied version (delete-all) still has a detail row: the
+      // declared schema if one exists, else no schema to report —
+      // read() would throw on the empty listing
+      val schemaStr = SnapshotLake.declaredSchema(root, Some(v))
+        .map(_.simpleString).getOrElse {
+          if (inv.isEmpty) ""
+          else SnapshotLake.read(spark, root, Some(v)).schema.simpleString
+        }
       Array(new GenericInternalRow(Array[Any](
         UTF8String.fromString(root), v, inv.size.toLong,
         inv.iterator.map(_._2).sum,
