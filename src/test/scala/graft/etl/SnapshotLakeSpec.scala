@@ -775,6 +775,32 @@ class SnapshotLakeSpec extends AnyFunSuite {
       (3L, 30L, Some("t3"))))
   }
 
+  test("schema evolution over a hive-PARTITIONED lake: declared reads keep the partition tuples") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = newRoot()
+    SnapshotLake.appendPartitioned(
+      Seq((1L, "a"), (2L, "b")).toDF("x", "p").repartition(1), root, Seq("p"))
+    SnapshotLake.evolveSchema(spark, root, StructType(Seq(
+      StructField("x", LongType), StructField("p", StringType),
+      StructField("note", StringType))))
+    SnapshotLake.appendPartitioned(
+      Seq((3L, "a", "n3")).toDF("x", "p", "note").repartition(1),
+      root, Seq("p"))
+    val df = SnapshotLake.read(spark, root)
+    assert(df.schema.fieldNames.toSeq == Seq("x", "p", "note"))
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.getString(2)))).toSet ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "a", Some("n3"))))
+    // the partition column still prunes through the declared read's plan
+    assert(df.filter(col("p") === "b").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // and a compaction of the evolved partitioned lake round-trips
+    SnapshotLake.compact(spark, root)
+    assert(SnapshotLake.read(spark, root).collect().map(r =>
+      (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "a", Some("n3"))))
+  }
+
   test("an evolve commit racing appends: both land under CAS, no row lost, the declaration survives") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import scala.concurrent.{Await, Future}
