@@ -118,19 +118,21 @@ object GraftLakeSource {
     val byTime = Option(options.get("timestampAsOf")).map { s =>
       require(byVersion.isEmpty,
         "options versionAsOf and timestampAsOf are mutually exclusive")
-      val millis =
-        try java.time.Instant.parse(s).toEpochMilli
-        catch {
-          case _: java.time.format.DateTimeParseException =>
-            java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-        }
-      SnapshotLake.versionAsOfTimestamp(root, millis).getOrElse(
+      SnapshotLake.versionAsOfTimestamp(root, parseInstantMillis(s)).getOrElse(
         throw new IllegalArgumentException(
           s"timestampAsOf $s predates the first retained commit of $root"))
     }
     byVersion.orElse(byTime)
   }
+
+  /** ISO-8601 or the space-separated local form; UTC when zoneless. */
+  private[sources] def parseInstantMillis(s: String): Long =
+    try java.time.Instant.parse(s).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
 }
 
 final class GraftLakeTable(root: String, schema: StructType,
@@ -235,8 +237,15 @@ final class GraftLakeTable(root: String, schema: StructType,
       GraftLakeSource.resolvePin(
         Option(options.get("path")).getOrElse(root), options)
         .orElse(versionAsOf), schema,
-      startingVersion = Option(options.get("startingVersion"))
-        .map(_.toLong).getOrElse(1L),
+      // startingTimestamp = the stream begins with the first commit
+      // STRICTLY AFTER the instant (Delta's startingTimestamp): commits
+      // at-or-before it are history the reader declares already seen
+      startingVersion = Option(options.get("startingVersion")).map(_.toLong)
+        .orElse(Option(options.get("startingTimestamp")).map { s =>
+          val r = Option(options.get("path")).getOrElse(root)
+          SnapshotLake.versionAsOfTimestamp(r,
+            GraftLakeSource.parseInstantMillis(s)).map(_ + 1L).getOrElse(1L)
+        }).getOrElse(1L),
       skipChangeCommits = Option(options.get("skipChangeCommits"))
         .exists(_.toBoolean),
       maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger"))

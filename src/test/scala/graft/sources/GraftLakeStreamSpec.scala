@@ -195,6 +195,28 @@ class GraftLakeStreamSpec extends AnyFunSuite {
       SnapshotLake.currentVersion(dst).get) == files6)
   }
 
+  test("startingTimestamp begins the stream with the first commit strictly after the instant") {
+    val src = newDir("ts-src") + "/lake"
+    SnapshotLake.append(kv(0, 3), src, idx) // v1
+    Thread.sleep(1200)
+    val between = java.time.Instant.now()
+    Thread.sleep(1200)
+    SnapshotLake.append(kv(3, 6), src, idx) // v2
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graftlake")
+      .option("startingTimestamp", between.toString).load(src)
+      .writeStream
+      .option("checkpointLocation", newDir("ts-cp"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got.synchronized { got ++= df.collect().map(_.getAs[Long]("k")) }; ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), "drain must finish")
+    assert(got.toSet == (3L until 6L).toSet,
+      s"only v2 (committed after the instant) streams: $got")
+  }
+
   test("startingVersion bounds the history; column pruning rides the stream") {
     val src = newDir("src") + "/lake"
     SnapshotLake.append(kv(0, 10), src, idx) // v1
