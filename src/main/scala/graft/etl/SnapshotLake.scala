@@ -781,9 +781,15 @@ object SnapshotLake {
   /** Append `df` as a new snapshot version: new data files + (current
     * snapshot's files ∪ new files) manifest, CAS-retried against
     * concurrent committers. Returns the committed version. The data write
-    * happens ONCE; only the (tiny) manifest commit loops. */
+    * happens ONCE; only the (tiny) manifest commit loops.
+    * `declareSchema` rides the SAME commit record as the files (the
+    * schemaB64 field any record may carry): an auto-evolving append
+    * (the write option `mergeSchema=true`) publishes its schema and its
+    * data in ONE atomic manifest link — a crash can never leave the
+    * lake evolved with no data landed, Delta's one-commit contract. */
   def append(df: DataFrame, root: String,
-             index: IndexSpec = IndexSpec.none): Long = {
+             index: IndexSpec = IndexSpec.none,
+             declareSchema: Option[StructType] = None): Long = {
     val w = writeData(df, root, index)
     var committed = -1L
     while (committed < 0) {
@@ -792,7 +798,8 @@ object SnapshotLake {
       // O(change): the record lists only this commit's files — no state
       // resolution on the append path at all
       if (tryCommit(root, next, "append", cur.getOrElse(0L),
-          addedRows = w.rows, add = w.files))
+          addedRows = w.rows, add = w.files,
+          schemaB64 = declareSchema.map(encodeSchema)))
         committed = next
     }
     committed

@@ -917,8 +917,10 @@ object LakeIndexOps {
   /** One renamed + auto-merge-evolved catalog lake per (session, sf
     * dir): orders as two half-range commits (v1-v2), a WIDER batch
     * (new `rebate` column) appended through the connector write with
-    * `.option("mergeSchema", "true")` — ONE evolve commit (v3) + the
-    * append (v4), Delta's autoMerge — then `ALTER TABLE … RENAME TO`.
+    * `.option("mergeSchema", "true")` — ONE commit (v3) carrying BOTH
+    * the evolved schema declaration and the data files (Delta's
+    * autoMerge is one atomic commit, never an evolve+append pair a
+    * crash could tear) — then `ALTER TABLE … RENAME TO`.
     * Returns (root, renamed table, old table name). */
   private val renM = new graft.etl.Memo[(SparkSession, String), (String, String, String)]
 
@@ -952,9 +954,10 @@ object LakeIndexOps {
         lit("REN").as("o_orderpriority"),
         (col("id").cast("double") / 4.0).as("rebate"))
         .write.format("graftlake").mode("append")
-        .option("mergeSchema", "true").save(root) // v3 evolve + v4 append
-      require(SnapshotLake.currentVersion(root).contains(4L),
-        "autoMerge must commit exactly one evolve (v3) plus the append (v4)")
+        .option("mergeSchema", "true").save(root) // v3: schema + files, atomic
+      require(SnapshotLake.currentVersion(root).contains(3L),
+        "autoMerge must commit the evolved schema WITH its files as one " +
+          "atomic version (v3), never an evolve+append pair")
       val tbl = s"graft_cat.lakes.orders_ren2_$h"
       s.sql(s"ALTER TABLE $tbl0 RENAME TO lakes.orders_ren2_$h")
       (root, tbl, tbl0)
@@ -2272,22 +2275,22 @@ object LakeIndexOps {
     // ── ALTER TABLE RENAME TO + write-side mergeSchema auto-evolution:
     //    a WIDER batch (new rebate column) appends through the plain
     //    `df.write.format("graftlake").option("mergeSchema","true")` —
-    //    ONE metadata-only evolve commit plus the append (Delta's
-    //    autoMerge) — then the table renames; reads through the NEW
-    //    name cover the head (additions carried, old files null-fill)
-    //    and a pre-evolution pin, with the version count and the old
-    //    name's absence pinned alongside.
+    //    ONE commit carrying both the evolved schema declaration and
+    //    the data files (Delta's autoMerge atomicity) — then the table
+    //    renames; reads through the NEW name cover the head (additions
+    //    carried, old files null-fill) and a pre-evolution pin, with
+    //    the version count and the old name's absence pinned alongside.
     Q("q253_rename_automerge_append",
       s"""WITH m AS (SELECT count(*) AS n FROM orders),
          |reb AS (SELECT CAST(i AS DOUBLE) / 4.0 AS rebate FROM range(1, 41) t(i))
          |SELECT 'head' AS side, m.n + 40 AS n_rows, CAST(7 AS BIGINT) AS n_cols,
          |       CAST(40 AS BIGINT) AS rebate_rows,
          |       (SELECT ${centsSumSql("rebate")} FROM reb) AS rebate_cents,
-         |       CAST(4 AS BIGINT) AS n_versions, TRUE AS old_name_gone
+         |       CAST(3 AS BIGINT) AS n_versions, TRUE AS old_name_gone
          |FROM m
          |UNION ALL
          |SELECT 'pre', m.n, CAST(6 AS BIGINT), CAST(0 AS BIGINT),
-         |       CAST(0 AS DOUBLE), CAST(4 AS BIGINT), TRUE
+         |       CAST(0 AS DOUBLE), CAST(3 AS BIGINT), TRUE
          |FROM m
          |ORDER BY side""".stripMargin) { (s, d) =>
       val (root, tbl, oldTbl) = renamedLake(s, d)

@@ -150,14 +150,31 @@ class GraftLakeCatalog extends TableCatalog
     * (manifest-record mtimes, [[SnapshotLake.versionAsOfTimestamp]]),
     * then loads exactly like a `VERSION AS OF` pin. An instant before
     * the first retained commit refuses with the valid range rather
-    * than silently reading some other snapshot. */
+    * than silently reading some other snapshot. Metadata tables route
+    * here too, mirroring the `VERSION AS OF` overload: `t.files
+    * TIMESTAMP AS OF i` resolves the instant against the PARENT lake
+    * and pins the metadata view to that version. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val root = rootOf(ident).getOrElse(throw new NoSuchTableException(ident))
-    val v = SnapshotLake.versionAsOfTimestamp(root, timestampMicros / 1000L)
-      .getOrElse(throw new IllegalArgumentException(
-        s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(timestampMicros / 1000L)} " +
-          s"predates the first retained commit of $ident"))
-    load(ident, Some(v))
+    def versionAt(root: String): Long =
+      SnapshotLake.versionAsOfTimestamp(root, timestampMicros / 1000L)
+        .getOrElse(throw new IllegalArgumentException(
+          s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(timestampMicros / 1000L)} " +
+            s"predates the first retained commit of $ident"))
+    // a metadata identifier resolves the instant against its parent's
+    // log — the synthetic name has no manifests of its own
+    val meta =
+      if (ident.namespace.isEmpty || !GraftLakeMetaTable.Names.contains(ident.name)) None
+      else {
+        val parent = Identifier.of(ident.namespace.dropRight(1),
+          ident.namespace.last)
+        if (rootOf(ident).isDefined) None // a real table shadows the view
+        else rootOf(parent).flatMap(root =>
+          metadataTable(ident, Some(versionAt(root))))
+      }
+    meta.getOrElse {
+      val root = rootOf(ident).getOrElse(throw new NoSuchTableException(ident))
+      load(ident, Some(versionAt(root)))
+    }
   }
 
   private def load(ident: Identifier, v: Option[Long]): Table = {

@@ -83,8 +83,28 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
     p
   }
 
-  private def versionOf(options: CaseInsensitiveStringMap): Option[Long] =
-    GraftLakeSource.resolvePin(rootOf(options), options)
+  /** The pin this load resolved, memoized across the one
+    * inferSchema→getTable sequence a `spark.read...load()` performs on
+    * this (per-load) provider instance: a `timestampAsOf` instant maps
+    * to a VERSION exactly once, so the schema the table was inferred
+    * from and the version its scans read can never straddle a commit
+    * that lands between the two calls. Keyed by the raw option strings —
+    * a different load (or an explicit pin change) resolves afresh. */
+  @volatile private var memoPin: (String, Option[Long]) = null
+
+  private def pinKey(options: CaseInsensitiveStringMap): String =
+    s"${rootOf(options)}|${options.get("versionAsOf")}|${options.get("timestampAsOf")}"
+
+  private def versionOf(options: CaseInsensitiveStringMap): Option[Long] = {
+    val k = pinKey(options)
+    val m = memoPin
+    if (m != null && m._1 == k) m._2
+    else {
+      val pin = GraftLakeSource.resolvePin(rootOf(options), options)
+      memoPin = (k, pin)
+      pin
+    }
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = rootOf(options)
@@ -99,17 +119,25 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: JMap[String, String]): Table =
-    new GraftLakeTable(properties.get("path"), schema)
+                        properties: JMap[String, String]): Table = {
+    // resolve the version pin ONCE, here at table construction (reusing
+    // the resolution inferSchema just made): newScanBuilder prefers the
+    // table's pin over re-resolving its options, so a timestamp pin
+    // can't drift to a newer commit between schema inference and scan
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftLakeTable(properties.get("path"), schema, versionOf(opts))
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 }
 
 object GraftLakeSource {
   /** The version pin the reader options select: `versionAsOf` directly,
-    * or `timestampAsOf` ("yyyy-MM-dd HH:mm:ss[.SSS]" or ISO-8601, UTC
-    * when zoneless) resolved to the newest commit at-or-before the
-    * instant — the DataFrame-reader twin of SQL `TIMESTAMP AS OF`.
+    * or `timestampAsOf` ("yyyy-MM-dd HH:mm:ss[.SSS]" or ISO-8601; a
+    * zoneless string reads in the SESSION timezone, exactly as SQL
+    * `TIMESTAMP AS OF` resolves its literal — the two entry points must
+    * pin the same version) resolved to the newest commit at-or-before
+    * the instant — the DataFrame-reader twin of SQL `TIMESTAMP AS OF`.
     * Both together refuse: a read pinned two ways is a bug at the call
     * site, never a precedence puzzle. */
   private[sources] def resolvePin(root: String,
@@ -125,13 +153,19 @@ object GraftLakeSource {
     byVersion.orElse(byTime)
   }
 
-  /** ISO-8601 or the space-separated local form; UTC when zoneless. */
+  /** ISO-8601 or the space-separated local form; a ZONELESS string is
+    * interpreted in the session timezone (`spark.sql.session.timeZone`),
+    * the same rule Spark applies to a SQL timestamp literal — so
+    * `.option("timestampAsOf", s)` and `TIMESTAMP AS OF 's'` pin the
+    * same version in any session. */
   private[sources] def parseInstantMillis(s: String): Long =
     try java.time.Instant.parse(s).toEpochMilli
     catch {
       case _: java.time.format.DateTimeParseException =>
+        val zone = java.time.ZoneId.of(
+          SparkSession.active.sessionState.conf.sessionLocalTimeZone)
         java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          .atZone(zone).toInstant.toEpochMilli
     }
 }
 
@@ -234,17 +268,21 @@ final class GraftLakeTable(root: String, schema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(
       Option(options.get("path")).getOrElse(root),
-      GraftLakeSource.resolvePin(
-        Option(options.get("path")).getOrElse(root), options)
-        .orElse(versionAsOf), schema,
+      // the table's already-resolved pin wins: a timestampAsOf option was
+      // mapped to a version ONCE at table construction, and re-resolving
+      // it here could land on a commit that arrived since — a schema/data
+      // mismatch on an evolved lake
+      versionAsOf.orElse(GraftLakeSource.resolvePin(
+        Option(options.get("path")).getOrElse(root), options)), schema,
       // startingTimestamp = the stream begins with the first commit
-      // STRICTLY AFTER the instant (Delta's startingTimestamp): commits
-      // at-or-before it are history the reader declares already seen
+      // published AT or after the instant (Delta's inclusive contract):
+      // strictly-earlier commits are history the reader declares seen
       startingVersion = Option(options.get("startingVersion")).map(_.toLong)
         .orElse(Option(options.get("startingTimestamp")).map { s =>
           val r = Option(options.get("path")).getOrElse(root)
           SnapshotLake.versionAsOfTimestamp(r,
-            GraftLakeSource.parseInstantMillis(s)).map(_ + 1L).getOrElse(1L)
+            GraftLakeSource.parseInstantMillis(s) - 1L)
+            .map(_ + 1L).getOrElse(1L)
         }).getOrElse(1L),
       skipChangeCommits = Option(options.get("skipChangeCommits"))
         .exists(_.toBoolean),
@@ -303,9 +341,13 @@ final class GraftLakeWriteBuilder(root: String,
           // must fail before any file is written. Overwrite replaces
           // the table, so any schema is legal. The write option
           // `mergeSchema=true` (Delta's autoMerge) instead EVOLVES the
-          // lake to (lake ∪ append) — additions and widenings as one
-          // metadata-only evolve commit — and aligns the batch to it.
+          // lake to (lake ∪ append) — additions and widenings DECLARED
+          // ON THE APPEND COMMIT ITSELF (one atomic manifest link
+          // carrying both schemaB64 and the files), so a crash can
+          // never leave the lake evolved with no data landed and no
+          // reader can observe the schema without its commit.
           var payload = data
+          var declare: Option[StructType] = None
           if (!replacing)
             SnapshotLake.currentVersion(root).foreach { v =>
               val lake = SnapshotLake
@@ -318,13 +360,12 @@ final class GraftLakeWriteBuilder(root: String,
                     ".option(\"mergeSchema\", \"true\") to evolve the lake " +
                     "to the union (additions/widenings only)")
                 val evolved = SnapshotLake.mergeForWrite(lake, data.schema)
-                if (shape(evolved) != shape(lake))
-                  SnapshotLake.evolveSchema(data.sparkSession, root, evolved)
+                if (shape(evolved) != shape(lake)) declare = Some(evolved)
                 payload = SnapshotLake.alignTo(data, evolved)
               }
             }
           if (replacing) SnapshotLake.overwrite(payload, root, idx)
-          else SnapshotLake.append(payload, root, idx)
+          else SnapshotLake.append(payload, root, idx, declare)
           ()
         }
       }

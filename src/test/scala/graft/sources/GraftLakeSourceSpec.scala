@@ -378,7 +378,8 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     val pinned = spark.read.format("graftlake")
       .option("timestampAsOf", between.toString).load(root)
     assert(pinned.count() == 3L, "the instant between the commits reads v1")
-    // the space-separated local form parses as UTC too
+    // the space-separated local form parses in the SESSION timezone
+    // (UTC in these sessions) — the same rule as a SQL timestamp literal
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
     assert(spark.read.format("graftlake")
@@ -404,11 +405,16 @@ class GraftLakeSourceSpec extends AnyFunSuite {
         col("id").cast("string")).as("tag")) // new column
     intercept[Exception](
       batch.write.format("graftlake").mode("append").save(root))
-    // …and evolves + appends with it: one evolve commit, one append
+    // …and evolves + appends with it: ONE commit carrying both the
+    // evolved schema declaration and the files (Delta's autoMerge is
+    // atomic — a crash can never leave the schema evolved with no data)
     batch.write.format("graftlake").mode("append")
       .option("mergeSchema", "true").save(root)
-    assert(SnapshotLake.currentVersion(root).contains(3L),
-      "exactly one evolve commit (v2) plus the append (v3)")
+    assert(SnapshotLake.currentVersion(root).contains(2L),
+      "autoMerge commits schema + files as one atomic version (v2)")
+    assert(SnapshotLake.declaredSchema(root, Some(2L)).isDefined &&
+      SnapshotLake.declaredSchema(root, Some(1L)).isEmpty,
+      "the schema declaration rides the append commit itself")
     val df = spark.read.format("graftlake").load(root)
     assert(df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq ==
       Seq(("k", "bigint"), ("n", "bigint"), ("tag", "string")))
@@ -420,8 +426,8 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     // no gratuitous evolve commit — the union adds nothing new
     spark.range(8, 9).select(col("id").as("k")).write.format("graftlake")
       .mode("append").option("mergeSchema", "true").save(root)
-    assert(SnapshotLake.currentVersion(root).contains(4L),
-      "no evolve commit when the union equals the lake schema")
+    assert(SnapshotLake.currentVersion(root).contains(3L),
+      "no schema re-declaration when the union equals the lake schema")
     val after = spark.read.format("graftlake").load(root)
     assert(after.filter(col("k") === 8L).collect().map(r =>
       (r.isNullAt(1), r.isNullAt(2))).toSeq == Seq((true, true)))

@@ -195,26 +195,36 @@ class GraftLakeStreamSpec extends AnyFunSuite {
       SnapshotLake.currentVersion(dst).get) == files6)
   }
 
-  test("startingTimestamp begins the stream with the first commit strictly after the instant") {
+  test("startingTimestamp begins the stream with the first commit AT or after the instant (inclusive)") {
     val src = newDir("ts-src") + "/lake"
     SnapshotLake.append(kv(0, 3), src, idx) // v1
     Thread.sleep(1200)
     val between = java.time.Instant.now()
     Thread.sleep(1200)
     SnapshotLake.append(kv(3, 6), src, idx) // v2
-    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val q = spark.readStream.format("graftlake")
-      .option("startingTimestamp", between.toString).load(src)
-      .writeStream
-      .option("checkpointLocation", newDir("ts-cp"))
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        got.synchronized { got ++= df.collect().map(_.getAs[Long]("k")) }; ()
-      }
-      .start()
-    assert(q.awaitTermination(120000), "drain must finish")
-    assert(got.toSet == (3L until 6L).toSet,
-      s"only v2 (committed after the instant) streams: $got")
+    def drainFrom(ts: String, cp: String): Set[Long] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("graftlake")
+        .option("startingTimestamp", ts).load(src)
+        .writeStream
+        .option("checkpointLocation", newDir(cp))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          got.synchronized { got ++= df.collect().map(_.getAs[Long]("k")) }; ()
+        }
+        .start()
+      assert(q.awaitTermination(120000), "drain must finish")
+      got.toSet
+    }
+    assert(drainFrom(between.toString, "ts-cp") == (3L until 6L).toSet,
+      "an instant between the commits streams only v2")
+    // the INCLUSIVE boundary (Delta's contract): a commit published
+    // exactly AT the instant is read, not silently skipped
+    val v2At = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(src, "_manifests", "v000000002.json"))
+      .toInstant
+    assert(drainFrom(v2At.toString, "ts-cp-incl") == (3L until 6L).toSet,
+      "a commit whose publish instant EQUALS startingTimestamp streams")
   }
 
   test("startingVersion bounds the history; column pruning rides the stream") {
