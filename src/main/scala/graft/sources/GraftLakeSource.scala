@@ -289,7 +289,11 @@ final class GraftLakeTable(root: String, schema: StructType,
       maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger"))
         .map(_.toLong),
       exactPushdown = Option(options.get("exactPushdown"))
-        .exists(_.toBoolean))
+        .exists(_.toBoolean),
+      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger"))
+        .map(_.toLong),
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger"))
+        .map(_.toLong))
 
   /** Batch writes via the V1 fallback (`V1_BATCH_WRITE`) — the whole
     * input lands through [[SnapshotLake.append]]/[[SnapshotLake.overwrite]]
@@ -378,7 +382,9 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
                                  skipChangeCommits: Boolean = false,
                                  maxVersionsPerTrigger: Option[Long] = None,
                                  exactPushdown: Boolean = false,
-                                 onBuild: GraftLakeScan => Unit = _ => ())
+                                 onBuild: GraftLakeScan => Unit = _ => (),
+                                 maxFilesPerTrigger: Option[Long] = None,
+                                 maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -664,7 +670,8 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
     val scan = new GraftLakeScan(root, rootAbs, kept, all.size, required,
       fullSchema, ranges, stats, lengths, dv, sessionConf(),
       startingVersion, skipChangeCommits, maxVersionsPerTrigger, exact,
-      v, sidecars.valuesIterator.flatMap(_.keysIterator).toSet, rowsBy)
+      v, sidecars.valuesIterator.flatMap(_.keysIterator).toSet, rowsBy,
+      maxFilesPerTrigger, maxBytesPerTrigger)
     onBuild(scan)
     scan
   }
@@ -698,7 +705,9 @@ final class GraftLakeScan(root: String, rootAbs: String,
                           exact: Array[Filter] = Array.empty,
                           resolvedVersion: Long = -1L,
                           sidecarCols: Set[String] = Set.empty,
-                          rowsBy: Map[String, Long] = Map.empty)
+                          rowsBy: Map[String, Long] = Map.empty,
+                          maxFilesPerTrigger: Option[Long] = None,
+                          maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
   /** Files still scheduled after static AND runtime pruning. */
@@ -847,7 +856,7 @@ final class GraftLakeScan(root: String, rootAbs: String,
     // re-filters
     new GraftLakeMicroBatchStream(root, rootAbs, required,
       startingVersion, skipChangeCommits, maxVersionsPerTrigger, hconf,
-      exact, fullSchema)
+      exact, fullSchema, maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
 /** The scan a fully-pushed aggregate resolves to: ONE synthetic input

@@ -7,11 +7,34 @@ import org.apache.spark.util.SerializableConfiguration
 
 import graft.etl.SnapshotLake
 
-/** Stream offset = the newest lake version whose commit this stream has
-  * fully emitted. The manifest log IS the write-ahead log, so offsets
-  * are just version numbers — Delta's streaming-source design. */
-final case class GraftLakeOffset(version: Long) extends Offset {
-  override def json(): String = version.toString
+/** Stream offset = the newest lake version this stream has FULLY
+  * emitted, plus (under file-granular admission control) how many
+  * add-files of the NEXT version it has already emitted — Delta's
+  * (reservoirVersion, index) offset shape. `part` = 0 is the plain
+  * whole-version form and serializes as the bare version number, so
+  * checkpoints written before admission control replay unchanged. The
+  * manifest log IS the write-ahead log: an add list is immutable and
+  * ordered, so (version, part) identifies an exact file frontier. */
+final case class GraftLakeOffset(version: Long, part: Long = 0L)
+    extends Offset {
+  override def json(): String =
+    if (part == 0L) version.toString
+    else s"""{"v":$version,"p":$part}"""
+}
+
+object GraftLakeOffset {
+  def parse(json: String): GraftLakeOffset = {
+    val t = json.trim
+    if (!t.startsWith("{")) GraftLakeOffset(t.toLong)
+    else {
+      def num(k: String): Long = {
+        val m = s""""$k":""".r.findFirstMatchIn(t).getOrElse(
+          throw new IllegalArgumentException(s"bad graftlake offset: $json"))
+        t.substring(m.end).takeWhile(c => c.isDigit || c == '-').toLong
+      }
+      GraftLakeOffset(num("v"), num("p"))
+    }
+  }
 }
 
 /** The connector's streaming source — `spark.readStream
@@ -35,6 +58,14 @@ final case class GraftLakeOffset(version: Long) extends Offset {
   *     append-built lake version 1 onward IS the initial snapshot) and
   *     **`maxVersionsPerTrigger`** (admission control: at most N source
   *     versions per micro-batch) mirror Delta's source options.
+  *   - **`maxFilesPerTrigger` / `maxBytesPerTrigger`** — FILE-granular
+  *     admission control (Delta's same-named options): a fat commit is
+  *     split across triggers at file boundaries, the offset carrying
+  *     (version, files-emitted-of-next-version). Every trigger admits
+  *     at least one file however small the byte cap (the soft-max
+  *     contract), and the (start, end] file slice is deterministic —
+  *     add lists are immutable and ordered — so restart replay stays
+  *     byte-identical and exactly-once sinks are unaffected.
   *   - **Restart** replays from the checkpointed offset:
   *     `planInputPartitions` is deterministic in (start, end] — the
   *     manifest records are immutable — so a restarted batch re-reads
@@ -53,12 +84,14 @@ final class GraftLakeMicroBatchStream(root: String, rootAbs: String,
                                       maxVersionsPerTrigger: Option[Long],
                                       hconf: SerializableConfiguration,
                                       exact: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-                                      fullSchema: StructType = new StructType())
+                                      fullSchema: StructType = new StructType(),
+                                      maxFilesPerTrigger: Option[Long] = None,
+                                      maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
   /** Trigger.AvailableNow's drain bound: the head version captured when
-    * the trigger starts — batches step toward it (maxVersionsPerTrigger
+    * the trigger starts — batches step toward it (the per-trigger caps
     * at a time) and the query stops there, commits racing the drain
     * left for the next run (Spark's AvailableNow contract). */
   @volatile private var availableNowBound: Option[Long] = None
@@ -70,7 +103,7 @@ final class GraftLakeMicroBatchStream(root: String, rootAbs: String,
   override def initialOffset(): Offset = GraftLakeOffset(startingVersion - 1)
 
   override def deserializeOffset(json: String): Offset =
-    GraftLakeOffset(json.toLong)
+    GraftLakeOffset.parse(json)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -78,14 +111,63 @@ final class GraftLakeMicroBatchStream(root: String, rootAbs: String,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is the admission-control form")
 
+  /** The add-files a version feeds the stream (empty for the skipped
+    * commit kinds). `strict` applies the fail-on-change-commit contract;
+    * admission WALKS with strict=false so the error surfaces when the
+    * batch is planned, with the version in hand, not while sizing it. */
+  private def emittable(v: Long, strict: Boolean): Seq[String] = {
+    val (op, add) = SnapshotLake.commitChange(root, v)
+    op match {
+      case "append" => add
+      case "compact" => Nil // physical-only: never re-emitted
+      case "evolve" => Nil // metadata-only: no row ever changes
+      case _ if skipChangeCommits || !strict => Nil
+      case other => throw new UnsupportedOperationException(
+        s"graftlake streaming source hit a change commit (version $v, " +
+          s"op '$other'). An append-only stream cannot represent it; " +
+          "set .option(\"skipChangeCommits\", \"true\") to skip change " +
+          "commits, or follow changes with the CDC feed instead.")
+    }
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val head = availableNowBound.getOrElse(
       SnapshotLake.currentVersion(root).getOrElse(startingVersion - 1))
-    val s = start.asInstanceOf[GraftLakeOffset].version
-    GraftLakeOffset(maxVersionsPerTrigger match {
-      case Some(n) => math.min(head, s + math.max(1L, n))
-      case None => head
-    })
+    val s = start.asInstanceOf[GraftLakeOffset]
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty)
+      // version-granular admission (or none): the original contract
+      return GraftLakeOffset(maxVersionsPerTrigger match {
+        case Some(n) => math.min(head, s.version + math.max(1L, n))
+        case None => head
+      })
+    // file-granular admission: pack whole files up to the caps, splitting
+    // INSIDE a commit when it alone exceeds them; always admit at least
+    // one file (the soft-max contract — a file bigger than maxBytes must
+    // still flow). Caps compose: maxVersionsPerTrigger still bounds how
+    // many source versions one batch may span.
+    var v = s.version
+    var p = s.part
+    var files = 0L
+    var bytes = 0L
+    var versions = 0L
+    var full = false
+    while (!full && v < head &&
+        maxVersionsPerTrigger.forall(n => versions < math.max(1L, n))) {
+      val add = emittable(v + 1, strict = false)
+      var i = p
+      while (!full && i < add.size) {
+        val sz = java.nio.file.Files.size(
+          java.nio.file.Paths.get(root, add(i.toInt)))
+        val wouldExceed =
+          maxFilesPerTrigger.exists(n => files + 1 > math.max(1L, n)) ||
+            maxBytesPerTrigger.exists(b => bytes + sz > b)
+        if (wouldExceed && files > 0) full = true
+        else { files += 1; bytes += sz; i += 1 }
+      }
+      if (i == add.size) { v += 1; p = 0; versions += 1 }
+      else p = i // the caps landed inside this commit: split it here
+    }
+    GraftLakeOffset(v, p)
   }
 
   override def reportLatestOffset(): Offset =
@@ -93,25 +175,21 @@ final class GraftLakeMicroBatchStream(root: String, rootAbs: String,
       .getOrElse(startingVersion - 1))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftLakeOffset].version
-    val e = end.asInstanceOf[GraftLakeOffset].version
-    ((s + 1) to e).flatMap { v =>
-      val (op, add) = SnapshotLake.commitChange(root, v)
-      op match {
-        case "append" =>
-          add.map { f =>
-            GraftLakeInputPartition(s"$rootAbs/$f",
-              java.nio.file.Files.size(java.nio.file.Paths.get(root, f)),
-              GraftLakeScan.partTupleOf(f) :+ ("_file" -> f))
-          }
-        case "compact" => Nil // physical-only: never re-emitted
-        case "evolve" => Nil // metadata-only: no row ever changes
-        case other if skipChangeCommits => Nil
-        case other => throw new UnsupportedOperationException(
-          s"graftlake streaming source hit a change commit (version $v, " +
-            s"op '$other'). An append-only stream cannot represent it; " +
-            "set .option(\"skipChangeCommits\", \"true\") to skip change " +
-            "commits, or follow changes with the CDC feed instead.")
+    val s = start.asInstanceOf[GraftLakeOffset]
+    val e = end.asInstanceOf[GraftLakeOffset]
+    // versions (s.version, e.version] fully, plus the first e.part files
+    // of e.version+1; s.part files of s.version+1 were already emitted.
+    // Deterministic in (start, end]: add lists are immutable and ordered,
+    // so a restarted batch re-reads byte-identical input.
+    val last = if (e.part > 0L) e.version + 1 else e.version
+    ((s.version + 1) to last).flatMap { v =>
+      val add = emittable(v, strict = true)
+      val from = if (v == s.version + 1) s.part else 0L
+      val until = if (v == e.version + 1) e.part else add.size.toLong
+      add.slice(from.toInt, until.toInt).map { f =>
+        GraftLakeInputPartition(s"$rootAbs/$f",
+          java.nio.file.Files.size(java.nio.file.Paths.get(root, f)),
+          GraftLakeScan.partTupleOf(f) :+ ("_file" -> f))
       }
     }.toArray
   }

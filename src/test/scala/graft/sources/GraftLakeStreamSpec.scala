@@ -227,6 +227,75 @@ class GraftLakeStreamSpec extends AnyFunSuite {
       "a commit whose publish instant EQUALS startingTimestamp streams")
   }
 
+  test("maxFilesPerTrigger splits one fat commit across triggers; drained result and replay are exact") {
+    val src = newDir("mft-src") + "/lake"
+    // ONE commit of 8 files (repartition pins the file count), then a
+    // second small commit — the stream must step through the fat commit
+    // three files at a time without tearing, duplicating, or reordering
+    SnapshotLake.append(kv(0, 64).repartition(8), src, idx) // v1: 8 files
+    SnapshotLake.append(kv(64, 70), src, idx) // v2
+    assert(SnapshotLake.files(src, 1L).size == 8)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    val ckpt = newDir("mft-cp")
+    def drainCapped(): Unit = {
+      val q = spark.readStream.format("graftlake")
+        .option("maxFilesPerTrigger", "3").load(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val ks = df.collect().map(_.getAs[Long]("k")).toSet
+          batches.synchronized { batches += ((id, ks)) }; ()
+        }
+        .start()
+      assert(q.awaitTermination(120000), "drain must finish")
+    }
+    drainCapped()
+    val nonEmpty = batches.filter(_._2.nonEmpty)
+    assert(nonEmpty.size >= 3,
+      s"8+1 files at 3/trigger needs >= 3 batches: ${batches.map(_._2.size)}")
+    assert(nonEmpty.map(_._2.size).forall(_ <= 3 * 64 / 8 + 64 / 8),
+      "no batch exceeds ~3 files of rows")
+    assert(batches.flatMap(_._2).toSet == (0L until 70L).toSet,
+      "every row exactly once across the split batches")
+    assert(batches.flatMap(_._2).size == 70, "no duplicates across batches")
+    // replay: the caught-up checkpoint re-drains to nothing new
+    val before = batches.size
+    drainCapped()
+    assert(batches.drop(before).forall(_._2.isEmpty),
+      "a caught-up restart under file caps feeds no rows")
+  }
+
+  test("maxBytesPerTrigger is a soft cap: at least one file per trigger, exact drain") {
+    val src = newDir("mbt-src") + "/lake"
+    SnapshotLake.append(kv(0, 40).repartition(4), src, idx) // v1: 4 files
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream.format("graftlake")
+      .option("maxBytesPerTrigger", "1") // smaller than ANY file
+      .load(src)
+      .writeStream
+      .option("checkpointLocation", newDir("mbt-cp"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val ks = df.collect().map(_.getAs[Long]("k")).toSet
+        got.synchronized { got += ks }; ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), "drain must finish")
+    val nonEmpty = got.filter(_.nonEmpty)
+    assert(nonEmpty.size == 4,
+      s"a sub-file byte cap admits exactly one file per trigger: ${got.map(_.size)}")
+    assert(got.flatten.toSet == (0L until 40L).toSet)
+  }
+
+  test("offset format: legacy whole-version offsets parse; partial offsets round-trip") {
+    assert(GraftLakeOffset.parse("7") == GraftLakeOffset(7L, 0L))
+    assert(GraftLakeOffset.parse(GraftLakeOffset(3L, 5L).json()) ==
+      GraftLakeOffset(3L, 5L))
+    assert(GraftLakeOffset(4L, 0L).json() == "4",
+      "whole-version offsets keep the legacy form — old checkpoints replay")
+  }
+
   test("startingVersion bounds the history; column pruning rides the stream") {
     val src = newDir("src") + "/lake"
     SnapshotLake.append(kv(0, 10), src, idx) // v1
