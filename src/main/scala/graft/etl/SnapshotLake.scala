@@ -775,6 +775,7 @@ object SnapshotLake {
       catch { case _: FileAlreadyExistsException => false }
       finally { Files.deleteIfExists(tmp); () }
     if (won && version % CkptEvery == 0L) writeCheckpoint(root, version)
+    if (won) maybeMaterializeCdc(root, version, op)
     won
   }
 
@@ -1427,6 +1428,112 @@ object SnapshotLake {
     ).flatten.foldLeft(fileDiff)(_ unionByName _)
   }
 
+  // ── Change-data-feed enablement + materialization ───────────────────
+  //    The connector's `readChangeFeed` surface (Delta's CDF design):
+  //    APPEND commits need no extra state — their added files ARE their
+  //    inserts — but a CHANGE commit's diff is a join ([[changeFeed]]),
+  //    which a distributed file scan can't replay per-row. So, like
+  //    Delta's `delta.enableChangeDataFeed`, an enabled lake MATERIALIZES
+  //    each change commit's feed once, at write time, as parquet under
+  //    `_cdc/v=<N>/` (schema = the version's columns + `_change_type`),
+  //    and every CDF read — batch or streaming — is then a pure file
+  //    scan: distributed, vectorized, plan-identical at any scale.
+
+  private def cdcConfigFile(root: String): Path =
+    Paths.get(root, "_cdc", "_config.json")
+  private def cdcDir(root: String, v: Long): Path =
+    Paths.get(root, "_cdc", s"v=$v")
+
+  /** Enable the change data feed: record the row-identity `key` column
+    * ([[changeFeed]]'s diff key — unique per version, the same contract
+    * [[merge]] keeps) under `_cdc/_config.json`. From this call on,
+    * every CHANGE commit (merge / delete / overwrite / restore /
+    * row-level rewrite) materializes its feed at commit time; change
+    * commits made BEFORE enablement refuse a CDF read, exactly Delta's
+    * contract for ranges predating `enableChangeDataFeed`. Idempotent;
+    * re-enabling with a different key refuses. */
+  def enableCdf(root: String, key: String): Unit = {
+    require(key.nonEmpty && !key.exists(c => c == '"' || c == '\\'),
+      s"CDF key must be quote-free: $key")
+    cdfKey(root) match {
+      case Some(k) => require(k == key,
+        s"CDF already enabled on $root with key '$k' (asked for '$key')")
+      case None =>
+        Files.createDirectories(cdcConfigFile(root).getParent)
+        Files.writeString(cdcConfigFile(root), s"""{"key":"$key"}""")
+        ()
+    }
+  }
+
+  /** The CDF diff key, if the feed is enabled on this lake. */
+  def cdfKey(root: String): Option[String] =
+    if (!Files.exists(cdcConfigFile(root))) None
+    else strField(Files.readString(cdcConfigFile(root)), "key")
+
+  /** The materialized change files of version `v` (root-relative),
+    * None when `v` was never materialized. Presence of the directory IS
+    * the done marker: it appears atomically via rename. */
+  def cdcFiles(root: String, v: Long): Option[Seq[String]] = {
+    val d = cdcDir(root, v)
+    if (!Files.isDirectory(d)) None
+    else {
+      val s = Files.list(d)
+      try Some(s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toVector.sorted
+        .map(n => s"_cdc/v=$v/$n"))
+      finally s.close()
+    }
+  }
+
+  /** Materialize version `v`'s change feed under `_cdc/v=<v>/` —
+    * idempotent (the directory appears atomically via rename; a racing
+    * materializer's output is discarded) and self-healing (a write-time
+    * materialization that crashed re-runs on first CDF read, while the
+    * v-1 manifest is still within retention). Cost = the commit's
+    * CHANGE mass, the [[changeFeed]] property. Returns the change
+    * files. */
+  def materializeCdc(spark: SparkSession, root: String, v: Long): Seq[String] =
+    cdcFiles(root, v).getOrElse {
+      val key = cdfKey(root).getOrElse(throw new IllegalStateException(
+        s"change data feed is not enabled on $root — " +
+          "SnapshotLake.enableCdf(root, key) first; change commits made " +
+          "before enablement have no feed (the Delta contract)"))
+      val changes = changeFeed(spark, root, v - 1, v, key)
+      val tmp = Paths.get(root, "_cdc", s".tmp-${UUID.randomUUID()}")
+      changes.write.mode("overwrite").parquet(tmp.toString)
+      // drop the write's _SUCCESS marker etc.: only parquet parts matter
+      try Files.move(tmp, cdcDir(root, v),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.FileSystemException =>
+          // a racer won: keep theirs (content is a pure function of the
+          // immutable log, so both outputs are equivalent), drop ours
+          val s = Files.walk(tmp)
+          val all = try s.iterator().asScala.toVector finally s.close()
+          all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+      }
+      cdcFiles(root, v).getOrElse(throw new IllegalStateException(
+        s"CDC materialization of $root v$v produced no directory"))
+    }
+
+  /** The write-time CDF hook [[tryCommit]] fires on every won CHANGE
+    * commit of an enabled lake. Appends need no feed (their add list IS
+    * the feed); compactions and evolves are physical/metadata-only and
+    * feed zero changes, so materializing them would cost a diff to
+    * store nothing. Failures don't poison the commit (it is already
+    * durable) — the read path re-runs the same idempotent
+    * materialization. */
+  private def maybeMaterializeCdc(root: String, v: Long, op: String): Unit =
+    op match {
+      case "append" | "compact" | "evolve" => ()
+      case _ if cdfKey(root).isEmpty => ()
+      case _ =>
+        try { materializeCdc(SparkSession.active, root, v); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
+
   /** One manifest's commit metadata: what DESCRIBE HISTORY shows. `rows`
     * is the commit's ADDED row count (from footer metadata at commit
     * time; -1 for manifests written before this field existed — the
@@ -1920,6 +2027,25 @@ object SnapshotLake {
       }.toVector
       finally s.close()
     old.foreach(Files.deleteIfExists(_))
+    // CDF materializations follow version retention: a vacuumed
+    // version's feed can't be read anyway (its v-1 manifest is gone)
+    val cdcRoot = Paths.get(root, "_cdc")
+    if (Files.isDirectory(cdcRoot)) {
+      val cs = Files.list(cdcRoot)
+      val victims =
+        try cs.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("v=") &&
+            scala.util.Try(n.stripPrefix("v=").toLong).toOption
+              .exists(_ < cutoff)
+        }.toVector
+        finally cs.close()
+      victims.foreach { d =>
+        val w = Files.walk(d)
+        val all = try w.iterator().asScala.toVector finally w.close()
+        all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+      }
+    }
     // References of every retained version: resolve the cutoff once,
     // then accumulate the forward deltas — never a per-version
     // re-resolution.

@@ -316,6 +316,10 @@ object LakeIndexOps {
                   else col("o_orderkey") < maxK / 2
         SnapshotLake.append(od.filter(col("o_orderkey") >= lo && cap), src, idx)
       }
+      // CDF on BEFORE the change commits: the merge and the DV delete
+      // below materialize their feeds at commit time, so the q255
+      // public-API follower reads them as pure file scans
+      SnapshotLake.enableCdf(src, "o_orderkey")
       val isUpd = pmod(col("o_orderkey"), lit(91)) === 0
       val isDel = pmod(col("o_orderkey"), lit(107)) === 0 && !isUpd
       SnapshotLake.merge(s, src,
@@ -334,6 +338,55 @@ object LakeIndexOps {
         s"drain must apply exactly the five source versions: $applied")
       require(graft.streaming.CdcFeed.drain(s, src, dst, "o_orderkey", idx).isEmpty,
         "a replayed drain must be a no-op")
+      (src, dst)
+    }
+
+  /** The q255 follower: [[cdfPipeline]]'s SOURCE followed into a SECOND
+    * destination entirely through the PUBLIC connector API —
+    * `spark.read.format("graftlake").option("readChangeFeed","true")
+    * .option("startingVersion", v).option("endingVersion", v)` per
+    * source commit, applied exactly-once under tag `cdfapi-v<v>` with
+    * resume carried by the destination's own tag index (the q228
+    * CdcFeed contract, zero private API on the read side). A replayed
+    * follow applies nothing. Returns (src, dst). */
+  private val cdfApiM = new graft.etl.Memo[(SparkSession, String), (String, String)]
+
+  private def cdfApiFollow(s: SparkSession, d: String): (String, String) =
+    cdfApiM((s, d)) {
+      val (src, _) = cdfPipeline(s, d)
+      val dst = Scratch.tempDir("graft-cdfapi-dst").toString + "/lake"
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      val head = SnapshotLake.currentVersion(src).get
+      def tagFor(v: Long) = s"cdfapi-v$v"
+      def follow(): Seq[Long] = {
+        var last = 0L
+        var v = head
+        while (v >= 1L && last == 0L) {
+          if (SnapshotLake.tagVersion(dst, tagFor(v)).isDefined) last = v
+          else v -= 1
+        }
+        ((last + 1) to head).map { w =>
+          val changes = s.read.format("graftlake")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", w.toString)
+            .option("endingVersion", w.toString)
+            .load(src)
+            .filter(col("_change_type") =!= "update_preimage")
+            .withColumn("__del", col("_change_type") === "delete")
+            .drop("_change_type", "_commit_version")
+          if (SnapshotLake.currentVersion(dst).isEmpty)
+            SnapshotLake.appendOnce(
+              changes.filter(!col("__del")).drop("__del"),
+              dst, tagFor(w), idx)
+          else
+            SnapshotLake.mergeOnce(s, dst, changes, "o_orderkey",
+              tagFor(w), idx, Some("__del"))
+          w
+        }
+      }
+      require(follow() == (1L to head),
+        "the public-API follow must apply exactly the source versions")
+      require(follow().isEmpty, "a replayed follow must be a no-op")
       (src, dst)
     }
 
@@ -2354,6 +2407,68 @@ object LakeIndexOps {
         .withColumn("live_files", lit(fsum.getLong(0)))
         .withColumn("live_rows", lit(fsum.getLong(1)))
         .orderBy("version")
+    },
+
+    // ── CHANGE DATA FEED through the public connector API: the same
+    //    five-commit source as q228 (two appends, a COW merge, a DV
+    //    delete, a compact) followed into a fresh destination with
+    //    `.option("readChangeFeed","true")` per version — appends read
+    //    as constant-vector 'insert' partitions straight from their add
+    //    files, change commits from the feed MATERIALIZED at commit
+    //    time (enableCdf), compaction feeds zero — applied exactly-once
+    //    under the destination's tag index, replay a no-op. The oracle
+    //    reconstructs BOTH the destination state and the feed's
+    //    per-change-type row counts from raw orders arithmetic.
+    Q("q255_connector_change_feed",
+      s"""WITH f AS (
+         |  SELECT CASE WHEN o_orderkey % 91 = 0 THEN 'F2'
+         |              ELSE o_orderstatus END AS o_orderstatus,
+         |         CASE WHEN o_orderkey % 91 = 0 THEN o_totalprice + 3.0
+         |              ELSE o_totalprice END AS o_totalprice
+         |  FROM orders
+         |  WHERE NOT (o_orderkey % 107 = 0 AND o_orderkey % 91 <> 0)
+         |    AND o_orderkey % 113 <> 0),
+         |cnt AS (
+         |  SELECT (SELECT count(*) FROM orders) AS n_insert,
+         |         (SELECT count(*) FROM orders
+         |          WHERE o_orderkey % 91 = 0) AS n_update,
+         |         (SELECT count(*) FROM orders
+         |          WHERE o_orderkey % 107 = 0 AND o_orderkey % 91 <> 0)
+         |         + (SELECT count(*) FROM orders
+         |            WHERE o_orderkey % 113 = 0
+         |              AND NOT (o_orderkey % 107 = 0 AND o_orderkey % 91 <> 0))
+         |           AS n_delete)
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         |       ${centsSumSql("o_totalprice")} AS total,
+         |       (SELECT n_insert FROM cnt) AS n_insert,
+         |       (SELECT n_update FROM cnt) AS n_update,
+         |       (SELECT n_delete FROM cnt) AS n_delete,
+         |       CAST(5 AS BIGINT) AS n_src_versions,
+         |       CAST(5 AS BIGINT) AS n_dst_versions
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val (src, dst) = cdfApiFollow(s, d)
+      // the feed's own classification, read over the FULL range through
+      // the public option surface (update_preimage counts equal the
+      // postimages by construction and are pinned via n_update)
+      val byType = s.read.format("graftlake")
+        .option("readChangeFeed", "true").load(src)
+        .groupBy("_change_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(byType.getOrElse("update_preimage", 0L) ==
+        byType.getOrElse("update_postimage", 0L),
+        "pre/post images must pair")
+      SnapshotLake.read(s, dst)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          centsSum("o_totalprice").as("total"))
+        .withColumn("n_insert", lit(byType.getOrElse("insert", 0L)))
+        .withColumn("n_update", lit(byType.getOrElse("update_postimage", 0L)))
+        .withColumn("n_delete", lit(byType.getOrElse("delete", 0L)))
+        .withColumn("n_src_versions",
+          lit(SnapshotLake.currentVersion(src).get))
+        .withColumn("n_dst_versions",
+          lit(SnapshotLake.currentVersion(dst).get))
+        .orderBy("o_orderstatus")
     }
   )
 }

@@ -111,8 +111,18 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
     // a lake with no committed version yet has no schema — the WRITE
     // path creates it (ACCEPT_ANY_SCHEMA below skips the append-vs-table
     // schema match that would otherwise reject the first commit)
-    if (SnapshotLake.currentVersion(root).isEmpty) new StructType()
-    else SnapshotLake.read(SparkSession.active, root, versionOf(options),
+    if (SnapshotLake.currentVersion(root).isEmpty) return new StructType()
+    if (options.getBoolean("readChangeFeed", false)) {
+      // the CDF relation: head columns + (_change_type, _commit_version);
+      // ranges pin via startingVersion/endingVersion, never a table pin
+      require(versionOf(options).isEmpty,
+        "readChangeFeed selects its range with startingVersion/" +
+          "startingTimestamp/endingVersion — versionAsOf/timestampAsOf " +
+          "pin a snapshot, not a change range")
+      return GraftLakeCdf.cdfSchema(
+        SnapshotLake.read(SparkSession.active, root, None).schema)
+    }
+    SnapshotLake.read(SparkSession.active, root, versionOf(options),
       // opt-in schema-on-read evolution, the native reader's q156
       // contract: the scan null-fills a column any one file predates
       mergeSchema = options.getBoolean("mergeSchema", false)).schema
@@ -125,7 +135,9 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
     // table's pin over re-resolving its options, so a timestamp pin
     // can't drift to a newer commit between schema inference and scan
     val opts = new CaseInsensitiveStringMap(properties)
-    new GraftLakeTable(properties.get("path"), schema, versionOf(opts))
+    val cdf = opts.getBoolean("readChangeFeed", false)
+    new GraftLakeTable(properties.get("path"), schema,
+      if (cdf) None else versionOf(opts), cdf = cdf)
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -170,7 +182,8 @@ object GraftLakeSource {
 }
 
 final class GraftLakeTable(root: String, schema: StructType,
-                           versionAsOf: Option[Long] = None)
+                           versionAsOf: Option[Long] = None,
+                           cdf: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -184,6 +197,7 @@ final class GraftLakeTable(root: String, schema: StructType,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(versionAsOf.isEmpty,
       s"cannot run ${info.command} against a pinned version of $root")
+    require(!cdf, s"cannot run ${info.command} against a change feed")
     () => new GraftLakeRowLevelOperation(root, schema, info.command)
   }
   override def name(): String =
@@ -238,7 +252,7 @@ final class GraftLakeTable(root: String, schema: StructType,
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    versionAsOf.isEmpty && rangesOf(filters).isDefined
+    versionAsOf.isEmpty && !cdf && rangesOf(filters).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val preds = rangesOf(filters).getOrElse(throw new UnsupportedOperationException(
@@ -265,7 +279,23 @@ final class GraftLakeTable(root: String, schema: StructType,
     if (schema.isEmpty) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val theRoot = Option(options.get("path")).getOrElse(root)
+    // the change-data-feed relation plans per-VERSION change batches
+    // instead of a snapshot file set — see [[GraftLakeCdf]]
+    if (cdf) return new GraftLakeCdfScanBuilder(theRoot, schema,
+      startV = Option(options.get("startingVersion")).map(_.toLong)
+        .orElse(Option(options.get("startingTimestamp")).map { s =>
+          SnapshotLake.versionAsOfTimestamp(theRoot,
+            GraftLakeSource.parseInstantMillis(s) - 1L)
+            .map(_ + 1L).getOrElse(1L)
+        }).getOrElse(1L),
+      endV = Option(options.get("endingVersion")).map(_.toLong),
+      skipChangeCommits = Option(options.get("skipChangeCommits"))
+        .exists(_.toBoolean),
+      maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger"))
+        .map(_.toLong),
+      hconf = GraftLakeConf.session())
     new GraftLakeScanBuilder(
       Option(options.get("path")).getOrElse(root),
       // the table's already-resolved pin wins: a timestampAsOf option was
@@ -294,6 +324,7 @@ final class GraftLakeTable(root: String, schema: StructType,
         .map(_.toLong),
       maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger"))
         .map(_.toLong))
+  }
 
   /** Batch writes via the V1 fallback (`V1_BATCH_WRITE`) — the whole
     * input lands through [[SnapshotLake.append]]/[[SnapshotLake.overwrite]]
@@ -303,10 +334,12 @@ final class GraftLakeTable(root: String, schema: StructType,
     * lake's snapshot-isolation and index guarantees intact.
     * `.option("statsCols", "a,b")` / `.option("bloomCol", "k")` request
     * commit-time sidecar indexes. */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!cdf, s"a change-feed relation of $root is read-only")
     new GraftLakeWriteBuilder(
       Option(info.options.get("path")).getOrElse(root), info.options,
       info.schema(), info.queryId())
+  }
 }
 
 final class GraftLakeWriteBuilder(root: String,

@@ -86,9 +86,14 @@ final class GraftLakeMicroBatchStream(root: String, rootAbs: String,
                                       exact: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
                                       fullSchema: StructType = new StructType(),
                                       maxFilesPerTrigger: Option[Long] = None,
-                                      maxBytesPerTrigger: Option[Long] = None)
+                                      maxBytesPerTrigger: Option[Long] = None,
+                                      cdf: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  require(!cdf || (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty),
+    "CDF stream admission is version-granular — a commit's change set " +
+      "is atomic; use maxVersionsPerTrigger")
 
   /** Trigger.AvailableNow's drain bound: the head version captured when
     * the trigger starts — batches step toward it (the per-trigger caps
@@ -177,6 +182,12 @@ final class GraftLakeMicroBatchStream(root: String, rootAbs: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftLakeOffset]
     val e = end.asInstanceOf[GraftLakeOffset]
+    // CDF mode: each version's CHANGE batch — append files as constant
+    // 'insert' partitions, change commits' materialized feeds — whole
+    // versions only (the ctor refuses file-granular caps with cdf)
+    if (cdf)
+      return ((s.version + 1) to e.version).flatMap(v =>
+        GraftLakeCdf.partitions(root, rootAbs, v, skipChangeCommits)).toArray
     // versions (s.version, e.version] fully, plus the first e.part files
     // of e.version+1; s.part files of s.version+1 were already emitted.
     // Deterministic in (start, end]: add lists are immutable and ordered,
