@@ -331,6 +331,66 @@ object FileStats {
     }
   }
 
+  // ── ndv sidecars (planner column statistics) ────────────────────────
+
+  /** Exact per-(file, column) distinct-value counts, written as a
+    * commit-dir sidecar (`_ndv.json`) — the third statistics level a
+    * cost-based planner needs next to min/max and null counts:
+    * Catalyst's FilterEstimation refuses to estimate a predicate's
+    * selectivity unless the column carries BOTH min/max AND a distinct
+    * count (`evaluateBinaryForNumeric` guards on `hasMinMaxStats &&
+    * hasDistinctCount`), so without a distinct count the connector's
+    * reported statistics can never shrink a Filter's cardinality and
+    * CBO-driven join planning stays size-only. Build cost: one
+    * column-pruned scan of the NEW files only — the same cost class as
+    * the bloom index (Iceberg pays it in Puffin theta-sketch files,
+    * Delta in ANALYZE TABLE) — opt-in per commit via
+    * [[graft.etl.SnapshotLake.IndexSpec]]. Counts exclude NULLs,
+    * matching Catalyst's ColumnStat convention. */
+  def buildNdvSidecars(spark: SparkSession, root: String,
+                       relFiles: Seq[String], cols: Seq[String]): Unit = {
+    val rootAbs = Paths.get(root).toAbsolutePath.toString
+    val paths = relFiles.map(f => s"$rootAbs/$f")
+    val aggs = cols.map(c =>
+      countDistinct(org.apache.spark.sql.functions.col(c)).as(c))
+    val rows = spark.read.parquet(paths: _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per NEW file of this commit — never data mass
+    val byRel: Seq[(String, Map[String, Long])] = rows.toSeq.map { r =>
+      val abs = new java.net.URI(r.getString(0)).getPath
+      val rel = abs.stripPrefix(rootAbs).stripPrefix("/")
+      rel -> cols.zipWithIndex.map { case (c, i) => c -> r.getLong(i + 1) }.toMap
+    }
+    byRel.groupBy { case (rel, _) => commitDirOf(rel) }.foreach {
+      case (dir, entries) =>
+        val json = entries.sortBy(_._1).map { case (rel, m) =>
+          val fields = m.toSeq.sortBy(_._1)
+            .map { case (c, n) => s""""${esc(c)}":$n""" }.mkString(",")
+          s""""${esc(rel.substring(rel.lastIndexOf('/') + 1))}":{$fields}"""
+        }.mkString("{", ",", "}")
+        Files.writeString(Paths.get(root, dir, "_ndv.json"), json)
+        ()
+    }
+  }
+
+  /** NDVs of one commit dir, keyed by manifest-relative path; empty when
+    * the commit carries no `_ndv.json` (⇒ no distinct-count statistics
+    * for its files — the planner falls back to size-only estimates). */
+  def readNdvSidecar(root: String, dir: String): Map[String, Map[String, Long]] = {
+    val p = Paths.get(root, dir, "_ndv.json")
+    if (!Files.exists(p)) return Map.empty
+    val json = Files.readString(p)
+    val fileRe = """"((?:[^"\\]|\\.)*)":\{([^{}]*)\}""".r
+    val colRe = """"((?:[^"\\]|\\.)*)":(\d+)""".r
+    fileRe.findAllMatchIn(json).map { fm =>
+      val cols = colRe.findAllMatchIn(fm.group(2)).map { cm =>
+        unesc(cm.group(1)) -> cm.group(2).toLong
+      }.toMap
+      s"$dir/${unesc(fm.group(1))}" -> cols
+    }.toMap
+  }
+
   /** Blooms of one commit dir for `col`, keyed by manifest-relative path;
     * empty when absent (⇒ no pruning for that commit's files). */
   def readBloomSidecar(root: String, dir: String,

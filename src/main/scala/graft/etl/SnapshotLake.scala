@@ -674,15 +674,20 @@ object SnapshotLake {
       FileStats.buildBloomSidecars(spark, root, rel, c,
         expected, index.bloomFpp)
     }
+    if (index.ndvCols.nonEmpty)
+      FileStats.buildNdvSidecars(spark, root, rel, index.ndvCols)
     Written(rel, meta.values.map(_.rows).sum)
   }
 
   /** What to index at commit time: footer min/max for `statsCols`, a
-    * per-file bloom over `bloomCol`. Both optional; [[IndexSpec.none]]
+    * per-file bloom over `bloomCol`, exact per-file distinct counts for
+    * `ndvCols` (the column statistics a cost-based planner needs — see
+    * [[FileStats.buildNdvSidecars]]). All optional; [[IndexSpec.none]]
     * preserves the plain commit path. */
   final case class IndexSpec(statsCols: Seq[String],
                              bloomCol: Option[String],
-                             bloomFpp: Double = 0.01)
+                             bloomFpp: Double = 0.01,
+                             ndvCols: Seq[String] = Nil)
   object IndexSpec {
     val none: IndexSpec = IndexSpec(Nil, None)
     def stats(cols: String*): IndexSpec = IndexSpec(cols, None)

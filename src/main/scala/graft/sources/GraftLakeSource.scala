@@ -15,6 +15,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
 import org.apache.spark.sql.internal.SQLConf
@@ -323,7 +324,13 @@ final class GraftLakeTable(root: String, schema: StructType,
       maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger"))
         .map(_.toLong),
       maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger"))
-        .map(_.toLong))
+        .map(_.toLong),
+      // per-column planner statistics (min/max/nullCount/ndv from the
+      // sidecars) — on by default; `columnStats=false` is the measured
+      // counterfactual (PlanShapeSpec pins that the column stats change
+      // a join decision the size-only estimate gets wrong)
+      reportColStats = Option(options.get("columnStats"))
+        .forall(_.toBoolean))
   }
 
   /** Batch writes via the V1 fallback (`V1_BATCH_WRITE`) — the whole
@@ -417,7 +424,8 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
                                  exactPushdown: Boolean = false,
                                  onBuild: GraftLakeScan => Unit = _ => (),
                                  maxFilesPerTrigger: Option[Long] = None,
-                                 maxBytesPerTrigger: Option[Long] = None)
+                                 maxBytesPerTrigger: Option[Long] = None,
+                                 reportColStats: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -700,11 +708,18 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
     // beyond files the planner already listed)
     val rowsBy = all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
       .flatMap(dir => FileStats.readRowsSidecar(root, dir)).toMap
+    // per-file distinct counts, when the commits carried an NDV index —
+    // same resolution pattern as the stats/rows sidecars, zero extra
+    // I/O beyond directories the planner already listed
+    val ndvBy =
+      if (!reportColStats) Map.empty[String, Map[String, Long]]
+      else all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+        .flatMap(dir => FileStats.readNdvSidecar(root, dir)).toMap
     val scan = new GraftLakeScan(root, rootAbs, kept, all.size, required,
       fullSchema, ranges, stats, lengths, dv, sessionConf(),
       startingVersion, skipChangeCommits, maxVersionsPerTrigger, exact,
       v, sidecars.valuesIterator.flatMap(_.keysIterator).toSet, rowsBy,
-      maxFilesPerTrigger, maxBytesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger, reportColStats, ndvBy)
     onBuild(scan)
     scan
   }
@@ -740,7 +755,9 @@ final class GraftLakeScan(root: String, rootAbs: String,
                           sidecarCols: Set[String] = Set.empty,
                           rowsBy: Map[String, Long] = Map.empty,
                           maxFilesPerTrigger: Option[Long] = None,
-                          maxBytesPerTrigger: Option[Long] = None)
+                          maxBytesPerTrigger: Option[Long] = None,
+                          reportColStats: Boolean = true,
+                          ndvBy: Map[String, Map[String, Long]] = Map.empty)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
   /** Files still scheduled after static AND runtime pruning. */
@@ -795,12 +812,99 @@ final class GraftLakeScan(root: String, rootAbs: String,
       if (rowsBy.nonEmpty && files.forall(rowsBy.contains))
         Some(files.iterator.map(rowsBy).sum)
       else None
+    val cs = if (reportColStats) buildColumnStats(files)
+             else new java.util.HashMap[NamedReference, ColumnStatistics]()
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(bytes, 1L))
       override def numRows(): java.util.OptionalLong =
         rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+      override def columnStats(): java.util.Map[NamedReference, ColumnStatistics] = cs
     }
+  }
+
+  /** Per-column statistics of the kept file set, resolved entirely from
+    * sidecars already in hand (the planning-time metadata Delta keeps in
+    * its checkpoint stats and Iceberg in manifests + Puffin sketches):
+    *
+    *   - **min/max**: the kept files' sidecar ranges merged — composed
+    *     with path-encoded partition tuples, so a partition column gets
+    *     exact bounds too. Reported only when EVERY kept file carries a
+    *     range for the column (a single uncovered file could hold wider
+    *     values, and a too-narrow bound would mis-estimate, not just
+    *     mis-prune). With live deletion vectors the bounds stay valid —
+    *     deletes only shrink the value set.
+    *   - **nullCount**: the per-file footer null totals summed, when
+    *     every kept file harvested one.
+    *   - **distinctCount**: from the `_ndv.json` sidecar — SUM of the
+    *     per-file exact counts when the files' value ranges are pairwise
+    *     disjoint (exact then: disjoint ranges cannot share a value, the
+    *     append-sorted layout every range-partitioned lake here has), MAX
+    *     otherwise (a lower bound — the SAFE direction: understating NDV
+    *     can only overstate an equality predicate's result cardinality,
+    *     costing a missed broadcast, never an executor-killing false
+    *     one). A column constant per file (a partition column) needs no
+    *     sidecar: its NDV is the count of distinct per-file values.
+    *
+    * Catalyst only estimates a predicate's selectivity when a column has
+    * BOTH min/max and a distinct count (FilterEstimation's
+    * `hasMinMaxStats && hasDistinctCount` guard), which is why the NDV
+    * sidecar exists at all — size-only statistics can never shrink a
+    * Filter above this scan, and the q132-style broadcast decision below
+    * stays wrong without it. */
+  private def buildColumnStats(files: Seq[String])
+      : java.util.Map[NamedReference, ColumnStatistics] = {
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    if (files.isEmpty) return out
+    val bd = (s: String) => new java.math.BigDecimal(s)
+    fullSchema.fields.foreach { f =>
+      val per = files.map(fp => stats.getOrElse(fp, Map.empty).get(f.name))
+      if (per.forall(_.isDefined)) {
+        val rs = per.map(_.get)
+        val numeric = rs.forall(_.numeric)
+        val (minV, maxV) =
+          if (!numeric) (None, None)
+          else (GraftLakeScan.catalystBound(
+                  rs.map(r => bd(r.min)).min.toPlainString, f.dataType, isMin = true),
+                GraftLakeScan.catalystBound(
+                  rs.map(r => bd(r.max)).max.toPlainString, f.dataType, isMin = false))
+        val nulls: Option[Long] =
+          if (rs.forall(_.nulls.isDefined)) Some(rs.iterator.map(_.nulls.get).sum)
+          else None
+        val perNdv = files.map(fp => ndvBy.get(fp).flatMap(_.get(f.name)))
+        val ndv: Option[Long] =
+          if (perNdv.forall(_.isDefined)) {
+            val vals = perNdv.map(_.get)
+            val disjoint = numeric && {
+              val sorted = rs.map(r => (bd(r.min), bd(r.max))).sortBy(_._1)
+              sorted.sliding(2).forall {
+                case Seq((_, aHi), (bLo, _)) => aHi.compareTo(bLo) < 0
+                case _ => true
+              }
+            }
+            Some(if (disjoint) vals.sum else vals.max)
+          } else if (rs.forall(r => r.min == r.max)) {
+            // constant per file (partition columns): exact without a sidecar
+            Some(rs.map(_.min).distinct.size.toLong)
+          } else None
+        if (minV.isDefined || nulls.isDefined || ndv.isDefined) {
+          out.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+            new ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                ndv.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+              override def min(): java.util.Optional[Object] =
+                minV.fold(java.util.Optional.empty[Object]())(java.util.Optional.of[Object])
+              override def max(): java.util.Optional[Object] =
+                maxV.fold(java.util.Optional.empty[Object]())(java.util.Optional.of[Object])
+              override def nullCount(): java.util.OptionalLong =
+                nulls.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+            })
+          ()
+        }
+      }
+    }
+    out
   }
 
   /** Runtime (join-driven) file pruning — Spark's DPP machinery hands
@@ -954,6 +1058,38 @@ private[sources] object GraftLakeConf {
 
 object GraftLakeScan {
   private val NullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  /** A sidecar bound (its decimal string form — possibly a double-form
+    * string like "5.0" after a cross-row-group merge) as the CATALYST
+    * INTERNAL value of the column's type, the representation
+    * `transformV2Stats` stores straight into a ColumnStat: Int days for
+    * dates, Long micros for timestamps, the boxed primitive otherwise.
+    * Integral bounds round OUTWARD (floor the min, ceil the max) so a
+    * double-merged bound can only widen, never narrow — conservative for
+    * an estimate exactly like for pruning. Types the sidecars don't
+    * harvest exactly (decimals, strings) report no bound. */
+  private[sources] def catalystBound(s: String, dt: DataType,
+                                     isMin: Boolean): Option[Object] =
+    try {
+      val bd = new java.math.BigDecimal(s)
+      def i = bd.setScale(0,
+        if (isMin) java.math.RoundingMode.FLOOR
+        else java.math.RoundingMode.CEILING)
+      dt match {
+        case ByteType => Some(java.lang.Byte.valueOf(i.byteValueExact()))
+        case ShortType => Some(java.lang.Short.valueOf(i.shortValueExact()))
+        case IntegerType => Some(java.lang.Integer.valueOf(i.intValueExact()))
+        case LongType => Some(java.lang.Long.valueOf(i.longValueExact()))
+        case DateType => Some(java.lang.Integer.valueOf(i.intValueExact()))
+        case TimestampType | TimestampNTZType =>
+          Some(java.lang.Long.valueOf(i.longValueExact()))
+        case FloatType => Some(java.lang.Float.valueOf(bd.floatValue()))
+        case DoubleType => Some(java.lang.Double.valueOf(bd.doubleValue()))
+        case _ => None
+      }
+    } catch {
+      case _: NumberFormatException | _: ArithmeticException => None
+    }
 
   /** The hive partition tuple a relative lake path encodes, raw (still
     * path-escaped): `data/commit=<uuid>/p=v/part-x.parquet` → [(p, v)]. */

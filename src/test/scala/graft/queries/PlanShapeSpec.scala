@@ -382,4 +382,73 @@ class PlanShapeSpec extends AnyFunSuite {
       whole.estimateStatistics().sizeInBytes.getAsLong,
       "a pushed filter must shrink the reported size with the pruned files")
   }
+
+  test("connector COLUMN statistics price a filtered dim the size-only estimate gets wrong") {
+    // The counterfactual the size-only stats CANNOT win: the dim's key
+    // values are INTERLEAVED across its four files, so a selective range
+    // predicate prunes NO file and the post-pruning byte estimate stays
+    // at full table size (above the broadcast threshold -> sort-merge).
+    // Only row-level selectivity estimation — Catalyst's FilterEstimation
+    // over the scan's reported min/max + distinct count, under CBO — can
+    // see that `k < 40` keeps ~0.1% of rows and broadcast the filtered
+    // dim. Flipping the connector's `columnStats` option (same session,
+    // same CBO, same threshold) flips the join: the decision provably
+    // comes from the per-column statistics, nothing else.
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.etl.SnapshotLake
+    val dir = java.nio.file.Files.createTempDirectory("graft-colstats").toString
+    val dimRoot = s"$dir/dim"
+    val factRoot = s"$dir/fact"
+    for (i <- 0 until 4) // interleaved: every file spans ~the full range
+      SnapshotLake.append(spark.range(0, 40000)
+        .filter(col("id") % 4 === i)
+        .select(col("id").as("k"),
+          concat(lit("pad-pad-pad-pad-pad-pad-pad-"),
+            col("id").cast("string")).as("pad"))
+        .coalesce(1), dimRoot,
+        SnapshotLake.IndexSpec(Seq("k"), None, ndvCols = Seq("k")))
+    SnapshotLake.append(spark.range(0, 200000)
+      .select((col("id") % 40000).as("k"), col("id").as("v")).coalesce(4),
+      factRoot, SnapshotLake.IndexSpec(Seq("k"), None))
+
+    val s = spark.newSession()
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+    val fact = s.read.format("graftlake").load(factRoot)
+    def planWith(opts: (String, String)*): String = {
+      val dim = opts.foldLeft(s.read.format("graftlake")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(dimRoot)
+      fact.join(dim.filter(col("k") < lit(40L)), "k")
+        .queryExecution.executedPlan.toString
+    }
+    val pOn = planWith()
+    assert(pOn.contains("BroadcastHashJoin"),
+      s"with column statistics, CBO must price k<40 at ~40 rows and broadcast:\n$pOn")
+    val pOff = planWith("columnStats" -> "false")
+    assert(!pOff.contains("BroadcastHashJoin"),
+      "without column statistics the size-only estimate (full table — no " +
+        s"file prunes) must refuse the broadcast:\n$pOff")
+
+    // the premise and the reported statistics themselves
+    val scan = s.read.format("graftlake").load(dimRoot)
+      .filter(col("k") < lit(40L)).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.collectFirst { case sc: graft.sources.GraftLakeScan => sc }.get
+    assert(scan.keptFiles == 4,
+      "interleaved ranges must defeat file pruning — the counterfactual depends on it")
+    val cs = scan.estimateStatistics().columnStats()
+    val kStat = cs.entrySet().iterator().asScala
+      .find(_.getKey.fieldNames.head == "k").map(_.getValue)
+      .getOrElse(fail("column k must report statistics"))
+    assert(kStat.min.get == java.lang.Long.valueOf(0L) &&
+      kStat.max.get == java.lang.Long.valueOf(39999L),
+      s"sidecar bounds must merge exactly: [${kStat.min}, ${kStat.max}]")
+    assert(kStat.nullCount.getAsLong == 0L)
+    // overlapping file ranges -> the NDV combiner takes the per-file MAX
+    // (a lower bound, the safe direction for broadcast decisions)
+    assert(kStat.distinctCount.getAsLong == 10000L,
+      s"overlapping ranges combine NDV as max(per-file): ${kStat.distinctCount}")
+  }
 }
