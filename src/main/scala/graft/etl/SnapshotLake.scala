@@ -6,7 +6,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Snapshot-isolated lake commits — the manifest/version protocol a
   * multi-writer 100 TB lake needs (VERDICT r10 item 2). The plain
@@ -343,9 +343,12 @@ object SnapshotLake {
     // becomes visible before any new-column file exists, old files
     // null-fill, and a version pinned before the evolve never sees it.
     val decl = st.schemaB64.map(b => nullableized(decodeSchema(b)))
+    // files are requested under their PHYSICAL names (identity when the
+    // lake is unmapped) and surfaced under the declared logical names
     val base = applyDeletes(spark, root, v,
-      readListing(spark, root, rel, mergeSchema, userSchema = decl))
-    decl.map(alignTo(base, _)).getOrElse(base)
+      readListing(spark, root, rel, mergeSchema,
+        userSchema = decl.map(physSchemaOf)))
+    decl.map(alignMapped(base, _)).getOrElse(base)
   }
 
   /** Declared schemas apply all-nullable at read time: pre-evolution
@@ -366,6 +369,21 @@ object SnapshotLake {
     }: _*)
   }
 
+  /** [[alignTo]]'s column-mapping twin for a PHYSICAL-space frame (one
+    * read straight off the files): each declared field resolves its
+    * PHYSICAL column, casts to the declared type, and surfaces under
+    * its LOGICAL name; physically-absent columns null-fill. Identical
+    * to alignTo on an unmapped schema. */
+  private[graft] def alignMapped(df: DataFrame, decl: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    df.select(decl.fields.toSeq.map { f =>
+      val p = physNameOf(f)
+      if (have(p)) col(p).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   /** [[readListing]] aligned to the version's declared schema when one
     * exists — every REWRITE path (compact / merge / deleteMatching)
     * reads through this, so an evolved lake's mixed-schema listing
@@ -374,8 +392,8 @@ object SnapshotLake {
                            rel: Seq[String]): DataFrame = {
     val decl = resolve(root, v)._1.schemaB64
       .map(b => nullableized(decodeSchema(b)))
-    val df = readListing(spark, root, rel, userSchema = decl)
-    decl.map(alignTo(df, _)).getOrElse(df)
+    val df = readListing(spark, root, rel, userSchema = decl.map(physSchemaOf))
+    decl.map(alignMapped(df, _)).getOrElse(df)
   }
 
   private def encodeSchema(s: StructType): String =
@@ -386,6 +404,84 @@ object SnapshotLake {
     org.apache.spark.sql.types.DataType.fromJson(
       new String(java.util.Base64.getDecoder.decode(b64),
         java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+
+  // ── column mapping (rename/drop as metadata — Delta's public design) ─
+  //
+  //    Each declared field may carry the PHYSICAL name its data lives
+  //    under in the files (metadata key `graft.physical`). RENAME then
+  //    changes only the field's logical name; DROP only removes the
+  //    field — both are O(1) evolve commits, no file is rewritten, and a
+  //    version pinned before the change still reads the old shape.
+  //
+  //    The load-bearing invariant: PHYSICAL NAMES ARE STABLE ACROSS THE
+  //    LAKE'S ENTIRE HISTORY. Enabling the mapping stamps every field
+  //    with the name its files already use; every later write translates
+  //    logical→physical before the parquet lands ([[writeData]]); and a
+  //    column ADDED after enablement gets a fresh `col-<uuid>` physical
+  //    name, so a dropped column's data can never resurface under a
+  //    reused logical name (the hazard Delta's UUID mode exists for).
+  //    Consequences: any file ever written resolves under the head
+  //    mapping, sidecar indexes (keyed by physical name) survive renames
+  //    untouched, and a drop RETAINS the column's sidecars — pinned
+  //    pre-drop versions still read them, and no future column can
+  //    collide with their physical key.
+  //
+  //    CDF and column mapping refuse each other (both directions): the
+  //    change feed's materialized files freeze column names per version,
+  //    which is exactly what a rename breaks mid-stream — the same
+  //    restriction Delta documents for CDF reads across mapping changes.
+
+  private[graft] val PhysKey = "graft.physical"
+
+  /** The physical (on-file) name a declared field resolves to. */
+  private[graft] def physNameOf(f: StructField): String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
+
+  /** Whether column mapping is enabled on this declared schema. */
+  private[graft] def isMapped(s: StructType): Boolean =
+    s.fields.exists(_.metadata.contains(PhysKey))
+
+  /** logical→physical for the NON-identity pairs of the version's
+    * declared schema (empty ⇒ every name is its own physical name). */
+  def columnMapping(root: String,
+                    version: Option[Long] = None): Map[String, String] =
+    declaredSchema(root, version).map(mappingOf).getOrElse(Map.empty)
+
+  private[graft] def mappingOf(decl: StructType): Map[String, String] =
+    decl.fields.iterator.map(f => f.name -> physNameOf(f))
+      .filter { case (l, p) => l != p }.toMap
+
+  /** The declared schema with every field under its physical name — the
+    * schema a reader must REQUEST from the files. */
+  private[graft] def physSchemaOf(decl: StructType): StructType =
+    StructType(decl.fields.map(f => f.copy(name = physNameOf(f))))
+
+  /** Stamp every unstamped field with its current name as physical —
+    * the mapping-enablement step (the names files already use). */
+  private def stampAll(s: StructType): StructType =
+    StructType(s.fields.map { f =>
+      if (f.metadata.contains(PhysKey)) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putString(PhysKey, f.name).build())
+    })
+
+  /** A brand-new field on a MAPPED lake gets a fresh physical name no
+    * file has ever used — name reuse after a drop can then never
+    * resurface the dropped data. */
+  private[graft] def stampFresh(f: StructField): StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+      .putString(PhysKey, s"col-${UUID.randomUUID().toString}").build())
+
+  /** Predicate columns translated logical→physical at version `v` —
+    * the form the sidecar/path metadata is keyed in. Identity when the
+    * lake is unmapped. */
+  private def physPredsAt(root: String, v: Option[Long],
+                          preds: Seq[FileStats.Range]): Seq[FileStats.Range] = {
+    val m = columnMapping(root, v)
+    if (m.isEmpty) preds
+    else preds.map(p => p.copy(col = m.getOrElse(p.col, p.col)))
+  }
 
   /** The declared schema of version `v` (head when None), if any
     * `evolve` commit at-or-below it set one. */
@@ -436,13 +532,23 @@ object SnapshotLake {
         case None => f // absent from the append: null-fills at write
       }
     } ++ data.fields.filterNot(d => lake.fieldNames.contains(d.name))
-      .map(_.copy(nullable = true))
+      .map { d =>
+        val nf = d.copy(nullable = true)
+        // a mapped lake's new column gets a physical name no file has
+        // ever used — name reuse after a drop can't resurface old data
+        if (isMapped(lake)) stampFresh(nf) else nf
+      }
     StructType(merged)
   }
 
   def evolveSchema(spark: SparkSession, root: String,
-                   newSchema: StructType): Long = {
+                   newSchema: StructType,
+                   allowMissing: Boolean = false): Long = {
     val widens = Widens
+    require(newSchema.fields.map(_.name).distinct.length ==
+      newSchema.fields.length, "evolved schema repeats a logical name")
+    require(newSchema.fields.map(physNameOf).distinct.length ==
+      newSchema.fields.length, "evolved schema repeats a physical name")
     var committed = -1L
     while (committed < 0) {
       val cur = currentVersion(root).getOrElse(
@@ -453,22 +559,84 @@ object SnapshotLake {
         if (fs.isEmpty) new StructType()
         else readListing(spark, root, fs, mergeSchema = true).schema
       }
+      // continuity is PHYSICAL: a renamed column survives under its
+      // physical name (metadata-only), while on an unmapped schema the
+      // physical name IS the logical name — the historical rule exactly
+      val afterByPhys = newSchema.fields.map(f => physNameOf(f) -> f).toMap
       before.fields.foreach { f =>
-        val after = newSchema.fields.find(_.name == f.name).getOrElse(
-          throw new IllegalArgumentException(
-            s"schema evolution cannot DROP column '${f.name}' — " +
-              "dropping or renaming is a rewrite, not a metadata commit"))
-        require(after.dataType == f.dataType ||
-          widens((f.dataType, after.dataType)),
-          s"schema evolution cannot change '${f.name}' from " +
-            s"${f.dataType.simpleString} to ${after.dataType.simpleString} " +
-            "— only widening casts evolve as metadata")
+        afterByPhys.get(physNameOf(f)) match {
+          case Some(after) =>
+            require(after.dataType == f.dataType ||
+              widens((f.dataType, after.dataType)),
+              s"schema evolution cannot change '${f.name}' from " +
+                s"${f.dataType.simpleString} to ${after.dataType.simpleString} " +
+                "— only widening casts evolve as metadata")
+          case None => require(allowMissing,
+            s"schema evolution cannot DROP column '${f.name}' — use " +
+              "dropColumn (column mapping) for a metadata-only drop")
+        }
       }
       if (tryCommit(root, cur + 1, "evolve", cur, addedRows = 0L,
           schemaB64 = Some(encodeSchema(newSchema))))
         committed = cur + 1
     }
     committed
+  }
+
+  /** The head declared schema, or the merged inferred one when no
+    * evolve commit has declared any — the base a mapping DDL stamps. */
+  private def currentDeclaredOrInferred(spark: SparkSession,
+                                        root: String): StructType = {
+    val cur = currentVersion(root).getOrElse(throw new IllegalStateException(
+      s"no committed version at $root — nothing to alter"))
+    declaredSchema(root, Some(cur)).getOrElse {
+      val fs = files(root, cur)
+      if (fs.isEmpty) new StructType()
+      else readListing(spark, root, fs, mergeSchema = true).schema
+    }
+  }
+
+  /** `ALTER TABLE … RENAME COLUMN` as a METADATA-ONLY commit (Delta's
+    * column-mapping rename): enables the mapping if needed (stamping
+    * every field with the physical name its files already use), changes
+    * the one field's LOGICAL name, and commits the evolved schema — no
+    * file is touched, every sidecar index (keyed by physical name)
+    * stays live, and a `VERSION AS OF` pin below the commit still reads
+    * the old name. Refused on a CDF-enabled lake (the feed's
+    * materialized files freeze names per version — Delta documents the
+    * same mapping×CDF restriction). Returns the committed version. */
+  def renameColumn(spark: SparkSession, root: String,
+                   from: String, to: String): Long = {
+    require(cdfKey(root).isEmpty,
+      s"column mapping and the change data feed refuse each other: $root " +
+        "has CDF enabled, and a rename would break the feed's frozen " +
+        "per-version column names")
+    val base = stampAll(currentDeclaredOrInferred(spark, root))
+    require(base.fieldNames.contains(from), s"no column '$from' to rename")
+    require(!base.fieldNames.contains(to),
+      s"cannot rename '$from' to '$to': the name is taken")
+    evolveSchema(spark, root, StructType(base.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f)))
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` as a METADATA-ONLY commit: enables the
+    * mapping if needed and removes the field from the declared schema —
+    * the data stays in the files (pinned pre-drop versions still read
+    * it) and the column's sidecars are RETAINED on purpose: time travel
+    * needs them, and their physical key can never collide with a future
+    * column (new columns get fresh `col-<uuid>` physical names). Same
+    * CDF refusal as [[renameColumn]]. Returns the committed version. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    require(cdfKey(root).isEmpty,
+      s"column mapping and the change data feed refuse each other: $root " +
+        "has CDF enabled, and a drop would break the feed's frozen " +
+        "per-version column names")
+    val base = stampAll(currentDeclaredOrInferred(spark, root))
+    require(base.fieldNames.contains(name), s"no column '$name' to drop")
+    require(base.fields.length > 1,
+      s"cannot drop '$name': a table needs at least one column")
+    evolveSchema(spark, root,
+      StructType(base.fields.filterNot(_.name == name)), allowMissing = true)
   }
 
   /** Read the data files of one manifest listing (or any subset of one).
@@ -618,8 +786,29 @@ object SnapshotLake {
     * `addedRows` and bloom sizing never cost a second footer open). */
   private final case class Written(files: Seq[String], rows: Long)
 
-  private def writeData(df: DataFrame, root: String,
-                        index: IndexSpec = IndexSpec.none): Written = {
+  /** `df` with its columns under their PHYSICAL names (one simultaneous
+    * select, so even swap-shaped mappings translate correctly) — every
+    * data write funnels through here, which is what keeps the
+    * physical-name invariant: files only ever carry physical names.
+    * Identity on an unmapped lake. Columns outside the mapping (new
+    * mergeSchema columns, whose fresh stamp rides the SAME commit's
+    * declared schema) pass through unchanged. */
+  private def toPhysical(df: DataFrame, root: String,
+                         declare: Option[StructType] = None): DataFrame = {
+    // a commit that DECLARES a schema translates by that schema's own
+    // mapping (an auto-merge's fresh column stamp rides this commit, not
+    // the head); everything else translates by the head mapping
+    val m = declare.map(mappingOf).getOrElse(columnMapping(root))
+    if (m.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      org.apache.spark.sql.functions.col(c).as(m.getOrElse(c, c))): _*)
+  }
+
+  private def writeData(df0: DataFrame, root: String,
+                        index: IndexSpec = IndexSpec.none,
+                        declare: Option[StructType] = None): Written = {
+    val m = declare.map(mappingOf).getOrElse(columnMapping(root))
+    val df = toPhysical(df0, root, declare)
     val sub = s"data/${UUID.randomUUID().toString}"
     df.write.mode("overwrite").parquet(Paths.get(root, sub).toString)
     val s = Files.list(Paths.get(root, sub))
@@ -627,7 +816,7 @@ object SnapshotLake {
       try s.iterator().asScala.map(_.getFileName.toString)
         .filter(_.endsWith(".parquet")).map(n => s"$sub/$n").toVector.sorted
       finally s.close()
-    indexAndCount(df.sparkSession, root, rel, index)
+    indexAndCount(df.sparkSession, root, rel, index, m)
   }
 
   /** Hive-partitioned data write: rows land under
@@ -635,12 +824,15 @@ object SnapshotLake {
     * is itself hive-encoded so ONE basePath-anchored scan covers every
     * commit of the lake (the marker column is synthesized by partition
     * discovery and dropped by readers). */
-  private def writeDataPartitioned(df: DataFrame, root: String,
+  private def writeDataPartitioned(df0: DataFrame, root: String,
                                    partCols: Seq[String],
                                    index: IndexSpec): Written = {
+    val m = columnMapping(root)
+    val df = toPhysical(df0, root)
+    val physParts = partCols.map(c => m.getOrElse(c, c))
     val sub = s"data/commit=${UUID.randomUUID().toString}"
     val dir = Paths.get(root, sub)
-    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(dir.toString)
+    df.write.mode("overwrite").partitionBy(physParts: _*).parquet(dir.toString)
     val s = Files.walk(dir)
     val rel =
       try s.iterator().asScala
@@ -648,7 +840,7 @@ object SnapshotLake {
         .map(p => s"$sub/${dir.relativize(p).toString}")
         .toVector.sorted
       finally s.close()
-    indexAndCount(df.sparkSession, root, rel, index)
+    indexAndCount(df.sparkSession, root, rel, index, m)
   }
 
   /** The shared post-write pass: ONE distributed footer harvest
@@ -659,7 +851,16 @@ object SnapshotLake {
     * too. Pre-manifest crash ⇒ sidecars are swept with their orphan dir
     * by vacuum, like the data files themselves. */
   private def indexAndCount(spark: SparkSession, root: String,
-                            rel: Seq[String], index: IndexSpec): Written = {
+                            rel: Seq[String], index0: IndexSpec,
+                            mapping: Map[String, String] = Map.empty): Written = {
+    // index columns arrive LOGICAL; the files carry PHYSICAL names, and
+    // the sidecars key physical (renames then never invalidate an index)
+    val index =
+      if (mapping.isEmpty) index0
+      else index0.copy(
+        statsCols = index0.statsCols.map(c => mapping.getOrElse(c, c)),
+        bloomCol = index0.bloomCol.map(c => mapping.getOrElse(c, c)),
+        ndvCols = index0.ndvCols.map(c => mapping.getOrElse(c, c)))
     val meta = FileStats.harvest(spark, root, rel, index.statsCols)
     if (index.statsCols.nonEmpty)
       FileStats.writeStatsSidecar(root,
@@ -707,9 +908,18 @@ object SnapshotLake {
     val ds = deletesOf(root, v)
     if (ds.isEmpty) df
     else {
+      import org.apache.spark.sql.functions.col
       val tomb = spark.read.parquet(ds.map(f => Paths.get(root, f).toString): _*)
       val k = tomb.columns.head
-      df.join(tomb.select(k).distinct(), Seq(k), "left_anti")
+      // the tombstone key column carries its PHYSICAL name; a frame
+      // already aligned to the declared (logical) shape — the rewrite
+      // paths' readDeclared — anti-joins under the logical name instead
+      val joinKey =
+        if (df.columns.contains(k)) k
+        else columnMapping(root, Some(v)).collectFirst {
+          case (l, p) if p == k && df.columns.contains(l) => l
+        }.getOrElse(k)
+      df.join(tomb.select(col(k).as(joinKey)).distinct(), Seq(joinKey), "left_anti")
     }
   }
 
@@ -796,7 +1006,7 @@ object SnapshotLake {
   def append(df: DataFrame, root: String,
              index: IndexSpec = IndexSpec.none,
              declareSchema: Option[StructType] = None): Long = {
-    val w = writeData(df, root, index)
+    val w = writeData(df, root, index, declareSchema)
     var committed = -1L
     while (committed < 0) {
       val cur = currentVersion(root)
@@ -923,7 +1133,7 @@ object SnapshotLake {
       s"tag must be quote-free: $tag")
     def existing: Option[Long] = findTag(root, tag)
     existing.getOrElse {
-      val w = indexAndCount(spark, root, rel, index)
+      val w = indexAndCount(spark, root, rel, index, columnMapping(root))
       var committed = -1L
       while (committed < 0) {
         existing match {
@@ -1094,7 +1304,7 @@ object SnapshotLake {
     val baseFiles = files(root, baseV)
     val baseDeletes = deletesOf(root, baseV)
     val base = applyDeletes(spark, root, baseV, // materialize, as compact()
-      readListing(spark, root, baseFiles))
+      readDeclared(spark, root, baseV, baseFiles))
     val rewritten = writeData(
       base.withColumn("__z", ZOrder.interleave(col(colA), col(colB)))
         .repartitionByRange(nFiles, col("__z"))
@@ -1134,10 +1344,14 @@ object SnapshotLake {
     * (row-level), so the result is exactly the full scan's — pruning is
     * never a correctness input. */
   def readPruned(spark: SparkSession, root: String,
-                 preds: Seq[FileStats.Range],
+                 preds0: Seq[FileStats.Range],
                  version: Option[Long] = None): PrunedScan = {
     val v = version.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
+    // sidecars, paths and raw file columns all speak PHYSICAL names —
+    // one translation up front covers the prune AND the re-applied row
+    // predicate (identity on an unmapped lake)
+    val preds = physPredsAt(root, Some(v), preds0)
     val all = files(root, v)
     val statsByFile: Map[String, Map[String, FileStats.ColRange]] =
       all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
@@ -1147,10 +1361,9 @@ object SnapshotLake {
       FileStats.mayMatch(
         statsByFile.getOrElse(f, Map.empty) ++ pathRangesOf(f, numCols), preds)
     }
-    val df0 =
-      if (kept.isEmpty) // provably-empty result still needs the schema
-        read(spark, root, Some(v)).limit(0)
-      else readListing(spark, root, kept)
+    if (kept.isEmpty) // provably-empty result still needs the schema
+      return PrunedScan(read(spark, root, Some(v)).limit(0), 0, all.size)
+    val df0 = readListing(spark, root, kept)
     import org.apache.spark.sql.functions.{col, lit}
     val filtered = preds.foldLeft(df0) { (d, p) =>
       val typed = (s: String) => lit(s).cast(d.schema(p.col).dataType)
@@ -1158,7 +1371,14 @@ object SnapshotLake {
       val hi = p.hi.map(col(p.col) <= typed(_))
       (lo ++ hi).foldLeft(d)(_ filter _)
     }
-    PrunedScan(applyDeletes(spark, root, v, filtered), kept.size, all.size)
+    val deleted = applyDeletes(spark, root, v, filtered)
+    // a mapped lake's pruned read surfaces the declared logical shape,
+    // exactly like the full read
+    val decl = declaredSchema(root, Some(v))
+    val out =
+      if (decl.exists(isMapped)) alignMapped(deleted, nullableized(decl.get))
+      else deleted
+    PrunedScan(out, kept.size, all.size)
   }
 
   /** Point-lookup snapshot read through the per-file bloom index on
@@ -1167,20 +1387,23 @@ object SnapshotLake {
     * cost a wasted file read; false negatives cannot occur (the sketch
     * guarantee), so with the IN-filter re-applied the result equals the
     * full scan's. */
-  def readPointLookup(spark: SparkSession, root: String, col: String,
+  def readPointLookup(spark: SparkSession, root: String, col0: String,
                       values: Seq[String],
                       version: Option[Long] = None): PrunedScan = {
     val v = version.orElse(currentVersion(root)).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
+    // bloom sidecar files are named for the PHYSICAL column, and the raw
+    // listing's columns are physical too (identity on an unmapped lake)
+    val col = columnMapping(root, Some(v)).getOrElse(col0, col0)
     val all = files(root, v)
     val blooms = all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
       .flatMap(dir => FileStats.readBloomSidecar(root, dir, col)).toMap
     val kept = all.filter { f =>
       blooms.get(f).forall(bf => values.exists(bf.mightContainString))
     }
-    val df0 =
-      if (kept.isEmpty) read(spark, root, Some(v)).limit(0)
-      else readListing(spark, root, kept)
+    if (kept.isEmpty)
+      return PrunedScan(read(spark, root, Some(v)).limit(0), 0, all.size)
+    val df0 = readListing(spark, root, kept)
     import org.apache.spark.sql.functions.{col => c}
     import org.apache.spark.sql.types._
     val typed: Seq[Any] = df0.schema(col).dataType match {
@@ -1189,8 +1412,13 @@ object SnapshotLake {
       case DoubleType => values.map(_.toDouble)
       case _ => values // string keys probe as-is
     }
-    PrunedScan(applyDeletes(spark, root, v,
-      df0.filter(c(col).isInCollection(typed))), kept.size, all.size)
+    val deleted = applyDeletes(spark, root, v,
+      df0.filter(c(col).isInCollection(typed)))
+    val decl = declaredSchema(root, Some(v))
+    val out =
+      if (decl.exists(isMapped)) alignMapped(deleted, nullableized(decl.get))
+      else deleted
+    PrunedScan(out, kept.size, all.size)
   }
 
   /** Copy-on-write MERGE (upsert + optional tombstone delete) keyed on
@@ -1290,14 +1518,17 @@ object SnapshotLake {
                              fileList: Seq[String], key: String,
                              keys: DataFrame): Seq[String] = {
     import org.apache.spark.sql.functions.{col, not}
+    // sidecar/path metadata keys PHYSICAL names; `key` names the column
+    // in the (logical) `keys` relation — translate for the stats side only
+    val physKey = columnMapping(root).getOrElse(key, key)
     val stats = fileList.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
       .flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
     val numCols = pathNumericCols(fileList)
     val ranges = fileList.map(f =>
       f -> (stats.getOrElse(f, Map.empty) ++ pathRangesOf(f, numCols))).toMap
-    val (ranged, blind) = fileList.partition(f => ranges(f).contains(key))
+    val (ranged, blind) = fileList.partition(f => ranges(f).contains(physKey))
     val statsRows = ranged.map { f =>
-      val r = ranges(f)(key); (f, r.min, r.max, r.numeric)
+      val r = ranges(f)(physKey); (f, r.min, r.max, r.numeric)
     }
     val candidates: Seq[String] =
       if (statsRows.isEmpty) Seq.empty
@@ -1364,6 +1595,10 @@ object SnapshotLake {
     * are dropped, so a pure compact step feeds zero changes. */
   def changeFeed(spark: SparkSession, root: String, fromV: Long, toV: Long,
                  key: String): DataFrame = {
+    require(columnMapping(root, Some(toV)).isEmpty,
+      s"changeFeed on $root: the lake uses column mapping (rename/drop " +
+        "history) — the feed's frozen per-version column names and the " +
+        "mapping refuse each other, as in Delta")
     import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
     val from = files(root, fromV).toSet
     val to = files(root, toV).toSet
@@ -1460,6 +1695,10 @@ object SnapshotLake {
   def enableCdf(root: String, key: String): Unit = {
     require(key.nonEmpty && !key.exists(c => c == '"' || c == '\\'),
       s"CDF key must be quote-free: $key")
+    require(columnMapping(root).isEmpty,
+      s"cannot enable CDF on $root: the lake uses column mapping " +
+        "(rename/drop history), and the feed's materialized files freeze " +
+        "column names per version — the two refuse each other, as in Delta")
     cdfKey(root) match {
       case Some(k) => require(k == key,
         s"CDF already enabled on $root with key '$k' (asked for '$key')")
@@ -1675,13 +1914,17 @@ object SnapshotLake {
     val baseV = currentVersion(root).getOrElse(
       throw new IllegalStateException(s"nothing to delete from at $root"))
     val baseFiles = files(root, baseV)
+    // the metadata proofs (mayMatch / wholeMatch) consult physical-keyed
+    // sidecars; the row-level rewrite below filters the DECLARED
+    // (logical) relation — each side gets the predicate in its own space
+    val physPreds = physPredsAt(root, Some(baseV), preds)
     val stats = baseFiles.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
       .flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
     val numCols = pathNumericCols(baseFiles)
     val ranges = baseFiles.map(f =>
       f -> (stats.getOrElse(f, Map.empty) ++ pathRangesOf(f, numCols))).toMap
-    val candidates = baseFiles.filter(f => FileStats.mayMatch(ranges(f), preds))
-    val dropped = candidates.filter(f => wholeMatch(ranges(f), preds))
+    val candidates = baseFiles.filter(f => FileStats.mayMatch(ranges(f), physPreds))
+    val dropped = candidates.filter(f => wholeMatch(ranges(f), physPreds))
     val rewriteSet = candidates.filterNot(dropped.toSet)
     val pc = partColsOf(baseFiles)
     val rewritten: Seq[String] =
@@ -1752,11 +1995,14 @@ object SnapshotLake {
     * scan (correct, just slower); live key tombstones make any
     * metadata count inexact ⇒ `None`, the caller scans. */
   def fastCountWhere(spark: SparkSession, root: String,
-                     preds: Seq[FileStats.Range],
+                     preds0: Seq[FileStats.Range],
                      version: Option[Long] = None): Option[CountWhere] = {
-    require(preds.nonEmpty, "fastCountWhere needs at least one predicate")
+    require(preds0.nonEmpty, "fastCountWhere needs at least one predicate")
     import org.apache.spark.sql.functions.{col, lit}
     val v = version.orElse(currentVersion(root)).getOrElse(return None)
+    // both consumers — the sidecar metadata AND the boundary files'
+    // raw columns — speak physical names (identity when unmapped)
+    val preds = physPredsAt(root, Some(v), preds0)
     val st = resolve(root, v)._1
     if (st.deletes.nonEmpty) return None
     val dirs = st.files.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
@@ -1805,9 +2051,10 @@ object SnapshotLake {
     * for the column (a file without stats could hold the true extreme)
     * and the version has no live tombstones (an anti-joined row could BE
     * the extreme) — `None` otherwise, and the caller scans. */
-  def statsRange(root: String, col: String,
+  def statsRange(root: String, col0: String,
                  version: Option[Long] = None): Option[FileStats.ColRange] = {
     val v = version.orElse(currentVersion(root)).getOrElse(return None)
+    val col = columnMapping(root, Some(v)).getOrElse(col0, col0)
     val st = resolve(root, v)._1
     if (st.deletes.nonEmpty) return None
     val stats = st.files.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
@@ -1922,8 +2169,15 @@ object SnapshotLake {
   /** The audit view of a staged batch: exactly its rows, read from the
     * staged files (production readers still see nothing). Union with
     * [[read]] for the post-publish preview. */
-  def readStaged(spark: SparkSession, root: String, staged: Staged): DataFrame =
-    readListing(spark, root, staged.files)
+  def readStaged(spark: SparkSession, root: String, staged: Staged): DataFrame = {
+    val df = readListing(spark, root, staged.files)
+    // staged files carry physical names like any write — surface the
+    // declared logical shape on a mapped lake (raw otherwise: unchanged)
+    declaredSchema(root) match {
+      case Some(d) if isMapped(d) => alignMapped(df, nullableized(d))
+      case _ => df
+    }
+  }
 
   /** Publish an audited staged batch as a normal append commit — same
     * CAS loop, O(change) record. With `tag`, publication is exactly-once

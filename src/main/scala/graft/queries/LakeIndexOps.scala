@@ -2469,6 +2469,125 @@ object LakeIndexOps {
         .withColumn("n_dst_versions",
           lit(SnapshotLake.currentVersion(dst).get))
         .orderBy("o_orderstatus")
+    },
+
+    // ── COLUMN MAPPING: RENAME/DROP COLUMN as metadata-only commits
+    //    (Delta's physical-name indirection). The fixture renames the
+    //    INDEXED key (o_orderkey → okey, v3), inserts 20 evolved-shape
+    //    rows through the connector (v4), then drops o_orderpriority
+    //    (v5) — requiring in-body that neither DDL commit touched a
+    //    file, and that a pushed range on the RENAMED key still prunes
+    //    to 1 of 3 files through the physically-keyed sidecar index.
+    //    The oracle replays head (new names, 5 columns, orders+inserts)
+    //    and a pre-rename pin (old names, 6 columns, orders alone) over
+    //    raw orders — both legs hash-checked.
+    Q("q256_column_mapping",
+      s"""WITH m AS (SELECT count(*) AS n, max(o_orderkey) AS mx FROM orders),
+         |u AS (SELECT o_orderkey AS okey, o_totalprice FROM orders
+         |      UNION ALL
+         |      SELECT (SELECT mx FROM m) + i,
+         |             100.0 + CAST(i AS DOUBLE) FROM range(1, 21) t(i)),
+         |agg AS (SELECT count(*) AS n_rows, CAST(sum(okey) AS BIGINT) AS key_sum,
+         |               ${centsSumSql("o_totalprice")} AS price_cents FROM u),
+         |pre AS (SELECT count(*) AS n_rows,
+         |               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |               ${centsSumSql("o_totalprice")} AS price_cents FROM orders)
+         |SELECT 'head' AS side, agg.n_rows, CAST(5 AS BIGINT) AS n_cols,
+         |       agg.key_sum, agg.price_cents FROM agg
+         |UNION ALL
+         |SELECT 'pre', pre.n_rows, CAST(6 AS BIGINT), pre.key_sum,
+         |       pre.price_cents FROM pre
+         |ORDER BY side""".stripMargin) { (s, d) =>
+      val (_, tbl, maxK) = cmapLake(s, d)
+      // sidecar survival: the index was harvested under the PHYSICAL
+      // name (o_orderkey); a pushed range on the logical name must
+      // still prune the upper key half. Kept = 2 of 3: the lower half
+      // matches, the SQL-INSERT file is unindexed (a bare INSERT can't
+      // carry writer options) and is conservatively kept — WITHOUT the
+      // logical→physical translation the range would miss the sidecar
+      // keys entirely and keep all 3.
+      val probe = s.table(tbl).filter(col("okey") <= lit(maxK / 4))
+      val scan = probe.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.collectFirst { case sc: graft.sources.GraftLakeScan => sc }.get
+      require(scan.keptFiles == 2 && scan.totalFiles == 3,
+        s"the renamed key must keep pruning: kept=${scan.keptFiles}/${scan.totalFiles}")
+      val head = s.table(tbl)
+      val pre = s.sql(s"SELECT * FROM $tbl VERSION AS OF 2")
+      require(pre.columns.contains("o_orderkey") && !pre.columns.contains("okey"),
+        "a pin below the rename must read the old name")
+      val headLeg = head.agg(
+        count(lit(1)).as("n_rows"),
+        sum("okey").as("key_sum"),
+        centsSum("o_totalprice").as("price_cents"))
+        .withColumn("side", lit("head"))
+        .withColumn("n_cols", lit(head.schema.size.toLong))
+      val preLeg = pre.agg(
+        count(lit(1)).as("n_rows"),
+        sum("o_orderkey").as("key_sum"),
+        centsSum("o_totalprice").as("price_cents"))
+        .withColumn("side", lit("pre"))
+        .withColumn("n_cols", lit(pre.schema.size.toLong))
+      val cols = Seq("side", "n_rows", "n_cols", "key_sum", "price_cents")
+      headLeg.select(cols.map(col): _*)
+        .unionByName(preLeg.select(cols.map(col): _*))
+        .orderBy("side")
     }
   )
+
+  /** One column-mapped catalog lake per (session, sf dir): orders as two
+    * indexed half-range commits (v1-v2), `ALTER TABLE … RENAME COLUMN
+    * o_orderkey TO okey` (v3, metadata-only — the file set is required
+    * unchanged), 20 evolved-shape rows INSERTed through the connector
+    * (v4 — physically they carry o_orderkey, the stable on-file name),
+    * and `ALTER TABLE … DROP COLUMN o_orderpriority` (v5, metadata-only;
+    * the column's data and sidecars stay for pinned pre-drop reads).
+    * Returns (root, table, max base key). */
+  private val cmapM = new graft.etl.Memo[(SparkSession, String), (String, String, Long)]
+
+  private def cmapLake(s: SparkSession, d: String): (String, String, Long) =
+    cmapM((s, d)) {
+      val root = Scratch.tempDir("graft-cmap-lake").toString + "/lake"
+      val od = Tables.orders(s, d)
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      val half = maxK / 2
+      SnapshotLake.append(
+        od.filter(col("o_orderkey") <= half).coalesce(1), root, idx)
+      SnapshotLake.append(
+        od.filter(col("o_orderkey") > half).coalesce(1), root, idx)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+        Scratch.tempDir("graft-cat-warehouse").toString)
+      val h = f"${scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff}%08x"
+      val tbl = s"graft_cat.lakes.orders_cmap_$h"
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING graftlake LOCATION '$root'")
+      val before = SnapshotLake.files(root, 2L).toSet
+      s.sql(s"ALTER TABLE $tbl RENAME COLUMN o_orderkey TO okey") // v3
+      require(SnapshotLake.currentVersion(root).contains(3L),
+        "RENAME COLUMN must commit exactly one evolve version")
+      require(SnapshotLake.files(root, 3L).toSet == before,
+        "RENAME COLUMN must not touch a single data file")
+      s.range(1, 21).select(
+        (lit(maxK) + col("id")).as("okey"),
+        (col("id") % 50).as("o_custkey"),
+        lit("R").as("o_orderstatus"),
+        (lit(100.0) + col("id").cast("double")).as("o_totalprice"),
+        lit(java.sql.Timestamp.valueOf("2024-07-02 00:00:00")).as("o_orderdate"),
+        lit("CMAP").as("o_orderpriority"))
+        .coalesce(1)
+        .createOrReplaceTempView(s"cmap_src_$h")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM cmap_src_$h") // v4
+      require(SnapshotLake.currentVersion(root).contains(4L),
+        "the evolved-shape INSERT must commit v4")
+      s.sql(s"ALTER TABLE $tbl DROP COLUMN o_orderpriority") // v5
+      require(SnapshotLake.currentVersion(root).contains(5L),
+        "DROP COLUMN must commit exactly one evolve version")
+      require(SnapshotLake.files(root, 5L).toSet ==
+        SnapshotLake.files(root, 4L).toSet,
+        "DROP COLUMN must not touch a single data file")
+      (root, tbl, maxK)
+    }
 }

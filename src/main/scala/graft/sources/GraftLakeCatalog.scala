@@ -242,7 +242,31 @@ class GraftLakeCatalog extends TableCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident).getOrElse(throw new NoSuchTableException(ident))
     val spark = SparkSession.active
-    if (SnapshotLake.currentVersion(root).isEmpty) {
+    val mappingDdl = changes.collect {
+      case c: TableChange.RenameColumn => c
+      case c: TableChange.DeleteColumn => c
+    }
+    if (mappingDdl.nonEmpty) {
+      // RENAME/DROP COLUMN: metadata-only via column mapping — one
+      // change per evolve commit (SQL sends them one at a time)
+      require(changes.length == 1,
+        "graftlake ALTER applies RENAME/DROP COLUMN as its own statement")
+      require(SnapshotLake.currentVersion(root).isDefined,
+        "graftlake RENAME/DROP COLUMN needs a committed version — the " +
+          "mapping stamps the physical names files already use")
+      mappingDdl.head match {
+        case r: TableChange.RenameColumn =>
+          require(r.fieldNames.length == 1,
+            s"graftlake ALTER supports top-level columns only: ${
+              r.fieldNames.mkString(".")}")
+          SnapshotLake.renameColumn(spark, root, r.fieldNames.head, r.newName)
+        case d: TableChange.DeleteColumn =>
+          require(d.fieldNames.length == 1,
+            s"graftlake ALTER supports top-level columns only: ${
+              d.fieldNames.mkString(".")}")
+          SnapshotLake.dropColumn(spark, root, d.fieldNames.head)
+      }
+    } else if (SnapshotLake.currentVersion(root).isEmpty) {
       // managed table before its first commit: evolve the declared
       // schema marker itself — there is no version to anchor a commit to
       val cur = declaredSchema(ident).getOrElse(new StructType())
@@ -272,8 +296,11 @@ class GraftLakeCatalog extends TableCatalog
         require(add.isNullable,
           s"added column '${add.fieldNames.head}' must be nullable — " +
             "files written before the evolution null-fill it")
-        s.add(org.apache.spark.sql.types.StructField(
-          add.fieldNames.head, add.dataType, nullable = true))
+        val nf = org.apache.spark.sql.types.StructField(
+          add.fieldNames.head, add.dataType, nullable = true)
+        // on a MAPPED schema a new column gets a fresh physical name, so
+        // re-adding a dropped column's name can't resurface its old data
+        s.add(if (SnapshotLake.isMapped(s)) SnapshotLake.stampFresh(nf) else nf)
       case (s, upd: TableChange.UpdateColumnType) =>
         require(upd.fieldNames.length == 1,
           s"graftlake ALTER supports top-level columns only: ${

@@ -437,6 +437,31 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
   private var aggPushed: Option[(StructType, Seq[Any])] = None
   private var countPushed: Option[GraftLakeCountScan] = None
 
+  /** logical→physical column mapping at the scanned version (empty on an
+    * unmapped lake): sidecar indexes, path tuples, and the files' own
+    * columns all speak PHYSICAL names, while every name Spark hands this
+    * builder — pushed filters, pruned columns, aggregates — is LOGICAL.
+    * Ranges/probes/exact filters translate here at the push boundary;
+    * the scan translates its read schemas; `readSchema()` stays logical. */
+  private lazy val colMap: Map[String, String] =
+    SnapshotLake.columnMapping(root,
+      version.orElse(SnapshotLake.currentVersion(root)))
+  private def phys(c: String): String = colMap.getOrElse(c, c)
+  private def physFilter(f: Filter): Filter =
+    if (colMap.isEmpty) f
+    else f match {
+      case EqualTo(a, v) => EqualTo(phys(a), v)
+      case GreaterThan(a, v) => GreaterThan(phys(a), v)
+      case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(phys(a), v)
+      case LessThan(a, v) => LessThan(phys(a), v)
+      case LessThanOrEqual(a, v) => LessThanOrEqual(phys(a), v)
+      case org.apache.spark.sql.sources.IsNotNull(a) =>
+        org.apache.spark.sql.sources.IsNotNull(phys(a))
+      case org.apache.spark.sql.sources.In(a, vs) =>
+        org.apache.spark.sql.sources.In(phys(a), vs)
+      case other => other
+    }
+
   /** Filter shapes the readers evaluate with EXACTLY Spark's semantics —
     * comparisons on integral and (binary-collated) string columns, plus
     * IsNotNull — the gate for `exactPushdown` mode accepting a filter as
@@ -479,11 +504,11 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
       case _ => None
     }
     ranges = filters.toSeq.flatMap {
-      case EqualTo(a, v) => s(v).map(x => FileStats.Range(a, Some(x), Some(x)))
-      case GreaterThanOrEqual(a, v) => s(v).map(x => FileStats.Range(a, Some(x), None))
-      case GreaterThan(a, v) => s(v).map(x => FileStats.Range(a, Some(x), None))
-      case LessThanOrEqual(a, v) => s(v).map(x => FileStats.Range(a, None, Some(x)))
-      case LessThan(a, v) => s(v).map(x => FileStats.Range(a, None, Some(x)))
+      case EqualTo(a, v) => s(v).map(x => FileStats.Range(phys(a), Some(x), Some(x)))
+      case GreaterThanOrEqual(a, v) => s(v).map(x => FileStats.Range(phys(a), Some(x), None))
+      case GreaterThan(a, v) => s(v).map(x => FileStats.Range(phys(a), Some(x), None))
+      case LessThanOrEqual(a, v) => s(v).map(x => FileStats.Range(phys(a), None, Some(x)))
+      case LessThan(a, v) => s(v).map(x => FileStats.Range(phys(a), None, Some(x)))
       case _ => None
     }
     // POINT predicates additionally consult the per-file bloom sidecars
@@ -493,11 +518,11 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
     // pruning (Spark re-applies these row-level); capped so a huge
     // IN-list costs the blooms nothing.
     bloomProbes = filters.toSeq.flatMap {
-      case EqualTo(a, v) => s(v).map(x => a -> Seq(x))
+      case EqualTo(a, v) => s(v).map(x => phys(a) -> Seq(x))
       case org.apache.spark.sql.sources.In(a, vs)
           if vs.nonEmpty && vs.length <= 64 =>
         val conv = vs.toSeq.map(s)
-        if (conv.contains(None)) None else Some(a -> conv.flatten)
+        if (conv.contains(None)) None else Some(phys(a) -> conv.flatten)
       case _ => None
     }
     if (exactPushdown) {
@@ -635,17 +660,21 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
     val stats = all.map(f =>
       f -> (sidecars.getOrElse(f, Map.empty) ++ pathIdx.getOrElse(f, Map.empty))).toMap
     val candidates = all.filter(f => FileStats.mayMatch(stats(f), ranges))
+    // the metadata proofs and the boundary readers both work in file
+    // (physical) name space — the accepted filters translate once here
+    val physExact = exact.map(physFilter)
     val (whole, boundary) = candidates.partition(f =>
       rowsBy.contains(f) &&
-        exact.forall(GraftLakeCountScan.wholeMatch(stats(f), _)))
+        physExact.forall(GraftLakeCountScan.wholeMatch(stats(f), _)))
     val filterCols = StructType(exact.flatMap(GraftLakeCountScan.colOf).distinct
-      .flatMap(c => fullSchema.fields.find(_.name == c)))
+      .flatMap(c => fullSchema.fields.find(_.name == c))
+      .map(f => f.copy(name = phys(f.name))))
     val parts = boundary.map(f => GraftLakeInputPartition(s"$rootAbs/$f",
       java.nio.file.Files.size(java.nio.file.Paths.get(root, f)),
       GraftLakeScan.partTupleOf(f)))
     countPushed = Some(new GraftLakeCountScan(nCounts.size,
       whole.map(rowsBy).sum, whole.size, all.size - candidates.size,
-      parts, exact, filterCols, sessionConf()))
+      parts, physExact, filterCols, sessionConf()))
     true
   }
 
@@ -717,9 +746,10 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
         .flatMap(dir => FileStats.readNdvSidecar(root, dir)).toMap
     val scan = new GraftLakeScan(root, rootAbs, kept, all.size, required,
       fullSchema, ranges, stats, lengths, dv, sessionConf(),
-      startingVersion, skipChangeCommits, maxVersionsPerTrigger, exact,
+      startingVersion, skipChangeCommits, maxVersionsPerTrigger,
+      exact.map(physFilter), // readers evaluate in file (physical) space
       v, sidecars.valuesIterator.flatMap(_.keysIterator).toSet, rowsBy,
-      maxFilesPerTrigger, maxBytesPerTrigger, reportColStats, ndvBy)
+      maxFilesPerTrigger, maxBytesPerTrigger, reportColStats, ndvBy, colMap)
     onBuild(scan)
     scan
   }
@@ -757,7 +787,8 @@ final class GraftLakeScan(root: String, rootAbs: String,
                           maxFilesPerTrigger: Option[Long] = None,
                           maxBytesPerTrigger: Option[Long] = None,
                           reportColStats: Boolean = true,
-                          ndvBy: Map[String, Map[String, Long]] = Map.empty)
+                          ndvBy: Map[String, Map[String, Long]] = Map.empty,
+                          colMap: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
   /** Files still scheduled after static AND runtime pruning. */
@@ -780,7 +811,19 @@ final class GraftLakeScan(root: String, rootAbs: String,
   private[sources] def wasRuntimeFiltered: Boolean = filtered
   private[sources] def wasFileGroupFiltered: Boolean = fileFiltered
   private[sources] def version: Long = resolvedVersion
-  private[sources] def statsColumns: Seq[String] = sidecarCols.toSeq.sorted
+  /** The scanned version's column-mapping helpers: files/sidecars speak
+    * PHYSICAL names, Spark speaks LOGICAL; both maps are identity on an
+    * unmapped lake. */
+  private def phys(c: String): String = colMap.getOrElse(c, c)
+  private lazy val logicalOf: Map[String, String] = colMap.map(_.swap)
+  private def physNamed(s: StructType): StructType =
+    if (colMap.isEmpty) s
+    else StructType(s.fields.map(f => f.copy(name = phys(f.name))))
+  /** Sidecar-indexed columns under their LOGICAL names (the form an
+    * IndexSpec re-harvest expects); a dropped column's physical key has
+    * no logical name and passes through. */
+  private[sources] def statsColumns: Seq[String] =
+    sidecarCols.toSeq.map(c => logicalOf.getOrElse(c, c)).sorted
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -858,7 +901,8 @@ final class GraftLakeScan(root: String, rootAbs: String,
     if (files.isEmpty) return out
     val bd = (s: String) => new java.math.BigDecimal(s)
     fullSchema.fields.foreach { f =>
-      val per = files.map(fp => stats.getOrElse(fp, Map.empty).get(f.name))
+      val pn = phys(f.name) // sidecars key physical names
+      val per = files.map(fp => stats.getOrElse(fp, Map.empty).get(pn))
       if (per.forall(_.isDefined)) {
         val rs = per.map(_.get)
         val numeric = rs.forall(_.numeric)
@@ -871,7 +915,7 @@ final class GraftLakeScan(root: String, rootAbs: String,
         val nulls: Option[Long] =
           if (rs.forall(_.nulls.isDefined)) Some(rs.iterator.map(_.nulls.get).sum)
           else None
-        val perNdv = files.map(fp => ndvBy.get(fp).flatMap(_.get(f.name)))
+        val perNdv = files.map(fp => ndvBy.get(fp).flatMap(_.get(pn)))
         val ndv: Option[Long] =
           if (perNdv.forall(_.isDefined)) {
             val vals = perNdv.map(_.get)
@@ -920,7 +964,8 @@ final class GraftLakeScan(root: String, rootAbs: String,
     // fails analysis even though the sidecar could prune on it.
     // `_file` (when projected) lets the row-level rewrite machinery
     // narrow the scan to exactly the matched GROUPS at runtime.
-    (stats.valuesIterator.flatMap(_.keysIterator).toSet + "_file")
+    (stats.valuesIterator.flatMap(_.keysIterator)
+        .map(c => logicalOf.getOrElse(c, c)).toSet + "_file")
       .intersect(required.fieldNames.toSet).toArray
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
   override def filter(filters: Array[Filter]): Unit = {
@@ -947,6 +992,8 @@ final class GraftLakeScan(root: String, rootAbs: String,
           val keys = conv.flatten.toSeq
           if (keys.isEmpty) { (_: String) => false } // empty build side: empty join
           else {
+            // runtime-filter attrs arrive LOGICAL; the stats are physical
+            val pa = phys(a)
             val numeric = fullSchema.fields.find(_.name == a).exists(_.dataType match {
               case LongType | IntegerType | DoubleType | FloatType |
                    ShortType | ByteType => true
@@ -955,12 +1002,12 @@ final class GraftLakeScan(root: String, rootAbs: String,
             val ord: Ordering[String] =
               if (numeric) Ordering.by((s: String) => s.toDouble)
               else (a0: String, b0: String) => FileStats.utf8Cmp(a0, b0)
-            val hull = FileStats.Range(a, Some(keys.min(ord)), Some(keys.max(ord)))
+            val hull = FileStats.Range(pa, Some(keys.min(ord)), Some(keys.max(ord)))
             (f: String) => {
               val fr = stats.getOrElse(f, Map.empty)
               FileStats.mayMatch(fr, Seq(hull)) &&
                 (keys.length > 4096 || keys.exists(k =>
-                  FileStats.mayMatch(fr, Seq(FileStats.Range(a, Some(k), Some(k))))))
+                  FileStats.mayMatch(fr, Seq(FileStats.Range(pa, Some(k), Some(k))))))
             }
           }
         }
@@ -980,7 +1027,10 @@ final class GraftLakeScan(root: String, rootAbs: String,
       // when the projection asks for it)
       GraftLakeScan.partTupleOf(f) :+ ("_file" -> f))).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLakeReaderFactory(required, dv, hconf, exact, fullSchema)
+    // readers live in file space: request PHYSICAL column names (the
+    // emitted rows are positional, so readSchema stays logical)
+    new GraftLakeReaderFactory(physNamed(required), dv, hconf, exact,
+      physNamed(fullSchema))
 
   /** `spark.readStream.format("graftlake")` — the append-tail streaming
     * source over the manifest log (offsets = versions); see
@@ -991,9 +1041,9 @@ final class GraftLakeScan(root: String, rootAbs: String,
     // pushed (not residual), so the stream's readers must apply them —
     // dropping them here would return unfiltered rows Spark never
     // re-filters
-    new GraftLakeMicroBatchStream(root, rootAbs, required,
+    new GraftLakeMicroBatchStream(root, rootAbs, physNamed(required),
       startingVersion, skipChangeCommits, maxVersionsPerTrigger, hconf,
-      exact, fullSchema, maxFilesPerTrigger, maxBytesPerTrigger)
+      exact, physNamed(fullSchema), maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
 /** The scan a fully-pushed aggregate resolves to: ONE synthetic input

@@ -67,13 +67,17 @@ class GraftLakeCatalogSpec extends AnyFunSuite {
       org.apache.spark.sql.types.LongType)
     assert(spark.sql("SELECT sum(y) FROM graft_cat.ns.ev").head.getLong(0) ==
       (0L until 40L).map(_ * 2).sum + 200L)
-    // refusals: drop, rename, narrowing
-    intercept[Exception](
-      spark.sql("ALTER TABLE graft_cat.ns.ev DROP COLUMN note"))
-    intercept[Exception](
-      spark.sql("ALTER TABLE graft_cat.ns.ev RENAME COLUMN note TO memo"))
+    // narrowing still refuses; rename/drop are now metadata-only DDL
+    // through column mapping (ColumnMappingSpec pins their semantics)
     intercept[Exception](
       spark.sql("ALTER TABLE graft_cat.ns.ev ALTER COLUMN y TYPE INT"))
+    spark.sql("ALTER TABLE graft_cat.ns.ev RENAME COLUMN note TO memo")
+    assert(spark.table("graft_cat.ns.ev").columns.toSeq == Seq("x", "y", "memo"))
+    spark.sql("ALTER TABLE graft_cat.ns.ev DROP COLUMN memo")
+    assert(spark.table("graft_cat.ns.ev").columns.toSeq == Seq("x", "y"))
+    assert(spark.sql("SELECT sum(y) FROM graft_cat.ns.ev").head.getLong(0) ==
+      (0L until 40L).map(_ * 2).sum + 200L,
+      "data survives the rename+drop untouched")
   }
 
   test("metadata tables: <table>.history is the commit log, <table>.files the live inventory — zero data reads") {
