@@ -18,6 +18,10 @@ import graft.functions.{MinHashAgg, ShingleHashes, SimHashAgg, TopKPairsAgg, Vec
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.DerivePartitionGuards)
+    // group filtering for conditioned NOT-MATCHED-BY-SOURCE merges: runs
+    // in the operator-optimization batch, one batch BEFORE Spark's
+    // RowLevelOperationRuntimeGroupFiltering consumes what it synthesizes
+    ext.injectOptimizerRule(_ => graft.plans.BoundBySourceMerge)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

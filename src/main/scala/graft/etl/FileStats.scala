@@ -216,12 +216,42 @@ object FileStats {
         ()
     }
 
+  // ── parsed-sidecar cache ────────────────────────────────────────────
+  //    A commit directory's sidecars are written BEFORE the manifest
+  //    link that makes its files visible and never change afterwards
+  //    (rewrites land in fresh dirs; clones hardlink under a new root),
+  //    so (root, dir[, col]) keys an immutable value. Soft references:
+  //    under memory pressure entries reload. At a million files this is
+  //    the difference between an O(files) JSON re-parse per QUERY and
+  //    per PROCESS — the per-query planning wall the ManifestCeiling
+  //    measurement surfaced. Absence is NOT cached (the existence check
+  //    is O(1) and costs nothing to repeat).
+  private val sidecarCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), java.lang.ref.SoftReference[AnyRef]]()
+
+  private def cachedSidecar[A <: AnyRef](root: String, dir: String,
+                                         kind: String)(load: => A): A = {
+    val k = (root, dir, kind)
+    Option(sidecarCache.get(k)).flatMap(r => Option(r.get()))
+      .map(_.asInstanceOf[A]).getOrElse {
+        val v = load
+        sidecarCache.put(k, new java.lang.ref.SoftReference[AnyRef](v))
+        v
+      }
+  }
+
   /** Stats for the files of one commit dir, keyed by manifest-relative
     * path. Empty when the commit carries no sidecar (pre-index commits —
     * their files are never pruned). */
   def readStatsSidecar(root: String, dir: String): Map[String, Map[String, ColRange]] = {
     val p = Paths.get(root, dir, "_stats.json")
     if (!Files.exists(p)) return Map.empty
+    cachedSidecar(root, dir, "stats")(readStatsSidecarUncached(root, dir))
+  }
+
+  private def readStatsSidecarUncached(root: String,
+                                       dir: String): Map[String, Map[String, ColRange]] = {
+    val p = Paths.get(root, dir, "_stats.json")
     val json = Files.readString(p)
     // parse of our own writer's format (the "nulls" field is optional —
     // round-11/12 sidecars lack it and read back as unknown):
@@ -262,11 +292,46 @@ object FileStats {
   def readRowsSidecar(root: String, dir: String): Map[String, Long] = {
     val p = Paths.get(root, dir, "_rows.json")
     if (!Files.exists(p)) return Map.empty
-    val json = Files.readString(p)
-    val entryRe = """"((?:[^"\\]|\\.)*)":(\d+)""".r
-    entryRe.findAllMatchIn(json).map { m =>
-      s"$dir/${unesc(m.group(1))}" -> m.group(2).toLong
-    }.toMap
+    cachedSidecar(root, dir, "rows") {
+      val json = Files.readString(p)
+      val entryRe = """"((?:[^"\\]|\\.)*)":(\d+)""".r
+      entryRe.findAllMatchIn(json).map { m =>
+        s"$dir/${unesc(m.group(1))}" -> m.group(2).toLong
+      }.toMap
+    }
+  }
+
+  // ── byte-size sidecar (planning without per-file stat calls) ────────
+
+  /** Per-file BYTE SIZES as a commit-dir sidecar (`_bytes.json`) —
+    * written at commit time from O(new files) local stat calls, so a
+    * reader planning over a million-file lake never issues a million
+    * `Files.size` calls (on object storage: a million HEAD requests —
+    * Delta and Iceberg both record the size in the log for exactly this
+    * reason). Pre-sidecar commits read back absent and the planner
+    * falls back to stat-on-demand, per file. */
+  def writeBytesSidecar(root: String, bytes: Map[String, Long]): Unit =
+    bytes.groupBy { case (rel, _) => commitDirOf(rel) }.foreach {
+      case (dir, perFile) =>
+        val json = perFile.toSeq.sortBy(_._1).map { case (rel, n) =>
+          s""""${esc(rel.substring(rel.lastIndexOf('/') + 1))}":$n"""
+        }.mkString("{", ",", "}")
+        Files.writeString(Paths.get(root, dir, "_bytes.json"), json)
+        ()
+    }
+
+  /** Byte sizes of one commit dir, keyed by manifest-relative path;
+    * empty when the commit predates the sidecar. */
+  def readBytesSidecar(root: String, dir: String): Map[String, Long] = {
+    val p = Paths.get(root, dir, "_bytes.json")
+    if (!Files.exists(p)) return Map.empty
+    cachedSidecar(root, dir, "bytes") {
+      val json = Files.readString(p)
+      val entryRe = """"((?:[^"\\]|\\.)*)":(\d+)""".r
+      entryRe.findAllMatchIn(json).map { m =>
+        s"$dir/${unesc(m.group(1))}" -> m.group(2).toLong
+      }.toMap
+    }
   }
 
   // ── range pruning ───────────────────────────────────────────────────
@@ -380,15 +445,17 @@ object FileStats {
   def readNdvSidecar(root: String, dir: String): Map[String, Map[String, Long]] = {
     val p = Paths.get(root, dir, "_ndv.json")
     if (!Files.exists(p)) return Map.empty
-    val json = Files.readString(p)
-    val fileRe = """"((?:[^"\\]|\\.)*)":\{([^{}]*)\}""".r
-    val colRe = """"((?:[^"\\]|\\.)*)":(\d+)""".r
-    fileRe.findAllMatchIn(json).map { fm =>
-      val cols = colRe.findAllMatchIn(fm.group(2)).map { cm =>
-        unesc(cm.group(1)) -> cm.group(2).toLong
+    cachedSidecar(root, dir, "ndv") {
+      val json = Files.readString(p)
+      val fileRe = """"((?:[^"\\]|\\.)*)":\{([^{}]*)\}""".r
+      val colRe = """"((?:[^"\\]|\\.)*)":(\d+)""".r
+      fileRe.findAllMatchIn(json).map { fm =>
+        val cols = colRe.findAllMatchIn(fm.group(2)).map { cm =>
+          unesc(cm.group(1)) -> cm.group(2).toLong
+        }.toMap
+        s"$dir/${unesc(fm.group(1))}" -> cols
       }.toMap
-      s"$dir/${unesc(fm.group(1))}" -> cols
-    }.toMap
+    }
   }
 
   /** Blooms of one commit dir for `col`, keyed by manifest-relative path;
@@ -397,12 +464,14 @@ object FileStats {
                        col: String): Map[String, BloomFilter] = {
     val p = Paths.get(root, dir, s"_bloom_$col.json")
     if (!Files.exists(p)) return Map.empty
-    val json = Files.readString(p)
-    val entryRe = """"((?:[^"\\]|\\.)*)":"([A-Za-z0-9+/=]*)"""".r
-    entryRe.findAllMatchIn(json).map { m =>
-      val bf = BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(Base64.getDecoder.decode(m.group(2))))
-      s"$dir/${unesc(m.group(1))}" -> bf
-    }.toMap
+    cachedSidecar(root, dir, s"bloom:$col") {
+      val json = Files.readString(p)
+      val entryRe = """"((?:[^"\\]|\\.)*)":"([A-Za-z0-9+/=]*)"""".r
+      entryRe.findAllMatchIn(json).map { m =>
+        val bf = BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(Base64.getDecoder.decode(m.group(2))))
+        s"$dir/${unesc(m.group(1))}" -> bf
+      }.toMap
+    }
   }
 }

@@ -356,6 +356,38 @@ object SnapshotLake {
   private def nullableized(s: StructType): StructType =
     StructType(s.fields.map(_.copy(nullable = true)))
 
+  /** The LOGICAL schema of version `v` without opening every file: the
+    * declared schema when an evolve commit set one (ZERO file opens —
+    * names/types/metadata stripped to the read shape), else the footer
+    * schema of ONE representative file per leaf directory (files of one
+    * commit directory share a write, hence a schema; every partition
+    * path is still represented). At a million files this is what keeps
+    * connector planning O(directories), not O(files): `spark.read
+    * .format("graftlake")` calls this once per load, and the full-file
+    * DataFrame construction it replaces was ~95% of the planning wall
+    * in the ManifestCeiling measurement. */
+  def schemaOf(spark: SparkSession, root: String,
+               version: Option[Long] = None,
+               mergeSchema: Boolean = false): StructType = {
+    val v = version.orElse(currentVersion(root)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    val st = resolve(root, v)._1
+    st.schemaB64 match {
+      case Some(b) =>
+        // the exact shape read()'s alignMapped emits: logical names,
+        // declared types, all-nullable, no metadata
+        StructType(decodeSchema(b).fields.map(f =>
+          org.apache.spark.sql.types.StructField(f.name, f.dataType,
+            nullable = true)))
+      case None =>
+        if (st.files.isEmpty)
+          throw new IllegalStateException(s"version $v of $root lists no files")
+        val reps = st.files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+          .map(_._2.head).toSeq.sorted
+        readListing(spark, root, reps, mergeSchema).schema
+    }
+  }
+
   /** Project `df` onto a declared schema: matching columns cast to the
     * declared type (identity for unevolved columns, a widening cast
     * after UpdateColumnType), absent columns null-filled — the read-side
@@ -716,6 +748,9 @@ object SnapshotLake {
     * connector composes with the stats sidecars. */
   private[graft] def pathRangeIndex(rel: Seq[String])
       : Map[String, Map[String, FileStats.ColRange]] = {
+    // an unpartitioned listing has no path tuples at all — skip the
+    // O(files) map construction (at a million files it's measurable)
+    if (!rel.exists(_.startsWith("data/commit="))) return Map.empty
     val nc = pathNumericCols(rel)
     rel.map(f => f -> pathRangesOf(f, nc)).toMap
   }
@@ -869,9 +904,19 @@ object SnapshotLake {
     // them for the manifest's addedRows) — the metadata-only count
     // ([[fastCount]]) needs each live file's entry to answer
     FileStats.writeRowsSidecar(root, meta.map { case (f, m) => f -> m.rows })
+    // byte sizes too: O(new files) stat calls HERE instead of O(live
+    // files) per planned scan (a million HEADs on object storage)
+    FileStats.writeBytesSidecar(root, rel.map(f =>
+      f -> java.nio.file.Files.size(Paths.get(root, f))).toMap)
     index.bloomCol.foreach { c =>
-      val expected = // sized from footer row counts: no counting scan
-        math.max(1L, meta.values.foldLeft(0L)((a, m) => math.max(a, m.rows)))
+      // sized from footer row counts (no counting scan) unless the
+      // caller supplied a tighter expected-distinct bound: a bloom's
+      // byte size is linear in `expected`, and rows OVERSTATE distinct
+      // keys wherever the column repeats (a fact table's join key) —
+      // the caller who knows the multiplicity can halve the index cost.
+      // Undersizing degrades fpp, never correctness.
+      val expected = index.bloomExpected.getOrElse(
+        math.max(1L, meta.values.foldLeft(0L)((a, m) => math.max(a, m.rows))))
       FileStats.buildBloomSidecars(spark, root, rel, c,
         expected, index.bloomFpp)
     }
@@ -888,7 +933,8 @@ object SnapshotLake {
   final case class IndexSpec(statsCols: Seq[String],
                              bloomCol: Option[String],
                              bloomFpp: Double = 0.01,
-                             ndvCols: Seq[String] = Nil)
+                             ndvCols: Seq[String] = Nil,
+                             bloomExpected: Option[Long] = None)
   object IndexSpec {
     val none: IndexSpec = IndexSpec(Nil, None)
     def stats(cols: String*): IndexSpec = IndexSpec(cols, None)
@@ -967,6 +1013,23 @@ object SnapshotLake {
     * version. Record bytes are O(this commit's change), never O(table) —
     * and every [[CkptEvery]]-th successful commit also publishes the
     * checkpoint future resolutions and tag probes start from. */
+  /** MEASUREMENT hook ([[graft.ManifestCeiling]]): commit a pre-listed
+    * file set through the normal CAS/checkpoint path without the data
+    * write or footer harvest — what lets a synthetic million-file
+    * manifest exercise resolution/pruning/planning at a scale no local
+    * data generation could reach. Sidecars are the caller's job. */
+  private[graft] def commitSynthetic(root: String, rel: Seq[String],
+                                     rows: Long): Long = {
+    var committed = -1L
+    while (committed < 0) {
+      val cur = currentVersion(root)
+      if (tryCommit(root, cur.getOrElse(0L) + 1, "append", cur.getOrElse(0L),
+          addedRows = rows, add = rel))
+        committed = cur.getOrElse(0L) + 1
+    }
+    committed
+  }
+
   private def tryCommit(root: String, version: Long, op: String, base: Long,
                         tag: Option[String] = None,
                         addedRows: Long = -1L,
@@ -1514,7 +1577,7 @@ object SnapshotLake {
     * branch and vice versa); files without harvested or path-derived
     * `key` stats are always candidates. The keys are never collected to
     * the driver. */
-  private def candidateFiles(spark: SparkSession, root: String,
+  private[graft] def candidateFiles(spark: SparkSession, root: String,
                              fileList: Seq[String], key: String,
                              keys: DataFrame): Seq[String] = {
     import org.apache.spark.sql.functions.{col, not}

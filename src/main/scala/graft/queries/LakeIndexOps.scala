@@ -1025,20 +1025,41 @@ object LakeIndexOps {
 
   private def bloomLake(s: SparkSession, d: String): String =
     bloomM((s, d)) {
-      val root = Scratch.tempDir("graft-bloom-lake").toString + "/lake"
-      val li = Tables.lineitem(s, d).select(LiCols.map(col): _*)
-        .filter(col("l_orderkey") % 2 === 0)
-      val maxK = li.agg(max("l_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(
-        Seq("l_orderkey"), Some("l_orderkey"), bloomFpp = 1e-8)
-      for (i <- 0L until 4L) {
-        val lo = maxK * i / 4
-        val cap = if (i == 3) col("l_orderkey") <= maxK
-                  else col("l_orderkey") < maxK * (i + 1) / 4
-        SnapshotLake.append(
-          li.filter(col("l_orderkey") >= lo && cap).coalesce(1), root, idx)
+      // persisted ACROSS runs under a data-keyed stable path: the fixture
+      // is a pure function of the input dir, and its fpp-1e-8 blooms are
+      // the single most expensive fixture of the 100× leg (VERDICT r15
+      // watch item 3 — 97% of q252's leg entry). `_DONE` marks a complete
+      // build; anything else rebuilds from scratch.
+      val h = f"${scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff}%08x"
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft-fixture-bloom-$h")
+      val root = base.resolve("lake").toString
+      val done = base.resolve("_DONE")
+      if (java.nio.file.Files.exists(done) &&
+          SnapshotLake.currentVersion(root).contains(4L)) root
+      else {
+        org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+        java.nio.file.Files.createDirectories(base)
+        val li = Tables.lineitem(s, d).select(LiCols.map(col): _*)
+          .filter(col("l_orderkey") % 2 === 0)
+        val agg = li.agg(max("l_orderkey"), count(lit(1))).head
+        val (maxK, nRows) = (agg.getLong(0), agg.getLong(1))
+        val idx = SnapshotLake.IndexSpec(
+          Seq("l_orderkey"), Some("l_orderkey"), bloomFpp = 1e-8,
+          // size by distinct keys, not rows: lineitem carries ~4 lines
+          // per order, so rows/2 still bounds per-file ndv with 2×
+          // margin — half the bloom bytes at the same honest fpp
+          bloomExpected = Some(math.max(1L, nRows / 8)))
+        for (i <- 0L until 4L) {
+          val lo = maxK * i / 4
+          val cap = if (i == 3) col("l_orderkey") <= maxK
+                    else col("l_orderkey") < maxK * (i + 1) / 4
+          SnapshotLake.append(
+            li.filter(col("l_orderkey") >= lo && cap).coalesce(1), root, idx)
+        }
+        java.nio.file.Files.writeString(done, "ok")
+        root
       }
-      root
     }
 
   /** Exact global (min, max) of `c` read from the index alone — max of
@@ -2533,8 +2554,112 @@ object LakeIndexOps {
       headLeg.select(cols.map(col): _*)
         .unionByName(preLeg.select(cols.map(col): _*))
         .orderBy("side")
+    },
+
+    // ── BOUNDED BY-SOURCE MERGE: q251's sibling where every `WHEN NOT
+    //    MATCHED BY SOURCE` clause carries a condition, so the COW
+    //    rewrite replaces only the files holding affected rows
+    //    ([[graft.plans.BoundBySourceMerge]] + Spark's own runtime group
+    //    filtering): matches confined to the first key-quarter file,
+    //    the by-source condition to the last — 2 of 4 base files
+    //    replaced, and THAT count rides the hash-checked result
+    //    (n_replaced) next to the clause algebra the oracle replays
+    //    over raw orders. Without the narrowing the commit would
+    //    replace all 4 (q251's honest full-rewrite shape for
+    //    unconditioned clauses).
+    Q("q257_merge_by_source_bounded",
+      s"""WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+         |f AS (
+         |  SELECT CASE WHEN o_orderkey % 89 = 0
+         |                   AND o_orderkey < (SELECT mx FROM m) // 4 THEN 'M'
+         |              WHEN o_orderkey % 3 = 0
+         |                   AND o_orderkey >= ((SELECT mx FROM m) * 3) // 4 THEN 'X'
+         |              ELSE o_orderstatus END AS st,
+         |         CASE WHEN o_orderkey % 89 = 0
+         |                   AND o_orderkey < (SELECT mx FROM m) // 4
+         |                THEN o_totalprice + 3.0
+         |              WHEN o_orderkey % 3 = 0
+         |                   AND o_orderkey >= ((SELECT mx FROM m) * 3) // 4
+         |                THEN o_totalprice + 7.0
+         |              ELSE o_totalprice END AS price
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'B', 500.0 + CAST(i AS DOUBLE) FROM range(1, 16) t(i))
+         |SELECT st AS o_orderstatus, count(*) AS n_rows,
+         |       ${centsSumSql("price")} AS total,
+         |       CAST(2 AS BIGINT) AS n_replaced,
+         |       CAST(4 AS BIGINT) AS n_base_files
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val (root, tbl) = mbsLake(s, d)
+      val (_, _, removed, _) = SnapshotLake.commitDelta(root,
+        SnapshotLake.currentVersion(root).get)
+      s.sql(s"SELECT o_orderstatus, o_totalprice FROM $tbl")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          centsSum("o_totalprice").as("total"))
+        .withColumn("n_replaced", lit(removed.size.toLong))
+        .withColumn("n_base_files", lit(4L))
+        .orderBy("o_orderstatus")
     }
   )
+
+  /** One catalog lake per (session, sf dir) for the BOUNDED by-source
+    * merge: orders as four quarter-range files (v1-v4), then ONE MERGE
+    * (v5) whose matches live only in the first quarter (source keys ≡ 0
+    * mod 89, strictly below maxK/4), whose conditioned BY-SOURCE update
+    * touches only the last quarter (key ≥ 3·maxK/4, key % 3 = 0), and
+    * which inserts 15 above-max rows — so the group-filtered COW commit
+    * must replace exactly 2 of the 4 base files. */
+  private val mbsM = new graft.etl.Memo[(SparkSession, String), (String, String)]
+
+  private def mbsLake(s: SparkSession, d: String): (String, String) =
+    mbsM((s, d)) {
+      val root = Scratch.tempDir("graft-mbs-lake").toString + "/lake"
+      val od = Tables.orders(s, d)
+      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
+      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
+      for (i <- 0L until 4L) {
+        val lo = maxK * i / 4
+        val cap = if (i == 3) col("o_orderkey") <= maxK
+                  else col("o_orderkey") < maxK * (i + 1) / 4
+        SnapshotLake.append(
+          od.filter(col("o_orderkey") >= lo && cap).coalesce(1), root, idx)
+      }
+      s.conf.set("spark.sql.catalog.graft_cat",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
+        Scratch.tempDir("graft-cat-warehouse").toString)
+      val h = f"${scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff}%08x"
+      val tbl = s"graft_cat.lakes.orders_mbs_$h"
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING graftlake LOCATION '$root'")
+      od.filter(pmod(col("o_orderkey"), lit(89)) === 0 &&
+          col("o_orderkey") < maxK / 4)
+        .select(col("o_orderkey").as("k"))
+        .unionByName(s.range(1, 16).select((lit(maxK) + col("id")).as("k")))
+        .withColumn("price", lit(500.0) + (col("k") - maxK))
+        .createOrReplaceTempView(s"mbs_src_$h")
+      s.sql(
+        s"""MERGE INTO $tbl AS tgt USING mbs_src_$h AS src
+           |ON tgt.o_orderkey = src.k
+           |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M',
+           |  o_totalprice = tgt.o_totalprice + 3.0
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
+           |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+           |VALUES (src.k, src.k % 1000, 'B', src.price,
+           |  CAST('2024-06-02 00:00:00' AS TIMESTAMP), 'MBS')
+           |WHEN NOT MATCHED BY SOURCE
+           |  AND tgt.o_orderkey % 3 = 0
+           |  AND tgt.o_orderkey >= ${maxK * 3 / 4}L
+           |  THEN UPDATE SET o_orderstatus = 'X',
+           |    o_totalprice = tgt.o_totalprice + 7.0""".stripMargin)
+      require(SnapshotLake.currentVersion(root).contains(5L),
+        "the bounded by-source MERGE must commit exactly one version (v5)")
+      val (_, _, removed, _) = SnapshotLake.commitDelta(root, 5L)
+      require(removed.size == 2,
+        s"the group filter must bound the rewrite to the two affected " +
+          s"files: replaced ${removed.size} of 4")
+      (root, tbl)
+    }
 
   /** One column-mapped catalog lake per (session, sf dir): orders as two
     * indexed half-range commits (v1-v2), `ALTER TABLE … RENAME COLUMN

@@ -78,7 +78,16 @@ final class GraftLakeRowLevelOperation(root: String, fullSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(root, None, fullSchema,
-      onBuild = s => { builtScans.add(s); () })
+      onBuild = s => { builtScans.add(s); () },
+      // the COW scan advertises ONLY `_file` for runtime filtering:
+      // Spark's group-filter DPP builds ONE InSubquery over ALL advertised
+      // attributes, and the multi-attribute (named_struct) form fails
+      // translateRuntimeFilterV2 and is silently DROPPED — advertising
+      // the stats columns here meant the group filter never reached the
+      // scan at all (a full-table rewrite on every UPDATE/MERGE whose
+      // predicate didn't statically push). Single-key `_file` translates,
+      // delivers, and is exactly the group the rewrite replaces.
+      fileOnlyRuntimeFilter = true)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {

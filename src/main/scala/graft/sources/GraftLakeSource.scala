@@ -121,12 +121,16 @@ class GraftLakeSource extends TableProvider with DataSourceRegister {
           "startingTimestamp/endingVersion — versionAsOf/timestampAsOf " +
           "pin a snapshot, not a change range")
       return GraftLakeCdf.cdfSchema(
-        SnapshotLake.read(SparkSession.active, root, None).schema)
+        SnapshotLake.schemaOf(SparkSession.active, root))
     }
-    SnapshotLake.read(SparkSession.active, root, versionOf(options),
+    // resolved from the declared schema or one footer per directory —
+    // never a DataFrame over the full listing (SnapshotLake.schemaOf:
+    // at a million files the full-listing construction IS the planning
+    // wall, the ManifestCeiling measurement's first finding)
+    SnapshotLake.schemaOf(SparkSession.active, root, versionOf(options),
       // opt-in schema-on-read evolution, the native reader's q156
       // contract: the scan null-fills a column any one file predates
-      mergeSchema = options.getBoolean("mergeSchema", false)).schema
+      mergeSchema = options.getBoolean("mergeSchema", false))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -425,7 +429,8 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
                                  onBuild: GraftLakeScan => Unit = _ => (),
                                  maxFilesPerTrigger: Option[Long] = None,
                                  maxBytesPerTrigger: Option[Long] = None,
-                                 reportColStats: Boolean = true)
+                                 reportColStats: Boolean = true,
+                                 fileOnlyRuntimeFilter: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -692,14 +697,15 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
       throw new IllegalStateException(s"no committed version at $root"))
     val all = SnapshotLake.files(root, v)
     val rootAbs = java.nio.file.Paths.get(root).toAbsolutePath.toString
-    // sidecar min/max composed with path-encoded partition tuples: the
-    // two pruning levels of the native readPruned, one mayMatch
-    val sidecars = all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
-      .flatMap(dir => FileStats.readStatsSidecar(root, dir)).toMap
-    val pathIdx = SnapshotLake.pathRangeIndex(all)
-    val stats = all.map(f =>
-      f -> (sidecars.getOrElse(f, Map.empty) ++ pathIdx.getOrElse(f, Map.empty))).toMap
-    val keptByRange = all.filter(f => FileStats.mayMatch(stats(f), ranges))
+    // the flattened sidecar index of THIS version — memoized: a version's
+    // file list and sidecars are immutable, and rebuilding the
+    // million-entry maps was most of the residual per-plan driver time
+    // in the ManifestCeiling measurement
+    val idx = GraftLakeSidecarIndex.of(root, v, all)
+    val stats = idx.composed
+    val keptByRange =
+      if (ranges.isEmpty) all
+      else all.filter(f => FileStats.mayMatch(stats(f), ranges))
     // bloom level: files whose bloom disproves EVERY probed key drop;
     // a file without a bloom sidecar is conservatively kept
     val kept =
@@ -717,8 +723,10 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
           }
         }
       }
-    val lengths = kept.map(f =>
-      f -> java.nio.file.Files.size(java.nio.file.Paths.get(root, f))).toMap
+    // file lengths from the commit-time `_bytes.json` sidecars;
+    // stat-on-demand only for pre-sidecar files
+    val lengths = kept.map(f => f -> idx.bytes.getOrElse(f,
+      java.nio.file.Files.size(java.nio.file.Paths.get(root, f)))).toMap
     // live deletion vectors: ship the tombstone FILES (path + length +
     // key column), not their keys — each reader task loads the set
     val dvRel = SnapshotLake.deletesOf(root, v)
@@ -732,24 +740,16 @@ final class GraftLakeScanBuilder(root: String, version: Option[Long],
             java.nio.file.Files.size(java.nio.file.Paths.get(root, f)))),
           keyField))
       }
-    // per-file row counts for estimateStatistics — the rows sidecars of
-    // the same directories the stats sidecars came from (zero extra I/O
-    // beyond files the planner already listed)
-    val rowsBy = all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
-      .flatMap(dir => FileStats.readRowsSidecar(root, dir)).toMap
-    // per-file distinct counts, when the commits carried an NDV index —
-    // same resolution pattern as the stats/rows sidecars, zero extra
-    // I/O beyond directories the planner already listed
     val ndvBy =
       if (!reportColStats) Map.empty[String, Map[String, Long]]
-      else all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
-        .flatMap(dir => FileStats.readNdvSidecar(root, dir)).toMap
+      else idx.ndv
     val scan = new GraftLakeScan(root, rootAbs, kept, all.size, required,
       fullSchema, ranges, stats, lengths, dv, sessionConf(),
       startingVersion, skipChangeCommits, maxVersionsPerTrigger,
       exact.map(physFilter), // readers evaluate in file (physical) space
-      v, sidecars.valuesIterator.flatMap(_.keysIterator).toSet, rowsBy,
-      maxFilesPerTrigger, maxBytesPerTrigger, reportColStats, ndvBy, colMap)
+      v, idx.statCols, idx.rows,
+      maxFilesPerTrigger, maxBytesPerTrigger, reportColStats, ndvBy, colMap,
+      fileOnlyRuntimeFilter)
     onBuild(scan)
     scan
   }
@@ -788,7 +788,8 @@ final class GraftLakeScan(root: String, rootAbs: String,
                           maxBytesPerTrigger: Option[Long] = None,
                           reportColStats: Boolean = true,
                           ndvBy: Map[String, Map[String, Long]] = Map.empty,
-                          colMap: Map[String, String] = Map.empty)
+                          colMap: Map[String, String] = Map.empty,
+                          fileOnlyRuntimeFilter: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
   /** Files still scheduled after static AND runtime pruning. */
@@ -964,8 +965,9 @@ final class GraftLakeScan(root: String, rootAbs: String,
     // fails analysis even though the sidecar could prune on it.
     // `_file` (when projected) lets the row-level rewrite machinery
     // narrow the scan to exactly the matched GROUPS at runtime.
-    (stats.valuesIterator.flatMap(_.keysIterator)
-        .map(c => logicalOf.getOrElse(c, c)).toSet + "_file")
+    (if (fileOnlyRuntimeFilter) Set("_file")
+     else stats.valuesIterator.flatMap(_.keysIterator)
+       .map(c => logicalOf.getOrElse(c, c)).toSet + "_file")
       .intersect(required.fieldNames.toSet).toArray
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
   override def filter(filters: Array[Filter]): Unit = {
@@ -1103,6 +1105,50 @@ private[sources] object GraftLakeConf {
     c.setBoolean(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
       sc.parquetAnnotateVariantLogicalType)
     new SerializableConfiguration(c)
+  }
+}
+
+/** The flattened sidecar index of one lake VERSION — stats ranges
+  * (composed with path-encoded partition tuples), row counts, byte
+  * sizes, NDVs, and the set of stats-indexed columns — memoized per
+  * (root, version) under soft references: a version's file list and its
+  * commit dirs' sidecars are immutable once visible, and rebuilding
+  * these maps dominated the residual per-plan driver time at a million
+  * files (ManifestCeiling). The first scan of a version pays the build;
+  * every later scan of it plans from the cached maps. */
+private[sources] final case class GraftLakeSidecarIndex(
+    stats: Map[String, Map[String, FileStats.ColRange]],
+    composed: Map[String, Map[String, FileStats.ColRange]],
+    rows: Map[String, Long],
+    bytes: Map[String, Long],
+    ndv: Map[String, Map[String, Long]],
+    statCols: Set[String])
+
+private[sources] object GraftLakeSidecarIndex {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), java.lang.ref.SoftReference[GraftLakeSidecarIndex]]()
+
+  def of(root: String, v: Long, all: Seq[String]): GraftLakeSidecarIndex = {
+    val k = (root, v)
+    Option(cache.get(k)).flatMap(r => Option(r.get())).getOrElse {
+      val dirs = all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      val sidecars = dirs.flatMap(d => FileStats.readStatsSidecar(root, d)).toMap
+      val pathIdx = SnapshotLake.pathRangeIndex(all)
+      // unpartitioned lakes (empty path index) skip the per-file map
+      // merge — at a million files the O(files) allocation is real time
+      val composed: Map[String, Map[String, FileStats.ColRange]] =
+        if (pathIdx.isEmpty) sidecars.withDefaultValue(Map.empty)
+        else all.map(f => f -> (sidecars.getOrElse(f, Map.empty) ++
+          pathIdx.getOrElse(f, Map.empty))).toMap
+      val idx = GraftLakeSidecarIndex(
+        sidecars, composed,
+        dirs.flatMap(d => FileStats.readRowsSidecar(root, d)).toMap,
+        dirs.flatMap(d => FileStats.readBytesSidecar(root, d)).toMap,
+        dirs.flatMap(d => FileStats.readNdvSidecar(root, d)).toMap,
+        sidecars.valuesIterator.flatMap(_.keysIterator).toSet)
+      cache.put(k, new java.lang.ref.SoftReference(idx))
+      idx
+    }
   }
 }
 
