@@ -462,16 +462,17 @@ object FileStats {
     * empty when absent (⇒ no pruning for that commit's files). */
   def readBloomSidecar(root: String, dir: String,
                        col: String): Map[String, BloomFilter] = {
+    // deliberately NOT cached: blooms are megabytes per file (unlike the
+    // other sidecars' small maps) and only consulted on point lookups —
+    // holding them soft-referenced measurably raised suite-wide GC
     val p = Paths.get(root, dir, s"_bloom_$col.json")
     if (!Files.exists(p)) return Map.empty
-    cachedSidecar(root, dir, s"bloom:$col") {
-      val json = Files.readString(p)
-      val entryRe = """"((?:[^"\\]|\\.)*)":"([A-Za-z0-9+/=]*)"""".r
-      entryRe.findAllMatchIn(json).map { m =>
-        val bf = BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(Base64.getDecoder.decode(m.group(2))))
-        s"$dir/${unesc(m.group(1))}" -> bf
-      }.toMap
-    }
+    val json = Files.readString(p)
+    val entryRe = """"((?:[^"\\]|\\.)*)":"([A-Za-z0-9+/=]*)"""".r
+    entryRe.findAllMatchIn(json).map { m =>
+      val bf = BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(Base64.getDecoder.decode(m.group(2))))
+      s"$dir/${unesc(m.group(1))}" -> bf
+    }.toMap
   }
 }

@@ -1854,7 +1854,20 @@ object SnapshotLake {
     * list, never the data. */
   def history(root: String): Seq[CommitInfo] = {
     val cur = currentVersion(root).getOrElse(return Seq.empty)
-    (1L to cur).filter(v => Files.exists(versionFile(root, v))).map { v =>
+    val existing = (1L to cur).filter(v => Files.exists(versionFile(root, v)))
+    if (existing.isEmpty) return Seq.empty
+    if (existing.last - existing.head + 1 == existing.size.toLong) {
+      // the normal contiguous log: ONE resolve at the retention edge,
+      // then an incremental fold — O(total change), not O(versions ×
+      // checkpoint) (at 100 commits × 10k files the per-version resolve
+      // was 7 s of the ManifestCeiling's `.history` reading)
+      var st = resolve(root, existing.head)._1
+      existing.map { v =>
+        val r = readRecord(root, v)
+        if (v != existing.head) st = applyRec(st, r)
+        CommitInfo(v, r.op, r.base, r.tag, st.files.size, r.addedRows)
+      }
+    } else existing.map { v => // defensive: a gapped log resolves per version
       val r = readRecord(root, v)
       CommitInfo(v, r.op, r.base, r.tag, files(root, v).size, r.addedRows)
     }

@@ -102,11 +102,19 @@ final class GraftLakeCdfScanBuilder(root: String, fullSchema: StructType,
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
+  override def build(): Scan = {
+    // same refusal as SnapshotLake.changeFeed/enableCdf, surfaced at the
+    // connector boundary: the feed's materialized files freeze column
+    // names per version, which a rename/drop history breaks (Delta
+    // documents the identical CDF × column-mapping restriction)
+    require(graft.etl.SnapshotLake.columnMapping(root).isEmpty,
+      s"readChangeFeed on $root: the lake uses column mapping " +
+        "(rename/drop history) — CDF and the mapping refuse each other")
     new GraftLakeCdfScan(root,
       java.nio.file.Paths.get(root).toAbsolutePath.toString,
       required, fullSchema, startV, endV, skipChangeCommits,
       maxVersionsPerTrigger, hconf)
+  }
 }
 
 final class GraftLakeCdfScan(root: String, rootAbs: String,

@@ -248,8 +248,20 @@ final class GraftLakeStreamingWrite(root: String, rootAbs: String,
   import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
+  // files must land under PHYSICAL column names (the column-mapping
+  // invariant every reader relies on); resolved once at write
+  // construction — the stream's analyzed schema is of this moment's
+  // logical names. Identity on unmapped lakes, or before the first commit.
+  private val physSchema: org.apache.spark.sql.types.StructType = {
+    val m = if (SnapshotLake.currentVersion(root).isEmpty) Map.empty[String, String]
+            else SnapshotLake.columnMapping(root)
+    if (m.isEmpty) schema
+    else org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => f.copy(name = m.getOrElse(f.name, f.name))))
+  }
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    GraftLakeStreamWriterFactory(rootAbs, schema, queryId, hconf)
+    GraftLakeStreamWriterFactory(rootAbs, physSchema, queryId, hconf)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq.collect { case m: GraftLakeFilesMsg => m.files }.flatten

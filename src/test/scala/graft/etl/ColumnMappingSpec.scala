@@ -172,6 +172,48 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("DROP"))
   }
 
+  test("the streaming sink writes physical names into a mapped lake") {
+    val s = spark
+    val root = freshDir()
+    seed(root)
+    SnapshotLake.renameColumn(spark, root, "k", "key")
+    val srcRoot = freshDir()
+    SnapshotLake.append(s.range(5000, 5010)
+      .select(col("id").as("key"), (col("id") * 2).as("v"),
+        lit("s").as("tag")).coalesce(1), srcRoot, SnapshotLake.IndexSpec.none)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cm-ckpt").toString
+    val q = s.readStream.format("graftlake").load(srcRoot)
+      .writeStream.format("graftlake")
+      .option("path", root).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val head = SnapshotLake.read(s, root)
+    assert(head.count() == 1010)
+    assert(head.filter(col("tag") === "s").agg(min("key")).head.getLong(0) == 5000L,
+      "streamed rows must read back under the logical name")
+    // the invariant itself: the streamed files carry the PHYSICAL name
+    val streamed = SnapshotLake.files(root,
+      SnapshotLake.currentVersion(root).get).filter(_.contains("stream-"))
+    assert(streamed.nonEmpty)
+    val raw = spark.read.parquet(s"$root/${streamed.head}")
+    assert(raw.columns.contains("k") && !raw.columns.contains("key"),
+      s"streamed files must carry physical names: ${raw.columns.toSeq}")
+  }
+
+  test("readChangeFeed refuses a mapped lake at the connector boundary") {
+    val s = spark
+    val root = freshDir()
+    seed(root)
+    SnapshotLake.renameColumn(spark, root, "k", "key")
+    val e = intercept[Exception] {
+      s.read.format("graftlake").option("readChangeFeed", "true")
+        .load(root).count()
+    }
+    assert(e.getMessage.contains("column mapping") ||
+      Option(e.getCause).exists(_.getMessage.contains("column mapping")))
+  }
+
   test("CDF and column mapping refuse each other, both directions") {
     val root = freshDir()
     seed(root)
