@@ -203,7 +203,40 @@ object SnapshotLake {
     * log. Also accumulates the idempotence-tag index ([[findTag]],
     * checkpoint writing). Throws NoSuchFileException for versions
     * vacuumed out of retention, as the full-listing scheme did. */
+  /** Resolved-state cache. A version's manifest chain is immutable once
+    * its record is linked (CAS hardlink; manifests are never rewritten
+    * in place — the only way a (root, v) pair can change meaning is a
+    * delete-and-recreate of the whole lake, which replaces the version
+    * FILE too). The version file's (mtime, size) fingerprint is the
+    * validity check: one stat call against a chain walk + JSON fold.
+    * Soft references — under memory pressure states reload. This is the
+    * second half of the ManifestCeiling lever: every metadata op
+    * (files/deletesOf/declaredSchema/columnMapping/statsRange/...)
+    * funnels through resolve, and on a million-file lake each uncached
+    * call re-read a ~half-million-entry checkpoint. */
+  private val resolveCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long),
+    java.lang.ref.SoftReference[((LakeState, Map[String, Long]), (Long, Long))]]()
+
   private def resolve(root: String, v: Long): (LakeState, Map[String, Long]) = {
+    val fp =
+      try {
+        val a = Files.readAttributes(versionFile(root, v),
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        (a.lastModifiedTime.toMillis, a.size)
+      } catch { case _: java.io.IOException => (-1L, -1L) }
+    val k = (root, v)
+    Option(resolveCache.get(k)).flatMap(r => Option(r.get())) match {
+      case Some((st, f)) if fp._1 >= 0 && f == fp => st
+      case _ =>
+        val st = resolveUncached(root, v)
+        if (fp._1 >= 0)
+          resolveCache.put(k, new java.lang.ref.SoftReference((st, fp)))
+        st
+    }
+  }
+
+  private def resolveUncached(root: String, v: Long): (LakeState, Map[String, Long]) = {
     var pending = List.empty[Record]
     var cur = v
     var base: Option[(LakeState, Map[String, Long])] = None
