@@ -164,11 +164,26 @@ object FileStats {
     case _ => None // INT96 / FIXED / BOOLEAN: no pruning support
   }
 
-  private def merge(a: ColRange, b: ColRange): ColRange = {
+  /** Numeric compare of two harvested bound strings WITHOUT a lossy
+    * Double round-trip: BigDecimal on the original strings, so an INT64
+    * bound above 2^53 keeps its exact value through every cross-row-group
+    * merge (a Double fold could round a true max DOWN, making two
+    * overlapping files look disjoint — the unsafe direction for the NDV
+    * combiner's exact-sum path). Doubles fall back to Double compare for
+    * the non-decimal forms BigDecimal rejects (Infinity; parquet-mr
+    * excludes NaN from stats). */
+  private[graft] def numCmp(a: String, b: String): Int =
+    try new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    catch {
+      case _: NumberFormatException =>
+        java.lang.Double.compare(a.toDouble, b.toDouble)
+    }
+
+  private[etl] def merge(a: ColRange, b: ColRange): ColRange = {
     require(a.numeric == b.numeric)
-    if (a.numeric)
-      ColRange(math.min(a.min.toDouble, b.min.toDouble).toString,
-        math.max(a.max.toDouble, b.max.toDouble).toString, numeric = true)
+    if (a.numeric) // keep the ORIGINAL strings — no precision ever lost
+      ColRange(if (numCmp(a.min, b.min) <= 0) a.min else b.min,
+        if (numCmp(a.max, b.max) >= 0) a.max else b.max, numeric = true)
     else // string bounds combine under the harvest's own UTF-8 byte order
       ColRange(if (utf8Cmp(a.min, b.min) <= 0) a.min else b.min,
         if (utf8Cmp(a.max, b.max) >= 0) a.max else b.max, numeric = false)
@@ -220,24 +235,53 @@ object FileStats {
   //    A commit directory's sidecars are written BEFORE the manifest
   //    link that makes its files visible and never change afterwards
   //    (rewrites land in fresh dirs; clones hardlink under a new root),
-  //    so (root, dir[, col]) keys an immutable value. Soft references:
+  //    so (root, dir[, col]) keys an immutable value — UNLESS the whole
+  //    lake is deleted and recreated at the same root, where commit-dir
+  //    names can recur (streaming epoch dirs `stream-<id>-e<N>`,
+  //    synthetic `cNNNNN` dirs). Each read therefore validates the
+  //    cached parse against the sidecar FILE's (mtime, size, fileKey)
+  //    fingerprint — the stat replaces the existence check the readers
+  //    already paid, so validation costs nothing extra. Soft references:
   //    under memory pressure entries reload. At a million files this is
   //    the difference between an O(files) JSON re-parse per QUERY and
   //    per PROCESS — the per-query planning wall the ManifestCeiling
   //    measurement surfaced. Absence is NOT cached (the existence check
   //    is O(1) and costs nothing to repeat).
   private val sidecarCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, String), java.lang.ref.SoftReference[AnyRef]]()
+    (String, String, String),
+    java.lang.ref.SoftReference[((Long, Long, String), AnyRef)]]()
+
+  /** Drop every cached sidecar parse under `root` — called by
+    * [[SnapshotLake]] when its resolve fingerprint detects a
+    * delete-and-recreate of the lake. */
+  private[graft] def invalidateRoot(root: String): Unit = {
+    val it = sidecarCache.keys()
+    while (it.hasMoreElements) {
+      val k = it.nextElement()
+      if (k._1 == root) sidecarCache.remove(k)
+    }
+  }
 
   private def cachedSidecar[A <: AnyRef](root: String, dir: String,
-                                         kind: String)(load: => A): A = {
+                                         kind: String, file: java.nio.file.Path,
+                                         empty: A)(load: => A): A = {
+    val fp =
+      try {
+        val a = Files.readAttributes(file,
+          classOf[java.nio.file.attribute.BasicFileAttributes])
+        (a.lastModifiedTime.toMillis, a.size,
+          Option(a.fileKey).map(_.toString).getOrElse(""))
+      } catch { case _: java.io.IOException => null }
+    if (fp == null) return empty
     val k = (root, dir, kind)
-    Option(sidecarCache.get(k)).flatMap(r => Option(r.get()))
-      .map(_.asInstanceOf[A]).getOrElse {
+    Option(sidecarCache.get(k)).flatMap(r => Option(r.get())) match {
+      case Some((f, v)) if f == fp => v.asInstanceOf[A]
+      case _ =>
         val v = load
-        sidecarCache.put(k, new java.lang.ref.SoftReference[AnyRef](v))
+        sidecarCache.put(k, new java.lang.ref.SoftReference(
+          ((fp, v): ((Long, Long, String), AnyRef))))
         v
-      }
+    }
   }
 
   /** Stats for the files of one commit dir, keyed by manifest-relative
@@ -245,8 +289,9 @@ object FileStats {
     * their files are never pruned). */
   def readStatsSidecar(root: String, dir: String): Map[String, Map[String, ColRange]] = {
     val p = Paths.get(root, dir, "_stats.json")
-    if (!Files.exists(p)) return Map.empty
-    cachedSidecar(root, dir, "stats")(readStatsSidecarUncached(root, dir))
+    cachedSidecar(root, dir, "stats", p,
+      Map.empty[String, Map[String, ColRange]])(
+      readStatsSidecarUncached(root, dir))
   }
 
   private def readStatsSidecarUncached(root: String,
@@ -291,8 +336,7 @@ object FileStats {
     * empty when the commit carries no `_rows.json`. */
   def readRowsSidecar(root: String, dir: String): Map[String, Long] = {
     val p = Paths.get(root, dir, "_rows.json")
-    if (!Files.exists(p)) return Map.empty
-    cachedSidecar(root, dir, "rows") {
+    cachedSidecar(root, dir, "rows", p, Map.empty[String, Long]) {
       val json = Files.readString(p)
       val entryRe = """"((?:[^"\\]|\\.)*)":(\d+)""".r
       entryRe.findAllMatchIn(json).map { m =>
@@ -324,8 +368,7 @@ object FileStats {
     * empty when the commit predates the sidecar. */
   def readBytesSidecar(root: String, dir: String): Map[String, Long] = {
     val p = Paths.get(root, dir, "_bytes.json")
-    if (!Files.exists(p)) return Map.empty
-    cachedSidecar(root, dir, "bytes") {
+    cachedSidecar(root, dir, "bytes", p, Map.empty[String, Long]) {
       val json = Files.readString(p)
       val entryRe = """"((?:[^"\\]|\\.)*)":(\d+)""".r
       entryRe.findAllMatchIn(json).map { m =>
@@ -444,8 +487,7 @@ object FileStats {
     * for its files — the planner falls back to size-only estimates). */
   def readNdvSidecar(root: String, dir: String): Map[String, Map[String, Long]] = {
     val p = Paths.get(root, dir, "_ndv.json")
-    if (!Files.exists(p)) return Map.empty
-    cachedSidecar(root, dir, "ndv") {
+    cachedSidecar(root, dir, "ndv", p, Map.empty[String, Map[String, Long]]) {
       val json = Files.readString(p)
       val fileRe = """"((?:[^"\\]|\\.)*)":\{([^{}]*)\}""".r
       val colRe = """"((?:[^"\\]|\\.)*)":(\d+)""".r

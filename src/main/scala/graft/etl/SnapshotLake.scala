@@ -203,35 +203,76 @@ object SnapshotLake {
     * log. Also accumulates the idempotence-tag index ([[findTag]],
     * checkpoint writing). Throws NoSuchFileException for versions
     * vacuumed out of retention, as the full-listing scheme did. */
+  /** A version file's identity fingerprint: (mtime-millis, size,
+    * fileKey). The fileKey (inode on POSIX) closes the residual hole of
+    * (mtime, size) alone — a delete-and-recreate of a lake within one
+    * millisecond producing a same-size version file still changes the
+    * inode, so a stale cached state can never be served. One stat call;
+    * `None` when the file is gone (never cached, never trusted). */
+  private[graft] type VersionFp = (Long, Long, String)
+  private[graft] def versionFingerprint(root: String,
+                                        v: Long): Option[VersionFp] =
+    try {
+      val a = Files.readAttributes(versionFile(root, v),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      Some((a.lastModifiedTime.toMillis, a.size,
+        Option(a.fileKey).map(_.toString).getOrElse("")))
+    } catch { case _: java.io.IOException => None }
+
   /** Resolved-state cache. A version's manifest chain is immutable once
     * its record is linked (CAS hardlink; manifests are never rewritten
     * in place — the only way a (root, v) pair can change meaning is a
     * delete-and-recreate of the whole lake, which replaces the version
-    * FILE too). The version file's (mtime, size) fingerprint is the
+    * FILE too). The version file's [[versionFingerprint]] is the
     * validity check: one stat call against a chain walk + JSON fold.
     * Soft references — under memory pressure states reload. This is the
     * second half of the ManifestCeiling lever: every metadata op
     * (files/deletesOf/declaredSchema/columnMapping/statsRange/...)
     * funnels through resolve, and on a million-file lake each uncached
-    * call re-read a ~half-million-entry checkpoint. */
+    * call re-read a ~half-million-entry checkpoint. A fingerprint
+    * MISMATCH (cached entry under a different identity) is the
+    * delete-and-recreate signal, and it invalidates the sidecar caches
+    * downstream too ([[FileStats.invalidateRoot]] plus any registered
+    * [[onLakeRecreated]] hook): commit-dir names can recur across
+    * recreations (streaming epoch dirs, synthetic `cNNNNN` dirs), so a
+    * stale sidecar could otherwise serve wrong min/max to the pruner. */
   private val resolveCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long),
-    java.lang.ref.SoftReference[((LakeState, Map[String, Long]), (Long, Long))]]()
+    java.lang.ref.SoftReference[((LakeState, Map[String, Long]), VersionFp)]]()
+
+  /** Hooks run (with the root) when resolve detects a recreated lake.
+    * The DSv2 layer registers its per-version sidecar-index cache here —
+    * a registry instead of a direct call because `etl` must not depend
+    * on `sources`. */
+  private val recreateHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+  private[graft] def onLakeRecreated(hook: String => Unit): Unit = {
+    recreateHooks.add(hook); ()
+  }
+
+  private def invalidateRoot(root: String): Unit = {
+    val it = resolveCache.keys()
+    while (it.hasMoreElements) {
+      val k = it.nextElement()
+      if (k._1 == root) resolveCache.remove(k)
+    }
+    FileStats.invalidateRoot(root)
+    recreateHooks.forEach(h => h(root))
+  }
 
   private def resolve(root: String, v: Long): (LakeState, Map[String, Long]) = {
-    val fp =
-      try {
-        val a = Files.readAttributes(versionFile(root, v),
-          classOf[java.nio.file.attribute.BasicFileAttributes])
-        (a.lastModifiedTime.toMillis, a.size)
-      } catch { case _: java.io.IOException => (-1L, -1L) }
+    val fp = versionFingerprint(root, v)
     val k = (root, v)
     Option(resolveCache.get(k)).flatMap(r => Option(r.get())) match {
-      case Some((st, f)) if fp._1 >= 0 && f == fp => st
-      case _ =>
+      case Some((st, f)) if fp.contains(f) => st
+      case hit =>
+        // a cached entry under a DIFFERENT live fingerprint means the
+        // lake was deleted and recreated at this root: every cache keyed
+        // by (root, …) is suspect, not just this version
+        if (hit.isDefined && fp.isDefined) invalidateRoot(root)
         val st = resolveUncached(root, v)
-        if (fp._1 >= 0)
-          resolveCache.put(k, new java.lang.ref.SoftReference((st, fp)))
+        fp.foreach(f =>
+          resolveCache.put(k, new java.lang.ref.SoftReference((st, f))))
         st
     }
   }
@@ -641,8 +682,23 @@ object SnapshotLake {
               "dropColumn (column mapping) for a metadata-only drop")
         }
       }
+      // Fields NOT carried over from the current schema (by physical
+      // name) are NEW columns, and on a mapped lake they get their fresh
+      // `col-<uuid>` physical names minted HERE — a caller-stamped
+      // PhysKey on a new field could otherwise resurrect a previously
+      // DROPPED column's physical key and surface its retained file data
+      // under a new logical name, the exact hazard the UUID scheme
+      // prevents on the DDL paths. On an unmapped result nothing is
+      // stamped (the physical name IS the logical name, and drops — the
+      // only way old data hides under a key — require the mapping).
+      val beforePhys = before.fields.map(physNameOf).toSet
+      val resultMapped = isMapped(before) || isMapped(newSchema)
+      val declared = StructType(newSchema.fields.map { f =>
+        if (beforePhys.contains(physNameOf(f)) || !resultMapped) f
+        else stampFresh(f)
+      })
       if (tryCommit(root, cur + 1, "evolve", cur, addedRows = 0L,
-          schemaB64 = Some(encodeSchema(newSchema))))
+          schemaB64 = Some(encodeSchema(declared))))
         committed = cur + 1
     }
     committed
@@ -2174,8 +2230,11 @@ object SnapshotLake {
     if (rs.exists(_.isEmpty)) None
     else rs.flatten.reduceOption { (a, b) =>
       require(a.numeric == b.numeric, s"mixed numeric/string stats for $col")
+      // numCmp, not toDouble: two exact INT64 bounds above 2^53 can tie
+      // in double, and this fold's answer IS the metadata-only MIN/MAX
       def lt(x: String, y: String) =
-        if (a.numeric) x.toDouble < y.toDouble else FileStats.utf8Cmp(x, y) < 0
+        if (a.numeric) FileStats.numCmp(x, y) < 0
+        else FileStats.utf8Cmp(x, y) < 0
       FileStats.ColRange(if (lt(b.min, a.min)) b.min else a.min,
         if (lt(a.max, b.max)) b.max else a.max, a.numeric,
         for (x <- a.nulls; y <- b.nulls) yield x + y)

@@ -118,6 +118,14 @@ object BoundBySourceMerge extends Rule[LogicalPlan] {
     val onCond = join.condition.get
     if (!onCond.references.subsetOf(readRel.outputSet ++ srcSide.outputSet))
       return None
+    // the group filter re-EVALUATES these conditions against a separate
+    // scan of the target: a non-deterministic condition (rand() passes
+    // the reference guards — it references nothing) could disagree
+    // between the two evaluations and silently skip files whose rows
+    // would match at MergeRows time. Spark's analyzer usually rejects
+    // non-deterministic merge conditions, but this rule must not lean on
+    // that upstream invariant.
+    if (!onCond.deterministic || affect.exists(!_.deterministic)) return None
     // the EXISTS disjunct — the same construction RewriteMergeIntoTable's
     // toGroupFilterCondition uses for matched-only merges: target columns
     // become outer references into a filter over the source

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -1023,23 +1025,49 @@ object LakeIndexOps {
     * (the kept=0 pin must not ride false-positive luck). */
   private val bloomM = new graft.etl.Memo[(SparkSession, String), String]
 
+  /** Content fingerprint of the fixture's INPUT (the lineitem parquet
+    * under `d`): every file's (name, size, mtime) folded into one hash.
+    * Keying the persistent fixture path on it means a REGENERATED
+    * dataset at the same path gets a fresh build instead of a silently
+    * reused stale lake (which surfaced only later as a confusing oracle
+    * hash mismatch). O(files-in-one-table) stats, driver-side, once. */
+  private def inputFingerprint(d: String): Int = {
+    val p = java.nio.file.Paths.get(d, "lineitem.parquet")
+    val parts =
+      if (!java.nio.file.Files.exists(p)) Seq(d)
+      else {
+        val st = java.nio.file.Files.walk(p)
+        try st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(f => s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+          .toSeq.sorted
+        finally st.close()
+      }
+    scala.util.hashing.MurmurHash3.orderedHash(d +: parts)
+  }
+
   private def bloomLake(s: SparkSession, d: String): String =
     bloomM((s, d)) {
-      // persisted ACROSS runs under a data-keyed stable path: the fixture
-      // is a pure function of the input dir, and its fpp-1e-8 blooms are
-      // the single most expensive fixture of the 100× leg (VERDICT r15
-      // watch item 3 — 97% of q252's leg entry). `_DONE` marks a complete
-      // build; anything else rebuilds from scratch.
-      val h = f"${scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff}%08x"
+      // persisted ACROSS runs under a path keyed by the input dir AND a
+      // content fingerprint of its lineitem files: the fixture is a pure
+      // function of the input DATA (not the path string), and its
+      // fpp-1e-8 blooms are the single most expensive fixture of the
+      // 100× leg (VERDICT r15 watch item 3 — 97% of q252's leg entry).
+      // The build lands in a process-private temp dir ATOMICALLY renamed
+      // into place, so two racing JVMs can never observe a half-built
+      // lake — whichever rename lands second just discards its copy.
+      val h = f"${(scala.util.hashing.MurmurHash3.stringHash(d) ^
+        inputFingerprint(d)) & 0x7fffffff}%08x"
       val base = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"graft-fixture-bloom-$h")
       val root = base.resolve("lake").toString
-      val done = base.resolve("_DONE")
-      if (java.nio.file.Files.exists(done) &&
-          SnapshotLake.currentVersion(root).contains(4L)) root
+      if (SnapshotLake.currentVersion(root).contains(4L)) root
       else {
-        org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
-        java.nio.file.Files.createDirectories(base)
+        val tmp = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft-fixture-bloom-$h.build-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.createDirectories(tmp)
+        val troot = tmp.resolve("lake").toString
         val li = Tables.lineitem(s, d).select(LiCols.map(col): _*)
           .filter(col("l_orderkey") % 2 === 0)
         val agg = li.agg(max("l_orderkey"), count(lit(1))).head
@@ -1055,9 +1083,17 @@ object LakeIndexOps {
           val cap = if (i == 3) col("l_orderkey") <= maxK
                     else col("l_orderkey") < maxK * (i + 1) / 4
           SnapshotLake.append(
-            li.filter(col("l_orderkey") >= lo && cap).coalesce(1), root, idx)
+            li.filter(col("l_orderkey") >= lo && cap).coalesce(1), troot, idx)
         }
-        java.nio.file.Files.writeString(done, "ok")
+        try java.nio.file.Files.move(tmp, base,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            // a concurrent build won the rename — use its (complete) copy
+            org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+        }
         root
       }
     }

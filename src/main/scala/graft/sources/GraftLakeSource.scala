@@ -923,7 +923,18 @@ final class GraftLakeScan(root: String, rootAbs: String,
             val disjoint = numeric && {
               val sorted = rs.map(r => (bd(r.min), bd(r.max))).sortBy(_._1)
               sorted.sliding(2).forall {
-                case Seq((_, aHi), (bLo, _)) => aHi.compareTo(bLo) < 0
+                case Seq((_, aHi), (bLo, _)) =>
+                  // bounds from pre-r17 sidecars passed a Double fold, so
+                  // a true INT64 max above 2^53 may have rounded DOWN by
+                  // up to half an ulp — claim disjointness only with slack
+                  // beyond that error, else fall back to MAX (the safe
+                  // direction: overstating NDV here could underestimate a
+                  // join's cardinality into a false broadcast)
+                  aHi.compareTo(bLo) < 0 && {
+                    val slack = math.max(math.ulp(math.abs(aHi.doubleValue())),
+                      math.ulp(math.abs(bLo.doubleValue())))
+                    bLo.subtract(aHi).doubleValue() > slack
+                  }
                 case _ => true
               }
             }
@@ -1126,28 +1137,47 @@ private[sources] final case class GraftLakeSidecarIndex(
 
 private[sources] object GraftLakeSidecarIndex {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), java.lang.ref.SoftReference[GraftLakeSidecarIndex]]()
+    (String, Long),
+    java.lang.ref.SoftReference[(SnapshotLake.VersionFp, GraftLakeSidecarIndex)]]()
+
+  // a delete-and-recreate detected by SnapshotLake's resolve fingerprint
+  // drops this cache's entries for the root too — commit-dir names can
+  // recur across recreations, so a stale index could mis-prune
+  SnapshotLake.onLakeRecreated { root =>
+    val it = cache.keys()
+    while (it.hasMoreElements) {
+      val k = it.nextElement()
+      if (k._1 == root) cache.remove(k)
+    }
+  }
 
   def of(root: String, v: Long, all: Seq[String]): GraftLakeSidecarIndex = {
     val k = (root, v)
-    Option(cache.get(k)).flatMap(r => Option(r.get())).getOrElse {
-      val dirs = all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
-      val sidecars = dirs.flatMap(d => FileStats.readStatsSidecar(root, d)).toMap
-      val pathIdx = SnapshotLake.pathRangeIndex(all)
-      // unpartitioned lakes (empty path index) skip the per-file map
-      // merge — at a million files the O(files) allocation is real time
-      val composed: Map[String, Map[String, FileStats.ColRange]] =
-        if (pathIdx.isEmpty) sidecars.withDefaultValue(Map.empty)
-        else all.map(f => f -> (sidecars.getOrElse(f, Map.empty) ++
-          pathIdx.getOrElse(f, Map.empty))).toMap
-      val idx = GraftLakeSidecarIndex(
-        sidecars, composed,
-        dirs.flatMap(d => FileStats.readRowsSidecar(root, d)).toMap,
-        dirs.flatMap(d => FileStats.readBytesSidecar(root, d)).toMap,
-        dirs.flatMap(d => FileStats.readNdvSidecar(root, d)).toMap,
-        sidecars.valuesIterator.flatMap(_.keysIterator).toSet)
-      cache.put(k, new java.lang.ref.SoftReference(idx))
-      idx
+    // the same version-file fingerprint resolve() validates with: a
+    // recreated lake at this root can never be served the old index
+    val fp = SnapshotLake.versionFingerprint(root, v)
+    Option(cache.get(k)).flatMap(r => Option(r.get())) match {
+      case Some((f, idx)) if fp.contains(f) => idx
+      case _ =>
+        val dirs = all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+        val sidecars = dirs.flatMap(d => FileStats.readStatsSidecar(root, d)).toMap
+        val pathIdx = SnapshotLake.pathRangeIndex(all)
+        // unpartitioned lakes (empty path index) skip the per-file map
+        // merge — at a million files the O(files) allocation is real time
+        val composed: Map[String, Map[String, FileStats.ColRange]] =
+          if (pathIdx.isEmpty) sidecars.withDefaultValue(Map.empty)
+          else all.map(f => f -> (sidecars.getOrElse(f, Map.empty) ++
+            pathIdx.getOrElse(f, Map.empty))).toMap
+            .withDefaultValue(Map.empty) // same no-stats default as above
+        val idx = GraftLakeSidecarIndex(
+          sidecars, composed,
+          dirs.flatMap(d => FileStats.readRowsSidecar(root, d)).toMap,
+          dirs.flatMap(d => FileStats.readBytesSidecar(root, d)).toMap,
+          dirs.flatMap(d => FileStats.readNdvSidecar(root, d)).toMap,
+          sidecars.valuesIterator.flatMap(_.keysIterator).toSet)
+        fp.foreach(f =>
+          cache.put(k, new java.lang.ref.SoftReference((f, idx))))
+        idx
     }
   }
 }

@@ -230,4 +230,36 @@ class ColumnMappingSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("CDF"))
   }
+
+  test("evolveSchema cannot resurrect a dropped column via stamped physical metadata") {
+    // the public evolveSchema API is the one mapping path that accepted
+    // caller-provided physical keys unchecked: stamping a NEW field with
+    // a previously-dropped column's physical name would surface that
+    // column's retained file data under the new logical name. The guard
+    // mints a fresh physical name for any field not carried over.
+    val root = freshDir()
+    seed(root)
+    SnapshotLake.dropColumn(spark, root, "v") // mapping on; v's data stays in files
+    val cur = SnapshotLake.declaredSchema(root).get
+    val smuggled = org.apache.spark.sql.types.StructField("v2",
+      org.apache.spark.sql.types.LongType, nullable = true,
+      metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("graft.physical", "v").build()) // the dropped key
+    SnapshotLake.evolveSchema(spark, root,
+      org.apache.spark.sql.types.StructType(cur.fields :+ smuggled))
+    val decl = SnapshotLake.declaredSchema(root).get
+    val physOfV2 = decl.fields.find(_.name == "v2").get
+      .metadata.getString("graft.physical")
+    assert(physOfV2 != "v",
+      "a new field must get a FRESH physical name, never a dropped column's key")
+    val head = SnapshotLake.read(spark, root)
+    assert(head.filter(col("v2").isNotNull).count() == 0,
+      "the dropped column's data must stay invisible under the new name")
+    // while a carried-over field (same physical name) still evolves fine
+    val widened = org.apache.spark.sql.types.StructType(decl.fields.map(f =>
+      if (f.name == "k") f.copy(dataType = org.apache.spark.sql.types.LongType)
+      else f))
+    SnapshotLake.evolveSchema(spark, root, widened) // no-op widen: k is long
+    assert(SnapshotLake.read(spark, root).columns.contains("k"))
+  }
 }

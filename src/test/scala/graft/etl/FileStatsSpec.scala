@@ -168,4 +168,42 @@ class FileStatsSpec extends AnyFunSuite {
       Seq(FileStats.Range("k", Some("100"), None)))
     assert(scan.df.count() == 50)
   }
+
+  test("cross-row-group numeric merge keeps exact INT64 bounds above 2^53") {
+    // a Double fold would collapse 2^53 ± 1 to the same value ("9.00…E15")
+    // and could round a true max DOWN — the direction that makes two
+    // overlapping files look disjoint to the NDV combiner. The merge must
+    // keep the ORIGINAL strings, losing no precision at any magnitude.
+    val lo = FileStats.ColRange("9007199254740991", "9007199254740993",
+      numeric = true)
+    val hi = FileStats.ColRange("9007199254740992", "9007199254740997",
+      numeric = true)
+    val m = FileStats.merge(lo, hi)
+    assert(m.min == "9007199254740991" && m.max == "9007199254740997",
+      s"exact strings must survive the fold: $m")
+    // numCmp: exact where Double.compare ties, and scientific forms work
+    assert(FileStats.numCmp("9007199254740993", "9007199254740992") > 0)
+    assert(java.lang.Double.compare(9007199254740993d, 9007199254740992d) == 0)
+    assert(FileStats.numCmp("9.00719925474099E15", "9007199254740990") == 0)
+    assert(FileStats.numCmp("-Infinity", "0") < 0) // double fallback path
+  }
+
+  test("a rewritten sidecar file is re-read, never served from the parse cache") {
+    // commit-dir names can RECUR across a delete-and-recreate of a lake
+    // (streaming epoch dirs, synthetic cNNNNN dirs), so the parse cache
+    // validates each read against the sidecar file's own fingerprint —
+    // simulated here by rewriting _stats.json in place with new bounds
+    val root = newRoot()
+    SnapshotLake.append(df(0, 10), root, idx)
+    val f = SnapshotLake.files(root, 1L).head
+    val dir = f.substring(0, f.lastIndexOf('/'))
+    val first = FileStats.readStatsSidecar(root, dir) // warms the cache
+    assert(first(f)("k").max == "9")
+    FileStats.writeStatsSidecar(root, Map(f -> Map(
+      "k" -> FileStats.ColRange("0", "12345", numeric = true,
+        nulls = Some(0L)))))
+    val second = FileStats.readStatsSidecar(root, dir)
+    assert(second(f)("k").max == "12345",
+      s"rewritten sidecar content must be re-parsed: ${second(f)("k")}")
+  }
 }

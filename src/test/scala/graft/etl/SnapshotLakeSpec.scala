@@ -859,4 +859,32 @@ class SnapshotLakeSpec extends AnyFunSuite {
     assert(miss.exists(_.rows == 1L),
       s"mixed listing compares as string and still finds the row: $miss")
   }
+
+  test("delete-and-recreate at the same root is never served stale state, " +
+      "even with a same-size same-mtime version file") {
+    val root = newRoot()
+    SnapshotLake.append(Seq(1L).toDF("x").coalesce(1), root)
+    val before = SnapshotLake.files(root, 1L) // warms the resolve cache
+    val vf = java.nio.file.Paths.get(root, "_manifests", "v000000001.json")
+    val (oldMtime, oldSize) =
+      (java.nio.file.Files.getLastModifiedTime(vf), java.nio.file.Files.size(vf))
+    // the recreated lake is built at a SIBLING root and moved into place,
+    // so no commit-path resolve ever runs between the warm read above and
+    // the stale-serve attempt below. Its file names are fresh uuids of
+    // identical length (same-size version record), and the old mtime is
+    // forced back — leaving fileKey (the inode) as the ONLY component of
+    // the fingerprint that can tell the two lakes apart.
+    val staging = newRoot()
+    SnapshotLake.append(Seq(2L).toDF("x").coalesce(1), staging)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+      java.nio.file.Paths.get(root))
+    assume(java.nio.file.Files.size(vf) == oldSize,
+      "recreated version record must be same-size for this pin")
+    java.nio.file.Files.setLastModifiedTime(vf, oldMtime)
+    val after = SnapshotLake.files(root, 1L)
+    assert(after != before,
+      "resolve must see the recreated lake's files, not the cached state")
+    assert(rows(root) == Set(2L))
+  }
 }

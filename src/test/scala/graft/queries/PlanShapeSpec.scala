@@ -451,4 +451,53 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(kStat.distinctCount.getAsLong == 10000L,
       s"overlapping ranges combine NDV as max(per-file): ${kStat.distinctCount}")
   }
+
+  test("NDV disjointness needs slack beyond double rounding above 2^53") {
+    // pre-r17 sidecars folded INT64 bounds through Double, where a true
+    // max above 2^53 can round DOWN by half an ulp: two files whose key
+    // ranges actually overlap can LOOK disjoint, and summing their exact
+    // NDVs overstates distinctCount — underestimating a join cardinality
+    // into a potential false broadcast. The combiner claims disjointness
+    // only with slack beyond the rounding error; at normal magnitudes an
+    // integer gap clears the slack and the exact sum still applies.
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    import graft.etl.{FileStats, SnapshotLake}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndvslack").toString
+    val idx = SnapshotLake.IndexSpec(Seq("k"), None, ndvCols = Seq("k"))
+    def seed(root: String): Seq[String] = {
+      SnapshotLake.append(
+        spark.range(0, 5).select(col("id").as("k")).coalesce(1), root, idx)
+      SnapshotLake.append(
+        spark.range(5, 10).select(col("id").as("k")).coalesce(1), root, idx)
+      SnapshotLake.files(root, 2L).sorted
+    }
+    def ndv(root: String): Long = {
+      val scan = spark.read.format("graftlake").load(root)
+        .queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan
+        }.collectFirst { case sc: graft.sources.GraftLakeScan => sc }.get
+      scan.estimateStatistics().columnStats().entrySet().iterator().asScala
+        .find(_.getKey.fieldNames.head == "k").get.getValue
+        .distinctCount().getAsLong
+    }
+    // real bounds [0,4] | [5,9]: an integer gap at magnitude ~10 is far
+    // beyond any rounding slack — exact per-file NDVs still SUM
+    val rootA = s"$dir/a"
+    seed(rootA)
+    assert(ndv(rootA) == 10L, "integer-gapped small-magnitude ranges sum NDV")
+    // same integer gap crafted at 2^53 (a fresh root: a version's
+    // sidecars are contractually immutable once read): ulp(9e15) = 2, so
+    // the gap of 1 is INSIDE the possible fold error — fall back to MAX
+    val rootB = s"$dir/b"
+    val live = seed(rootB)
+    FileStats.writeStatsSidecar(rootB, Map(
+      live.head -> Map("k" -> FileStats.ColRange(
+        "9007199254740988", "9007199254740992", numeric = true, Some(0L))),
+      live.last -> Map("k" -> FileStats.ColRange(
+        "9007199254740993", "9007199254740997", numeric = true, Some(0L)))))
+    assert(ndv(rootB) == 5L,
+      "a gap inside double-rounding slack must fall back to max(per-file)")
+  }
 }

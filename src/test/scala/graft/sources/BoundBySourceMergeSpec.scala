@@ -87,4 +87,37 @@ class BoundBySourceMergeSpec extends AnyFunSuite {
     assert(head.filter(!col("k").between(10, 19))
       .filter(col("v") =!= col("k") * 2 + 1).count() == 0)
   }
+
+  test("a non-deterministic by-source condition never narrows the rewrite") {
+    // rand() < 2.0 is reference-free, so it passes the outputSet guards —
+    // only the rule's explicit determinism check may stop the narrowing,
+    // because the group filter RE-EVALUATES the condition against a
+    // separate scan and a non-deterministic one could disagree between
+    // the two evaluations. Spark's analyzer usually rejects these merges
+    // outright; either outcome (refusal, or a FULL un-narrowed rewrite
+    // with every row updated — rand()<2.0 is always true) is sound, and
+    // a NARROWED commit is the one bug this pins against.
+    val s = spark
+    val (root, tbl) = seeded("nondet")
+    s.range(10, 20).select(col("id").as("sk"), lit(-5L).as("sv"))
+      .createOrReplaceTempView("nbs_n_src")
+    scala.util.Try(s.sql(
+      s"""MERGE INTO $tbl AS tgt USING nbs_n_src AS src
+         |ON tgt.k = src.sk
+         |WHEN MATCHED THEN UPDATE SET v = src.sv
+         |WHEN NOT MATCHED BY SOURCE AND rand() < 2.0
+         |  THEN UPDATE SET v = -1""".stripMargin)) match {
+      case scala.util.Failure(e) =>
+        assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException],
+          s"only the analyzer's own refusal is an acceptable failure: $e")
+      case scala.util.Success(_) =>
+        val v = SnapshotLake.currentVersion(root).get
+        val (_, _, removed, _) = SnapshotLake.commitDelta(root, v)
+        assert(removed.size == 4,
+          "the rule must bail on a non-deterministic condition: full rewrite")
+        assert(SnapshotLake.read(s, root)
+          .filter(col("v") === -1L).count() == 3990L,
+          "rand()<2.0 is always true — every unmatched row must be updated")
+    }
+  }
 }

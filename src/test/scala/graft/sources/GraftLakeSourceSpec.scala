@@ -481,4 +481,29 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(got == (15L until 20L).toSet,
       s"streaming readers must apply the pushed exact filter: $got")
   }
+
+  test("a recreated lake at the same root rebuilds the sidecar index") {
+    // the per-(root, version) sidecar index is fingerprint-validated like
+    // the resolve cache: a delete-and-recreate must never plan a
+    // partitioned scan from the OLD index (whose composed stats map knows
+    // nothing of the new files — formerly a NoSuchElementException at
+    // plan time, or worse, stale min/max on colliding commit-dir names)
+    val s = spark
+    val dir = Files.createTempDirectory("graft-sidx-recreate").toString
+    val root = s"$dir/lake"
+    import org.apache.spark.sql.functions.{lit, sum}
+    def build(mark: Long): Unit =
+      SnapshotLake.appendPartitioned(
+        s.range(0, 100).select(col("id").as("k"), lit(mark).as("m"),
+          (col("id") % 2).as("p")).repartition(1), root, Seq("p"))
+    def q(): Long = s.read.format("graftlake").load(root)
+      .filter(col("k") >= 10 && col("p") === 1)
+      .agg(sum("m")).head.getLong(0)
+    build(1L)
+    assert(q() == 45L) // warms the (root, v=1) index
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    build(2L)
+    assert(q() == 90L,
+      "the recreated lake must plan from ITS OWN sidecar index")
+  }
 }
