@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.SnapshotLake
+
+/** Multi-writer COMMIT CONTENTION at the manifest layer — the second
+  * question the 100× data legs can't answer (the first was the
+  * manifest ceiling): how does the optimistic CAS loop behave when N
+  * writers race the same lake head, and does the serializable-writer
+  * fence hold under append ∥ rewrite races?
+  *
+  * Phase 1 isolates the COMMIT PROTOCOL (no Spark jobs): N threads
+  * each drive M synthetic append commits through the real CAS path —
+  * [[SnapshotLake.commitSynthetic]]'s read-head / write-record /
+  * link(2) loop, including every 10th commit's checkpoint write. Data
+  * files are pre-staged empty names, so the measured cost is manifest
+  * mechanics only: directory listing per attempt, record write, link
+  * publish, lost-CAS retries. Reported per N: wall, commits/s, mean
+  * CAS attempts per commit, and the post-race reconcile check (every
+  * staged file present exactly once in the resolved head — a lost
+  * commit or a double-apply both fail it).
+  *
+  * Phase 2 races REAL appends against small-file compactions: appends
+  * never abort (their commit removes nothing), compactors hit the
+  * [[SnapshotLake]] serializable fence (`ConcurrentModificationException`,
+  * Delta's ConcurrentDeleteReadException shape) whenever a racing
+  * rewrite removed a file they read, and retry from the new head. The
+  * correctness gate is total row count after the dust settles: a fence
+  * miss would double rows a compaction resurrected, a lost append
+  * would drop them.
+  *
+  * Usage: `sbt "runMain graft.CommitContention [commitsPerThread
+  * [filesPerCommit]]"`. Prints one line per configuration; numbers
+  * land in SCALE.md next to the manifest ceiling table. */
+object CommitContention {
+  def main(args: Array[String]): Unit = {
+    val perThread = args.headOption.map(_.toInt).getOrElse(250)
+    val filesPerCommit = if (args.length > 1) args(1).toInt else 10
+    val spark = Sessions.local()
+    val base =
+      if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm" else "/tmp"
+    val work = Paths.get(base, "graft-commit-contention")
+    org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+
+    println(f"CONTENTION phase 1: synthetic CAS appends, " +
+      f"$perThread commits/thread x $filesPerCommit files")
+    for (n <- Seq(1, 2, 4, 8, 16)) {
+      val root = work.resolve(s"lake-n$n").toString
+      // pre-stage every commit's file names (empty files: the protocol
+      // never opens them) so the race measures manifest mechanics only
+      val staged: IndexedSeq[IndexedSeq[Seq[String]]] =
+        (0 until n).map { t =>
+          (0 until perThread).map { j =>
+            val dir = f"data/t$t%02d-c$j%04d"
+            Files.createDirectories(Paths.get(root, dir))
+            (0 until filesPerCommit).map { i =>
+              val f = f"$dir/part-$i%03d.parquet"
+              Files.createFile(Paths.get(root, f))
+              f
+            }
+          }
+        }
+      val lost0 = SnapshotLake.casLost.get
+      val start = new CountDownLatch(1)
+      val done = new CountDownLatch(n)
+      val pool = Executors.newFixedThreadPool(n)
+      (0 until n).foreach { t =>
+        pool.execute { () =>
+          start.await()
+          staged(t).foreach(rel =>
+            SnapshotLake.commitSynthetic(root, rel, filesPerCommit.toLong))
+          done.countDown()
+        }
+      }
+      val t0 = System.nanoTime()
+      start.countDown()
+      require(done.await(600, TimeUnit.SECONDS), "phase 1 stalled")
+      val wall = (System.nanoTime() - t0) / 1e9
+      pool.shutdown()
+      val commits = n.toLong * perThread
+      val lost = SnapshotLake.casLost.get - lost0
+      // reconcile: every version landed, every staged file exactly once
+      val head = SnapshotLake.currentVersion(root).get
+      require(head == commits, s"head=$head, expected $commits")
+      val resolved = SnapshotLake.files(root, head)
+      val expected = staged.flatten.flatten
+      require(resolved.size == expected.size &&
+        resolved.toSet == expected.toSet,
+        s"resolved ${resolved.size} files, expected ${expected.size}")
+      println(f"CONTENTION n=$n%2d  $commits%6d commits  $wall%7.2f s  " +
+        f"${commits / wall}%8.1f commits/s  " +
+        f"${1.0 + lost.toDouble / commits}%5.2f attempts/commit")
+    }
+
+    // phase 2: real appends vs. small-file compactions on one lake
+    println("CONTENTION phase 2: 4 appenders x 25 appends (100 rows each) " +
+      "|| 2 compactors (fence + retry)")
+    val root2 = work.resolve("lake-mixed").toString
+    SnapshotLake.append(
+      spark.range(0, 100).select(col("id").as("k")), root2) // v1 seed
+    val aborts0 = SnapshotLake.fenceAborts.get
+    val appendsLeft = new AtomicLong(4L * 25)
+    val compactions = new AtomicLong
+    val retries = new AtomicLong
+    val pool2 = Executors.newFixedThreadPool(6)
+    val done2 = new CountDownLatch(6)
+    val t0 = System.nanoTime()
+    (0 until 4).foreach { t =>
+      pool2.execute { () =>
+        try (0 until 25).foreach { j =>
+          SnapshotLake.append(spark.range(0, 100)
+            .select((col("id") + (t * 25 + j) * 100L).as("k")), root2)
+          appendsLeft.decrementAndGet()
+        } finally done2.countDown()
+      }
+    }
+    (0 until 2).foreach { _ =>
+      pool2.execute { () =>
+        try while (appendsLeft.get > 0) {
+          try { SnapshotLake.compactSmall(spark, root2, minBytes = 1 << 20)
+                compactions.incrementAndGet(); () }
+          catch { case _: java.util.ConcurrentModificationException =>
+            retries.incrementAndGet(); () } // fence abort: retry from head
+        } finally done2.countDown()
+      }
+    }
+    require(done2.await(600, TimeUnit.SECONDS), "phase 2 stalled")
+    val wall2 = (System.nanoTime() - t0) / 1e9
+    pool2.shutdown()
+    val aborts = SnapshotLake.fenceAborts.get - aborts0
+    // correctness after the dust settles: 101 commits' rows, no
+    // resurrection (fence), no loss (CAS) — compaction is a no-op on rows
+    val rows = SnapshotLake.read(spark, root2).count()
+    require(rows == 101L * 100, s"rows=$rows, expected ${101L * 100}")
+    println(f"CONTENTION mixed  ${wall2}%7.2f s  " +
+      f"${compactions.get}%3d compactions won  " +
+      f"${aborts}%3d fence aborts (all retried)  rows exact")
+    require(aborts == retries.get,
+      s"every abort surfaced as a caught retry: $aborts vs ${retries.get}")
+
+    org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+    spark.stop()
+  }
+}

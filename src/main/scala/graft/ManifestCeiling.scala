@@ -29,6 +29,11 @@ object ManifestCeiling {
   def main(args: Array[String]): Unit = {
     val nFiles = args.headOption.map(_.toInt).getOrElse(1000000)
     val perCommit = if (args.length > 1) args(1).toInt else 10000
+    // A/B lever: `fullckpt` as arg 3 restores full-checkpoint-always
+    // (the pre-r17 scheme) so the incremental-checkpoint saving stays
+    // directly measurable on one build
+    if (args.length > 2 && args(2) == "fullckpt")
+      SnapshotLake.incrementalCkpt = false
     val spark = Sessions.local()
     val base =
       if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm" else "/tmp"
@@ -54,6 +59,7 @@ object ManifestCeiling {
     }
 
     val nCommits = nFiles / perCommit
+    val ck0 = (SnapshotLake.ckptNanos.get, SnapshotLake.ckptBytes.get)
     timed(s"generate $nFiles files / $nCommits commits") {
       var g = 0L
       for (c <- 0 until nCommits) {
@@ -73,6 +79,9 @@ object ManifestCeiling {
         SnapshotLake.commitSynthetic(root, rel, perCommit.toLong)
       }
     }
+    println(f"CEILING   of which checkpoint writes   " +
+      f"${(SnapshotLake.ckptNanos.get - ck0._1) / 1e9}%10.3f s  " +
+      f"(${(SnapshotLake.ckptBytes.get - ck0._2) / 1e6}%.0f MB)")
     val head = SnapshotLake.currentVersion(root).get
 
     val n1 = timed("resolve head (cold)") {
@@ -135,6 +144,21 @@ object ManifestCeiling {
       q.queryExecution.executedPlan
       ()
     }
+    // CDF range planning over the whole history: every file of every
+    // append becomes a change partition; sizes must come from the
+    // cached `_bytes.json` sidecars, never a per-file stat — the same
+    // O(commit-dirs) contract as the snapshot path
+    def cdfPlan(label: String): Unit = timed(label) {
+      val q = spark.read.format("graftlake")
+        .option("readChangeFeed", "true").load(root)
+      val scan = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.collectFirst { case s: graft.sources.GraftLakeCdfScan => s }.get
+      require(scan.planInputPartitions().length == nFiles)
+    }
+    cdfPlan("CDF full-range planning (cold)")
+    cdfPlan("CDF full-range planning (warm)")
     spark.conf.set("spark.sql.catalog.graft_ceil",
       classOf[graft.sources.GraftLakeCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft_ceil.warehouse",

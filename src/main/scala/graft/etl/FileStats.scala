@@ -357,12 +357,23 @@ object FileStats {
   def writeBytesSidecar(root: String, bytes: Map[String, Long]): Unit =
     bytes.groupBy { case (rel, _) => commitDirOf(rel) }.foreach {
       case (dir, perFile) =>
-        val json = perFile.toSeq.sortBy(_._1).map { case (rel, n) =>
-          s""""${esc(rel.substring(rel.lastIndexOf('/') + 1))}":$n"""
-        }.mkString("{", ",", "}")
-        Files.writeString(Paths.get(root, dir, "_bytes.json"), json)
-        ()
+        writeBytesSidecarInto(Paths.get(root, dir), perFile.map {
+          case (rel, n) => rel.substring(rel.lastIndexOf('/') + 1) -> n
+        })
     }
+
+  /** The same sidecar written straight into `dir` with BARE file names
+    * as keys — for builders that stage a directory elsewhere and rename
+    * it into place (the CDC materializer), where the final
+    * manifest-relative prefix isn't the staging path. */
+  def writeBytesSidecarInto(dir: java.nio.file.Path,
+                            sizes: Map[String, Long]): Unit = {
+    val json = sizes.toSeq.sortBy(_._1).map { case (name, n) =>
+      s""""${esc(name)}":$n"""
+    }.mkString("{", ",", "}")
+    Files.writeString(dir.resolve("_bytes.json"), json)
+    ()
+  }
 
   /** Byte sizes of one commit dir, keyed by manifest-relative path;
     * empty when the commit predates the sidecar. */

@@ -73,33 +73,87 @@ object SnapshotLake {
     manifestDir(root).resolve(f"v$v%09d.json")
   private def ckptFile(root: String, v: Long): Path =
     manifestDir(root).resolve(f"v$v%09d.ckpt.json")
+  private def ickptFile(root: String, v: Long): Path =
+    manifestDir(root).resolve(f"v$v%09d.ickpt.json")
 
   /** Log records between checkpoints — the resolution walk's bound (and
     * with it the tag-probe cost). Delta's default is 10 commits for the
     * same reason: records stay tiny, checkpoints stay rare. */
   private val CkptEvery = 10L
 
+  /** How far an INCREMENTAL checkpoint chain may stretch before the
+    * next checkpoint is written full again. Checkpoints between full
+    * ones store only the state DELTA against their full base
+    * (`.ickpt.json` — Delta's v2-checkpoint sidecar idea in one file),
+    * so on a long-lived million-file lake the every-10th-commit
+    * checkpoint costs O(change since the full base), not O(files): at
+    * 1,000 commits × 1M files the full-only scheme wrote ~45 GB of
+    * checkpoint JSON and dominated commit time (ManifestCeiling r17).
+    * Resolution stays O(1) reads: one ickpt + its full base + ≤
+    * CkptEvery records. */
+  private val FullCkptEveryCommits = 100L
+
+  /** Measurement escape hatch for the ceiling tools/specs: `false`
+    * restores the full-checkpoint-always scheme (the r16 behavior) so
+    * the A/B cost of incremental checkpoints stays reproducible. */
+  @volatile private[graft] var incrementalCkpt = true
+
   /** Count of manifest-file reads (records + checkpoints) — the
     * observable the log-structure spec pins: a tag probe or version
     * resolution must cost O(CkptEvery) reads, never O(versions). */
   private[etl] val manifestReads = new java.util.concurrent.atomic.AtomicLong
 
+  /** Protocol observability for the contention/ceiling tools (and the
+    * specs that pin retry behavior): lost CAS attempts, serializable-
+    * fence aborts, and checkpoint write time/bytes. Monotonic counters,
+    * never read by the protocol itself. */
+  private[graft] val casLost = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val fenceAborts = new java.util.concurrent.atomic.AtomicLong
+  // consecutive lost CAS publishes on THIS thread — drives the
+  // escalating backoff in tryCommit, reset by any win
+  private val lostStreak = ThreadLocal.withInitial[Integer](() => 0)
+  private[graft] val ckptNanos = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val ckptBytes = new java.util.concurrent.atomic.AtomicLong
+
+  /** Last head this JVM OBSERVED per root — never trusted, always
+    * re-verified: versions are contiguous and only ever grow (every
+    * writer links head+1; vacuum deletes only below its cutoff), so the
+    * true head is found by forward `Files.exists` probes from any
+    * still-existing hint — O(1 + commits-since) stats instead of an
+    * O(versions) directory listing per call. A hint whose own version
+    * file is gone (lake deleted/recreated, or the hint fell below a
+    * foreign vacuum horizon) falls back to the full listing. At 16
+    * racing writers the per-retry re-listing was most of the measured
+    * CAS collapse (CommitContention r17: 110 commits/s at 4k versions);
+    * read paths at the million-file ceiling ride the same saving. */
+  private val headHint =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Highest committed version, if any commit exists. A record is
     * visible if and only if its link exists — links appear atomically with
-    * their full content, so this listing can never observe a torn
-    * record. */
+    * their full content, so neither the probe nor the listing can ever
+    * observe a torn record. */
   def currentVersion(root: String): Option[Long] = {
+    val hint = headHint.get(root)
+    if (hint != null && Files.exists(versionFile(root, hint.longValue))) {
+      var v = hint.longValue
+      while (Files.exists(versionFile(root, v + 1))) v += 1
+      if (v != hint.longValue) headHint.put(root, v)
+      return Some(v)
+    }
+    if (hint != null) headHint.remove(root)
     val dir = manifestDir(root)
     if (!Files.isDirectory(dir)) return None
     val s = Files.list(dir)
     val vs =
       try s.iterator().asScala.map(_.getFileName.toString)
         .filter(n => n.startsWith("v") && n.endsWith(".json") &&
-          !n.endsWith(".ckpt.json"))
+          !n.endsWith("ckpt.json")) // .ckpt.json and .ickpt.json alike
         .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
         .toVector
       finally s.close()
-    if (vs.isEmpty) None else Some(vs.max)
+    if (vs.isEmpty) None
+    else { val v = vs.max; headHint.put(root, v); Some(v) }
   }
 
   /** The resolved snapshot of one version: its full file listing, its
@@ -168,21 +222,49 @@ object SnapshotLake {
       strField(json, "schemaB64"))
   }
 
+  private def tagsField(json: String): Map[String, Long] = {
+    val i = json.indexOf(""""tags":{""")
+    if (i < 0) Map.empty[String, Long]
+    else {
+      val body = json.substring(i + 8, json.indexOf('}', i))
+      """"([^"]*)":(\d+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+    }
+  }
+
   private def readCkpt(root: String, v: Long): (LakeState, Map[String, Long]) = {
     manifestReads.incrementAndGet()
     val json = Files.readString(ckptFile(root, v))
-    val tags = {
-      val i = json.indexOf(""""tags":{""")
-      if (i < 0) Map.empty[String, Long]
-      else {
-        val body = json.substring(i + 8, json.indexOf('}', i))
-        """"([^"]*)":(\d+)""".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toLong).toMap
-      }
-    }
     (LakeState(arrField(json, "files").toVector,
       arrField(json, "deletes").toVector,
-      strField(json, "schemaB64")), tags)
+      strField(json, "schemaB64")), tagsField(json))
+  }
+
+  /** Reconstruct version `v`'s full state from an INCREMENTAL
+    * checkpoint: its delta applied over its full base checkpoint — the
+    * same fold [[applyRec]] performs for records, so survivor order and
+    * addition order are exactly what a record replay would produce.
+    * `None` when the base was vacuumed out from under it (the sweep in
+    * [[vacuum]] removes such orphans; this is the defensive read) —
+    * resolution then walks the log records instead. */
+  private def readIckpt(root: String, v: Long)
+      : Option[(LakeState, Map[String, Long])] = {
+    manifestReads.incrementAndGet()
+    val json = Files.readString(ickptFile(root, v))
+    val b = longField(json, "baseCkpt")
+    if (b < 0L || !Files.exists(ckptFile(root, b))) return None
+    val (stB, tagsB) = readCkpt(root, b)
+    val rm = arrField(json, "remove").toSet
+    val rmDel = arrField(json, "removeDel").toSet
+    Some((LakeState(
+      stB.files.filterNot(rm) ++ arrField(json, "add"),
+      stB.deletes.filterNot(rmDel) ++ arrField(json, "addDel"),
+      // the ickpt stores v's RESOLVED schema when one is declared; a
+      // base-only schema means no evolve landed in (base, v]
+      strField(json, "schemaB64").orElse(stB.schemaB64)),
+      // tag deltas all postdate the base, so they survive any base
+      // prune: pruned-base ++ delta is itself correctly pruned
+      tagsB ++ tagsField(json)))
   }
 
   private def applyRec(s: LakeState, r: Record): LakeState =
@@ -282,8 +364,19 @@ object SnapshotLake {
     var cur = v
     var base: Option[(LakeState, Map[String, Long])] = None
     while (base.isEmpty) {
-      if (cur == 0L) base = Some((EmptyState, Map.empty))
+      // a cached state ANYWHERE on the walk is as good as a checkpoint
+      // there — the common case after a checkpoint write resolved its
+      // own version, and what keeps a long record tail from re-parsing
+      // the same base over and over
+      val cached =
+        if (cur == 0L) None
+        else Option(resolveCache.get((root, cur))).flatMap(r => Option(r.get()))
+          .collect { case (st, f) if versionFingerprint(root, cur).contains(f) => st }
+      if (cached.isDefined) base = cached
+      else if (cur == 0L) base = Some((EmptyState, Map.empty))
       else if (Files.exists(ckptFile(root, cur))) base = Some(readCkpt(root, cur))
+      else if (Files.exists(ickptFile(root, cur)) &&
+               { base = readIckpt(root, cur); base.isDefined }) ()
       else {
         val r = readRecord(root, cur)
         pending ::= r // walk is newest→oldest; prepend keeps replay order
@@ -368,28 +461,104 @@ object SnapshotLake {
     * double-apply, so the swap needs no coordination. */
   private def writeCheckpoint(root: String, v: Long,
                               pruneTagsBelow: Long = 0L): Unit = {
-    val exists = Files.exists(ckptFile(root, v))
-    if (exists && pruneTagsBelow == 0L) return
-    val (st, tags) = resolve(root, v)
+    val t0 = System.nanoTime()
+    try writeCheckpointTimed(root, v, pruneTagsBelow)
+    finally { ckptNanos.addAndGet(System.nanoTime() - t0); () }
+  }
+
+  private def writeCheckpointTimed(root: String, v: Long,
+                                   pruneTagsBelow: Long): Unit = {
+    val fullExists = Files.exists(ckptFile(root, v))
+    if (pruneTagsBelow == 0L &&
+        (fullExists || Files.exists(ickptFile(root, v)))) return
     def arr(xs: Seq[String]) = xs.map(f => s""""$f"""").mkString("[", ",", "]")
-    val kept = tags.toSeq.filter(_._2 >= pruneTagsBelow).sortBy(_._1)
-    if (exists && kept.size == tags.size) return // nothing to prune
-    val schemaField =
-      st.schemaB64.map(b => s""""schemaB64":"$b",""").getOrElse("")
-    val json = s"""{"version":$v,"files":${arr(st.files)},""" +
-      s""""deletes":${arr(st.deletes)},$schemaField""" +
-      s""""tags":{${kept.map { case (t, tv) => s""""$t":$tv""" }.mkString(",")}}}"""
-    val tmp = manifestDir(root).resolve(s".tmp-ck-${UUID.randomUUID()}")
-    Files.writeString(tmp, json)
-    if (exists) {
-      Files.move(tmp, ckptFile(root, v),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
-    } else {
-      try { Files.createLink(ckptFile(root, v), tmp); () }
+    def publish(json: String, target: Path): Unit = {
+      val tmp = manifestDir(root).resolve(s".tmp-ck-${UUID.randomUUID()}")
+      Files.writeString(tmp, json)
+      ckptBytes.addAndGet(json.length.toLong)
+      try { Files.createLink(target, tmp); () }
       catch { case _: FileAlreadyExistsException => () }
       finally { Files.deleteIfExists(tmp); () }
+    }
+    // A commit-time checkpoint goes INCREMENTAL when a full base is
+    // near enough (≤ FullCkptEveryCommits commits back): the write then
+    // costs O(change in the window) — the (b, v] records folded
+    // directly, no state resolution, no million-entry set diff — where
+    // a full checkpoint costs O(files) bytes AND CPU. A vacuum-cutoff
+    // checkpoint (pruneTagsBelow > 0) is ALWAYS full: the records and
+    // checkpoints below it are about to be deleted, so it must stand
+    // alone as the retention edge's base.
+    val fullBase =
+      if (!incrementalCkpt || pruneTagsBelow > 0L) None
+      else {
+        val s = Files.list(manifestDir(root))
+        val bs =
+          try s.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.startsWith("v") && n.endsWith(".ckpt.json") &&
+              !n.endsWith(".ickpt.json"))
+            .map(_.stripPrefix("v").stripSuffix(".ckpt.json").toLong)
+            .filter(b => b < v && v - b < FullCkptEveryCommits)
+            .toVector
+          finally s.close()
+        if (bs.isEmpty) None else Some(bs.max)
+      }
+    val incremental = fullBase.flatMap { b =>
+      // fold the window's records into one composed delta, mirroring
+      // [[applyRec]] exactly: a remove cancels an in-window add (back to
+      // LinkedHashSet order = replay order), otherwise it targets the
+      // base; re-adds append at the tail like a replayed append would
+      try {
+        val win = ((b + 1) to v).map(readRecord(root, _))
+        if (win.exists(_.legacyFull.isDefined)) None // legacy: full only
+        else {
+          def compose(adds: Record => Seq[String],
+                      removes: Record => Seq[String]) = {
+            val add = new java.util.LinkedHashSet[String]()
+            val rm = new java.util.LinkedHashSet[String]()
+            win.foreach { r =>
+              removes(r).foreach(f => if (!add.remove(f)) { rm.add(f); () })
+              adds(r).foreach(f => { add.add(f); () })
+            }
+            (add.iterator().asScala.toVector, rm.iterator().asScala.toVector)
+          }
+          val (add, rm) = compose(_.add, _.remove)
+          val (addDel, rmDel) = compose(_.addDel, _.removeDel)
+          val tagDelta = win.flatMap(r => r.tag.map(_ -> r.version))
+          val schemaField = win.flatMap(_.schemaB64).lastOption
+            .map(s => s""""schemaB64":"$s",""").getOrElse("")
+          Some(s"""{"version":$v,"baseCkpt":$b,""" +
+            s""""add":${arr(add)},"remove":${arr(rm)},""" +
+            s""""addDel":${arr(addDel)},"removeDel":${arr(rmDel)},""" +
+            schemaField +
+            s""""tags":{${tagDelta.map { case (t, tv) => s""""$t":$tv""" }.mkString(",")}}}""")
+        }
+      } catch {
+        // a record in the window aged out under a racing vacuum — the
+        // full form below resolves through the vacuum's cutoff instead
+        case _: java.io.IOException => None
+      }
+    }
+    incremental match {
+      case Some(json) => publish(json, ickptFile(root, v))
+      case None =>
+        val (st, tags) = resolve(root, v)
+        val kept = tags.toSeq.filter(_._2 >= pruneTagsBelow).sortBy(_._1)
+        if (fullExists && kept.size == tags.size) return // nothing to prune
+        val schemaField =
+          st.schemaB64.map(b => s""""schemaB64":"$b",""").getOrElse("")
+        val json = s"""{"version":$v,"files":${arr(st.files)},""" +
+          s""""deletes":${arr(st.deletes)},$schemaField""" +
+          s""""tags":{${kept.map { case (t, tv) => s""""$t":$tv""" }.mkString(",")}}}"""
+        if (fullExists) {
+          // tag-pruning rewrite: atomic REPLACE (see scaladoc above)
+          val tmp = manifestDir(root).resolve(s".tmp-ck-${UUID.randomUUID()}")
+          Files.writeString(tmp, json)
+          ckptBytes.addAndGet(json.length.toLong)
+          Files.move(tmp, ckptFile(root, v),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        } else publish(json, ckptFile(root, v))
     }
   }
 
@@ -1073,6 +1242,15 @@ object SnapshotLake {
     while (v >= 1L) {
       if (Files.exists(ckptFile(root, v)))
         return readCkpt(root, v)._2.get(tag) // index covers everything ≤ v
+      if (Files.exists(ickptFile(root, v))) {
+        // an incremental checkpoint's base-plus-delta tag map covers
+        // everything ≤ v too (same O(1) probe, one extra read); a
+        // dangling base falls through to the record walk
+        readIckpt(root, v) match {
+          case Some((_, tags)) => return tags.get(tag)
+          case None => ()
+        }
+      }
       if (!Files.exists(versionFile(root, v)))
         return None // out of retention with no checkpoint: tag forgotten
       val r = readRecord(root, v)
@@ -1141,6 +1319,25 @@ object SnapshotLake {
       try { Files.createLink(versionFile(root, version), tmp); true }
       catch { case _: FileAlreadyExistsException => false }
       finally { Files.deleteIfExists(tmp); () }
+    if (won) { headHint.put(root, version); lostStreak.set(0) }
+    else {
+      casLost.incrementAndGet()
+      // capped jittered backoff, escalating with this thread's streak of
+      // consecutive losses: racing writers interleave instead of
+      // thrashing the same next slot (CommitContention r17: 16
+      // unthrottled writers collapsed to 110 commits/s; with backoff +
+      // head probing the same race sustains thousands). Lock-freedom is
+      // untouched — the sleep only ever delays a KNOWN loser's retry.
+      val n = lostStreak.get + 1
+      lostStreak.set(n)
+      val cap = math.min(32L, 1L << math.min(n, 5))
+      val pause =
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1)
+      if (pause > 0)
+        try Thread.sleep(pause)
+        catch { case _: InterruptedException =>
+          Thread.currentThread().interrupt() }
+    }
     if (won && version % CkptEvery == 0L) writeCheckpoint(root, version)
     if (won) maybeMaterializeCdc(root, version, op)
     won
@@ -1393,11 +1590,13 @@ object SnapshotLake {
                              readSet: Seq[String], curFiles: Seq[String],
                              op: String): Unit = {
     val lost = readSet.filterNot(curFiles.toSet)
-    if (lost.nonEmpty)
+    if (lost.nonEmpty) {
+      fenceAborts.incrementAndGet()
       throw new java.util.ConcurrentModificationException(
         s"$op at $root based on v$baseV read ${lost.size} file(s) a commit " +
           s"≤ v$cur removed (e.g. ${lost.head}): a concurrent writer rewrote " +
           "the overlap; retry the operation from the new head")
+    }
   }
 
   /** Selective small-file compaction — production OPTIMIZE's incremental
@@ -1897,6 +2096,17 @@ object SnapshotLake {
       val changes = changeFeed(spark, root, v - 1, v, key)
       val tmp = Paths.get(root, "_cdc", s".tmp-${UUID.randomUUID()}")
       changes.write.mode("overwrite").parquet(tmp.toString)
+      // byte-size sidecar rides INSIDE the staged dir, atomic with the
+      // rename: CDF planning resolves feed-file lengths from it instead
+      // of a per-file stat (HEAD on object storage), same as data commits
+      locally {
+        val s = Files.list(tmp)
+        val parts = try s.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toVector
+        finally s.close()
+        FileStats.writeBytesSidecarInto(tmp,
+          parts.map(p => p.getFileName.toString -> Files.size(p)).toMap)
+      }
       // drop the write's _SUCCESS marker etc.: only parquet parts matter
       try Files.move(tmp, cdcDir(root, v),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -2450,10 +2660,25 @@ object SnapshotLake {
         val n = p.getFileName.toString
         n.startsWith("v") && n.endsWith(".json") &&
           n.stripPrefix("v").stripSuffix(".json")
-            .stripSuffix(".ckpt").toLong < cutoff
+            .stripSuffix(".ckpt").stripSuffix(".ickpt").toLong < cutoff
       }.toVector
       finally s.close()
     old.foreach(Files.deleteIfExists(_))
+    // retained INCREMENTAL checkpoints whose full base fell below the
+    // cutoff just lost that base: delete them (resolution of their
+    // versions replays records from the cutoff's full checkpoint —
+    // bounded by the retention window), never leave a dangling pointer
+    locally {
+      val s2 = Files.list(dir)
+      val ick =
+        try s2.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".ickpt.json")).toVector
+        finally s2.close()
+      ick.foreach { p =>
+        val b = longField(Files.readString(p), "baseCkpt")
+        if (b < cutoff) { Files.deleteIfExists(p); () }
+      }
+    }
     // CDF materializations follow version retention: a vacuumed
     // version's feed can't be read anyway (its v-1 manifest is gone)
     val cdcRoot = Paths.get(root, "_cdc")

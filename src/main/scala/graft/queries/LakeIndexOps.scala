@@ -101,1002 +101,12 @@ import graft.model.Tables
   */
 object LakeIndexOps {
 
+  import LakeFixtures._
+
   private val centsSum = (c: String) =>
     (sum(round(col(c) * 100).cast("long")) / 100.0)
   private val centsSumSql = (e: String) =>
     s"CAST(sum(CAST(round(($e) * 100) AS BIGINT)) AS BIGINT) / 100.0"
-
-  private val LiCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
-    "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
-
-  /** One indexed snapshot lake per (session, sf dir): lineitem landed as
-    * four orderkey-range appends (exact-quartile boundaries), each
-    * range-sorted into two files, with commit-time min/max stats on
-    * (l_orderkey, l_partkey) and a per-file bloom on l_orderkey. The
-    * range slicing is what gives per-file orderkey tightness — the layout
-    * an ingest keyed on an increasing id produces naturally. Memoized:
-    * the indexed build is the operator under test; repeats read it. */
-  private val indexed = new graft.etl.Memo[(SparkSession, String), String]
-
-  private def indexedLake(s: SparkSession, d: String): String =
-    indexed((s, d)) {
-      val root = Scratch.tempDir("graft-idx-lake").toString + "/lake"
-      val li = Tables.lineitem(s, d).select(LiCols.map(col): _*)
-      val maxK = li.agg(max("l_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(
-        Seq("l_orderkey", "l_partkey"), Some("l_orderkey"))
-      for (i <- 0L until 4L) {
-        // half-open [lo, hi) slices, last one closed — keys start at 0
-        val lo = maxK * i / 4
-        val cap = if (i == 3) col("l_orderkey") <= maxK
-                  else col("l_orderkey") < maxK * (i + 1) / 4
-        SnapshotLake.append(
-          li.filter(col("l_orderkey") >= lo && cap)
-            .repartitionByRange(2, col("l_orderkey"))
-            .sortWithinPartitions("l_orderkey"),
-          root, idx)
-      }
-      root
-    }
-
-  /** One hive-PARTITIONED snapshot lake per (session, sf dir): orders
-    * partitioned by o_orderpriority, landed as four orderkey-range
-    * appends (one file per present priority per append — repartition(1)
-    * before partitionBy pins the file count, making kept/total
-    * oracle-predictable), with commit-time min/max stats on o_orderkey.
-    * The layout every real lake ships: a low-cardinality partition
-    * column for coarse pruning, file statistics for fine pruning within
-    * it. Memoized: the partitioned build is the operator under test. */
-  private val partLake = new graft.etl.Memo[(SparkSession, String), String]
-
-  private def partitionedLake(s: SparkSession, d: String): String =
-    partLake((s, d)) {
-      val root = Scratch.tempDir("graft-part-lake").toString + "/lake"
-      val od = Tables.orders(s, d)
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      for (i <- 0L until 4L) {
-        val lo = maxK * i / 4
-        val cap = if (i == 3) col("o_orderkey") <= maxK
-                  else col("o_orderkey") < maxK * (i + 1) / 4
-        SnapshotLake.appendPartitioned(
-          od.filter(col("o_orderkey") >= lo && cap).repartition(1),
-          root, Seq("o_orderpriority"), idx)
-      }
-      root
-    }
-
-  /** One merged snapshot lake per (session, sf dir): orders landed as
-    * four orderkey-range appends (stats-indexed on o_orderkey), then ONE
-    * copy-on-write MERGE applying a deterministic change set —
-    * updates (o_orderkey % 97 = 0: status → 'U', price + 1.00), deletes
-    * (o_orderkey % 101 = 0 and not an update key: tombstoned), inserts
-    * (50 synthetic orders above the key max). Versions are deterministic:
-    * v4 = pre-merge, v5 = post-merge — q222 reads the merged state, q223
-    * derives the change feed from the v4→v5 manifest diff. Memoized: the
-    * merge is the operator under test. */
-  private val merged = new graft.etl.Memo[(SparkSession, String), String]
-
-  private def mergedLake(s: SparkSession, d: String): String =
-    merged((s, d)) {
-      val root = Scratch.tempDir("graft-merge-lake").toString + "/lake"
-      val od = Tables.orders(s, d)
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      for (i <- 0L until 4L) {
-        val lo = maxK * i / 4
-        val cap = if (i == 3) col("o_orderkey") <= maxK
-                  else col("o_orderkey") < maxK * (i + 1) / 4
-        SnapshotLake.append(
-          od.filter(col("o_orderkey") >= lo && cap)
-            .repartitionByRange(2, col("o_orderkey"))
-            .sortWithinPartitions("o_orderkey"),
-          root, idx)
-      }
-      // the change set lives in the LOWER KEY HALF, so the upper half's
-      // files are provably untouched and the merge carries them verbatim —
-      // copy-on-write targeting visible in the real lake, not just specs
-      val lower = col("o_orderkey") < maxK / 2
-      val isUpd = pmod(col("o_orderkey"), lit(97)) === 0 && lower
-      val isDel = pmod(col("o_orderkey"), lit(101)) === 0 && lower && !isUpd
-      val updates = od.filter(isUpd)
-        .withColumn("o_orderstatus", lit("U"))
-        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
-        .withColumn("__del", lit(false))
-        .unionByName(od.filter(isDel).withColumn("__del", lit(true)))
-        .unionByName(s.range(1, 51).select(
-          (lit(maxK) + col("id")).as("o_orderkey"),
-          col("id").as("o_custkey"),
-          lit("N").as("o_orderstatus"),
-          (lit(1000.0) + col("id")).as("o_totalprice"),
-          lit("2024-02-01 00:00:00").cast("timestamp").as("o_orderdate"),
-          lit("NEW").as("o_orderpriority"),
-          lit(false).as("__del")))
-      SnapshotLake.merge(s, root, updates, "o_orderkey", idx, Some("__del"))
-      root
-    }
-
-  /** One streaming-CDC-applied lake per (session, sf dir): orders landed
-    * as two half appends, then a TWO-chunk change feed (chunk i = the
-    * mod-89 upserts, mod-103 tombstones of key half i; chunk 1 adds 40
-    * inserts above the key max) drained through
-    * `graft.streaming.CdcApply.upsertTo` — one exactly-once tagged MERGE
-    * per micro-batch. Final version is deterministically 4 (two appends
-    * + two merge commits); a replayed or double-applied batch would
-    * change it. */
-  private val cdcApplied = new graft.etl.Memo[(SparkSession, String), String]
-
-  private def cdcLake(s: SparkSession, d: String): String =
-    cdcApplied((s, d)) {
-      import java.nio.file.Files
-      val root = Scratch.tempDir("graft-cdc-lake").toString + "/lake"
-      val od = Tables.orders(s, d)
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      for (i <- 0L until 2L) {
-        val lo = maxK * i / 2
-        val cap = if (i == 1) col("o_orderkey") <= maxK
-                  else col("o_orderkey") < maxK / 2
-        SnapshotLake.append(od.filter(col("o_orderkey") >= lo && cap), root, idx)
-      }
-      // stage the change feed as mtime-ordered single-file chunks (the
-      // q216 idiom); content is half-disjoint so apply order can't matter
-      val chunks = Scratch.tempDir("graft-cdc-chunks")
-      val base = System.currentTimeMillis() - 1000000L
-      for (i <- 0L until 2L) {
-        val lo = maxK * i / 2
-        val cap = if (i == 1) col("o_orderkey") <= maxK
-                  else col("o_orderkey") < maxK / 2
-        val half = od.filter(col("o_orderkey") >= lo && cap)
-        val upd = half.filter(pmod(col("o_orderkey"), lit(89)) === 0)
-          .withColumn("o_orderstatus", lit("S"))
-          .withColumn("o_totalprice", col("o_totalprice") + 2.0)
-          .withColumn("__del", lit(false))
-        val del = half.filter(pmod(col("o_orderkey"), lit(103)) === 0 &&
-            pmod(col("o_orderkey"), lit(89)) =!= 0)
-          .withColumn("__del", lit(true))
-        val ins = s.range(1, 41).select(
-          (lit(maxK) + col("id")).as("o_orderkey"),
-          col("id").as("o_custkey"),
-          lit("C").as("o_orderstatus"),
-          (lit(500.0) + col("id")).as("o_totalprice"),
-          lit("2024-03-01 00:00:00").cast("timestamp").as("o_orderdate"),
-          lit("CDC").as("o_orderpriority"),
-          lit(false).as("__del"))
-        val chunk = if (i == 1) upd.unionByName(del).unionByName(ins)
-                    else upd.unionByName(del)
-        val tmp = Scratch.tempDir("graft-cdc-slice")
-        chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = {
-          val l = Files.list(tmp)
-          try l.filter(p => p.getFileName.toString.endsWith(".parquet"))
-            .findFirst.orElseThrow()
-          finally l.close()
-        }
-        val dst = chunks.resolve(f"chunk-$i%04d.parquet")
-        Files.move(part, dst)
-        Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
-        val leftovers = Files.list(tmp)
-        try leftovers.forEach(p => Files.deleteIfExists(p))
-        finally leftovers.close()
-        Files.deleteIfExists(tmp)
-        ()
-      }
-      val st = s.newSession()
-      st.conf.set("spark.sql.shuffle.partitions", "8")
-      val ckpt = Scratch.tempDir("graft-cdc-ckpt").toString
-      val q = graft.streaming.CdcApply.upsertTo(
-        graft.streaming.CdcApply.changesStream(st, chunks.toString, 1),
-        root, "o_orderkey", ckpt, idx, Some("__del")).start()
-      q.awaitTermination()
-      root
-    }
-
-  /** One two-lake CDF pipeline per (session, sf dir): a source lake
-    * built through five heterogeneous commits — two orderkey-half
-    * appends, a copy-on-write MERGE (mod-91 upserts, mod-107
-    * tombstones), a merge-on-read deleteWhere (mod-113 key vector), and
-    * a physical-only compact — then `graft.streaming.CdcFeed.drain`
-    * follows the head version by version into a destination lake, one
-    * exactly-once tagged apply per source commit. Deterministic version
-    * counts: source head 5, destination head 5 (bootstrap append + four
-    * applies — the compaction's EMPTY batch still advances the applied
-    * tag). A second drain must apply nothing. */
-  private val cdfFeed = new graft.etl.Memo[(SparkSession, String), (String, String)]
-
-  private def cdfPipeline(s: SparkSession, d: String): (String, String) =
-    cdfFeed((s, d)) {
-      val src = Scratch.tempDir("graft-cdf-src").toString + "/lake"
-      val dst = Scratch.tempDir("graft-cdf-dst").toString + "/lake"
-      val od = Tables.orders(s, d)
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      for (i <- 0L until 2L) {
-        val lo = maxK * i / 2
-        val cap = if (i == 1) col("o_orderkey") <= maxK
-                  else col("o_orderkey") < maxK / 2
-        SnapshotLake.append(od.filter(col("o_orderkey") >= lo && cap), src, idx)
-      }
-      // CDF on BEFORE the change commits: the merge and the DV delete
-      // below materialize their feeds at commit time, so the q255
-      // public-API follower reads them as pure file scans
-      SnapshotLake.enableCdf(src, "o_orderkey")
-      val isUpd = pmod(col("o_orderkey"), lit(91)) === 0
-      val isDel = pmod(col("o_orderkey"), lit(107)) === 0 && !isUpd
-      SnapshotLake.merge(s, src,
-        od.filter(isUpd)
-          .withColumn("o_orderstatus", lit("F2"))
-          .withColumn("o_totalprice", col("o_totalprice") + 3.0)
-          .withColumn("__del", lit(false))
-          .unionByName(od.filter(isDel).withColumn("__del", lit(true))),
-        "o_orderkey", idx, Some("__del"))
-      SnapshotLake.deleteWhere(s, src,
-        od.filter(pmod(col("o_orderkey"), lit(113)) === 0)
-          .select("o_orderkey"))
-      SnapshotLake.compact(s, src, partitions = 2)
-      val applied = graft.streaming.CdcFeed.drain(s, src, dst, "o_orderkey", idx)
-      require(applied == (1L to 5L),
-        s"drain must apply exactly the five source versions: $applied")
-      require(graft.streaming.CdcFeed.drain(s, src, dst, "o_orderkey", idx).isEmpty,
-        "a replayed drain must be a no-op")
-      (src, dst)
-    }
-
-  /** The q255 follower: [[cdfPipeline]]'s SOURCE followed into a SECOND
-    * destination entirely through the PUBLIC connector API —
-    * `spark.read.format("graftlake").option("readChangeFeed","true")
-    * .option("startingVersion", v).option("endingVersion", v)` per
-    * source commit, applied exactly-once under tag `cdfapi-v<v>` with
-    * resume carried by the destination's own tag index (the q228
-    * CdcFeed contract, zero private API on the read side). A replayed
-    * follow applies nothing. Returns (src, dst). */
-  private val cdfApiM = new graft.etl.Memo[(SparkSession, String), (String, String)]
-
-  private def cdfApiFollow(s: SparkSession, d: String): (String, String) =
-    cdfApiM((s, d)) {
-      val (src, _) = cdfPipeline(s, d)
-      val dst = Scratch.tempDir("graft-cdfapi-dst").toString + "/lake"
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      val head = SnapshotLake.currentVersion(src).get
-      def tagFor(v: Long) = s"cdfapi-v$v"
-      def follow(): Seq[Long] = {
-        var last = 0L
-        var v = head
-        while (v >= 1L && last == 0L) {
-          if (SnapshotLake.tagVersion(dst, tagFor(v)).isDefined) last = v
-          else v -= 1
-        }
-        ((last + 1) to head).map { w =>
-          val changes = s.read.format("graftlake")
-            .option("readChangeFeed", "true")
-            .option("startingVersion", w.toString)
-            .option("endingVersion", w.toString)
-            .load(src)
-            .filter(col("_change_type") =!= "update_preimage")
-            .withColumn("__del", col("_change_type") === "delete")
-            .drop("_change_type", "_commit_version")
-          if (SnapshotLake.currentVersion(dst).isEmpty)
-            SnapshotLake.appendOnce(
-              changes.filter(!col("__del")).drop("__del"),
-              dst, tagFor(w), idx)
-          else
-            SnapshotLake.mergeOnce(s, dst, changes, "o_orderkey",
-              tagFor(w), idx, Some("__del"))
-          w
-        }
-      }
-      require(follow() == (1L to head),
-        "the public-API follow must apply exactly the source versions")
-      require(follow().isEmpty, "a replayed follow must be a no-op")
-      (src, dst)
-    }
-
-  /** One deletion-vector lake per (session, sf dir): lineitem landed as
-    * two orderkey-half appends, then `deleteWhere` tombstones every
-    * mod-13 orderkey WITHOUT rewriting a data file (v3, merge-on-read),
-    * then `compact` materializes the vector away (v4). Deterministic
-    * versions let the query read both regimes side by side. */
-  private val dved = new graft.etl.Memo[(SparkSession, String), String]
-
-  private def dvLake(s: SparkSession, d: String): String =
-    dved((s, d)) {
-      val root = Scratch.tempDir("graft-dv-lake").toString + "/lake"
-      val li = Tables.lineitem(s, d).select(LiCols.map(col): _*)
-      val maxK = li.agg(max("l_orderkey")).head.getLong(0)
-      for (i <- 0L until 2L) {
-        val lo = maxK * i / 2
-        val cap = if (i == 1) col("l_orderkey") <= maxK
-                  else col("l_orderkey") < maxK / 2
-        SnapshotLake.append(li.filter(col("l_orderkey") >= lo && cap), root)
-      }
-      SnapshotLake.deleteWhere(s, root,
-        li.filter(pmod(col("l_orderkey"), lit(13)) === 0)
-          .select("l_orderkey").distinct())
-      SnapshotLake.compact(s, root, partitions = 4)
-      root
-    }
-
-  /** One Z-ordered snapshot lake per (session, sf dir): lineitem landed
-    * as three arbitrary (orderkey mod 3) appends — the worst layout for
-    * a (suppkey, partkey) box — then `compactZOrder` rewrites it along
-    * the Morton curve with min/max harvested on both dimensions. */
-  private val zordered = new graft.etl.Memo[(SparkSession, String), String]
-
-  private def zorderedLake(s: SparkSession, d: String): String =
-    zordered((s, d)) {
-      val root = Scratch.tempDir("graft-zidx-lake").toString + "/lake"
-      val li = Tables.lineitem(s, d).select(LiCols.map(col): _*)
-      for (i <- 0 until 3)
-        SnapshotLake.append(li.filter(pmod(col("l_orderkey"), lit(3)) === i), root)
-      SnapshotLake.compactZOrder(s, root, "l_suppkey", "l_partkey", 8,
-        SnapshotLake.IndexSpec(Seq("l_suppkey", "l_partkey"), None))
-      root
-    }
-
-  /** One restored lake per (session, sf dir): orders landed as two
-    * orderkey-half appends (v1, v2), every mod-97 key tombstoned
-    * merge-on-read (v3), the vector materialized by compaction (v4),
-    * then RESTORE to v2 (v5) — one O(diff) commit that re-references
-    * v2's immutable files, undoing delete + compaction with zero data
-    * movement while v3/v4 stay time-travelable. */
-  private val restoredM = new graft.etl.Memo[(SparkSession, String), String]
-
-  private def restoredLake(s: SparkSession, d: String): String =
-    restoredM((s, d)) {
-      val root = Scratch.tempDir("graft-restore-lake").toString + "/lake"
-      val od = Tables.orders(s, d)
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      for (i <- 0L until 2L) {
-        val lo = maxK * i / 2
-        val cap = if (i == 1) col("o_orderkey") <= maxK
-                  else col("o_orderkey") < maxK / 2
-        SnapshotLake.append(od.filter(col("o_orderkey") >= lo && cap), root, idx)
-      }
-      SnapshotLake.deleteWhere(s, root,
-        od.filter(pmod(col("o_orderkey"), lit(97)) === 0).select("o_orderkey"))
-      SnapshotLake.compact(s, root, partitions = 2)
-      val rv = SnapshotLake.restore(root, 2L)
-      require(rv == 5L, s"restore must commit v5, got $rv")
-      root
-    }
-
-  /** One clone pair per (session, sf dir): a two-append source lake,
-    * zero-copy cloned (hard links, no data read), then DIVERGED — the
-    * clone gains 30 synthetic orders, the source tombstones every
-    * mod-99 key. Neither write is visible on the other side; version
-    * counts pin the independence (src 3, clone 2). */
-  private val clonedM = new graft.etl.Memo[(SparkSession, String), (String, String)]
-
-  private def clonedLakes(s: SparkSession, d: String): (String, String) =
-    clonedM((s, d)) {
-      val src = Scratch.tempDir("graft-clone-src").toString + "/lake"
-      val dst = Scratch.tempDir("graft-clone-dst").toString + "/lake"
-      val od = Tables.orders(s, d)
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      for (i <- 0L until 2L) {
-        val lo = maxK * i / 2
-        val cap = if (i == 1) col("o_orderkey") <= maxK
-                  else col("o_orderkey") < maxK / 2
-        SnapshotLake.append(od.filter(col("o_orderkey") >= lo && cap), src, idx)
-      }
-      SnapshotLake.cloneTo(src, dst)
-      SnapshotLake.append(s.range(1, 31).select(
-        (lit(maxK) + col("id")).as("o_orderkey"),
-        col("id").as("o_custkey"),
-        lit("Z").as("o_orderstatus"),
-        (lit(100.0) + col("id")).as("o_totalprice"),
-        lit("2024-04-01 00:00:00").cast("timestamp").as("o_orderdate"),
-        lit("CLONE").as("o_orderpriority")), dst, idx)
-      SnapshotLake.deleteWhere(s, src,
-        od.filter(pmod(col("o_orderkey"), lit(99)) === 0).select("o_orderkey"))
-      (src, dst)
-    }
-
-  /** One predicate-deleted lake per (session, sf dir): orders landed as
-    * four one-file orderkey-quartile appends (stats-indexed), then ONE
-    * `deleteMatching` over [max/4, max·5/8] — quartile 2 whole-drops by
-    * metadata (range inside the predicate, zero harvested nulls),
-    * quartile 3 rewrites its survivors, quartiles 1 and 4 are carried
-    * verbatim. The classification counts are structurally determined,
-    * so the oracle pins them as literals. */
-  private val predDelM =
-    new graft.etl.Memo[(SparkSession, String), (String, SnapshotLake.DeleteResult)]
-
-  private def predDeletedLake(s: SparkSession, d: String): (String, SnapshotLake.DeleteResult) =
-    predDelM((s, d)) {
-      val root = Scratch.tempDir("graft-preddel-lake").toString + "/lake"
-      val od = Tables.orders(s, d)
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      for (i <- 0L until 4L) {
-        val lo = maxK * i / 4
-        val cap = if (i == 3) col("o_orderkey") <= maxK
-                  else col("o_orderkey") < maxK * (i + 1) / 4
-        SnapshotLake.append(
-          od.filter(col("o_orderkey") >= lo && cap).coalesce(1), root, idx)
-      }
-      val r = SnapshotLake.deleteMatching(s, root, Seq(
-        FileStats.Range("o_orderkey",
-          Some((maxK / 4).toString), Some((maxK * 5 / 8).toString))), idx)
-      (root, r)
-    }
-
-  /** One expectations-checked ingest per (session, sf dir): orders plus
-    * 45 synthetic bad rows (25 unknown-status, 15 negative-price, 5
-    * violating both) appended through `appendExpect` — clean rows land
-    * in the main lake, violators in the quarantine lake with a
-    * `_violated` column naming every failed expectation. */
-  private val expectM = new graft.etl.Memo[(SparkSession, String), (String, String)]
-
-  private def expectLakes(s: SparkSession, d: String): (String, String) =
-    expectM((s, d)) {
-      val root = Scratch.tempDir("graft-expect-lake").toString + "/lake"
-      val quar = Scratch.tempDir("graft-expect-quar").toString + "/lake"
-      val od = Tables.orders(s, d)
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val bad = s.range(1, 46).select(
-        (lit(maxK) + col("id")).as("o_orderkey"),
-        col("id").as("o_custkey"),
-        when(col("id") <= 25 || col("id") > 40, "X").otherwise("O")
-          .as("o_orderstatus"),
-        when(col("id") <= 25, lit(100.0) + col("id"))
-          .when(col("id") <= 40, -(lit(50.0) + col("id")))
-          .otherwise(-(lit(10.0) + col("id"))).as("o_totalprice"),
-        lit("2024-05-01 00:00:00").cast("timestamp").as("o_orderdate"),
-        lit("BAD").as("o_orderpriority"))
-      val r = SnapshotLake.appendExpect(od.unionByName(bad), root, quar, Seq(
-        "price_positive" -> (col("o_totalprice") > 0.0),
-        "status_known" -> col("o_orderstatus").isin("O", "F", "P")))
-      require(r.quarantine.nonEmpty, "the 45 bad rows must quarantine")
-      (root, quar)
-    }
-
-  /** One write-audit-publish lake per (session, sf dir): lower-half
-    * orders committed normally (v1), then TWO staged batches — the
-    * upper half (key range disjoint from the head: audit passes,
-    * published exactly-once under a tag) and a duplicate low slice
-    * (range overlaps the head: audit rejects, discarded). The audit is
-    * METADATA-ONLY: it compares the staged commit dir's own sidecar
-    * ranges against the head's statsRange — no data read either way. */
-  private val wapM = new graft.etl.Memo[(SparkSession, String), String]
-
-  private def wapLake(s: SparkSession, d: String): String =
-    wapM((s, d)) {
-      val root = Scratch.tempDir("graft-wap-lake").toString + "/lake"
-      val od = Tables.orders(s, d)
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      SnapshotLake.append(od.filter(col("o_orderkey") < maxK / 2), root, idx)
-      val headMax = SnapshotLake.statsRange(root, "o_orderkey").get.max.toDouble
-      def stagedRange(st: SnapshotLake.Staged): (Double, Double) = {
-        // zero-row part files harvest no range — skip them (they hold no
-        // key to audit); at least one staged file must carry rows
-        val rs = st.files.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
-          .flatMap(dir => FileStats.readStatsSidecar(root, dir))
-          .collect { case (f, cols) if st.files.contains(f) => cols.get("o_orderkey") }
-          .flatten
-        require(rs.nonEmpty, "staged batch must carry at least one keyed row")
-        (rs.map(_.min.toDouble).min, rs.map(_.max.toDouble).max)
-      }
-      val good = SnapshotLake.stageAppend(
-        od.filter(col("o_orderkey") >= maxK / 2), root, idx)
-      val bad = SnapshotLake.stageAppend(
-        od.filter(col("o_orderkey") < 1000), root, idx)
-      // the audit: a staged batch may not overlap the head's key space
-      Seq(good -> true, bad -> false).foreach { case (st, expectPass) =>
-        val pass = stagedRange(st)._1 > headMax
-        require(pass == expectPass, s"audit must classify deterministically")
-        if (pass) SnapshotLake.publish(root, st, Some("wap-upper"))
-        else SnapshotLake.discard(root, st)
-      }
-      root
-    }
-
-  /** One tail pipeline per (session, sf dir): a source lake built as
-    * append (lower third) → MERGE (mod-95 upserts in that third —
-    * change commit) → append (mid third) → compact (physical) → append
-    * (upper third), drained through [[graft.streaming.LakeTail]] into a
-    * destination. The tail delivers exactly the three appends' original
-    * rows — the merge and compaction are skipped (Delta's
-    * skipChangeCommits), so the destination equals the ORIGINAL orders
-    * while the source head carries the upserts: the asymmetry IS the
-    * append-bus contract. */
-  private val tailM = new graft.etl.Memo[(SparkSession, String), (String, String)]
-
-  private def tailLakes(s: SparkSession, d: String): (String, String) =
-    tailM((s, d)) {
-      val src = Scratch.tempDir("graft-tail-src").toString + "/lake"
-      val dst = Scratch.tempDir("graft-tail-dst").toString + "/lake"
-      val od = Tables.orders(s, d)
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      SnapshotLake.append(od.filter(col("o_orderkey") < maxK / 3), src, idx)
-      SnapshotLake.merge(s, src,
-        od.filter(col("o_orderkey") < maxK / 3 &&
-            pmod(col("o_orderkey"), lit(95)) === 0)
-          .withColumn("o_orderstatus", lit("T"))
-          .withColumn("o_totalprice", col("o_totalprice") + 4.0),
-        "o_orderkey", idx)
-      SnapshotLake.append(od.filter(
-        col("o_orderkey") >= maxK / 3 && col("o_orderkey") < maxK * 2 / 3),
-        src, idx)
-      SnapshotLake.compact(s, src, partitions = 2)
-      SnapshotLake.append(od.filter(col("o_orderkey") >= maxK * 2 / 3), src, idx)
-      val applied = graft.streaming.LakeTail.drain(s, src, dst,
-        _.select("o_orderkey", "o_orderstatus", "o_totalprice"), idx)
-      require(applied == (1L to 5L),
-        s"the tail must consume all five source versions: $applied")
-      require(graft.streaming.LakeTail.drain(s, src, dst).isEmpty,
-        "a replayed drain must be a no-op")
-      (src, dst)
-    }
-
-  /** One incrementally-maintained materialized view per (session, sf
-    * dir): a source lake of orders (plus an exact integer-cents column)
-    * built through five heterogeneous commits — two half appends, a
-    * merge (mod-91 upserts that MOVE rows into group 'M' and add 250
-    * cents, mod-109 tombstone deletes), a physical-only compact, and a
-    * mod-97 merge-on-read delete — with `MatView.refresh` following
-    * commit by commit: per-version signed group deltas merged into the
-    * view lake exactly-once. A second refresh must apply nothing. */
-  private val mvM = new graft.etl.Memo[(SparkSession, String), (String, String)]
-
-  private def mvPipeline(s: SparkSession, d: String): (String, String) =
-    mvM((s, d)) {
-      val src = Scratch.tempDir("graft-mv-src").toString + "/lake"
-      val mv = Scratch.tempDir("graft-mv-view").toString + "/lake"
-      val od = Tables.orders(s, d).withColumn("o_total_cents",
-        round(col("o_totalprice") * 100).cast("long"))
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      for (i <- 0L until 2L) {
-        val lo = maxK * i / 2
-        val cap = if (i == 1) col("o_orderkey") <= maxK
-                  else col("o_orderkey") < maxK / 2
-        SnapshotLake.append(od.filter(col("o_orderkey") >= lo && cap), src, idx)
-      }
-      val isUpd = pmod(col("o_orderkey"), lit(91)) === 0
-      val isDel = pmod(col("o_orderkey"), lit(109)) === 0 && !isUpd
-      SnapshotLake.merge(s, src,
-        od.filter(isUpd)
-          .withColumn("o_orderstatus", lit("M"))
-          .withColumn("o_total_cents", col("o_total_cents") + 250L)
-          .withColumn("__del", lit(false))
-          .unionByName(od.filter(isDel).withColumn("__del", lit(true))),
-        "o_orderkey", idx, Some("__del"))
-      SnapshotLake.compact(s, src, partitions = 2)
-      SnapshotLake.deleteWhere(s, src,
-        od.filter(pmod(col("o_orderkey"), lit(97)) === 0).select("o_orderkey"))
-      val applied = graft.streaming.MatView.refresh(
-        s, src, mv, "o_orderkey", "o_orderstatus", "o_total_cents", idx)
-      require(applied == (1L to 5L),
-        s"the view must follow all five source versions: $applied")
-      require(graft.streaming.MatView.refresh(
-        s, src, mv, "o_orderkey", "o_orderstatus", "o_total_cents", idx).isEmpty,
-        "a replayed refresh must be a no-op")
-      (src, mv)
-    }
-
-  /** One readStream-drained tail per (session, sf dir): the q235 source
-    * shape — append (lower third) → MERGE (mod-95 upserts: change
-    * commit) → append (mid third) → compact (physical) → append (upper
-    * third) — drained through the CONNECTOR's streaming source
-    * (`spark.readStream.format("graftlake")`, offsets = versions,
-    * `skipChangeCommits`, one version per trigger) into a destination
-    * lake, exactly-once per micro-batch via the destination's tag
-    * index. A second drain from the same checkpoint must apply
-    * nothing. */
-  private val mbsTailM = new graft.etl.Memo[(SparkSession, String), (String, String)]
-
-  private def mbsTailLakes(s: SparkSession, d: String): (String, String) =
-    mbsTailM((s, d)) {
-      val src = Scratch.tempDir("graft-mbs-src").toString + "/lake"
-      val dst = Scratch.tempDir("graft-mbs-dst").toString + "/lake"
-      val ckpt = Scratch.tempDir("graft-mbs-ckpt").toString
-      val od = Tables.orders(s, d)
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      SnapshotLake.append(od.filter(col("o_orderkey") < maxK / 3), src, idx)
-      SnapshotLake.merge(s, src,
-        od.filter(col("o_orderkey") < maxK / 3 &&
-            pmod(col("o_orderkey"), lit(95)) === 0)
-          .withColumn("o_orderstatus", lit("T"))
-          .withColumn("o_totalprice", col("o_totalprice") + 4.0),
-        "o_orderkey", idx)
-      SnapshotLake.append(od.filter(
-        col("o_orderkey") >= maxK / 3 && col("o_orderkey") < maxK * 2 / 3),
-        src, idx)
-      SnapshotLake.compact(s, src, partitions = 2)
-      SnapshotLake.append(od.filter(col("o_orderkey") >= maxK * 2 / 3), src, idx)
-      def drain(): Unit = {
-        val q = s.readStream.format("graftlake")
-          .option("skipChangeCommits", "true")
-          .option("maxVersionsPerTrigger", "1")
-          .load(src)
-          .select("o_orderkey", "o_orderstatus", "o_totalprice")
-          .writeStream
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch {
-            (df: org.apache.spark.sql.DataFrame, id: Long) =>
-              SnapshotLake.appendOnce(df, dst, s"mbs-$id", idx); ()
-          }
-          .start()
-        require(q.awaitTermination(300000), "stream drain must finish")
-      }
-      drain()
-      val v = SnapshotLake.currentVersion(dst)
-      drain() // caught-up restart: resumes from the checkpoint, applies nothing
-      require(SnapshotLake.currentVersion(dst) == v,
-        s"a replayed drain must commit nothing: $v vs ${SnapshotLake.currentVersion(dst)}")
-      (src, dst)
-    }
-
-  /** One SQL-lifecycle lake per (session, sf dir): orders landed as four
-    * one-file orderkey-quartile appends (v1-v4, stats-indexed),
-    * registered in the graftlake V2 catalog, then mutated ENTIRELY
-    * through pasted SQL — `DELETE FROM ... WHERE <band>` (v5: quartile 2
-    * whole-drops by metadata, quartile 3 rewrites survivors) and
-    * `CALL graft_cat.system.restore(version => 4)` (v6: the delete
-    * undone with zero data movement). Returns (root, catalog table
-    * name). */
-  private val sqlLifeM = new graft.etl.Memo[(SparkSession, String), (String, String)]
-
-  private def sqlLifecycleLake(s: SparkSession, d: String): (String, String) =
-    sqlLifeM((s, d)) {
-      val root = Scratch.tempDir("graft-sqllife-lake").toString + "/lake"
-      val od = Tables.orders(s, d)
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      for (i <- 0L until 4L) {
-        val lo = maxK * i / 4
-        val cap = if (i == 3) col("o_orderkey") <= maxK
-                  else col("o_orderkey") < maxK * (i + 1) / 4
-        SnapshotLake.append(
-          od.filter(col("o_orderkey") >= lo && cap).coalesce(1), root, idx)
-      }
-      s.conf.set("spark.sql.catalog.graft_cat",
-        classOf[graft.sources.GraftLakeCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
-        Scratch.tempDir("graft-cat-warehouse").toString)
-      val tbl = f"orders_sqllife_${scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff}%08x"
-      s.sql(s"CREATE TABLE IF NOT EXISTS graft_cat.lakes.$tbl " +
-        s"USING graftlake LOCATION '$root'")
-      s.sql(s"DELETE FROM graft_cat.lakes.$tbl " +
-        s"WHERE o_orderkey >= ${maxK / 4} AND o_orderkey <= ${maxK * 5 / 8}")
-      require(SnapshotLake.currentVersion(root).contains(5L),
-        "the SQL DELETE must commit v5")
-      s.sql(s"CALL graft_cat.system.restore(table => 'lakes.$tbl', version => 4)")
-      require(SnapshotLake.currentVersion(root).contains(6L),
-        "the CALL restore must commit v6")
-      (root, tbl)
-    }
-
-  /** One PURE-CONNECTOR streaming pipeline per (session, sf dir):
-    * `spark.readStream.format("graftlake")` over q242's five-commit
-    * source, written back through `writeStream.format("graftlake")` —
-    * no foreachBatch glue at all. Exactly-once rides the SINK's
-    * epoch-tagged manifest commits; a re-drain from the same
-    * checkpoint must commit nothing. */
-  private val sinkM = new graft.etl.Memo[(SparkSession, String), (String, String)]
-
-  private def sinkTailLakes(s: SparkSession, d: String): (String, String) =
-    sinkM((s, d)) {
-      val (src, _) = mbsTailLakes(s, d)
-      val dst = Scratch.tempDir("graft-sink-dst").toString + "/lake"
-      val ckpt = Scratch.tempDir("graft-sink-ckpt").toString
-      def drain(): Unit = {
-        val q = s.readStream.format("graftlake")
-          .option("skipChangeCommits", "true")
-          .option("maxVersionsPerTrigger", "1")
-          .load(src)
-          .select("o_orderkey", "o_orderstatus", "o_totalprice")
-          .writeStream
-          .format("graftlake")
-          .option("path", dst)
-          .option("statsCols", "o_orderkey")
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        require(q.awaitTermination(300000), "sink drain must finish")
-      }
-      drain()
-      val v = SnapshotLake.currentVersion(dst)
-      drain() // caught-up restart from the checkpoint: nothing commits
-      require(SnapshotLake.currentVersion(dst) == v,
-        s"a replayed sink drain must commit nothing: $v vs ${SnapshotLake.currentVersion(dst)}")
-      (src, dst)
-    }
-
-  /** One SQL-DML lake per (session, sf dir): the orders quartile lake
-    * (v1-v4) mutated through the GROUP-BASED row-level rewrites — a SQL
-    * `UPDATE` (v5: lower-half mod-97 rows restatused/repriced; only the
-    * files holding matched rows rewrite, the runtime group filter
-    * narrows the scan) and a SQL `MERGE INTO` (v6: mod-91 matched
-    * updates, mod-107 matched deletes, 30 not-matched inserts above the
-    * key max — one statement, one commit). Returns (root, table). */
-  private val sqlDmlM = new graft.etl.Memo[(SparkSession, String), (String, String)]
-
-  private def sqlDmlLake(s: SparkSession, d: String): (String, String) =
-    sqlDmlM((s, d)) {
-      val root = Scratch.tempDir("graft-sqldml-lake").toString + "/lake"
-      val od = Tables.orders(s, d)
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      for (i <- 0L until 4L) {
-        val lo = maxK * i / 4
-        val cap = if (i == 3) col("o_orderkey") <= maxK
-                  else col("o_orderkey") < maxK * (i + 1) / 4
-        SnapshotLake.append(
-          od.filter(col("o_orderkey") >= lo && cap).coalesce(1), root, idx)
-      }
-      s.conf.set("spark.sql.catalog.graft_cat",
-        classOf[graft.sources.GraftLakeCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
-        Scratch.tempDir("graft-cat-warehouse").toString)
-      val h = f"${scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff}%08x"
-      val tbl = s"graft_cat.lakes.orders_dml_$h"
-      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING graftlake LOCATION '$root'")
-      s.sql(s"""UPDATE $tbl SET o_totalprice = o_totalprice + 2.0,
-               |o_orderstatus = 'U'
-               |WHERE o_orderkey % 97 = 0 AND o_orderkey < ${maxK / 2}""".stripMargin)
-      require(SnapshotLake.currentVersion(root).contains(5L),
-        "the SQL UPDATE must commit v5")
-      val isUpd = pmod(col("o_orderkey"), lit(91)) === 0
-      val isDel = pmod(col("o_orderkey"), lit(107)) === 0 && !isUpd
-      od.filter(isUpd).select(col("o_orderkey").as("k"))
-        .withColumn("del", lit(false))
-        .unionByName(od.filter(isDel).select(col("o_orderkey").as("k"))
-          .withColumn("del", lit(true)))
-        .unionByName(s.range(1, 31).select(
-          (lit(maxK) + col("id")).as("k"), lit(false).as("del")))
-        .withColumn("ck", col("k") % 1000)
-        .withColumn("price", lit(1000.0) + (col("k") - maxK))
-        .createOrReplaceTempView(s"dml_src_$h")
-      s.sql(
-        s"""MERGE INTO $tbl AS tgt USING dml_src_$h AS src
-           |ON tgt.o_orderkey = src.k
-           |WHEN MATCHED AND src.del THEN DELETE
-           |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M',
-           |  o_totalprice = tgt.o_totalprice + 3.0
-           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
-           |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
-           |VALUES (src.k, src.ck, 'N', src.price,
-           |  CAST('2024-06-01 00:00:00' AS TIMESTAMP), 'DML')""".stripMargin)
-      require(SnapshotLake.currentVersion(root).contains(6L),
-        "the SQL MERGE must commit v6")
-      (root, tbl)
-    }
-
-  /** One SQL-schema-evolved catalog lake per (session, sf dir): orders
-    * landed as four key-range commits (v1-v4), `ALTER TABLE … ADD COLUMN
-    * rebate DOUBLE` as a metadata-only evolve commit (v5 — no file
-    * carries the column yet), then 40 rows WITH the column inserted
-    * through the connector (v6). Returns (root, table). */
-  private val evoM = new graft.etl.Memo[(SparkSession, String), (String, String)]
-
-  private def evoLake(s: SparkSession, d: String): (String, String) =
-    evoM((s, d)) {
-      val root = Scratch.tempDir("graft-evo-lake").toString + "/lake"
-      val od = Tables.orders(s, d)
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      for (i <- 0L until 4L) {
-        val lo = maxK * i / 4
-        val cap = if (i == 3) col("o_orderkey") <= maxK
-                  else col("o_orderkey") < maxK * (i + 1) / 4
-        SnapshotLake.append(
-          od.filter(col("o_orderkey") >= lo && cap).coalesce(1), root, idx)
-      }
-      s.conf.set("spark.sql.catalog.graft_cat",
-        classOf[graft.sources.GraftLakeCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
-        Scratch.tempDir("graft-cat-warehouse").toString)
-      val h = f"${scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff}%08x"
-      val tbl = s"graft_cat.lakes.orders_evo_$h"
-      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING graftlake LOCATION '$root'")
-      s.sql(s"ALTER TABLE $tbl ADD COLUMN rebate DOUBLE") // v5: metadata only
-      require(SnapshotLake.currentVersion(root).contains(5L),
-        "ALTER TABLE ADD COLUMN must commit the evolve version v5")
-      s.range(1, 41).select(
-        (lit(maxK) + col("id")).as("o_orderkey"),
-        (col("id") % 100).as("o_custkey"),
-        lit("E").as("o_orderstatus"),
-        (lit(100.0) + col("id").cast("double")).as("o_totalprice"),
-        lit(java.sql.Timestamp.valueOf("2024-07-01 00:00:00")).as("o_orderdate"),
-        lit("EVO").as("o_orderpriority"),
-        (col("id").cast("double") / 4.0).as("rebate"))
-        .coalesce(1) // one data file: keeps v6's file count oracle-predictable
-        .createOrReplaceTempView(s"evo_src_$h")
-      s.sql(s"INSERT INTO $tbl SELECT * FROM evo_src_$h") // v6
-      require(SnapshotLake.currentVersion(root).contains(6L),
-        "the evolved-shape INSERT must commit v6")
-      (root, tbl)
-    }
-
-  /** One catalog lake per (session, sf dir) mutated by a MERGE whose
-    * clause matrix includes BOTH `WHEN NOT MATCHED BY SOURCE` forms
-    * (UPDATE and DELETE) next to the classic three: orders v1-v4, one
-    * MERGE commit v5. Source = keys ≡ 0 (mod 89) plus 20 above-max
-    * inserts. Returns (root, table). */
-  private val nmbsM = new graft.etl.Memo[(SparkSession, String), (String, String)]
-
-  private def nmbsLake(s: SparkSession, d: String): (String, String) =
-    nmbsM((s, d)) {
-      val root = Scratch.tempDir("graft-nmbs-lake").toString + "/lake"
-      val od = Tables.orders(s, d)
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      for (i <- 0L until 4L) {
-        val lo = maxK * i / 4
-        val cap = if (i == 3) col("o_orderkey") <= maxK
-                  else col("o_orderkey") < maxK * (i + 1) / 4
-        SnapshotLake.append(
-          od.filter(col("o_orderkey") >= lo && cap).coalesce(1), root, idx)
-      }
-      s.conf.set("spark.sql.catalog.graft_cat",
-        classOf[graft.sources.GraftLakeCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
-        Scratch.tempDir("graft-cat-warehouse").toString)
-      val h = f"${scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff}%08x"
-      val tbl = s"graft_cat.lakes.orders_nmbs_$h"
-      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING graftlake LOCATION '$root'")
-      od.filter(pmod(col("o_orderkey"), lit(89)) === 0)
-        .select(col("o_orderkey").as("k"))
-        .unionByName(s.range(1, 21).select((lit(maxK) + col("id")).as("k")))
-        .withColumn("price", lit(2000.0) + (col("k") - maxK))
-        .createOrReplaceTempView(s"nmbs_src_$h")
-      s.sql(
-        s"""MERGE INTO $tbl AS tgt USING nmbs_src_$h AS src
-           |ON tgt.o_orderkey = src.k
-           |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M',
-           |  o_totalprice = tgt.o_totalprice + 3.0
-           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
-           |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
-           |VALUES (src.k, src.k % 1000, 'N', src.price,
-           |  CAST('2024-06-01 00:00:00' AS TIMESTAMP), 'NMBS')
-           |WHEN NOT MATCHED BY SOURCE AND tgt.o_orderkey % 101 = 0
-           |  THEN DELETE
-           |WHEN NOT MATCHED BY SOURCE AND tgt.o_orderkey % 103 = 0
-           |  THEN UPDATE SET o_orderstatus = 'X',
-           |    o_totalprice = tgt.o_totalprice + 7.0""".stripMargin)
-      require(SnapshotLake.currentVersion(root).contains(5L),
-        "the five-clause MERGE must commit exactly one version (v5)")
-      (root, tbl)
-    }
-
-  /** One renamed + auto-merge-evolved catalog lake per (session, sf
-    * dir): orders as two half-range commits (v1-v2), a WIDER batch
-    * (new `rebate` column) appended through the connector write with
-    * `.option("mergeSchema", "true")` — ONE commit (v3) carrying BOTH
-    * the evolved schema declaration and the data files (Delta's
-    * autoMerge is one atomic commit, never an evolve+append pair a
-    * crash could tear) — then `ALTER TABLE … RENAME TO`.
-    * Returns (root, renamed table, old table name). */
-  private val renM = new graft.etl.Memo[(SparkSession, String), (String, String, String)]
-
-  private def renamedLake(s: SparkSession, d: String): (String, String, String) =
-    renM((s, d)) {
-      val root = Scratch.tempDir("graft-ren-lake").toString + "/lake"
-      val od = Tables.orders(s, d)
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      SnapshotLake.append(
-        od.filter(col("o_orderkey") < maxK / 2).coalesce(1), root, idx)
-      SnapshotLake.append(
-        od.filter(col("o_orderkey") >= maxK / 2).coalesce(1), root, idx)
-      s.conf.set("spark.sql.catalog.graft_cat",
-        classOf[graft.sources.GraftLakeCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
-        Scratch.tempDir("graft-cat-warehouse").toString)
-      val h = f"${scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff}%08x"
-      val tbl0 = s"graft_cat.lakes.orders_ren_$h"
-      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl0 USING graftlake LOCATION '$root'")
-      s.range(1, 41).select(
-        (lit(maxK) + col("id")).as("o_orderkey"),
-        (col("id") % 100).as("o_custkey"),
-        lit("R").as("o_orderstatus"),
-        (lit(100.0) + col("id").cast("double")).as("o_totalprice"),
-        // match the lake's at-rest timestamp flavor exactly (testdata
-        // generations vary between TIMESTAMP and TIMESTAMP_NTZ) — the
-        // auto-merge reconciles additions/widenings, never tz-flavor
-        lit("2024-07-01 00:00:00")
-          .cast(od.schema("o_orderdate").dataType).as("o_orderdate"),
-        lit("REN").as("o_orderpriority"),
-        (col("id").cast("double") / 4.0).as("rebate"))
-        .write.format("graftlake").mode("append")
-        .option("mergeSchema", "true").save(root) // v3: schema + files, atomic
-      require(SnapshotLake.currentVersion(root).contains(3L),
-        "autoMerge must commit the evolved schema WITH its files as one " +
-          "atomic version (v3), never an evolve+append pair")
-      val tbl = s"graft_cat.lakes.orders_ren2_$h"
-      s.sql(s"ALTER TABLE $tbl0 RENAME TO lakes.orders_ren2_$h")
-      (root, tbl, tbl0)
-    }
-
-  /** One bloom-indexed lake per (session, sf dir) for the CONNECTOR
-    * point-lookup proof: lineitem's EVEN orderkeys only (so an odd
-    * in-hull probe key is absent BY CONSTRUCTION at every scale), four
-    * one-file range commits, per-file blooms on l_orderkey at fpp 1e-8
-    * (the kept=0 pin must not ride false-positive luck). */
-  private val bloomM = new graft.etl.Memo[(SparkSession, String), String]
-
-  /** Content fingerprint of the fixture's INPUT (the lineitem parquet
-    * under `d`): every file's (name, size, mtime) folded into one hash.
-    * Keying the persistent fixture path on it means a REGENERATED
-    * dataset at the same path gets a fresh build instead of a silently
-    * reused stale lake (which surfaced only later as a confusing oracle
-    * hash mismatch). O(files-in-one-table) stats, driver-side, once. */
-  private def inputFingerprint(d: String): Int = {
-    val p = java.nio.file.Paths.get(d, "lineitem.parquet")
-    val parts =
-      if (!java.nio.file.Files.exists(p)) Seq(d)
-      else {
-        val st = java.nio.file.Files.walk(p)
-        try st.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
-          .map(f => s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
-            s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
-          .toSeq.sorted
-        finally st.close()
-      }
-    scala.util.hashing.MurmurHash3.orderedHash(d +: parts)
-  }
-
-  private def bloomLake(s: SparkSession, d: String): String =
-    bloomM((s, d)) {
-      // persisted ACROSS runs under a path keyed by the input dir AND a
-      // content fingerprint of its lineitem files: the fixture is a pure
-      // function of the input DATA (not the path string), and its
-      // fpp-1e-8 blooms are the single most expensive fixture of the
-      // 100× leg (VERDICT r15 watch item 3 — 97% of q252's leg entry).
-      // The build lands in a process-private temp dir ATOMICALLY renamed
-      // into place, so two racing JVMs can never observe a half-built
-      // lake — whichever rename lands second just discards its copy.
-      val h = f"${(scala.util.hashing.MurmurHash3.stringHash(d) ^
-        inputFingerprint(d)) & 0x7fffffff}%08x"
-      val base = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), s"graft-fixture-bloom-$h")
-      val root = base.resolve("lake").toString
-      if (SnapshotLake.currentVersion(root).contains(4L)) root
-      else {
-        val tmp = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"),
-          s"graft-fixture-bloom-$h.build-${java.util.UUID.randomUUID()}")
-        java.nio.file.Files.createDirectories(tmp)
-        val troot = tmp.resolve("lake").toString
-        val li = Tables.lineitem(s, d).select(LiCols.map(col): _*)
-          .filter(col("l_orderkey") % 2 === 0)
-        val agg = li.agg(max("l_orderkey"), count(lit(1))).head
-        val (maxK, nRows) = (agg.getLong(0), agg.getLong(1))
-        val idx = SnapshotLake.IndexSpec(
-          Seq("l_orderkey"), Some("l_orderkey"), bloomFpp = 1e-8,
-          // size by distinct keys, not rows: lineitem carries ~4 lines
-          // per order, so rows/2 still bounds per-file ndv with 2×
-          // margin — half the bloom bytes at the same honest fpp
-          bloomExpected = Some(math.max(1L, nRows / 8)))
-        for (i <- 0L until 4L) {
-          val lo = maxK * i / 4
-          val cap = if (i == 3) col("l_orderkey") <= maxK
-                    else col("l_orderkey") < maxK * (i + 1) / 4
-          SnapshotLake.append(
-            li.filter(col("l_orderkey") >= lo && cap).coalesce(1), troot, idx)
-        }
-        try java.nio.file.Files.move(tmp, base,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException |
-               _: java.nio.file.AccessDeniedException |
-               _: java.nio.file.DirectoryNotEmptyException =>
-            // a concurrent build won the rename — use its (complete) copy
-            org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
-        }
-        root
-      }
-    }
 
   /** Exact global (min, max) of `c` read from the index alone — max of
     * per-file maxes / min of mins, a driver-side sidecar fold with NO
@@ -2639,116 +1649,4 @@ object LakeIndexOps {
     }
   )
 
-  /** One catalog lake per (session, sf dir) for the BOUNDED by-source
-    * merge: orders as four quarter-range files (v1-v4), then ONE MERGE
-    * (v5) whose matches live only in the first quarter (source keys ≡ 0
-    * mod 89, strictly below maxK/4), whose conditioned BY-SOURCE update
-    * touches only the last quarter (key ≥ 3·maxK/4, key % 3 = 0), and
-    * which inserts 15 above-max rows — so the group-filtered COW commit
-    * must replace exactly 2 of the 4 base files. */
-  private val mbsM = new graft.etl.Memo[(SparkSession, String), (String, String)]
-
-  private def mbsLake(s: SparkSession, d: String): (String, String) =
-    mbsM((s, d)) {
-      val root = Scratch.tempDir("graft-mbs-lake").toString + "/lake"
-      val od = Tables.orders(s, d)
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      for (i <- 0L until 4L) {
-        val lo = maxK * i / 4
-        val cap = if (i == 3) col("o_orderkey") <= maxK
-                  else col("o_orderkey") < maxK * (i + 1) / 4
-        SnapshotLake.append(
-          od.filter(col("o_orderkey") >= lo && cap).coalesce(1), root, idx)
-      }
-      s.conf.set("spark.sql.catalog.graft_cat",
-        classOf[graft.sources.GraftLakeCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
-        Scratch.tempDir("graft-cat-warehouse").toString)
-      val h = f"${scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff}%08x"
-      val tbl = s"graft_cat.lakes.orders_mbs_$h"
-      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING graftlake LOCATION '$root'")
-      od.filter(pmod(col("o_orderkey"), lit(89)) === 0 &&
-          col("o_orderkey") < maxK / 4)
-        .select(col("o_orderkey").as("k"))
-        .unionByName(s.range(1, 16).select((lit(maxK) + col("id")).as("k")))
-        .withColumn("price", lit(500.0) + (col("k") - maxK))
-        .createOrReplaceTempView(s"mbs_src_$h")
-      s.sql(
-        s"""MERGE INTO $tbl AS tgt USING mbs_src_$h AS src
-           |ON tgt.o_orderkey = src.k
-           |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M',
-           |  o_totalprice = tgt.o_totalprice + 3.0
-           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
-           |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
-           |VALUES (src.k, src.k % 1000, 'B', src.price,
-           |  CAST('2024-06-02 00:00:00' AS TIMESTAMP), 'MBS')
-           |WHEN NOT MATCHED BY SOURCE
-           |  AND tgt.o_orderkey % 3 = 0
-           |  AND tgt.o_orderkey >= ${maxK * 3 / 4}L
-           |  THEN UPDATE SET o_orderstatus = 'X',
-           |    o_totalprice = tgt.o_totalprice + 7.0""".stripMargin)
-      require(SnapshotLake.currentVersion(root).contains(5L),
-        "the bounded by-source MERGE must commit exactly one version (v5)")
-      val (_, _, removed, _) = SnapshotLake.commitDelta(root, 5L)
-      require(removed.size == 2,
-        s"the group filter must bound the rewrite to the two affected " +
-          s"files: replaced ${removed.size} of 4")
-      (root, tbl)
-    }
-
-  /** One column-mapped catalog lake per (session, sf dir): orders as two
-    * indexed half-range commits (v1-v2), `ALTER TABLE … RENAME COLUMN
-    * o_orderkey TO okey` (v3, metadata-only — the file set is required
-    * unchanged), 20 evolved-shape rows INSERTed through the connector
-    * (v4 — physically they carry o_orderkey, the stable on-file name),
-    * and `ALTER TABLE … DROP COLUMN o_orderpriority` (v5, metadata-only;
-    * the column's data and sidecars stay for pinned pre-drop reads).
-    * Returns (root, table, max base key). */
-  private val cmapM = new graft.etl.Memo[(SparkSession, String), (String, String, Long)]
-
-  private def cmapLake(s: SparkSession, d: String): (String, String, Long) =
-    cmapM((s, d)) {
-      val root = Scratch.tempDir("graft-cmap-lake").toString + "/lake"
-      val od = Tables.orders(s, d)
-      val maxK = od.agg(max("o_orderkey")).head.getLong(0)
-      val idx = SnapshotLake.IndexSpec(Seq("o_orderkey"), None)
-      val half = maxK / 2
-      SnapshotLake.append(
-        od.filter(col("o_orderkey") <= half).coalesce(1), root, idx)
-      SnapshotLake.append(
-        od.filter(col("o_orderkey") > half).coalesce(1), root, idx)
-      s.conf.set("spark.sql.catalog.graft_cat",
-        classOf[graft.sources.GraftLakeCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_cat.warehouse",
-        Scratch.tempDir("graft-cat-warehouse").toString)
-      val h = f"${scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff}%08x"
-      val tbl = s"graft_cat.lakes.orders_cmap_$h"
-      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl USING graftlake LOCATION '$root'")
-      val before = SnapshotLake.files(root, 2L).toSet
-      s.sql(s"ALTER TABLE $tbl RENAME COLUMN o_orderkey TO okey") // v3
-      require(SnapshotLake.currentVersion(root).contains(3L),
-        "RENAME COLUMN must commit exactly one evolve version")
-      require(SnapshotLake.files(root, 3L).toSet == before,
-        "RENAME COLUMN must not touch a single data file")
-      s.range(1, 21).select(
-        (lit(maxK) + col("id")).as("okey"),
-        (col("id") % 50).as("o_custkey"),
-        lit("R").as("o_orderstatus"),
-        (lit(100.0) + col("id").cast("double")).as("o_totalprice"),
-        lit(java.sql.Timestamp.valueOf("2024-07-02 00:00:00")).as("o_orderdate"),
-        lit("CMAP").as("o_orderpriority"))
-        .coalesce(1)
-        .createOrReplaceTempView(s"cmap_src_$h")
-      s.sql(s"INSERT INTO $tbl SELECT * FROM cmap_src_$h") // v4
-      require(SnapshotLake.currentVersion(root).contains(4L),
-        "the evolved-shape INSERT must commit v4")
-      s.sql(s"ALTER TABLE $tbl DROP COLUMN o_orderpriority") // v5
-      require(SnapshotLake.currentVersion(root).contains(5L),
-        "DROP COLUMN must commit exactly one evolve version")
-      require(SnapshotLake.files(root, 5L).toSet ==
-        SnapshotLake.files(root, 4L).toSet,
-        "DROP COLUMN must not touch a single data file")
-      (root, tbl, maxK)
-    }
 }

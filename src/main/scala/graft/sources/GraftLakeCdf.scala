@@ -5,7 +5,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.etl.SnapshotLake
+import graft.etl.{FileStats, SnapshotLake}
 
 /** The connector's CHANGE DATA FEED surface — Delta's `readChangeFeed`
   * through the standard reader APIs, batch and streaming:
@@ -66,11 +66,20 @@ object GraftLakeCdf {
   private[sources] def partitions(root: String, rootAbs: String, v: Long,
                                   skipChangeCommits: Boolean)
       : Seq[GraftLakeInputPartition] = {
-    def size(f: String): Long =
-      java.nio.file.Files.size(java.nio.file.Paths.get(root, f))
+    // file lengths from the commit-time `_bytes.json` sidecars (one
+    // cached parse per commit dir), stat-on-demand only for pre-sidecar
+    // commits — same contract as the snapshot scan path: planning a
+    // version range never issues O(files) stat/HEAD calls
+    def sizes(files: Seq[String]): String => Long = {
+      val bytes = files.map(f => f.substring(0, f.lastIndexOf('/')))
+        .distinct.flatMap(d => FileStats.readBytesSidecar(root, d)).toMap
+      f => bytes.getOrElse(f,
+        java.nio.file.Files.size(java.nio.file.Paths.get(root, f)))
+    }
     val (op, add) = SnapshotLake.commitChange(root, v)
     op match {
       case "append" =>
+        val size = sizes(add)
         add.map { f =>
           GraftLakeInputPartition(s"$rootAbs/$f", size(f),
             GraftLakeScan.partTupleOf(f) ++ Seq(
@@ -81,7 +90,9 @@ object GraftLakeCdf {
       case "compact" | "evolve" => Nil // zero logical changes
       case _ if skipChangeCommits => Nil
       case _ =>
-        SnapshotLake.materializeCdc(SparkSession.active, root, v).map { f =>
+        val feed = SnapshotLake.materializeCdc(SparkSession.active, root, v)
+        val size = sizes(feed)
+        feed.map { f =>
           GraftLakeInputPartition(s"$rootAbs/$f", size(f),
             // _change_type is a DATA column of the materialized files
             Seq(CommitVersionCol -> v.toString, "_file" -> f))

@@ -295,7 +295,17 @@ final class GraftLakeTable(root: String, schema: StructType,
             GraftLakeSource.parseInstantMillis(s) - 1L)
             .map(_ + 1L).getOrElse(1L)
         }).getOrElse(1L),
-      endV = Option(options.get("endingVersion")).map(_.toLong),
+      // endingTimestamp = the latest commit published AT or before the
+      // instant (Delta's inclusive contract, the mirror of
+      // startingTimestamp above), resolved through the same
+      // session-timezone parse
+      endV = Option(options.get("endingVersion")).map(_.toLong)
+        .orElse(Option(options.get("endingTimestamp")).map { s =>
+          SnapshotLake.versionAsOfTimestamp(theRoot,
+            GraftLakeSource.parseInstantMillis(s)).getOrElse(
+            throw new IllegalArgumentException(
+              s"endingTimestamp $s is before the first commit of $theRoot"))
+        }),
       skipChangeCommits = Option(options.get("skipChangeCommits"))
         .exists(_.toBoolean),
       maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger"))

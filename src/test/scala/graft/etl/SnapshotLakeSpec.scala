@@ -478,6 +478,8 @@ class SnapshotLakeSpec extends AnyFunSuite {
     java.nio.file.Paths.get(root, "_manifests", f"v$v%09d.json")
   private def ckptPath(root: String, v: Long) =
     java.nio.file.Paths.get(root, "_manifests", f"v$v%09d.ckpt.json")
+  private def ickptPath(root: String, v: Long) =
+    java.nio.file.Paths.get(root, "_manifests", f"v$v%09d.ickpt.json")
 
   test("commit records are O(change) over a 120-commit history; resolution rides checkpoints") {
     val root = newRoot()
@@ -491,9 +493,14 @@ class SnapshotLakeSpec extends AnyFunSuite {
       s"a log record grew with table size: max=${sizes.max} bytes")
     assert(math.abs(sizes.last - sizes.head) < 128,
       "first and last record must cost the same bytes")
-    // checkpoints at every CkptEvery-th commit
-    assert(Files.exists(ckptPath(root, 120L)) && Files.exists(ckptPath(root, 110L)))
-    assert(!Files.exists(ckptPath(root, 119L)))
+    // checkpoints at every CkptEvery-th commit: a FULL one anchors each
+    // 100-commit stretch (v10, v110), the ones between are INCREMENTAL
+    // deltas against their full base — O(change) bytes, like the records
+    assert(Files.exists(ckptPath(root, 10L)) && Files.exists(ckptPath(root, 110L)))
+    assert(!Files.exists(ckptPath(root, 120L)) && Files.exists(ickptPath(root, 120L)))
+    assert(!Files.exists(ckptPath(root, 119L)) && !Files.exists(ickptPath(root, 119L)))
+    assert(Files.size(ickptPath(root, 120L)) < Files.size(ckptPath(root, 110L)),
+      "an incremental checkpoint costs less than its full base")
     // resolving a version costs O(CkptEvery) manifest reads, not O(v)
     SnapshotLake.manifestReads.set(0L)
     assert(SnapshotLake.files(root, 117L).size == 117)
@@ -501,6 +508,42 @@ class SnapshotLakeSpec extends AnyFunSuite {
       s"resolution read ${SnapshotLake.manifestReads.get()} manifests for v117")
     // full read still sees every row
     assert(SnapshotLake.read(spark, root).count() == 120L)
+  }
+
+  test("incremental checkpoints reconstruct exactly (adds AND removes), and vacuum sweeps danglers") {
+    val root = newRoot()
+    for (i <- 0 until 15)
+      SnapshotLake.append(Seq(i.toLong).toDF("x"), root) // v1..v15; full ckpt @10
+    SnapshotLake.compact(spark, root) // v16: rewrites all 15 files into 1
+    for (i <- 15 until 19)
+      SnapshotLake.append(Seq(i.toLong).toDF("x"), root) // v17..v20
+    // the v20 checkpoint is incremental against the v10 full base, so it
+    // must carry the compaction's REMOVES (all 15 pre-compaction files),
+    // not just adds
+    assert(Files.exists(ickptPath(root, 20L)) && !Files.exists(ckptPath(root, 20L)))
+    val expect = SnapshotLake.files(root, 20L)
+    assert(expect.size == 5, "1 compacted + 4 appended files")
+    // pin the ickpt READ path (this JVM's resolve cache holds v20 from
+    // the write): a fresh copy of the lake has fresh cache keys, and its
+    // resolution must go ickpt + full base + zero records
+    val root2 = newRoot()
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(root), new java.io.File(root2))
+    SnapshotLake.manifestReads.set(0L)
+    assert(SnapshotLake.files(root2, 20L) == expect,
+      "base-plus-delta reconstruction equals the record replay")
+    assert(SnapshotLake.manifestReads.get() <= 3,
+      s"ickpt resolution read ${SnapshotLake.manifestReads.get()} manifests")
+    assert(SnapshotLake.read(spark, root2).count() == 19L)
+    // vacuum to cutoff 16: the cutoff checkpoint is FULL, and the v20
+    // ickpt (base v10, now below the cutoff) is swept rather than left
+    // dangling; v20 still resolves by replaying records from the cutoff
+    SnapshotLake.vacuum(root, keepVersions = 5)
+    assert(Files.exists(ckptPath(root, 16L)))
+    assert(!Files.exists(ickptPath(root, 20L)),
+      "an ickpt whose full base fell out of retention is deleted")
+    assert(SnapshotLake.files(root, 20L) == expect)
+    assert(SnapshotLake.read(spark, root).count() == 19L)
   }
 
   test("tag probe answers from the checkpoint index in O(1) reads, not O(versions)") {

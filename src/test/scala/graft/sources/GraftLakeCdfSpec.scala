@@ -90,6 +90,88 @@ class GraftLakeCdfSpec extends AnyFunSuite {
       .option("readChangeFeed", "true").save(root))
   }
 
+  test("endingTimestamp bounds the batch feed at-or-before the instant, symmetric with the version form") {
+    val root = newDir("endts") + "/lake"
+    SnapshotLake.enableCdf(root, "k")
+    SnapshotLake.append(kv(0, 3), root, idx) // v1
+    Thread.sleep(1200)
+    val between = java.time.Instant.now()
+    Thread.sleep(1200)
+    SnapshotLake.append(kv(3, 5), root, idx) // v2
+    def feed(opts: (String, String)*): Set[(Long, String, Long, String)] = {
+      var r = spark.read.format("graftlake").option("readChangeFeed", "true")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      changes(r.load(root))
+    }
+    val v1Only = feed("endingTimestamp" -> between.toString)
+    assert(v1Only == feed("endingVersion" -> "1"),
+      "an instant between the commits ends the feed at v1")
+    assert(v1Only == (0L until 3L).map(i => (i, s"v$i", 1L, "insert")).toSet)
+    // INCLUSIVE boundary (Delta's contract): an instant EQUAL to v2's
+    // publish time reads through v2
+    val v2At = Files.getLastModifiedTime(java.nio.file.Paths.get(
+      root, "_manifests", "v000000002.json")).toInstant
+    assert(feed("endingTimestamp" -> v2At.toString) ==
+      feed("endingVersion" -> "2"),
+      "a commit published exactly AT endingTimestamp is included")
+    // both bounds by timestamp = both bounds by version
+    assert(feed("startingTimestamp" -> between.toString,
+      "endingTimestamp" -> v2At.toString) ==
+      feed("startingVersion" -> "2", "endingVersion" -> "2"))
+    // an instant before the first commit refuses (there is no version
+    // at-or-before it to end on)
+    intercept[Exception](feed("endingTimestamp" -> "2001-01-01T00:00:00Z"))
+  }
+
+  test("CDF planning resolves feed-file sizes from the _bytes.json sidecars, not per-file stats") {
+    val root = newDir("bytes") + "/lake"
+    buildSrc(root)
+    // the change commit's materialized feed carries its own sidecar
+    // (staged with the files, atomic with the rename)
+    val feed = SnapshotLake.cdcFiles(root, 3L).get
+    val side = graft.etl.FileStats.readBytesSidecar(root, "_cdc/v=3")
+    assert(feed.nonEmpty && feed.forall(f => side.get(f).contains(
+      Files.size(java.nio.file.Paths.get(root, f)))),
+      "the staged sidecar records every feed file's true size")
+    // the pin that planning never stats data files: hide one of v1's
+    // files — the plan must still produce its partition with the
+    // sidecar-recorded length (a stat would throw NoSuchFileException)
+    val v1File = SnapshotLake.commitChange(root, 1L)._2.head
+    val p = java.nio.file.Paths.get(root, v1File)
+    val hidden = java.nio.file.Paths.get(p.toString + ".hidden")
+    Files.move(p, hidden)
+    try {
+      val q = spark.read.format("graftlake")
+        .option("readChangeFeed", "true").option("endingVersion", "1")
+        .load(root)
+      val scan = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.collectFirst { case s: GraftLakeCdfScan => s }.get
+      val parts = scan.planInputPartitions()
+        .map(_.asInstanceOf[GraftLakeInputPartition])
+      assert(parts.exists(_.absPath.endsWith(v1File)),
+        "the hidden file still plans (its size came from the sidecar)")
+      assert(parts.map(_.length).forall(_ > 0L))
+    } finally Files.move(hidden, p)
+  }
+
+  test("vacuum reaps an aged-out change commit's materialized feed with its version, keeps retained feeds") {
+    val root = newDir("vac") + "/lake"
+    buildSrc(root) // v1..v5; feeds at v=3 (merge) and v=4 (DV delete)
+    assert(Files.isDirectory(java.nio.file.Paths.get(root, "_cdc", "v=3")))
+    SnapshotLake.vacuum(root, keepVersions = 2) // retain v4, v5
+    assert(!Files.exists(java.nio.file.Paths.get(root, "_cdc", "v=3")),
+      "a feed below the retention cutoff is reaped with its version")
+    assert(Files.isDirectory(java.nio.file.Paths.get(root, "_cdc", "v=4")),
+      "a retained version's feed survives")
+    val tail = spark.read.format("graftlake")
+      .option("readChangeFeed", "true").option("startingVersion", "4")
+      .load(root)
+    assert(changes(tail) == fullFeed.filter(_._3 >= 4L),
+      "the retained range still reads after vacuum")
+  }
+
   test("a change commit without enablement refuses; an append-only range still reads") {
     val root = newDir("noenable") + "/lake"
     SnapshotLake.append(kv(0, 4), root, idx) // v1
