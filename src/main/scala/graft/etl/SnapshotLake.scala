@@ -24,12 +24,19 @@ import org.apache.spark.sql.types.{StructField, StructType}
   *     O(change) however many files the table holds (the Delta
   *     `_delta_log` shape; round 11 wrote the full listing per commit,
   *     O(files) per CAS attempt). Every [[CkptEvery]]-th commit also
-  *     publishes a CHECKPOINT (`v%09d.ckpt.json`) with the full resolved
-  *     state plus the idempotence-tag index; readers resolve a version by
-  *     loading the nearest checkpoint at-or-below it and replaying ≤
-  *     CkptEvery delta records forward — O(1) amortized reads, and the
-  *     same bound makes the [[appendOnce]]/[[mergeOnce]] tag probe O(1)
-  *     instead of O(versions) per micro-batch.
+  *     publishes a CHECKPOINT; one in every [[FullCkptEveryCommits]]
+  *     commits it is FULL (`v%09d.ckpt.json`: the resolved state plus
+  *     the idempotence-tag index), the ones between are INCREMENTAL
+  *     (`v%09d.ickpt.json`: the composed delta of the window since the
+  *     full base, folded straight from the log records — O(change)
+  *     bytes and CPU, the Delta v2-checkpoint idea; at 1,000 commits ×
+  *     1M files full-only checkpointing wrote 1.7 GB and dominated the
+  *     commit path). Readers resolve a version from the nearest
+  *     checkpoint at-or-below it (an incremental one adds exactly one
+  *     base read) and replay ≤ CkptEvery delta records forward — O(1)
+  *     amortized reads, and the same bound makes the
+  *     [[appendOnce]]/[[mergeOnce]] tag probe O(1) instead of
+  *     O(versions) per micro-batch.
   *   - COMMIT is compare-and-swap: the record is written to a temp name
   *     and published with `Files.createLink` (POSIX link(2)), which fails
   *     atomically with EEXIST if the version was taken. A loser re-reads
@@ -269,10 +276,19 @@ object SnapshotLake {
 
   private def applyRec(s: LakeState, r: Record): LakeState =
     r.legacyFull.getOrElse {
-      val rm = r.remove.toSet
-      val rd = r.removeDel.toSet
-      LakeState(s.files.filterNot(rm) ++ r.add,
-        s.deletes.filterNot(rd) ++ r.addDel,
+      // append fast path: no removes ⇒ no O(state) filter pass. The
+      // common record by far — without this, folding a 10,000-commit
+      // append log (`.history`, long resolve walks) re-scanned the
+      // million-entry file vector once PER RECORD (30 s at the deepened
+      // ceiling; 2.9 s with it).
+      val files =
+        if (r.remove.isEmpty) { if (r.add.isEmpty) s.files else s.files ++ r.add }
+        else s.files.filterNot(r.remove.toSet) ++ r.add
+      val dels =
+        if (r.removeDel.isEmpty) {
+          if (r.addDel.isEmpty) s.deletes else s.deletes ++ r.addDel
+        } else s.deletes.filterNot(r.removeDel.toSet) ++ r.addDel
+      LakeState(files, dels,
         // the declared schema sticks until a later evolve replaces it —
         // RESTORE deliberately keeps the head schema (Delta restores
         // data, evolution is forward-only here; documented contract)
