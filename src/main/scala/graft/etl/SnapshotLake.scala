@@ -98,7 +98,7 @@ object SnapshotLake {
     * checkpoint JSON and dominated commit time (ManifestCeiling r17).
     * Resolution stays O(1) reads: one ickpt + its full base + ≤
     * CkptEvery records. */
-  private val FullCkptEveryCommits = 100L
+  @volatile private[graft] var FullCkptEveryCommits = 100L
 
   /** Measurement escape hatch for the ceiling tools/specs: `false`
     * restores the full-checkpoint-always scheme (the r16 behavior) so
@@ -239,12 +239,69 @@ object SnapshotLake {
     }
   }
 
-  private def readCkpt(root: String, v: Long): (LakeState, Map[String, Long]) = {
+  /** A full checkpoint's RAW shape: segment references plus the inline
+    * tail. The file vector of the checkpointed version is
+    * `concat(segs.map(readSeg)) ++ tail`, in exactly that order — the
+    * segments are an ordered partition of the vector's frozen prefix.
+    * Pre-segmentation checkpoints read back with `segs` empty. */
+  private final case class CkptRaw(segs: Vector[String], tail: Vector[String],
+                                   deletes: Vector[String],
+                                   tags: Map[String, Long],
+                                   schemaB64: Option[String])
+
+  private def readCkptRaw(root: String, v: Long): CkptRaw = {
     manifestReads.incrementAndGet()
     val json = Files.readString(ckptFile(root, v))
-    (LakeState(arrField(json, "files").toVector,
+    CkptRaw(arrField(json, "segs").toVector,
+      arrField(json, "files").toVector,
       arrField(json, "deletes").toVector,
-      strField(json, "schemaB64")), tagsField(json))
+      tagsField(json), strField(json, "schemaB64"))
+  }
+
+  /** Target entries per frozen checkpoint SEGMENT (`_manifests/
+    * seg-<uuid>.json`, immutable once written): big enough that a
+    * million-file state is a handful of reads, small enough that the
+    * mutable tail a full checkpoint rewrites stays a sliver of the
+    * state. Mutable only for specs (exercising dirty-segment rewrites
+    * at toy scale). */
+  @volatile private[graft] var SegEntries = 50000
+
+  /** Per-(root, segment) parsed content — segments are immutable, so
+    * the cache never revalidates; a delete-and-recreate of the lake
+    * clears it through [[invalidateRoot]] like every (root, …) cache. */
+  private val segCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.lang.ref.SoftReference[Vector[String]]]()
+
+  private def readSeg(root: String, name: String): Vector[String] = {
+    val k = (root, name)
+    Option(segCache.get(k)).flatMap(r => Option(r.get())).getOrElse {
+      manifestReads.incrementAndGet()
+      val v = arrField(Files.readString(manifestDir(root).resolve(name)),
+        "files").toVector
+      segCache.put(k, new java.lang.ref.SoftReference(v))
+      v
+    }
+  }
+
+  /** Freeze `entries` as a new immutable segment file; returns its
+    * name. Written under a unique name BEFORE any checkpoint references
+    * it, so a crash or a racing-checkpointer loss leaves only an
+    * unreferenced orphan for vacuum's grace-window sweep. */
+  private def writeSeg(root: String, entries: Vector[String]): String = {
+    val name = s"seg-${UUID.randomUUID()}.json"
+    val json = entries.map(f => s""""$f"""").mkString("""{"files":[""", ",", "]}")
+    Files.writeString(manifestDir(root).resolve(name), json)
+    ckptBytes.addAndGet(json.length.toLong)
+    segCache.put((root, name), new java.lang.ref.SoftReference(entries))
+    name
+  }
+
+  private def readCkpt(root: String, v: Long): (LakeState, Map[String, Long]) = {
+    val raw = readCkptRaw(root, v)
+    val files =
+      if (raw.segs.isEmpty) raw.tail
+      else raw.segs.flatMap(readSeg(root, _)) ++ raw.tail
+    (LakeState(files, raw.deletes, raw.schemaB64), raw.tags)
   }
 
   /** Reconstruct version `v`'s full state from an INCREMENTAL
@@ -353,6 +410,11 @@ object SnapshotLake {
     while (it.hasMoreElements) {
       val k = it.nextElement()
       if (k._1 == root) resolveCache.remove(k)
+    }
+    val si = segCache.keys()
+    while (si.hasMoreElements) {
+      val k = si.nextElement()
+      if (k._1 == root) segCache.remove(k)
     }
     FileStats.invalidateRoot(root)
     recreateHooks.forEach(h => h(root))
@@ -499,83 +561,166 @@ object SnapshotLake {
     // A commit-time checkpoint goes INCREMENTAL when a full base is
     // near enough (≤ FullCkptEveryCommits commits back): the write then
     // costs O(change in the window) — the (b, v] records folded
-    // directly, no state resolution, no million-entry set diff — where
-    // a full checkpoint costs O(files) bytes AND CPU. A vacuum-cutoff
-    // checkpoint (pruneTagsBelow > 0) is ALWAYS full: the records and
-    // checkpoints below it are about to be deleted, so it must stand
-    // alone as the retention edge's base.
+    // directly, no state resolution, no million-entry set diff. A FULL
+    // checkpoint (every FullCkptEveryCommits commits, and at every
+    // vacuum cutoff) reuses the PREVIOUS full's frozen segments by
+    // reference and rewrites only dirty segments plus the tail — so it,
+    // too, writes O(change since the last full) + O(#segments), never
+    // O(files) (the Delta v2-checkpoint sidecar-reuse idea; full-only
+    // inline checkpointing wrote 1.8 GB over a 10,000-commit
+    // million-file history, the last depth-quadratic term).
     val fullBase =
       if (!incrementalCkpt || pruneTagsBelow > 0L) None
-      else {
-        val s = Files.list(manifestDir(root))
-        val bs =
-          try s.iterator().asScala.map(_.getFileName.toString)
-            .filter(n => n.startsWith("v") && n.endsWith(".ckpt.json") &&
-              !n.endsWith(".ickpt.json"))
-            .map(_.stripPrefix("v").stripSuffix(".ckpt.json").toLong)
-            .filter(b => b < v && v - b < FullCkptEveryCommits)
-            .toVector
-          finally s.close()
-        if (bs.isEmpty) None else Some(bs.max)
-      }
+      else prevFull(root, v).filter(b => v - b < FullCkptEveryCommits)
     val incremental = fullBase.flatMap { b =>
-      // fold the window's records into one composed delta, mirroring
-      // [[applyRec]] exactly: a remove cancels an in-window add (back to
-      // LinkedHashSet order = replay order), otherwise it targets the
-      // base; re-adds append at the tail like a replayed append would
-      try {
-        val win = ((b + 1) to v).map(readRecord(root, _))
-        if (win.exists(_.legacyFull.isDefined)) None // legacy: full only
-        else {
-          def compose(adds: Record => Seq[String],
-                      removes: Record => Seq[String]) = {
-            val add = new java.util.LinkedHashSet[String]()
-            val rm = new java.util.LinkedHashSet[String]()
-            win.foreach { r =>
-              removes(r).foreach(f => if (!add.remove(f)) { rm.add(f); () })
-              adds(r).foreach(f => { add.add(f); () })
-            }
-            (add.iterator().asScala.toVector, rm.iterator().asScala.toVector)
-          }
-          val (add, rm) = compose(_.add, _.remove)
-          val (addDel, rmDel) = compose(_.addDel, _.removeDel)
-          val tagDelta = win.flatMap(r => r.tag.map(_ -> r.version))
-          val schemaField = win.flatMap(_.schemaB64).lastOption
-            .map(s => s""""schemaB64":"$s",""").getOrElse("")
-          Some(s"""{"version":$v,"baseCkpt":$b,""" +
-            s""""add":${arr(add)},"remove":${arr(rm)},""" +
-            s""""addDel":${arr(addDel)},"removeDel":${arr(rmDel)},""" +
-            schemaField +
-            s""""tags":{${tagDelta.map { case (t, tv) => s""""$t":$tv""" }.mkString(",")}}}""")
-        }
-      } catch {
-        // a record in the window aged out under a racing vacuum — the
-        // full form below resolves through the vacuum's cutoff instead
-        case _: java.io.IOException => None
+      composeWindow(root, b, v).map { d =>
+        val schemaField = d.schema
+          .map(s => s""""schemaB64":"$s",""").getOrElse("")
+        s"""{"version":$v,"baseCkpt":$b,""" +
+          s""""add":${arr(d.add)},"remove":${arr(d.rm)},""" +
+          s""""addDel":${arr(d.addDel)},"removeDel":${arr(d.rmDel)},""" +
+          schemaField +
+          s""""tags":{${d.tagDelta.map { case (t, tv) => s""""$t":$tv""" }.mkString(",")}}}"""
       }
     }
     incremental match {
       case Some(json) => publish(json, ickptFile(root, v))
+      case None if fullExists =>
+        // tag-pruning REPLACE of an existing full checkpoint: the state
+        // is already on disk (segments + tail, both unchanged by a
+        // prune) — rewrite only the tag map, atomically (see scaladoc)
+        val raw = readCkptRaw(root, v)
+        val kept = raw.tags.toSeq.filter(_._2 >= pruneTagsBelow).sortBy(_._1)
+        if (kept.size == raw.tags.size) return // nothing to prune
+        val json = ckptJson(v, raw.segs, raw.tail, raw.deletes,
+          raw.schemaB64, kept)
+        val tmp = manifestDir(root).resolve(s".tmp-ck-${UUID.randomUUID()}")
+        Files.writeString(tmp, json)
+        ckptBytes.addAndGet(json.length.toLong)
+        Files.move(tmp, ckptFile(root, v),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
       case None =>
-        val (st, tags) = resolve(root, v)
-        val kept = tags.toSeq.filter(_._2 >= pruneTagsBelow).sortBy(_._1)
-        if (fullExists && kept.size == tags.size) return // nothing to prune
-        val schemaField =
-          st.schemaB64.map(b => s""""schemaB64":"$b",""").getOrElse("")
-        val json = s"""{"version":$v,"files":${arr(st.files)},""" +
-          s""""deletes":${arr(st.deletes)},$schemaField""" +
-          s""""tags":{${kept.map { case (t, tv) => s""""$t":$tv""" }.mkString(",")}}}"""
-        if (fullExists) {
-          // tag-pruning rewrite: atomic REPLACE (see scaladoc above)
-          val tmp = manifestDir(root).resolve(s".tmp-ck-${UUID.randomUUID()}")
-          Files.writeString(tmp, json)
-          ckptBytes.addAndGet(json.length.toLong)
-          Files.move(tmp, ckptFile(root, v),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          ()
-        } else publish(json, ckptFile(root, v))
+        // fresh full checkpoint: segment-reuse path first — previous
+        // full's segments carried by reference, dirty ones re-frozen as
+        // new segments IN PLACE (survivor order = replay order), window
+        // adds appended to the tail, oversize tail frozen into new
+        // segments. Falls back to a from-scratch resolve (itself
+        // segmented) when no reusable base or the window has legacy /
+        // vacuumed records.
+        val reused =
+          if (!incrementalCkpt) None
+          else prevFull(root, v).flatMap { b =>
+            composeWindow(root, b, v).map { d =>
+              val rawB = readCkptRaw(root, b)
+              val rmSet = d.rm.toSet
+              val segs1 = rawB.segs.flatMap { sname =>
+                val c = readSeg(root, sname)
+                if (!c.exists(rmSet)) Some(sname) // clean: by reference
+                else {
+                  val surv = c.filterNot(rmSet)
+                  if (surv.isEmpty) None else Some(writeSeg(root, surv))
+                }
+              }
+              val tail0 = rawB.tail.filterNot(rmSet) ++ d.add
+              val (segs, tail) = freezeTail(root, segs1, tail0)
+              val tags = (rawB.tags ++ d.tagDelta).toSeq
+                .filter(_._2 >= pruneTagsBelow).sortBy(_._1)
+              ckptJson(v, segs, tail,
+                rawB.deletes.filterNot(d.rmDel.toSet) ++ d.addDel,
+                d.schema.orElse(rawB.schemaB64), tags)
+            }
+          }
+        val json = reused.getOrElse {
+          val (st, tags) = resolve(root, v)
+          val kept = tags.toSeq.filter(_._2 >= pruneTagsBelow).sortBy(_._1)
+          if (incrementalCkpt) {
+            val (segs, tail) = freezeTail(root, Vector.empty, st.files)
+            ckptJson(v, segs, tail, st.deletes, st.schemaB64, kept)
+          } else
+            ckptJson(v, Vector.empty, st.files, st.deletes, st.schemaB64, kept)
+        }
+        publish(json, ckptFile(root, v))
     }
+  }
+
+  /** The newest FULL checkpoint strictly below `v`, if any. */
+  private def prevFull(root: String, v: Long): Option[Long] = {
+    val s = Files.list(manifestDir(root))
+    val bs =
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".ckpt.json") &&
+          !n.endsWith(".ickpt.json"))
+        .map(_.stripPrefix("v").stripSuffix(".ckpt.json").toLong)
+        .filter(_ < v)
+        .toVector
+      finally s.close()
+    if (bs.isEmpty) None else Some(bs.max)
+  }
+
+  private final case class WindowDelta(add: Vector[String], rm: Vector[String],
+                                       addDel: Vector[String],
+                                       rmDel: Vector[String],
+                                       tagDelta: Seq[(String, Long)],
+                                       schema: Option[String])
+
+  /** Fold the records of (b, v] into ONE composed delta, mirroring
+    * [[applyRec]] exactly: a remove cancels an in-window add (the
+    * LinkedHashSet keeps replay order), otherwise it targets the base;
+    * re-adds append at the tail like a replayed append would. O(change
+    * in window) — no state resolution. `None` when the window holds a
+    * legacy full-state record or a record aged out under a racing
+    * vacuum; callers fall back to resolve-based construction. */
+  private def composeWindow(root: String, b: Long,
+                            v: Long): Option[WindowDelta] =
+    try {
+      val win = ((b + 1) to v).map(readRecord(root, _))
+      if (win.exists(_.legacyFull.isDefined)) None
+      else {
+        def compose(adds: Record => Seq[String],
+                    removes: Record => Seq[String]) = {
+          val add = new java.util.LinkedHashSet[String]()
+          val rm = new java.util.LinkedHashSet[String]()
+          win.foreach { r =>
+            removes(r).foreach(f => if (!add.remove(f)) { rm.add(f); () })
+            adds(r).foreach(f => { add.add(f); () })
+          }
+          (add.iterator().asScala.toVector, rm.iterator().asScala.toVector)
+        }
+        val (add, rm) = compose(_.add, _.remove)
+        val (addDel, rmDel) = compose(_.addDel, _.removeDel)
+        Some(WindowDelta(add, rm, addDel, rmDel,
+          win.flatMap(r => r.tag.map(_ -> r.version)),
+          win.flatMap(_.schemaB64).lastOption))
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Freeze full [[SegEntries]]-sized chunks of an oversized tail into
+    * new immutable segments, keeping at least one segment's worth
+    * mutable (a just-frozen run would otherwise be the likeliest to
+    * dirty on the next rewrite). */
+  private def freezeTail(root: String, segs: Vector[String],
+                         tail: Vector[String])
+      : (Vector[String], Vector[String]) = {
+    var s = segs
+    var t = tail
+    while (t.size >= 2 * SegEntries) {
+      s = s :+ writeSeg(root, t.take(SegEntries))
+      t = t.drop(SegEntries)
+    }
+    (s, t)
+  }
+
+  private def ckptJson(v: Long, segs: Vector[String], tail: Vector[String],
+                       dels: Vector[String], schema: Option[String],
+                       tags: Seq[(String, Long)]): String = {
+    def arr(xs: Seq[String]) = xs.map(f => s""""$f"""").mkString("[", ",", "]")
+    val segsField = if (segs.isEmpty) "" else s""""segs":${arr(segs)},"""
+    val schemaField = schema.map(b => s""""schemaB64":"$b",""").getOrElse("")
+    s"""{"version":$v,$segsField"files":${arr(tail)},""" +
+      s""""deletes":${arr(dels)},$schemaField""" +
+      s""""tags":{${tags.map { case (t, tv) => s""""$t":$tv""" }.mkString(",")}}}"""
   }
 
   /** Read a snapshot: the pinned `version`, or the latest at resolution
@@ -1257,15 +1402,19 @@ object SnapshotLake {
     var v = head
     while (v >= 1L) {
       if (Files.exists(ckptFile(root, v)))
-        return readCkpt(root, v)._2.get(tag) // index covers everything ≤ v
+        // index covers everything ≤ v; the RAW read keeps the probe at
+        // one file — tags are inline, segments never load for a tag
+        return readCkptRaw(root, v).tags.get(tag)
       if (Files.exists(ickptFile(root, v))) {
         // an incremental checkpoint's base-plus-delta tag map covers
-        // everything ≤ v too (same O(1) probe, one extra read); a
-        // dangling base falls through to the record walk
-        readIckpt(root, v) match {
-          case Some((_, tags)) => return tags.get(tag)
-          case None => ()
-        }
+        // everything ≤ v too (same O(1) probe, one extra read, no
+        // segment loads); a dangling base falls through to the record
+        // walk
+        manifestReads.incrementAndGet()
+        val json = Files.readString(ickptFile(root, v))
+        val b = longField(json, "baseCkpt")
+        if (b >= 0L && Files.exists(ckptFile(root, b)))
+          return (readCkptRaw(root, b).tags ++ tagsField(json)).get(tag)
       }
       if (!Files.exists(versionFile(root, v)))
         return None // out of retention with no checkpoint: tag forgotten
@@ -2693,6 +2842,29 @@ object SnapshotLake {
       ick.foreach { p =>
         val b = longField(Files.readString(p), "baseCkpt")
         if (b < cutoff) { Files.deleteIfExists(p); () }
+      }
+    }
+    // segment GC: retained full checkpoints pin their segments (a
+    // vacuum-cutoff checkpoint deliberately SHARES the aged-out base's
+    // segments — dropping the base's ckpt file doesn't orphan them).
+    // Everything unreferenced — crashed/raced checkpoint writes, dirty
+    // rewrites whose last referencing checkpoint aged out — is swept
+    // behind the same grace window as data orphans, since a mid-flight
+    // checkpointer writes its segments BEFORE its link.
+    locally {
+      val s3 = Files.list(dir)
+      val segs =
+        try s3.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("seg-")).toVector
+        finally s3.close()
+      if (segs.nonEmpty) {
+        val referenced = (cutoff to cur).iterator
+          .filter(x => Files.exists(ckptFile(root, x)))
+          .flatMap(x => readCkptRaw(root, x).segs).toSet
+        val segDeadline = System.currentTimeMillis() - orphanGraceMs
+        segs.filterNot(p => referenced(p.getFileName.toString))
+          .filter(p => Files.getLastModifiedTime(p).toMillis <= segDeadline)
+          .foreach(p => { Files.deleteIfExists(p); () })
       }
     }
     // CDF materializations follow version retention: a vacuumed

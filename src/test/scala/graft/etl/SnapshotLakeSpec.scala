@@ -546,6 +546,66 @@ class SnapshotLakeSpec extends AnyFunSuite {
     assert(SnapshotLake.read(spark, root).count() == 19L)
   }
 
+  test("segmented full checkpoints reuse clean segments by reference, rewrite dirty ones, and vacuum GCs unreferenced segments") {
+    val oldSeg = SnapshotLake.SegEntries
+    val oldFull = SnapshotLake.FullCkptEveryCommits
+    SnapshotLake.SegEntries = 3
+    SnapshotLake.FullCkptEveryCommits = 10 // every checkpoint is full here
+    try {
+      val root = newRoot()
+      val idx = SnapshotLake.IndexSpec(Seq("x"), None)
+      def segsOf(v: Long): Seq[String] = {
+        val json = Files.readString(ckptPath(root, v))
+        """seg-[0-9a-f-]+\.json""".r.findAllIn(json).toVector
+      }
+      for (i <- 0 until 10)
+        SnapshotLake.append(Seq(i.toLong).toDF("x"), root, idx) // v1..v10
+      // the v10 full checkpoint freezes the 10-file vector into
+      // 3-entry segments, keeping a mutable tail
+      val segs10 = segsOf(10L)
+      assert(segs10.size == 2, s"freeze 10 files at SegEntries=3: $segs10")
+      segs10.foreach(s => assert(Files.exists(
+        java.nio.file.Paths.get(root, "_manifests", s))))
+      // v11: metadata whole-drop of x=1's single-row file — dirties
+      // exactly the FIRST segment, leaves the second untouched
+      SnapshotLake.deleteMatching(spark, root,
+        Seq(graft.etl.FileStats.Range("x", Some("1"), Some("1"))))
+      for (i <- 10 until 19)
+        SnapshotLake.append(Seq(i.toLong).toDF("x"), root, idx) // v12..v20
+      val segs20 = segsOf(20L)
+      assert(segs20.contains(segs10(1)),
+        "a clean segment carries to the next full checkpoint BY REFERENCE")
+      assert(!segs20.contains(segs10(0)),
+        "a segment a remove touched is re-frozen under a new name")
+      // reconstruction equals record replay, pinned through a fresh copy
+      // (fresh cache keys force the segment read path)
+      val expect = SnapshotLake.files(root, 20L)
+      val root2 = newRoot()
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(root), new java.io.File(root2))
+      assert(SnapshotLake.files(root2, 20L) == expect,
+        "segments + tail concatenate to the exact replay order")
+      assert(SnapshotLake.read(spark, root2).count() == 18L) // 19 rows − x=1
+      // vacuum to cutoff 19: the cutoff checkpoint SHARES the aged-out
+      // v10 base's clean segment; v10's dirty-original segment loses its
+      // last reference and is GC'd; everything retained still resolves
+      SnapshotLake.vacuum(root, keepVersions = 2)
+      assert(!Files.exists(
+        java.nio.file.Paths.get(root, "_manifests", segs10(0))),
+        "an unreferenced segment is swept with its last checkpoint")
+      assert(Files.exists(
+        java.nio.file.Paths.get(root, "_manifests", segs10(1))),
+        "a segment the cutoff checkpoint references survives its " +
+          "original checkpoint's deletion")
+      assert(segsOf(19L).contains(segs10(1)))
+      assert(SnapshotLake.files(root, 20L) == expect)
+      assert(SnapshotLake.read(spark, root).count() == 18L)
+    } finally {
+      SnapshotLake.SegEntries = oldSeg
+      SnapshotLake.FullCkptEveryCommits = oldFull
+    }
+  }
+
   test("tag probe answers from the checkpoint index in O(1) reads, not O(versions)") {
     val root = newRoot()
     for (i <- 0 until 123)
