@@ -416,6 +416,11 @@ object SnapshotLake {
       val k = si.nextElement()
       if (k._1 == root) segCache.remove(k)
     }
+    val sc = schemaOfCache.keys()
+    while (sc.hasMoreElements) {
+      val k = sc.nextElement()
+      if (k._1 == root) schemaOfCache.remove(k)
+    }
     FileStats.invalidateRoot(root)
     recreateHooks.forEach(h => h(root))
   }
@@ -786,11 +791,31 @@ object SnapshotLake {
       case None =>
         if (st.files.isEmpty)
           throw new IllegalStateException(s"version $v of $root lists no files")
-        val reps = st.files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
-          .map(_._2.head).toSeq.sorted
-        readListing(spark, root, reps, mergeSchema).schema
+        // one representative footer per leaf dir — correct under
+        // schema-on-read evolution, but O(dirs) footer opens, and table
+        // construction runs per QUERY: at the 10,000-commit-dir ceiling
+        // this was ~15 s of every "warm" plan. A version's schema is
+        // immutable, so the inference caches under the same version-file
+        // fingerprint every other (root, version) cache validates with.
+        val key = (root, v, mergeSchema)
+        val fp = versionFingerprint(root, v)
+        Option(schemaOfCache.get(key)) match {
+          case Some((f, s)) if fp.contains(f) => s
+          case _ =>
+            val reps = st.files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+              .map(_._2.head).toSeq.sorted
+            val s = readListing(spark, root, reps, mergeSchema).schema
+            fp.foreach(f => schemaOfCache.put(key, (f, s)))
+            s
+        }
     }
   }
+
+  // inferred-schema memo for undeclared lakes: values are tiny
+  // (StructTypes), so plain strong refs; fingerprint-validated per hit
+  // and cleared with every other (root, …) cache on lake recreation
+  private val schemaOfCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Boolean), (VersionFp, StructType)]()
 
   /** Project `df` onto a declared schema: matching columns cast to the
     * declared type (identity for unevolved columns, a widening cast

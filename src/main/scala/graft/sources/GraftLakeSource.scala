@@ -1150,6 +1150,18 @@ private[sources] object GraftLakeSidecarIndex {
     (String, Long),
     java.lang.ref.SoftReference[(SnapshotLake.VersionFp, GraftLakeSidecarIndex)]]()
 
+  /** The NEWEST version's index per root, held STRONGLY (one slot per
+    * root, replaced when a newer version is planned) — Delta keeps the
+    * current Snapshot pinned per DeltaLog for the same reason: the
+    * active table's planning state must not depend on GC policy.
+    * Building a million-file index allocates enough garbage that the
+    * collector clears the SoftReference it just filled — measured at
+    * the 10,000-commit-dir ceiling as warm planning ≈ cold (the index
+    * rebuilt per query, 15 s). Older versions (time travel) stay
+    * soft-only: bounded memory, the MRU version is what repeats. */
+  private val strongMru = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, SnapshotLake.VersionFp, GraftLakeSidecarIndex)]()
+
   // a delete-and-recreate detected by SnapshotLake's resolve fingerprint
   // drops this cache's entries for the root too — commit-dir names can
   // recur across recreations, so a stale index could mis-prune
@@ -1159,6 +1171,8 @@ private[sources] object GraftLakeSidecarIndex {
       val k = it.nextElement()
       if (k._1 == root) cache.remove(k)
     }
+    strongMru.remove(root)
+    ()
   }
 
   def of(root: String, v: Long, all: Seq[String]): GraftLakeSidecarIndex = {
@@ -1166,8 +1180,17 @@ private[sources] object GraftLakeSidecarIndex {
     // the same version-file fingerprint resolve() validates with: a
     // recreated lake at this root can never be served the old index
     val fp = SnapshotLake.versionFingerprint(root, v)
+    Option(strongMru.get(root)) match {
+      case Some((mv, f, idx)) if mv == v && fp.contains(f) => return idx
+      case _ => ()
+    }
     Option(cache.get(k)).flatMap(r => Option(r.get())) match {
-      case Some((f, idx)) if fp.contains(f) => idx
+      case Some((f, idx)) if fp.contains(f) =>
+        fp.foreach { f2 =>
+          strongMru.merge(root, (v, f2, idx),
+            (old, nw) => if (nw._1 >= old._1) nw else old)
+        }
+        idx
       case _ =>
         val dirs = all.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
         val sidecars = dirs.flatMap(d => FileStats.readStatsSidecar(root, d)).toMap
@@ -1185,8 +1208,11 @@ private[sources] object GraftLakeSidecarIndex {
           dirs.flatMap(d => FileStats.readBytesSidecar(root, d)).toMap,
           dirs.flatMap(d => FileStats.readNdvSidecar(root, d)).toMap,
           sidecars.valuesIterator.flatMap(_.keysIterator).toSet)
-        fp.foreach(f =>
-          cache.put(k, new java.lang.ref.SoftReference((f, idx))))
+        fp.foreach { f =>
+          cache.put(k, new java.lang.ref.SoftReference((f, idx)))
+          strongMru.merge(root, (v, f, idx),
+            (old, nw) => if (nw._1 >= old._1) nw else old)
+        }
         idx
     }
   }
