@@ -145,8 +145,20 @@ object SnapshotLake {
     if (hint != null && Files.exists(versionFile(root, hint.longValue))) {
       var v = hint.longValue
       while (Files.exists(versionFile(root, v + 1))) v += 1
-      if (v != hint.longValue) headHint.put(root, v)
-      return Some(v)
+      // Cross-check against a RACING VACUUM before trusting the walk:
+      // the sweep deletes manifests in ascending version order (pinned
+      // in [[vacuum]]), so the instantaneous deleted set is always
+      // down-closed — "v exists ∧ v+1 vacuum-deleted" is never a state,
+      // only a straddle of the probe's two stats. In that straddle v
+      // itself was deleted before v+1 was, so re-stating v exposes it.
+      // Without this, a stale head below the vacuum cutoff could send a
+      // writer to re-link an already-vacuumed slot (the link SUCCEEDS —
+      // the file is gone) and its commit would be invisible at the true
+      // head: silent data loss.
+      if (Files.exists(versionFile(root, v))) {
+        if (v != hint.longValue) headHint.put(root, v)
+        return Some(v)
+      }
     }
     if (hint != null) headHint.remove(root)
     val dir = manifestDir(root)
@@ -265,6 +277,17 @@ object SnapshotLake {
     * state. Mutable only for specs (exercising dirty-segment rewrites
     * at toy scale). */
   @volatile private[graft] var SegEntries = 50000
+
+  /** Minimum age a `seg-*.json` file must reach before vacuum's segment
+    * GC may sweep it as unreferenced, REGARDLESS of the caller's
+    * `orphanGraceMs` — a concurrent full-checkpoint writer publishes its
+    * segments BEFORE its checkpoint link, so a zero-grace sweep racing
+    * that window would delete just-written segments and leave the
+    * about-to-land checkpoint dangling (readCkpt would then throw on
+    * every resolve of that version). Five minutes dwarfs any real
+    * checkpoint write; specs that pin deterministic single-threaded GC
+    * set it to 0 explicitly. */
+  @volatile private[graft] var segOrphanGraceFloorMs = 300000L
 
   /** Per-(root, segment) parsed content — segments are immutable, so
     * the cache never revalidates; a delete-and-recreate of the lake
@@ -683,19 +706,28 @@ object SnapshotLake {
       val win = ((b + 1) to v).map(readRecord(root, _))
       if (win.exists(_.legacyFull.isDefined)) None
       else {
+        // A path added TWICE within the window without an intervening
+        // remove would collapse to one LinkedHashSet entry here while
+        // applyRec's replay appends both duplicates — a checkpoint built
+        // from this composition would diverge from the log. Unreachable
+        // with this writer (data paths carry fresh UUIDs), but commit
+        // records are just files: bail to the resolve-based fallback
+        // rather than trust the precondition.
+        var dupAdd = false
         def compose(adds: Record => Seq[String],
                     removes: Record => Seq[String]) = {
           val add = new java.util.LinkedHashSet[String]()
           val rm = new java.util.LinkedHashSet[String]()
           win.foreach { r =>
             removes(r).foreach(f => if (!add.remove(f)) { rm.add(f); () })
-            adds(r).foreach(f => { add.add(f); () })
+            adds(r).foreach(f => if (!add.add(f)) dupAdd = true)
           }
           (add.iterator().asScala.toVector, rm.iterator().asScala.toVector)
         }
         val (add, rm) = compose(_.add, _.remove)
         val (addDel, rmDel) = compose(_.addDel, _.removeDel)
-        Some(WindowDelta(add, rm, addDel, rmDel,
+        if (dupAdd) None
+        else Some(WindowDelta(add, rm, addDel, rmDel,
           win.flatMap(r => r.tag.map(_ -> r.version)),
           win.flatMap(_.schemaB64).lastOption))
       }
@@ -799,23 +831,28 @@ object SnapshotLake {
         // fingerprint every other (root, version) cache validates with.
         val key = (root, v, mergeSchema)
         val fp = versionFingerprint(root, v)
-        Option(schemaOfCache.get(key)) match {
+        Option(schemaOfCache.get(key)).flatMap(r => Option(r.get())) match {
           case Some((f, s)) if fp.contains(f) => s
           case _ =>
             val reps = st.files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
               .map(_._2.head).toSeq.sorted
             val s = readListing(spark, root, reps, mergeSchema).schema
-            fp.foreach(f => schemaOfCache.put(key, (f, s)))
+            fp.foreach(f => schemaOfCache.put(key,
+              new java.lang.ref.SoftReference((f, s))))
             s
         }
     }
   }
 
-  // inferred-schema memo for undeclared lakes: values are tiny
-  // (StructTypes), so plain strong refs; fingerprint-validated per hit
-  // and cleared with every other (root, …) cache on lake recreation
+  // inferred-schema memo for undeclared lakes: fingerprint-validated per
+  // hit and cleared with every other (root, …) cache on lake recreation.
+  // SOFT references like resolveCache — each StructType is tiny, but the
+  // map is keyed per (root, version, mergeSchema): a time-travel-heavy
+  // long-lived session would otherwise accumulate one entry per version
+  // ever queried, unbounded.
   private val schemaOfCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Boolean), (VersionFp, StructType)]()
+    (String, Long, Boolean),
+    java.lang.ref.SoftReference[(VersionFp, StructType)]]()
 
   /** Project `df` onto a declared schema: matching columns cast to the
     * declared type (identity for unevolved columns, a widening cast
@@ -2833,6 +2870,18 @@ object SnapshotLake {
     * contract); 0 keeps specs deterministic when nothing runs
     * concurrently. Version-count retention stands in for production's
     * time-based retention for the same reason. */
+  /** Vacuum's victim ordering: ascending by parsed version, so the
+    * deleted set is down-closed at every instant of the sweep — the
+    * contract [[currentVersion]]'s head re-check depends on (see the
+    * sweep comment below). Record-vs-checkpoint order within one version
+    * is irrelevant: the probe stats only record files. */
+  private[etl] def ascendingByVersion(ps: Vector[Path]): Vector[Path] =
+    ps.sortBy { p =>
+      val n = p.getFileName.toString
+      (n.stripPrefix("v").stripSuffix(".json")
+        .stripSuffix(".ckpt").stripSuffix(".ickpt").toLong, n)
+    }
+
   def vacuum(root: String, keepVersions: Int, orphanGraceMs: Long = 0L): Unit = {
     val cur = currentVersion(root).getOrElse(return)
     val cutoff = math.max(1L, cur - keepVersions + 1)
@@ -2853,7 +2902,18 @@ object SnapshotLake {
             .stripSuffix(".ckpt").stripSuffix(".ickpt").toLong < cutoff
       }.toVector
       finally s.close()
-    old.foreach(Files.deleteIfExists(_))
+    // ASCENDING version order — the probe-safety contract currentVersion
+    // leans on. Files.list order is unspecified; deleting v+1 before v
+    // would create a transient "gap above a live version" a concurrent
+    // head-hint probe could mistake for the head, and a writer would
+    // then re-link the vacuumed slot below the true head (silent loss).
+    // Ascending deletion keeps the deleted set down-closed at every
+    // instant (concurrent vacuums too: a union of down-closed sets is
+    // down-closed), so a probe that finds v+1 missing can re-stat v and
+    // detect the straddle. Sorted by (version, name): record-vs-ckpt
+    // order within one version is irrelevant, the probe stats only
+    // record files.
+    ascendingByVersion(old).foreach(Files.deleteIfExists(_))
     // retained INCREMENTAL checkpoints whose full base fell below the
     // cutoff just lost that base: delete them (resolution of their
     // versions replays records from the cutoff's full checkpoint —
@@ -2874,8 +2934,16 @@ object SnapshotLake {
     // segments — dropping the base's ckpt file doesn't orphan them).
     // Everything unreferenced — crashed/raced checkpoint writes, dirty
     // rewrites whose last referencing checkpoint aged out — is swept
-    // behind the same grace window as data orphans, since a mid-flight
-    // checkpointer writes its segments BEFORE its link.
+    // behind a grace window, since a mid-flight checkpointer writes its
+    // segments BEFORE its link. Two safeguards against a CONCURRENT
+    // checkpoint writer: (a) `referenced` is built from EVERY live
+    // *.ckpt.json in the directory, not just (cutoff..cur) — a
+    // checkpoint published at a version above the head this vacuum
+    // observed at start still pins its segments; (b) seg files get a
+    // minimum grace floor independent of the caller's orphanGraceMs,
+    // covering the write-segments-then-link window of a checkpointer
+    // whose link hasn't landed yet ([[segOrphanGraceFloorMs]]; specs
+    // pinning deterministic single-threaded GC set it to 0).
     locally {
       val s3 = Files.list(dir)
       val segs =
@@ -2883,10 +2951,23 @@ object SnapshotLake {
           .filter(_.getFileName.toString.startsWith("seg-")).toVector
         finally s3.close()
       if (segs.nonEmpty) {
-        val referenced = (cutoff to cur).iterator
-          .filter(x => Files.exists(ckptFile(root, x)))
-          .flatMap(x => readCkptRaw(root, x).segs).toSet
-        val segDeadline = System.currentTimeMillis() - orphanGraceMs
+        val cs = Files.list(dir)
+        val liveCkpts =
+          try cs.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n.startsWith("v") && n.endsWith(".ckpt.json") &&
+              !n.endsWith(".ickpt.json"))
+            .map(_.stripPrefix("v").stripSuffix(".ckpt.json").toLong)
+            .toVector
+          finally cs.close()
+        val referenced = liveCkpts.iterator.flatMap { x =>
+          // a checkpoint swept by a racing vacuum between the listing
+          // and this read pins nothing — its segments are then judged
+          // by the remaining live checkpoints plus the grace floor
+          try readCkptRaw(root, x).segs
+          catch { case _: java.io.IOException => Vector.empty }
+        }.toSet
+        val segDeadline = System.currentTimeMillis() -
+          math.max(orphanGraceMs, segOrphanGraceFloorMs)
         segs.filterNot(p => referenced(p.getFileName.toString))
           .filter(p => Files.getLastModifiedTime(p).toMillis <= segDeadline)
           .foreach(p => { Files.deleteIfExists(p); () })

@@ -549,8 +549,10 @@ class SnapshotLakeSpec extends AnyFunSuite {
   test("segmented full checkpoints reuse clean segments by reference, rewrite dirty ones, and vacuum GCs unreferenced segments") {
     val oldSeg = SnapshotLake.SegEntries
     val oldFull = SnapshotLake.FullCkptEveryCommits
+    val oldFloor = SnapshotLake.segOrphanGraceFloorMs
     SnapshotLake.SegEntries = 3
     SnapshotLake.FullCkptEveryCommits = 10 // every checkpoint is full here
+    SnapshotLake.segOrphanGraceFloorMs = 0L // single-threaded: GC now
     try {
       val root = newRoot()
       val idx = SnapshotLake.IndexSpec(Seq("x"), None)
@@ -603,7 +605,123 @@ class SnapshotLakeSpec extends AnyFunSuite {
     } finally {
       SnapshotLake.SegEntries = oldSeg
       SnapshotLake.FullCkptEveryCommits = oldFull
+      SnapshotLake.segOrphanGraceFloorMs = oldFloor
     }
+  }
+
+  test("segment GC honors checkpoints above the observed head and the mid-flight grace floor") {
+    val oldFloor = SnapshotLake.segOrphanGraceFloorMs
+    try {
+      val root = newRoot()
+      for (i <- 0 until 12)
+        SnapshotLake.append(Seq(i.toLong).toDF("x"), root) // v1..v12
+      val mdir = java.nio.file.Paths.get(root, "_manifests")
+      // (a) a full checkpoint published ABOVE the head this vacuum
+      // observes (a concurrent checkpointer that linked between vacuum's
+      // start and its segment sweep) still pins its segments — the
+      // referenced set must come from EVERY live *.ckpt.json, not the
+      // (cutoff..head) range
+      val pinnedSeg = "seg-pinned-by-future-ckpt.json"
+      Files.writeString(mdir.resolve(pinnedSeg),
+        """{"files":["data/future.parquet"]}""")
+      Files.writeString(mdir.resolve("v000000099.ckpt.json"),
+        s"""{"version":99,"segs":["$pinnedSeg"],"files":[],"deletes":[],"tags":{}}""")
+      // (b) a fresh UNREFERENCED segment (a checkpointer mid-flight:
+      // segments written, link not yet) survives a zero-grace vacuum
+      // behind the seg grace floor
+      val midFlight = "seg-mid-flight-write.json"
+      Files.writeString(mdir.resolve(midFlight),
+        """{"files":["data/midflight.parquet"]}""")
+      SnapshotLake.segOrphanGraceFloorMs = 300000L
+      SnapshotLake.vacuum(root, keepVersions = 3, orphanGraceMs = 0L)
+      assert(Files.exists(mdir.resolve(pinnedSeg)),
+        "a segment referenced by a checkpoint above the observed head survives")
+      assert(Files.exists(mdir.resolve(midFlight)),
+        "a fresh unreferenced segment survives behind the grace floor")
+      // floor elapsed (simulated by dropping it): the mid-flight orphan
+      // is reaped, the future-checkpoint-referenced segment still is not
+      SnapshotLake.segOrphanGraceFloorMs = 0L
+      SnapshotLake.vacuum(root, keepVersions = 3, orphanGraceMs = 0L)
+      assert(Files.exists(mdir.resolve(pinnedSeg)))
+      assert(!Files.exists(mdir.resolve(midFlight)),
+        "past the grace floor an unreferenced segment is swept")
+      assert(SnapshotLake.read(spark, root).count() == 12L)
+    } finally SnapshotLake.segOrphanGraceFloorMs = oldFloor
+  }
+
+  test("a window that re-adds an already-added path falls back to resolve-based checkpoints (replay parity)") {
+    val root = newRoot()
+    // two commits ADD the same path — unreachable with this writer's
+    // UUID data paths, but records are just files; replay appends both
+    // copies, so a COMPOSED checkpoint (ickpt or segment-reuse full,
+    // both fed by composeWindow) must not collapse them
+    val dup = "data/dup.parquet"
+    for (i <- 0 until 10)
+      SnapshotLake.commitSynthetic(root, Seq(s"data/a$i.parquet"), 1L)
+    // v10's checkpoint is the first full (resolve-based; no prior base)
+    SnapshotLake.commitSynthetic(root, Seq(dup), 1L) // v11
+    SnapshotLake.commitSynthetic(root, Seq(dup), 1L) // v12: dup in window
+    for (i <- 0 until 8)
+      SnapshotLake.commitSynthetic(root, Seq(s"data/b$i.parquet"), 1L)
+    // v20's checkpoint composes the (10, 20] window — which holds the
+    // duplicate add, so composition must bail to the resolve-based path
+    val expect = SnapshotLake.files(root, 20L)
+    assert(expect.count(_ == dup) == 2,
+      "record replay keeps both duplicate adds")
+    // the v20 checkpoint must reconstruct the SAME doubled listing —
+    // pinned through a fresh copy so resolution rides the checkpoint,
+    // not this JVM's resolve cache
+    val root2 = newRoot()
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(root), new java.io.File(root2))
+    assert(SnapshotLake.files(root2, 20L) == expect,
+      "checkpoint-based state equals record replay under duplicate adds")
+  }
+
+  test("appends racing vacuum lose no commit (stale-head probe is vacuum-safe)") {
+    val root = newRoot()
+    val commits = 60
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val writer = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (0 until commits).foreach { i =>
+          SnapshotLake.commitSynthetic(root, Seq(s"data/f$i.parquet"), 1L)
+        }
+      })
+      val vac = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit =
+          while (!writer.isDone) {
+            if (SnapshotLake.currentVersion(root).exists(_ > 5L))
+              SnapshotLake.vacuum(root, keepVersions = 3)
+            Thread.sleep(1)
+          }
+      })
+      writer.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      vac.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      // every commit must be visible at the final head: a writer that
+      // trusted a stale head would have linked a vacuumed slot below the
+      // true head and its file would be missing here
+      val cur = SnapshotLake.currentVersion(root).get
+      assert(cur == commits.toLong,
+        s"$commits commits must allocate versions 1..$commits, head=$cur")
+      val live = SnapshotLake.files(root, cur)
+      assert(live.size == commits && live.toSet.size == commits,
+        s"all $commits appended files visible at head, got ${live.size}")
+    } finally pool.shutdownNow()
+  }
+
+  test("vacuum victim ordering is ascending by version (probe-safety contract)") {
+    val names = Vector("v12.json", "v3.ckpt.json", "v10.ickpt.json",
+      "v3.json", "v10.json", "v2.json", "v12.ckpt.json")
+    val dir = Files.createTempDirectory("graft-vac-order")
+    val paths = names.map(dir.resolve)
+    val ordered = SnapshotLake.ascendingByVersion(paths)
+      .map(_.getFileName.toString)
+    val versions = ordered.map(_.stripPrefix("v").stripSuffix(".json")
+      .stripSuffix(".ckpt").stripSuffix(".ickpt").toLong)
+    assert(versions == versions.sorted,
+      s"victims must delete ascending by version: $ordered")
+    assert(versions.head == 2L && versions.last == 12L)
   }
 
   test("tag probe answers from the checkpoint index in O(1) reads, not O(versions)") {
