@@ -1108,4 +1108,29 @@ class SnapshotLakeSpec extends AnyFunSuite {
       "resolve must see the recreated lake's files, not the cached state")
     assert(rows(root) == Set(2L))
   }
+
+  test("inferred-schema memo: a new version misses the cache; a recreated lake serves its new schema") {
+    val root = newRoot()
+    SnapshotLake.append(Seq(1L).toDF("x"), root) // v1, undeclared lake
+    val s1 = SnapshotLake.schemaOf(spark, root, Some(1L), mergeSchema = true)
+    assert(s1.fieldNames.toSeq == Seq("x"))
+    // v2 adds a column (schema-on-read evolution): the memo key is
+    // (root, version, mergeSchema), so the new version must MISS and
+    // surface the added column, while v1 keeps answering its own shape
+    SnapshotLake.append(Seq((2L, "a")).toDF("x", "s"), root) // v2
+    val s2 = SnapshotLake.schemaOf(spark, root, None, mergeSchema = true)
+    assert(s2.fieldNames.toSet == Set("x", "s"),
+      "a version committed after a memoized inference sees its new column")
+    assert(SnapshotLake.schemaOf(spark, root, Some(1L), mergeSchema = true)
+      .fieldNames.toSeq == Seq("x"),
+      "the older version still answers its own (memoized) shape")
+    // delete-and-recreate at the same root: the memo validates the same
+    // version-file fingerprint resolve does, so the recreated lake's
+    // inferred schema must be served, never the cached one
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    SnapshotLake.append(Seq((1L, 2L)).toDF("a", "b"), root) // new v1
+    assert(SnapshotLake.schemaOf(spark, root, Some(1L), mergeSchema = true)
+      .fieldNames.toSet == Set("a", "b"),
+      "a recreated lake's inferred schema replaces the memoized one")
+  }
 }

@@ -506,4 +506,36 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     assert(q() == 90L,
       "the recreated lake must plan from ITS OWN sidecar index")
   }
+
+  test("sidecar-index MRU slot: strong hit by identity, newer version replaces it, older pinned reads stay soft") {
+    val root = buildLake() // v1..v4, stats on x
+    val f4 = SnapshotLake.files(root, 4L)
+    val idx4 = GraftLakeSidecarIndex.of(root, 4L, f4)
+    assert(GraftLakeSidecarIndex.of(root, 4L, f4) eq idx4,
+      "re-planning the newest version is a strong MRU hit (same instance)")
+    // planning an OLDER version (a pinned time-travel read) must answer
+    // without displacing the newest version from the strong slot
+    val f2 = SnapshotLake.files(root, 2L)
+    val idx2 = GraftLakeSidecarIndex.of(root, 2L, f2)
+    assert(idx2.rows.keySet.size < idx4.rows.keySet.size,
+      "the older version's index covers fewer commit dirs")
+    assert(GraftLakeSidecarIndex.of(root, 4L, f4) eq idx4,
+      "an older pinned read leaves the newest version pinned strongly")
+    // a newer version replaces the MRU slot and carries the new stats
+    SnapshotLake.append(
+      spark.range(100L, 110L).select(col("id").as("x"),
+        (col("id") * 2).as("y"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("s"),
+          col("id").cast("string")).as("s")).coalesce(1),
+      root, SnapshotLake.IndexSpec(Seq("x"), None)) // v5
+    val f5 = SnapshotLake.files(root, 5L)
+    val idx5 = GraftLakeSidecarIndex.of(root, 5L, f5)
+    assert(idx5 ne idx4)
+    assert(GraftLakeSidecarIndex.of(root, 5L, f5) eq idx5,
+      "the newer version now owns the strong slot")
+    val newFile = (f5.toSet -- f4.toSet).head
+    assert(idx5.composed(newFile).get("x").exists(_.min == "100"),
+      "the replacing index carries the new commit's sidecar ranges")
+  }
 }
