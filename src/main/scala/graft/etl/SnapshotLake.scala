@@ -72,8 +72,57 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * documents; [[vacuum]] materializes a checkpoint at the cutoff before
   * dropping older log records, and prunes idempotence tags below the
   * cutoff with it — retention IS the replay horizon).
+  *
+  * ==Storage portability==
+  * Every mutual-exclusion decision in the protocol reduces to ONE
+  * primitive, [[CommitPublisher.tryPublish]]: atomically make `target`
+  * visible with the full content of `tmp` iff `target` does not exist,
+  * reporting which writer created it. The shipping implementation is
+  * POSIX link(2) ([[PosixLinkPublisher]] — create-if-absent with atomic
+  * all-or-nothing visibility on local filesystems). On an object store
+  * the same contract is a conditional PUT — S3 `If-None-Match: *`
+  * (conditional writes, GA 2024), GCS `ifGenerationMatch=0`, Azure Blob
+  * `If-None-Match: *` — all of which fail the losing writer exactly like
+  * EEXIST, so the commit loop, the checkpoint publish, and every retry/
+  * backoff measurement above carry over unchanged; only [[vacuum]]'s
+  * unreferenced-file sweep additionally needs the store's list-after-
+  * write consistency (true of S3/GCS/Azure since 2020). Swap the
+  * publisher per table root ([[setPublisher]]); everything else is
+  * plain read/write/list/delete of immutable uniquely-named objects.
   */
 object SnapshotLake {
+
+  /** The atomic create-if-absent publish primitive (see the header's
+    * storage-portability section). Implementations must guarantee:
+    * (1) `target` becomes visible atomically with its FULL content —
+    * no reader ever observes a torn object; (2) exactly one concurrent
+    * caller returns true; (3) a false return means `target` existed
+    * (some writer won — possibly this process on a replay). */
+  private[graft] trait CommitPublisher {
+    def tryPublish(target: Path, tmp: Path): Boolean
+  }
+
+  /** POSIX link(2): the only shipping implementation. Hard-linking the
+    * fully-written temp file makes content visibility atomic, and the
+    * kernel serializes concurrent links to one winner (EEXIST losers). */
+  private[graft] object PosixLinkPublisher extends CommitPublisher {
+    def tryPublish(target: Path, tmp: Path): Boolean =
+      try { Files.createLink(target, tmp); true }
+      catch { case _: FileAlreadyExistsException => false }
+  }
+
+  // per-root publisher override (a deployment may mount different
+  // stores per table root; specs inject deterministic race-losers)
+  private val publisherOverrides =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitPublisher]()
+  private[graft] def setPublisher(root: String, p: CommitPublisher): Unit = {
+    publisherOverrides.put(root, p); ()
+  }
+  private[graft] def clearPublisher(root: String): Unit = {
+    publisherOverrides.remove(root); ()
+  }
+  private def publisherFor(root: String): CommitPublisher =
+    publisherOverrides.getOrDefault(root, PosixLinkPublisher)
 
   private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
   private def versionFile(root: String, v: Long): Path =
@@ -582,8 +631,9 @@ object SnapshotLake {
       val tmp = manifestDir(root).resolve(s".tmp-ck-${UUID.randomUUID()}")
       Files.writeString(tmp, json)
       ckptBytes.addAndGet(json.length.toLong)
-      try { Files.createLink(target, tmp); () }
-      catch { case _: FileAlreadyExistsException => () }
+      // checkpoint content is a pure function of the log: a losing
+      // publish (some racer linked the same version first) is ignored
+      try { publisherFor(root).tryPublish(target, tmp); () }
       finally { Files.deleteIfExists(tmp); () }
     }
     // A commit-time checkpoint goes INCREMENTAL when a full base is
@@ -1543,8 +1593,7 @@ object SnapshotLake {
     val tmp = manifestDir(root).resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, json)
     val won =
-      try { Files.createLink(versionFile(root, version), tmp); true }
-      catch { case _: FileAlreadyExistsException => false }
+      try publisherFor(root).tryPublish(versionFile(root, version), tmp)
       finally { Files.deleteIfExists(tmp); () }
     if (won) { headHint.put(root, version); lostStreak.set(0) }
     else {

@@ -1109,6 +1109,39 @@ class SnapshotLakeSpec extends AnyFunSuite {
     assert(rows(root) == Set(2L))
   }
 
+  test("the publish seam: a deterministically race-losing publisher forces CAS retries; the commit lands intact") {
+    val root = newRoot()
+    SnapshotLake.append(Seq(1L).toDF("x"), root) // v1 through the default (POSIX) publisher
+    val losses = new java.util.concurrent.atomic.AtomicInteger(3)
+    val observedTargets = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    try {
+      SnapshotLake.setPublisher(root, new SnapshotLake.CommitPublisher {
+        def tryPublish(target: java.nio.file.Path,
+                       tmp: java.nio.file.Path): Boolean = {
+          observedTargets.add(target.getFileName.toString)
+          // conditional-PUT rejection (S3 If-None-Match / EEXIST): the
+          // first three COMMIT publishes report a lost race; checkpoint
+          // publishes pass through
+          if (!target.getFileName.toString.endsWith(".ckpt.json") &&
+              losses.getAndDecrement() > 0) false
+          else SnapshotLake.PosixLinkPublisher.tryPublish(target, tmp)
+        }
+      })
+      val lostBefore = SnapshotLake.casLost.get()
+      val v = SnapshotLake.append(Seq(2L).toDF("x"), root)
+      assert(v == 2L, "after three lost races the commit wins the same free slot")
+      assert(SnapshotLake.casLost.get() - lostBefore == 3L,
+        "every rejected publish is counted as a lost CAS")
+      import scala.jdk.CollectionConverters._
+      assert(observedTargets.asScala.count(_ == "v000000002.json") == 4,
+        "three losses + the winning attempt, all through the seam")
+      assert(rows(root) == Set(1L, 2L))
+    } finally SnapshotLake.clearPublisher(root)
+    // the override is gone: later commits ride the default publisher
+    assert(SnapshotLake.append(Seq(3L).toDF("x"), root) == 3L)
+    assert(rows(root) == Set(1L, 2L, 3L))
+  }
+
   test("inferred-schema memo: a new version misses the cache; a recreated lake serves its new schema") {
     val root = newRoot()
     SnapshotLake.append(Seq(1L).toDF("x"), root) // v1, undeclared lake
