@@ -8,6 +8,35 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    // Box-calibration probe (VERDICT r17 ask 3): fixed CPU-bound work —
+    // a deterministic xorshift fill, single-threaded sort, and hash fold
+    // over 4M longs, no Spark, no I/O — run 4×, median of the last 3,
+    // recorded in the output JSON. The ledger interpretation rule:
+    // per-query medians are comparable across rounds at equal probe
+    // readings; a uniform suite shift at EQUAL probes is code, at
+    // UNEQUAL probes it's the box (r17's 1.13-1.16× story had to be
+    // inferred from untouched-query medians; this makes it a column).
+    def probeOnce(): Double = {
+      val n = 1 << 22
+      val a = new Array[Long](n)
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1 }
+      val t0 = System.nanoTime()
+      java.util.Arrays.sort(a)
+      var h = 1L
+      i = 0
+      while (i < n) { h = h * 31 + a(i); i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (h == 0L) System.err.println("probe: improbable zero fold")
+      dt
+    }
+    val probeSec = {
+      val xs = (0 until 4).map(_ => probeOnce()).drop(1).sorted
+      xs(xs.size / 2)
+    }
+
     val spark = Sessions.local()
 
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -236,7 +265,7 @@ object Bench {
     // cost (they run once; repeats would measure the warm amortized path)
     val oneShots = selected.map(_._1).filter(oneShot)
       .map(n => jstr(short(n))).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"spread":$spread,"one_shot":$oneShots,"gc_sec":${sec(gcMs / 1000.0)},"heap_mb":$heapMb,"sf":"$sfDir","n_queries":${results.size},"total_sec":${sec(total)}}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"spread":$spread,"one_shot":$oneShots,"gc_sec":${sec(gcMs / 1000.0)},"heap_mb":$heapMb,"probe_sec":${sec(probeSec)},"sf":"$sfDir","n_queries":${results.size},"total_sec":${sec(total)}}""")
     spark.stop()
     if (results.exists(_.err.nonEmpty)) sys.exit(1)
   }

@@ -34,11 +34,48 @@ import graft.etl.SnapshotLake
   * miss would double rows a compaction resurrected, a lost append
   * would drop them.
   *
+  * Phase 3 is phase 1 ACROSS PROCESS BOUNDARIES (VERDICT r17 ask 2):
+  * N separate JVMs (ProcessBuilder, same classpath, no Spark in the
+  * children) race the same lake with NOTHING shared but the
+  * filesystem — no common head hint, no common backoff state, bare
+  * link(2) CAS. Children stage-wait on a go-file so JVM start-up never
+  * bills to the race window; each reports its lost-CAS count and the
+  * parent reconciles the head exactly like phase 1. This is the
+  * configuration the single-JVM table cannot speak for: a driver and
+  * an external writer, or two jobs, racing one table.
+  *
   * Usage: `sbt "runMain graft.CommitContention [commitsPerThread
   * [filesPerCommit]]"`. Prints one line per configuration; numbers
   * land in SCALE.md next to the manifest ceiling table. */
 object CommitContention {
+
+  private def stagedRels(tag: String, perProc: Int,
+                         filesPerCommit: Int): IndexedSeq[Seq[String]] =
+    (0 until perProc).map { j =>
+      val dir = f"data/p$tag-c$j%04d"
+      (0 until filesPerCommit).map(i => f"$dir/part-$i%03d.parquet")
+    }
+
+  /** Child-JVM entry for phase 3: recompute this process's staged file
+    * names (the parent created them), signal READY, spin on the
+    * go-file, race, report. No SparkSession — the commit protocol is
+    * pure filesystem. */
+  private def childMain(a: Array[String]): Unit = {
+    val Array(root, tag, per, fpc) = a
+    val rels = stagedRels(tag, per.toInt, fpc.toInt)
+    val goFile = Paths.get(root, "_go")
+    println("READY"); Console.out.flush()
+    while (!Files.exists(goFile)) Thread.sleep(1)
+    val t0 = System.nanoTime()
+    rels.foreach(rel =>
+      SnapshotLake.commitSynthetic(root, rel, fpc.toLong))
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"DONE lost=${SnapshotLake.casLost.get}%d wall=$wall%.3f")
+    Console.out.flush()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("child")) { childMain(args.drop(1)); return }
     val perThread = args.headOption.map(_.toInt).getOrElse(250)
     val filesPerCommit = if (args.length > 1) args(1).toInt else 10
     val spark = Sessions.local()
@@ -142,6 +179,61 @@ object CommitContention {
       f"${aborts}%3d fence aborts (all retried)  rows exact")
     require(aborts == retries.get,
       s"every abort surfaced as a caught retry: $aborts vs ${retries.get}")
+
+    // phase 3: the same synthetic race across PROCESS boundaries
+    println(f"CONTENTION phase 3: cross-process (separate JVMs), " +
+      f"$perThread commits/process x $filesPerCommit files")
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val cp = sys.props("java.class.path")
+    for (n <- Seq(2, 4, 8, 16)) {
+      val root = work.resolve(s"lake-proc$n").toString
+      val tags = (0 until n).map(p => f"$p%02d")
+      tags.foreach { tag =>
+        stagedRels(tag, perThread, filesPerCommit).foreach { rel =>
+          Files.createDirectories(
+            Paths.get(root, rel.head).getParent)
+          rel.foreach(f => Files.createFile(Paths.get(root, f)))
+        }
+      }
+      Files.createDirectories(Paths.get(root, "_manifests"))
+      val procs = tags.map { tag =>
+        new ProcessBuilder(javaBin, "-cp", cp, "-Xmx1g",
+          "graft.CommitContention", "child", root, tag,
+          perThread.toString, filesPerCommit.toString)
+          .redirectErrorStream(true).start()
+      }
+      val readers = procs.map(p => new java.io.BufferedReader(
+        new java.io.InputStreamReader(p.getInputStream)))
+      readers.foreach { r =>
+        var line = r.readLine()
+        while (line != null && line != "READY") line = r.readLine()
+        require(line == "READY", "child died before READY")
+      }
+      val t0p = System.nanoTime()
+      Files.createFile(Paths.get(root, "_go"))
+      var lostSum = 0L
+      readers.foreach { r =>
+        var line = r.readLine()
+        while (line != null && !line.startsWith("DONE")) line = r.readLine()
+        require(line != null, "child died before DONE")
+        lostSum += line.split("lost=")(1).split(" ")(0).toLong
+      }
+      val wallP = (System.nanoTime() - t0p) / 1e9
+      procs.foreach(p => require(p.waitFor(60, TimeUnit.SECONDS) &&
+        p.exitValue() == 0, "child exit"))
+      val commits = n.toLong * perThread
+      // reconcile from THIS JVM (a fresh observer of the log)
+      val head = SnapshotLake.currentVersion(root).get
+      require(head == commits, s"head=$head, expected $commits")
+      val resolved = SnapshotLake.files(root, head)
+      val expected = tags.flatMap(stagedRels(_, perThread, filesPerCommit).flatten)
+      require(resolved.size == expected.size &&
+        resolved.toSet == expected.toSet,
+        s"resolved ${resolved.size} files, expected ${expected.size}")
+      println(f"CONTENTION procs=$n%2d  $commits%6d commits  $wallP%7.2f s  " +
+        f"${commits / wallP}%8.1f commits/s  " +
+        f"${1.0 + lostSum.toDouble / commits}%5.2f attempts/commit")
+    }
 
     org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
     spark.stop()
