@@ -137,11 +137,33 @@ object StreamingQueries {
     * a broadcast-shape assertion planned inside another drain's window
     * and saw its 8-partition, broadcast-off world). Streams, sinks, and
     * the post-drain read must all use the session `body` receives. */
+  /** Shuffle width for a streaming drain: the sf0.1-profiled `partitions`
+    * as the floor (state-store commit overhead dominates small drains —
+    * q102 at sf0.1 measured 6.4 s at 32 partitions vs 3.1 s at 8), scaled
+    * up one partition per 128 MB of the staged source and capped at the
+    * box's parallelism. Stateful operators are per-partition
+    * single-threaded, so a width fixed at the small-scale optimum leaves
+    * the box idle inside the only O(horizon) stages in the suite: q102's
+    * stream-stream interval join at 100x measured 259 s at the fixed
+    * width 8 vs 81.8 s size-scaled to 32 (SCALE.md round 18). On a real
+    * cluster the same rule sizes the drain to the data, not the demo. */
+  private def streamParts(s: SparkSession, srcDir: String, base: Int): Int = {
+    val bytes =
+      try org.apache.commons.io.FileUtils.sizeOfDirectory(
+        new java.io.File(srcDir))
+      catch { case _: RuntimeException => 0L }
+    math.max(base, math.min(s.sparkContext.defaultParallelism,
+      (bytes >> 27).toInt))
+  }
+
   private def withStreamTuning[A](s: SparkSession, partitions: Int,
+                                  srcDir: String,
                                   noDataBatches: Boolean = false)
                                  (body: SparkSession => A): A = {
     val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    val parts = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .map(_.toInt).getOrElse(streamParts(s, srcDir, partitions))
+    s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches.toString)
     body(s2)
   }
@@ -156,9 +178,10 @@ object StreamingQueries {
         |       CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val sink = s"q63_sink_${sinkSeq.getAndIncrement()}"
-      withStreamTuning(s, partitions = 8) { st =>
+      val src = stagedEventsDir(s, d)
+      withStreamTuning(s, partitions = 8, src) { st =>
         val query = StreamingJobs
-          .hourlyWindowsComplete(StreamingJobs.eventsStream(st, stagedEventsDir(s, d)))
+          .hourlyWindowsComplete(StreamingJobs.eventsStream(st, src))
           .writeStream
           .format("memory")
           .queryName(sink)
@@ -186,9 +209,10 @@ object StreamingQueries {
         |       CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val sink = s"q78_sink_${sinkSeq.getAndIncrement()}"
-      withStreamTuning(s, partitions = 8) { st =>
+      val src = dupEventsDir(s, d)
+      withStreamTuning(s, partitions = 8, src) { st =>
         val query = StreamingJobs
-          .dedupStream(StreamingJobs.eventsStream(st, dupEventsDir(s, d)))
+          .dedupStream(StreamingJobs.eventsStream(st, src))
           .writeStream
           .format("memory")
           .queryName(sink)
@@ -223,10 +247,11 @@ object StreamingQueries {
         |       CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val sink = s"q147_sink_${sinkSeq.getAndIncrement()}"
-      withStreamTuning(s, partitions = 8) { st =>
+      val src = dupEventsDir(s, d)
+      withStreamTuning(s, partitions = 8, src) { st =>
         val query = StreamingJobs
           .dedupStreamWithinWatermark(
-            StreamingJobs.eventsStream(st, dupEventsDir(s, d)), "41 days")
+            StreamingJobs.eventsStream(st, src), "41 days")
           .writeStream
           .format("memory")
           .queryName(sink)
@@ -270,7 +295,7 @@ object StreamingQueries {
          |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
       val sink = s"q93_sink_${sinkSeq.getAndIncrement()}"
       val src = stagedEventsDir(s, d)
-      withStreamTuning(s, partitions = 8) { st =>
+      withStreamTuning(s, partitions = 8, src) { st =>
         import st.implicits._
         val stream = StreamingJobs.eventsStream(st, src)
           .filter(col("ts").isNotNull)
@@ -318,7 +343,7 @@ object StreamingQueries {
       // A stream-stream join commits (partitions × 4 state stores per
       // side) per batch — the drain that most needs withStreamTuning's
       // state-volume-sized partitions (profiled: 6.4s → 3.1s at sf0.1).
-      withStreamTuning(s, partitions = 8) { st =>
+      withStreamTuning(s, partitions = 8, src) { st =>
         val purchases = StreamingJobs.eventsStream(st, src)
           .filter(col("event_type") === "purchase" && col("ts").isNotNull)
         val clicks = StreamingJobs.eventsStream(st, src)
@@ -367,7 +392,7 @@ object StreamingQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val sink = s"q142_sink_${sinkSeq.getAndIncrement()}"
       val src = sentinelEventsDir(s, d)
-      withStreamTuning(s, partitions = 8, noDataBatches = true) { st =>
+      withStreamTuning(s, partitions = 8, src, noDataBatches = true) { st =>
         val purchases = StreamingJobs.eventsStream(st, src)
           .filter(col("event_type") === "purchase" && col("ts").isNotNull)
         val clicks = StreamingJobs.eventsStream(st, src)
@@ -411,7 +436,7 @@ object StreamingQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val sink = s"q109_sink_${sinkSeq.getAndIncrement()}"
       val src = stagedEventsDir(s, d)
-      withStreamTuning(s, partitions = 8) { st =>
+      withStreamTuning(s, partitions = 8, src) { st =>
         val dim = Tables.events(st, d).select(col("user_id")).distinct()
           .select(col("user_id").as("uid"), pmod(col("user_id"), lit(3L)).as("segment"))
           .filter(col("segment") <= 1)
@@ -463,7 +488,7 @@ object StreamingQueries {
       import org.apache.spark.sql.expressions.Window
       val sink = s"q183_sink_${sinkSeq.getAndIncrement()}"
       val src = stagedEventsDir(s, d)
-      withStreamTuning(s, partitions = 8) { st =>
+      withStreamTuning(s, partitions = 8, src) { st =>
         val query = StreamingJobs
           .kmvPerDayStream(StreamingJobs.eventsStream(st, src), Quality.K)
           .toDF("day", "n_sketch", "kth_hash")
@@ -502,7 +527,8 @@ object StreamingQueries {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
         |FROM events WHERE user_id >= 50 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val sink = s"q202_sink_${sinkSeq.getAndIncrement()}"
-      withStreamTuning(s, partitions = 8) { st =>
+      val src202 = stagedEventsDir(s, d)
+      withStreamTuning(s, partitions = 8, src202) { st =>
         val ledger = Tables.events(st, d)
           .filter(col("user_id") < 50).select("user_id").distinct()
         val bloom = ledger
@@ -511,7 +537,7 @@ object StreamingQueries {
           .head.getAs[Array[Byte]]("bf")
         val might = graft.functions.BloomOps.mightContain(
           lit(bloom), xxhash64(col("user_id")))
-        val stream = StreamingJobs.eventsStream(st, stagedEventsDir(s, d))
+        val stream = StreamingJobs.eventsStream(st, src202)
         val clean = stream.filter(!might)
         val verified = stream.filter(might)
           .join(ledger.withColumn("__supp", lit(1)), Seq("user_id"), "left_outer")
@@ -556,7 +582,7 @@ object StreamingQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val sink = s"q207_sink_${sinkSeq.getAndIncrement()}"
       val src = sentinelEventsDir(s, d)
-      withStreamTuning(s, partitions = 8, noDataBatches = true) { st =>
+      withStreamTuning(s, partitions = 8, src, noDataBatches = true) { st =>
         val purchases = StreamingJobs.eventsStream(st, src)
           .filter(col("event_type") === "purchase" && col("ts").isNotNull)
         val clicks = StreamingJobs.eventsStream(st, src)
@@ -608,7 +634,7 @@ object StreamingQueries {
          |WHERE doc_id NOT IN (SELECT doc_b FROM p WHERE jaccard >= ${LlmPipeline.JaccardThreshold})
          |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val src = docChunksDir(s, d)
-      withStreamTuning(s, partitions = 8) { st =>
+      withStreamTuning(s, partitions = 8, src) { st =>
         val state = graft.etl.Scratch.tempDir("graft-sdedup-state").toString
         val ckpt = graft.etl.Scratch.tempDir("graft-sdedup-ckpt").toString
         val query = graft.streaming.StreamingDedup.nearDedupTo(
