@@ -11,12 +11,15 @@ object Bench {
 
     // Box-calibration probe (VERDICT r17 ask 3): fixed CPU-bound work —
     // a deterministic xorshift fill, single-threaded sort, and hash fold
-    // over 4M longs, no Spark, no I/O — run 4×, median of the last 3,
-    // recorded in the output JSON. The ledger interpretation rule:
-    // per-query medians are comparable across rounds at equal probe
-    // readings; a uniform suite shift at EQUAL probes is code, at
-    // UNEQUAL probes it's the box (r17's 1.13-1.16× story had to be
-    // inferred from untouched-query medians; this makes it a column).
+    // over 4M longs, no Spark, no I/O — run 5×, MINIMUM of the last 4,
+    // recorded in the output JSON. Min, not median: the probe calibrates
+    // the box's best-case single-core speed, and transient contention
+    // (a JIT queue, another process) inflates every other statistic.
+    // The ledger interpretation rule: per-query medians are comparable
+    // across rounds at equal probe readings; a uniform suite shift at
+    // EQUAL probes is code, at UNEQUAL probes it's the box (r17's
+    // 1.13-1.16× story had to be inferred from untouched-query medians;
+    // this makes it a column).
     def probeOnce(): Double = {
       val n = 1 << 22
       val a = new Array[Long](n)
@@ -32,10 +35,7 @@ object Bench {
       if (h == 0L) System.err.println("probe: improbable zero fold")
       dt
     }
-    val probeSec = {
-      val xs = (0 until 4).map(_ => probeOnce()).drop(1).sorted
-      xs(xs.size / 2)
-    }
+    val probeSec = (0 until 5).map(_ => probeOnce()).drop(1).min
 
     val spark = Sessions.local()
 

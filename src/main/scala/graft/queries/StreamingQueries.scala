@@ -140,20 +140,24 @@ object StreamingQueries {
   /** Shuffle width for a streaming drain: the sf0.1-profiled `partitions`
     * as the floor (state-store commit overhead dominates small drains —
     * q102 at sf0.1 measured 6.4 s at 32 partitions vs 3.1 s at 8), scaled
-    * up one partition per 128 MB of the staged source and capped at the
-    * box's parallelism. Stateful operators are per-partition
-    * single-threaded, so a width fixed at the small-scale optimum leaves
-    * the box idle inside the only O(horizon) stages in the suite: q102's
-    * stream-stream interval join at 100x measured 259 s at the fixed
-    * width 8 vs 81.8 s size-scaled to 32 (SCALE.md round 18). On a real
-    * cluster the same rule sizes the drain to the data, not the demo. */
-  private def streamParts(s: SparkSession, srcDir: String, base: Int): Int = {
+    * up one partition per 4 MB of the staged COMPRESSED source and capped
+    * at the box's parallelism. 4 MB of columnar source expands to a few
+    * hundred MB of operator state (UnsafeRow + store overhead, ~30-60×),
+    * so this is the usual state-mass-per-task sizing rule expressed
+    * against the only number known at plan time. Stateful operators are
+    * per-partition single-threaded, so a width fixed at the small-scale
+    * optimum leaves the box idle inside the only O(horizon) stages in
+    * the suite: q102's stream-stream interval join at 100× (142 MB
+    * staged) measured 259 s at the fixed width 8 vs 81.8 s at 32
+    * (SCALE.md round 18). On a real cluster the same rule sizes the
+    * drain to the data, not the demo. */
+  private[queries] def streamParts(s: SparkSession, srcDir: String, base: Int): Int = {
     val bytes =
       try org.apache.commons.io.FileUtils.sizeOfDirectory(
         new java.io.File(srcDir))
       catch { case _: RuntimeException => 0L }
     math.max(base, math.min(s.sparkContext.defaultParallelism,
-      (bytes >> 27).toInt))
+      (bytes >> 22).toInt))
   }
 
   private def withStreamTuning[A](s: SparkSession, partitions: Int,
