@@ -9,33 +9,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    // Box-calibration probe (VERDICT r17 ask 3): fixed CPU-bound work —
-    // a deterministic xorshift fill, single-threaded sort, and hash fold
-    // over 4M longs, no Spark, no I/O — run 5×, MINIMUM of the last 4,
-    // recorded in the output JSON. Min, not median: the probe calibrates
-    // the box's best-case single-core speed, and transient contention
-    // (a JIT queue, another process) inflates every other statistic.
-    // The ledger interpretation rule: per-query medians are comparable
-    // across rounds at equal probe readings; a uniform suite shift at
-    // EQUAL probes is code, at UNEQUAL probes it's the box (r17's
-    // 1.13-1.16× story had to be inferred from untouched-query medians;
-    // this makes it a column).
-    def probeOnce(): Double = {
-      val n = 1 << 22
-      val a = new Array[Long](n)
-      var x = 0x9E3779B97F4A7C15L
-      var i = 0
-      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1 }
-      val t0 = System.nanoTime()
-      java.util.Arrays.sort(a)
-      var h = 1L
-      i = 0
-      while (i < n) { h = h * 31 + a(i); i += 1 }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (h == 0L) System.err.println("probe: improbable zero fold")
-      dt
-    }
-    val probeSec = (0 until 5).map(_ => probeOnce()).drop(1).min
+    // Box-calibration probe (VERDICT r17 ask 3) — see [[BoxProbe]] for
+    // the design and the ledger interpretation rule (comparable at
+    // equal probes; a uniform shift at unequal probes is the box).
+    val probeSec = BoxProbe.measure()
 
     val spark = Sessions.local()
 
@@ -261,12 +238,19 @@ object Bench {
       .map(r => s"${jstr(short(r.name))}:[${r.n},${sec(r.best)},${sec(r.med)},${sec(r.worst)}]")
       .mkString("{", ",", "}")
     val total = results.map(_.best).sum
+    // the total SPLIT by one-shot membership (VERDICT r18 ask 3): a
+    // query joining the one_shot list moves its one-time pipeline cost
+    // into the total without any code getting slower (r18's +4.8%
+    // "regression" was exactly q193 joining the list), so cross-round
+    // total comparisons must use total_amortized_sec at equal one_shot
+    // sets — and fall back to per-query detail medians otherwise.
+    val oneShotSec = results.filter(r => oneShot(r.name)).map(_.best).sum
     // one-shots are listed in the output so a reader comparing per-query
     // numbers knows which entries deliberately include one-time pipeline
     // cost (they run once; repeats would measure the warm amortized path)
     val oneShots = selected.map(_._1).filter(oneShot)
       .map(n => jstr(short(n))).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"spread":$spread,"one_shot":$oneShots,"gc_sec":${sec(gcMs / 1000.0)},"heap_mb":$heapMb,"probe_sec":${sec(probeSec)},"sf":"$sfDir","n_queries":${results.size},"total_sec":${sec(total)}}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"spread":$spread,"one_shot":$oneShots,"gc_sec":${sec(gcMs / 1000.0)},"heap_mb":$heapMb,"probe_sec":${sec(probeSec)},"sf":"$sfDir","n_queries":${results.size},"total_amortized_sec":${sec(total - oneShotSec)},"total_one_shot_sec":${sec(oneShotSec)},"total_sec":${sec(total)}}""")
     spark.stop()
     if (results.exists(_.err.nonEmpty)) sys.exit(1)
   }

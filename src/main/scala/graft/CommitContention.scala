@@ -65,7 +65,17 @@ object CommitContention {
     val rels = stagedRels(tag, per.toInt, fpc.toInt)
     val goFile = Paths.get(root, "_go")
     println("READY"); Console.out.flush()
-    while (!Files.exists(goFile)) Thread.sleep(1)
+    // bounded wait: if the parent dies between spawn and _go (a READY
+    // require failing, say), the children must exit rather than leave
+    // up to 16 orphan JVMs busy-polling forever (ADVICE r18)
+    val goDeadline = System.nanoTime() + 60L * 1000000000L
+    while (!Files.exists(goFile)) {
+      if (System.nanoTime() > goDeadline) {
+        System.err.println("child: no _go within 60 s, parent presumed dead")
+        sys.exit(3)
+      }
+      Thread.sleep(1)
+    }
     val t0 = System.nanoTime()
     rels.foreach(rel =>
       SnapshotLake.commitSynthetic(root, rel, fpc.toLong))
@@ -78,6 +88,9 @@ object CommitContention {
     if (args.headOption.contains("child")) { childMain(args.drop(1)); return }
     val perThread = args.headOption.map(_.toInt).getOrElse(250)
     val filesPerCommit = if (args.length > 1) args(1).toInt else 10
+    // box calibration first (VERDICT r18 ask 6): contention tables in
+    // SCALE.md carry probe_sec like the Bench ledger does
+    println(f"CONTENTION probe_sec=${BoxProbe.measure()}%.3f")
     val spark = Sessions.local()
     val base =
       if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm" else "/tmp"
@@ -202,25 +215,30 @@ object CommitContention {
           perThread.toString, filesPerCommit.toString)
           .redirectErrorStream(true).start()
       }
-      val readers = procs.map(p => new java.io.BufferedReader(
-        new java.io.InputStreamReader(p.getInputStream)))
-      readers.foreach { r =>
-        var line = r.readLine()
-        while (line != null && line != "READY") line = r.readLine()
-        require(line == "READY", "child died before READY")
-      }
-      val t0p = System.nanoTime()
-      Files.createFile(Paths.get(root, "_go"))
+      // belt for the children's own go-file deadline: a parent require
+      // failing mid-ceremony must not strand live child JVMs (ADVICE r18)
       var lostSum = 0L
-      readers.foreach { r =>
-        var line = r.readLine()
-        while (line != null && !line.startsWith("DONE")) line = r.readLine()
-        require(line != null, "child died before DONE")
-        lostSum += line.split("lost=")(1).split(" ")(0).toLong
-      }
-      val wallP = (System.nanoTime() - t0p) / 1e9
-      procs.foreach(p => require(p.waitFor(60, TimeUnit.SECONDS) &&
-        p.exitValue() == 0, "child exit"))
+      var wallP = 0.0
+      try {
+        val readers = procs.map(p => new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream)))
+        readers.foreach { r =>
+          var line = r.readLine()
+          while (line != null && line != "READY") line = r.readLine()
+          require(line == "READY", "child died before READY")
+        }
+        val t0p = System.nanoTime()
+        Files.createFile(Paths.get(root, "_go"))
+        readers.foreach { r =>
+          var line = r.readLine()
+          while (line != null && !line.startsWith("DONE")) line = r.readLine()
+          require(line != null, "child died before DONE")
+          lostSum += line.split("lost=")(1).split(" ")(0).toLong
+        }
+        wallP = (System.nanoTime() - t0p) / 1e9
+        procs.foreach(p => require(p.waitFor(60, TimeUnit.SECONDS) &&
+          p.exitValue() == 0, "child exit"))
+      } finally procs.filter(_.isAlive).foreach(_.destroyForcibly())
       val commits = n.toLong * perThread
       // reconcile from THIS JVM (a fresh observer of the log)
       val head = SnapshotLake.currentVersion(root).get

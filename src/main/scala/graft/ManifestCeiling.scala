@@ -34,6 +34,10 @@ object ManifestCeiling {
     // directly measurable on one build
     if (args.length > 2 && args(2) == "fullckpt")
       SnapshotLake.incrementalCkpt = false
+    // box calibration first (VERDICT r18 ask 6): the ceiling tables in
+    // SCALE.md carry probe_sec so cross-round rows compare the way
+    // Bench rows do ("this box reads ~3.5× faster" becomes a column)
+    println(f"CEILING probe_sec=${BoxProbe.measure()}%.3f")
     val spark = Sessions.local()
     val base =
       if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm" else "/tmp"

@@ -6,11 +6,22 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = Sessions.local()
-    new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_VERIFY_ONLY=q120,q35 → dump only the named queries
     // (prefix match) — local-iteration lever, the driver sets nothing.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    dump(spark, sfDir, outDir, name => only.forall(_.exists(name.startsWith)))
+    spark.stop()
+  }
+
+  /** The dump body, shared with [[ScaleVerify]] (VERDICT r18 ask 1):
+    * every included query's result written to `outDir/<name>`, plus
+    * oracle_sql.json and the emitted/input schema record. */
+  private[graft] def dump(spark: org.apache.spark.sql.SparkSession,
+                          sfDir: String, outDir: String,
+                          include: String => Boolean,
+                          timed: Boolean = false): Unit = {
+    new java.io.File(outDir).mkdirs()
     // Emitted-schema record (name → col:type), written alongside the
     // results and diffed against the committed golden
     // (tools/schema_golden.json) by tools/check.py: a testdata
@@ -30,8 +41,9 @@ object Verify {
         System.err.println(s"[verify] input:$t unreadable: ${e.getMessage}") }
     }
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .filter { case (name, _) => include(name) }
       .foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -39,8 +51,10 @@ object Verify {
         // leave a clean schema entry for a query with no comparable output
         schemas(name) = df.schema.fields.toSeq
           .map(f => s"${f.name}:${f.dataType.sql}")
+        if (timed) println(f"VERIFY $name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if (timed) println(f"VERIFY $name%-36s FAILED")
       }
       spark.catalog.clearCache() // per-query intermediates must not accumulate
       // localCheckpoint strays are RDD-level and invisible to clearCache;
@@ -68,6 +82,5 @@ object Verify {
         s"${q(k)}: ${cols.map(q).mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/schemas.json"), schemaJson)
-    spark.stop()
   }
 }

@@ -215,9 +215,25 @@ trait LakeCheckpoints {
   private[etl] val segCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), java.lang.ref.SoftReference[Vector[String]]]()
 
+  /** Drop every entry whose SoftReference referent was GC-cleared.
+    * Called when a cleared-reference miss is OBSERVED — that is exactly
+    * the moment memory pressure has emptied some of the map, and the
+    * only time the sweep finds work — so key tuples don't accumulate
+    * unboundedly after the values they held are long gone (ADVICE r18:
+    * softening the values without sweeping the keys just moved the
+    * leak). O(live keys), amortized over a GC pressure event. */
+  private[etl] def sweepCleared[K, V](
+      m: java.util.concurrent.ConcurrentHashMap[
+        K, java.lang.ref.SoftReference[V]]): Unit = {
+    val it = m.entrySet().iterator()
+    while (it.hasNext) if (it.next().getValue.get() == null) it.remove()
+  }
+
   private[etl] def readSeg(root: String, name: String): Vector[String] = {
     val k = (root, name)
-    Option(segCache.get(k)).flatMap(r => Option(r.get())).getOrElse {
+    val ref = segCache.get(k)
+    Option(ref).flatMap(r => Option(r.get())).getOrElse {
+      if (ref != null) sweepCleared(segCache)
       manifestReads.incrementAndGet()
       val v = arrField(Files.readString(manifestDir(root).resolve(name)),
         "files").toVector
@@ -360,9 +376,13 @@ trait LakeCheckpoints {
         // segments. Falls back to a from-scratch resolve (itself
         // segmented) when no reusable base or the window has legacy /
         // vacuumed records.
+        // defensive like the read path's readCkptDefensive: a previous
+        // full whose segment a racing vacuum swept must degrade this
+        // write to the from-scratch resolve below, not fail the commit
+        // that triggered it (checkpoints accelerate; records are truth)
         val reused =
           if (!incrementalCkpt) None
-          else prevFull(root, v).flatMap { b =>
+          else try prevFull(root, v).flatMap { b =>
             composeWindow(root, b, v).map { d =>
               val rawB = readCkptRaw(root, b)
               val rmSet = d.rm.toSet
@@ -382,6 +402,11 @@ trait LakeCheckpoints {
                 rawB.deletes.filterNot(d.rmDel.toSet) ++ d.addDel,
                 d.schema.orElse(rawB.schemaB64), tags)
             }
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[lake] segment reuse for ckpt v$v of " +
+                s"$root failed (${e.getClass.getSimpleName}); writing full")
+              None
           }
         val json = reused.getOrElse {
           val (st, tags) = resolve(root, v)

@@ -254,7 +254,11 @@ object SnapshotLake extends LakeCheckpoints {
   private[etl] def resolve(root: String, v: Long): (LakeState, Map[String, Long]) = {
     val fp = versionFingerprint(root, v)
     val k = (root, v)
-    Option(resolveCache.get(k)).flatMap(r => Option(r.get())) match {
+    val ref = resolveCache.get(k)
+    // a GC-cleared referent signals memory pressure emptied part of the
+    // map: sweep the stale keys now so they don't accumulate unboundedly
+    if (ref != null && ref.get() == null) sweepCleared(resolveCache)
+    Option(ref).flatMap(r => Option(r.get())) match {
       case Some((st, f)) if fp.contains(f) => st
       case hit =>
         // a cached entry under a DIFFERENT live fingerprint means the
@@ -267,6 +271,26 @@ object SnapshotLake extends LakeCheckpoints {
         st
     }
   }
+
+  /** [[LakeCheckpoints.readCkpt]] that treats an UNREADABLE checkpoint as
+    * absent instead of fatal: a checkpoint whose segment was swept by a
+    * vacuum racing past the orphan grace floor (an overloaded
+    * million-file checkpointer can exceed the 5-min writeSeg→link
+    * window; ADVICE r18) would otherwise throw on every resolve of its
+    * version forever. Checkpoints are pure ACCELERATION — the record log
+    * below them is the truth — so the correct degradation is the same as
+    * [[LakeCheckpoints.readIckpt]]'s defensive None: warn, fall back to
+    * record replay, and let the next checkpoint write heal the hole. */
+  private def readCkptDefensive(root: String,
+      v: Long): Option[(LakeState, Map[String, Long])] =
+    try Some(readCkpt(root, v))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[lake] checkpoint v$v of $root unreadable (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}); falling back to record replay")
+        None
+    }
 
   private def resolveUncached(root: String, v: Long): (LakeState, Map[String, Long]) = {
     var pending = List.empty[Record]
@@ -283,7 +307,8 @@ object SnapshotLake extends LakeCheckpoints {
           .collect { case (st, f) if versionFingerprint(root, cur).contains(f) => st }
       if (cached.isDefined) base = cached
       else if (cur == 0L) base = Some((EmptyState, Map.empty))
-      else if (Files.exists(ckptFile(root, cur))) base = Some(readCkpt(root, cur))
+      else if (Files.exists(ckptFile(root, cur)) &&
+               { base = readCkptDefensive(root, cur); base.isDefined }) ()
       else if (Files.exists(ickptFile(root, cur)) &&
                { base = readIckpt(root, cur); base.isDefined }) ()
       else {
@@ -427,7 +452,9 @@ object SnapshotLake extends LakeCheckpoints {
         // fingerprint every other (root, version) cache validates with.
         val key = (root, v, mergeSchema)
         val fp = versionFingerprint(root, v)
-        Option(schemaOfCache.get(key)).flatMap(r => Option(r.get())) match {
+        val ref = schemaOfCache.get(key)
+        if (ref != null && ref.get() == null) sweepCleared(schemaOfCache)
+        Option(ref).flatMap(r => Option(r.get())) match {
           case Some((f, s)) if fp.contains(f) => s
           case _ =>
             val reps = st.files.groupBy(f => f.substring(0, f.lastIndexOf('/')))

@@ -398,7 +398,7 @@ object Ann {
   // publishes; the registry is that contract scoped to one JVM.
 
   private final case class PairCkptKey(corpusKey: String, dim: Int,
-      thresholdMicros: Long, n: Long, minId: Long, maxId: Long)
+      thresholdMicros: Long, n: Long, contentHash: Long)
   private val pairCkptPaths =
     new java.util.concurrent.ConcurrentHashMap[PairCkptKey, String]()
   private val pairCkptLocks =
@@ -407,14 +407,21 @@ object Ann {
   /** [[lshNearDupPairs]] through the per-session checkpoint: computed
     * once per (corpusKey, content fingerprint, params), re-read from
     * parquet by every later consumer in the same JVM. The fingerprint
-    * (count, min/max id) keeps a regenerated corpus under the same key
-    * from silently reusing stale pairs. */
+    * is (count, order-insensitive XOR of xxhash64 over id+vec): a
+    * corpus regenerated under the same key — even in place with the
+    * SAME id range but different vectors — misses and recomputes
+    * instead of silently reusing stale pairs (ADVICE r18: the earlier
+    * count+min/max-id key could not see a content-only change). One
+    * extra codegen'd agg over data already scanned by the pipeline. */
   def lshNearDupPairsCkpt(corpus: DataFrame, dim: Int, thresholdMicros: Long,
                           corpusKey: String): DataFrame = {
     val spark = corpus.sparkSession
-    val fp = corpus.agg(count(lit(1)), min("id"), max("id")).collect()(0)
-    val key = PairCkptKey(corpusKey, dim, thresholdMicros,
-      fp.getLong(0), fp.getLong(1), fp.getLong(2))
+    val fp = corpus // bit_xor, not sum: ANSI mode faults a wrapping sum
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(id, vec))")).collect()(0)
+    val n = fp.getLong(0)
+    // bit_xor is null (not 0) over an empty corpus — guard before getLong
+    val key = PairCkptKey(corpusKey, dim, thresholdMicros, n,
+      if (n == 0L) 0L else fp.getLong(1))
     val lock = pairCkptLocks.computeIfAbsent(key, _ => new Object)
     val dir = lock.synchronized {
       Option(pairCkptPaths.get(key)).getOrElse {

@@ -609,6 +609,50 @@ class SnapshotLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("a checkpoint missing its segment degrades to record replay and the next checkpoint heals it") {
+    // the residual grace-floor race (ADVICE r18): a checkpointer that
+    // took longer than segOrphanGraceFloorMs between writeSeg and link
+    // can have its segment swept, leaving the linked checkpoint
+    // dangling. Checkpoints are acceleration, records are truth — a
+    // dangling one must degrade to replay, not fail its version forever.
+    val oldSeg = SnapshotLake.SegEntries
+    val oldFull = SnapshotLake.FullCkptEveryCommits
+    SnapshotLake.SegEntries = 3
+    SnapshotLake.FullCkptEveryCommits = 10 // every checkpoint is full here
+    try {
+      val root = newRoot()
+      Files.createDirectories(java.nio.file.Paths.get(root))
+      for (i <- 0 until 12) // v1..v12; the v10 full freezes segments
+        SnapshotLake.commitSynthetic(root, Seq(f"data/f$i%02d.parquet"), 1L)
+      val expect = SnapshotLake.files(root, 12L)
+      val segs = """seg-[0-9a-f-]+\.json""".r
+        .findAllIn(Files.readString(ckptPath(root, 10L))).toVector
+      assert(segs.nonEmpty, "v10 full checkpoint should be segmented")
+      Files.delete(java.nio.file.Paths.get(root, "_manifests", segs.head))
+      // fresh observer (fresh cache keys → the real segment read path):
+      // resolution must fall back to the record log below the checkpoint
+      val root2 = newRoot()
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(root), new java.io.File(root2))
+      assert(SnapshotLake.files(root2, 12L) == expect,
+        "a dangling checkpoint must degrade to record replay")
+      // the WRITE path is defensive too: the next full checkpoint (v20)
+      // finds its reuse base dangling, degrades to a from-scratch
+      // resolve, and the lake is healed — a fresh observer of v20 reads
+      // through the new checkpoint alone
+      for (i <- 12 until 20)
+        SnapshotLake.commitSynthetic(root2, Seq(f"data/f$i%02d.parquet"), 1L)
+      val expect20 = expect ++ (12 until 20).map(i => f"data/f$i%02d.parquet")
+      val root3 = newRoot()
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(root2), new java.io.File(root3))
+      assert(SnapshotLake.files(root3, 20L) == expect20)
+    } finally {
+      SnapshotLake.SegEntries = oldSeg
+      SnapshotLake.FullCkptEveryCommits = oldFull
+    }
+  }
+
   test("segment GC honors checkpoints above the observed head and the mid-flight grace floor") {
     val oldFloor = SnapshotLake.segOrphanGraceFloorMs
     try {

@@ -206,6 +206,40 @@ class AnnSpec extends AnyFunSuite {
     assert(mustHave.subsetOf(got), "full-bucket-equal pairs must be recalled")
   }
 
+  test("lshNearDupPairsCkpt invalidates on content change under identical ids; empty corpus is safe") {
+    // the r17 lesson (0d1abc5): unpinned caches are where the next
+    // stale-state bug lives. The fingerprint must see a corpus
+    // regenerated IN PLACE — same key, same id range, different vectors
+    // (ADVICE r18: a count+min/max-id key could not).
+    val dim = 16
+    def oneHot(i: Int): Array[Float] =
+      Array.tabulate(dim)(j => if (j == i) 1.0f else 0.0f)
+    // corpus A: ids 0..9 orthogonal one-hots except id 1 duplicates id 0
+    val a = spark.createDataFrame(
+      (0 until 10).map(i => (i.toLong, oneHot(if (i == 1) 0 else i))))
+      .toDF("id", "vec").select(col("id"), col("vec").cast("array<float>"))
+    val pa = Ann.lshNearDupPairsCkpt(a, dim, 400000L, "spec-ckpt-inval")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pa == Set((0L, 1L)), s"corpus A pairs: $pa")
+    // corpus B: SAME ids (count, min, max all unchanged), the duplicate
+    // moved to (2,3) — a stale-serving cache would still answer {(0,1)}
+    val b = spark.createDataFrame(
+      (0 until 10).map(i => (i.toLong, oneHot(if (i == 3) 2 else i))))
+      .toDF("id", "vec").select(col("id"), col("vec").cast("array<float>"))
+    val pb = Ann.lshNearDupPairsCkpt(b, dim, 400000L, "spec-ckpt-inval")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pb == Set((2L, 3L)),
+      s"regenerated corpus must MISS the checkpoint and recompute: $pb")
+    // and the unchanged corpus still HITS (same fingerprint → same path)
+    val pa2 = Ann.lshNearDupPairsCkpt(a, dim, 400000L, "spec-ckpt-inval")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pa2 == pa)
+    // empty corpus: sum(xxhash64) aggregates to NULL, not 0 — the guard
+    // must keep the fingerprint read from NPEing (ADVICE r18)
+    assert(Ann.lshNearDupPairsCkpt(a.limit(0), dim, 400000L,
+      "spec-ckpt-empty").count() == 0L)
+  }
+
   test("q176: mined hard negatives always cross labels and never beat the unrestricted best") {
     val rows = graft.SparkEntry.queries("q176_hard_negative_mining")(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
