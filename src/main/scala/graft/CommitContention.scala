@@ -97,15 +97,16 @@ object CommitContention {
     val work = Paths.get(base, "graft-commit-contention")
     org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
 
-    println(f"CONTENTION phase 1: synthetic CAS appends, " +
-      f"$perThread commits/thread x $filesPerCommit files")
-    for (n <- Seq(1, 2, 4, 8, 16)) {
-      val root = work.resolve(s"lake-n$n").toString
+    // One synthetic in-JVM race: stage, race, reconcile. Returns
+    // (wall seconds, lost CAS publishes). Shared by phase 1 (width
+    // sweep at /dev/shm latency) and phase 4 (injected object-store
+    // RTT on the same protocol).
+    def syntheticRace(root: String, n: Int, per: Int): (Double, Long) = {
       // pre-stage every commit's file names (empty files: the protocol
       // never opens them) so the race measures manifest mechanics only
       val staged: IndexedSeq[IndexedSeq[Seq[String]]] =
         (0 until n).map { t =>
-          (0 until perThread).map { j =>
+          (0 until per).map { j =>
             val dir = f"data/t$t%02d-c$j%04d"
             Files.createDirectories(Paths.get(root, dir))
             (0 until filesPerCommit).map { i =>
@@ -129,10 +130,10 @@ object CommitContention {
       }
       val t0 = System.nanoTime()
       start.countDown()
-      require(done.await(600, TimeUnit.SECONDS), "phase 1 stalled")
+      require(done.await(1800, TimeUnit.SECONDS), "race stalled")
       val wall = (System.nanoTime() - t0) / 1e9
       pool.shutdown()
-      val commits = n.toLong * perThread
+      val commits = n.toLong * per
       val lost = SnapshotLake.casLost.get - lost0
       // reconcile: every version landed, every staged file exactly once
       val head = SnapshotLake.currentVersion(root).get
@@ -142,6 +143,15 @@ object CommitContention {
       require(resolved.size == expected.size &&
         resolved.toSet == expected.toSet,
         s"resolved ${resolved.size} files, expected ${expected.size}")
+      (wall, lost)
+    }
+
+    println(f"CONTENTION phase 1: synthetic CAS appends, " +
+      f"$perThread commits/thread x $filesPerCommit files")
+    for (n <- Seq(1, 2, 4, 8, 16)) {
+      val root = work.resolve(s"lake-n$n").toString
+      val (wall, lost) = syntheticRace(root, n, perThread)
+      val commits = n.toLong * perThread
       println(f"CONTENTION n=$n%2d  $commits%6d commits  $wall%7.2f s  " +
         f"${commits / wall}%8.1f commits/s  " +
         f"${1.0 + lost.toDouble / commits}%5.2f attempts/commit")
@@ -251,6 +261,57 @@ object CommitContention {
       println(f"CONTENTION procs=$n%2d  $commits%6d commits  $wallP%7.2f s  " +
         f"${commits / wallP}%8.1f commits/s  " +
         f"${1.0 + lostSum.toDouble / commits}%5.2f attempts/commit")
+    }
+
+    // phase 4: the same synthetic CAS race at OBJECT-STORE latency
+    // (VERDICT r18 ask 2). The /dev/shm table proves the protocol
+    // shares nothing; what it cannot price is the loser's re-probe —
+    // O(commits since its last observation) head stats — once every
+    // stat is 10-50 ms of network instead of ~1 µs of kernel. The
+    // publish seam ([[graft.etl.SnapshotLake.setPublisher]]) injects
+    // one RTT per conditional PUT; the head-probe seam
+    // (`manifestRttNanos`) injects one RTT per HEAD stat and per LIST.
+    // Each RTT also runs with the batched head listing
+    // (`probeStepLimit=4`): a loser more than 4 commits behind pays ONE
+    // list (a LIST page carries up to 1,000 names) instead of
+    // per-version HEADs — the fix the forward-probe cost calls for if
+    // it compounds.
+    val perThread4 = math.max(10, perThread / 10)
+    println(f"CONTENTION phase 4: 16 threads x $perThread4 commits, " +
+      "injected object-store RTT on publish + head probes")
+    for (rttMs <- Seq(0L, 10L, 50L);
+         limit <- if (rttMs == 0L) Seq(Int.MaxValue) else Seq(Int.MaxValue, 4)) {
+      val root = work.resolve(s"lake-rtt$rttMs-l$limit").toString
+      val rttNanos = rttMs * 1000000L
+      val stats0 = SnapshotLake.headStatCount.get
+      val lists0 = SnapshotLake.headListCount.get
+      SnapshotLake.manifestRttNanos = rttNanos
+      SnapshotLake.probeStepLimit = limit
+      Files.createDirectories(Paths.get(root))
+      SnapshotLake.setPublisher(root, new SnapshotLake.CommitPublisher {
+        def tryPublish(target: java.nio.file.Path,
+                       tmp: java.nio.file.Path): Boolean = {
+          if (rttNanos > 0L)
+            java.util.concurrent.locks.LockSupport.parkNanos(rttNanos)
+          SnapshotLake.PosixLinkPublisher.tryPublish(target, tmp)
+        }
+      })
+      try {
+        val (wall, lost) = syntheticRace(root, 16, perThread4)
+        val commits = 16L * perThread4
+        val stats = SnapshotLake.headStatCount.get - stats0
+        val lists = SnapshotLake.headListCount.get - lists0
+        val limStr = if (limit == Int.MaxValue) "walk" else s"list>$limit"
+        println(f"CONTENTION rtt=$rttMs%3d ms  $limStr%-7s  $commits%5d commits  " +
+          f"$wall%7.2f s  ${commits / wall}%7.1f commits/s  " +
+          f"${1.0 + lost.toDouble / commits}%5.2f attempts/commit  " +
+          f"${stats.toDouble / commits}%5.2f stats/commit  " +
+          f"${lists.toDouble / commits}%5.2f lists/commit")
+      } finally {
+        SnapshotLake.manifestRttNanos = 0L
+        SnapshotLake.probeStepLimit = Int.MaxValue
+        SnapshotLake.clearPublisher(root)
+      }
     }
 
     org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)

@@ -44,6 +44,7 @@ object JdbcQueries {
       val url = s"jdbc:derby:$dir/eventsdb;create=true"
       val src = Tables.events(s, d)
         .select("event_id", "ts", "user_id", "event_type", "value")
+      val t0 = System.nanoTime()
       src.write.format("jdbc")
         .option("url", url)
         .option("driver", Derby.Driver)
@@ -51,9 +52,25 @@ object JdbcQueries {
         // Derby's dialect maps StringType to CLOB, which the database
         // refuses to compare or index; pin a comparable VARCHAR
         .option("createTableColumnTypes", "event_type VARCHAR(32)")
+        // embedded Derby serializes concurrent inserters on the table
+        // page latch, so throughput comes from statement batch size,
+        // not connection count: 10k rows per executeBatch cuts the
+        // per-row JDBC round-trip overhead ~10× vs the 1,000 default
+        // (the q160 100× attribution, SCALE.md r19; the READ path — the
+        // operator under test — is untouched: 8 range partitions,
+        // pushed WHERE, IoSpec-pinned)
+        .option("batchsize", "10000")
         .mode("overwrite")
         .save()
+      val tWrite = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
       val bounds = src.agg(min("event_id"), max("event_id")).collect()(0)
+      // the q160 cost attribution (VERDICT r18 ask 4): staging is the
+      // bench harness standing in for a database that already exists in
+      // production; this line is what splits its cost from the
+      // partitioned-read path actually under test
+      System.err.println(f"[jdbc] derby staging: write $tWrite%.1f s, " +
+        f"bounds probe ${(System.nanoTime() - t1) / 1e9}%.1f s ($d)")
       (url, bounds.getLong(0), bounds.getLong(1))
     }
 

@@ -653,6 +653,26 @@ class SnapshotLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("a far-behind head hint finds the exact head via the walk AND via the batched-listing fallback") {
+    // the object-store probe rule (CommitContention phase 4): beyond
+    // probeStepLimit forward stats, currentVersion switches to one
+    // directory listing — same answer, one LIST instead of
+    // O(commits-behind) HEADs. Both paths must agree exactly.
+    val oldLimit = SnapshotLake.probeStepLimit
+    try {
+      val root = newRoot()
+      Files.createDirectories(java.nio.file.Paths.get(root))
+      for (i <- 0 until 12)
+        SnapshotLake.commitSynthetic(root, Seq(f"data/g$i%02d.parquet"), 1L)
+      SnapshotLake.plantHeadHint(root, 1L) // observer 11 commits behind
+      SnapshotLake.probeStepLimit = 4      // object-store mode
+      assert(SnapshotLake.currentVersion(root).contains(12L))
+      SnapshotLake.plantHeadHint(root, 1L)
+      SnapshotLake.probeStepLimit = Int.MaxValue // POSIX pure walk
+      assert(SnapshotLake.currentVersion(root).contains(12L))
+    } finally SnapshotLake.probeStepLimit = oldLimit
+  }
+
   test("segment GC honors checkpoints above the observed head and the mid-flight grace floor") {
     val oldFloor = SnapshotLake.segOrphanGraceFloorMs
     try {
