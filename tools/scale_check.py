@@ -12,9 +12,15 @@ around them differs (interrupt timer, resource-error classing, JSON
 summary for SCALE.md).
 
 Usage: python3 tools/scale_check.py SFDIR OUTDIR [--timeout SEC]
-           [--memory GB] [--summary PATH] [query ...]
+           [--memory GB] [--summary PATH] [--subproc] [query ...]
+
+--subproc runs each query in its own child process with a hard kill at
+timeout+grace: duckdb's con.interrupt() is advisory — a 20-core hash
+join can ignore it for minutes (observed on the q161 oracle at 100x) —
+and only SIGKILL bounds the gate's wall-clock for real.
 """
 import json
+import subprocess
 import sys
 import threading
 import time
@@ -56,7 +62,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     args = sys.argv[1:]
-    timeout_s, memory_gb, summary_path = 120.0, 48, None
+    timeout_s, memory_gb, summary_path, subproc = 120.0, 48, None, False
     pos = []
     i = 0
     while i < len(args):
@@ -66,16 +72,69 @@ def main():
             memory_gb = int(args[i + 1]); i += 2
         elif args[i] == "--summary":
             summary_path = args[i + 1]; i += 2
+        elif args[i] == "--subproc":
+            subproc = True; i += 1
         else:
             pos.append(args[i]); i += 1
     sf_dir, out_dir, only = pos[0], pos[1], pos[2:]
 
+    if subproc:
+        oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+        names = sorted(n for n in oracle
+                       if not only or any(n.startswith(o) for o in only))
+        results = {}
+        for name in names:
+            t0 = time.time()
+            try:
+                r = subprocess.run(
+                    [sys.executable, __file__, sf_dir, out_dir,
+                     "--timeout", str(timeout_s), "--memory", str(memory_gb),
+                     name],
+                    capture_output=True, text=True, timeout=timeout_s + 90)
+                line = next((l for l in r.stdout.splitlines()
+                             if l.split(" ", 1)[0].isupper()), None)
+                if line:
+                    print(line, flush=True)
+                    st, _, detail = line.partition(" ")
+                    detail = detail.partition(": ")[2]
+                    results[name] = {"status": st, "detail": detail,
+                                     "oracle_sec": round(time.time() - t0, 1)}
+                else:
+                    st = "ORACLE-ERROR"
+                    detail = (r.stderr.strip().splitlines() or ["no output"])[-1]
+                    print(f"{st} {name}: {detail}", flush=True)
+                    results[name] = {"status": st, "detail": detail,
+                                     "oracle_sec": round(time.time() - t0, 1)}
+            except subprocess.TimeoutExpired:
+                print(f"ORACLE-INFEASIBLE {name}: killed at "
+                      f"{timeout_s + 90:.0f}s wall", flush=True)
+                results[name] = {"status": "ORACLE-INFEASIBLE",
+                                 "detail": f"killed at {timeout_s + 90:.0f}s",
+                                 "oracle_sec": round(time.time() - t0, 1)}
+        counts = {}
+        for r in results.values():
+            counts[r["status"]] = counts.get(r["status"], 0) + 1
+        print("\nSCALE CHECK SUMMARY: " +
+              "  ".join(f"{k}={v}" for k, v in sorted(counts.items())) +
+              f"  of {len(results)} compared / {len(oracle)} oracles")
+        if summary_path:
+            with open(summary_path, "w") as f:
+                json.dump({"counts": counts, "timeout_s": timeout_s,
+                           "memory_gb": memory_gb, "queries": results}, f,
+                          indent=1, sort_keys=True)
+        bad = counts.get("FAIL", 0) + counts.get("NO-SPARK-OUTPUT", 0)
+        sys.exit(1 if bad else 0)
+
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{memory_gb}GB'")
     con.execute("SET preserve_insertion_order=false")
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
+        # ScaleLake writes Spark-style DIRECTORIES (t.parquet/part-*);
+        # the driver's testdata is single files — accept both
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
     results = {}  # name -> (status, detail, oracle_sec)
