@@ -76,10 +76,19 @@ object ScaleLake {
 
     val docSpan = span("documents", "doc_id")
     replicate("documents") { (df, i) =>
+      // tag = "q" + two lowercase ASCII letters: the r18 single-char tag
+      // ('a'+i) left ASCII at replica 31 and up, silently making UTF-8
+      // byte length ≠ char length — which the byte-level multimodal
+      // oracles (ord/length over chars vs payload bytes) correctly
+      // flagged at the first hash-verified 100× run (scale_check r19,
+      // q127: 62.7% of rows = replicas 31-99). Real corpora are of
+      // course not ASCII — but the FIXTURE's contract is that replicas
+      // preserve replica-0's structure exactly, and replica-0 is ASCII.
       val tagged =
         if (i == 0) df
         else df.withColumn("text",
-            regexp_replace(col("text"), "(\\S+)", "$1q" + ('a' + i).toChar))
+            regexp_replace(col("text"), "(\\S+)",
+              "$1q" + ('a' + i / 26).toChar + ('a' + i % 26).toChar))
           .withColumn("n_chars", length(col("text")).cast("long"))
       tagged.withColumn("doc_id", col("doc_id") + lit(i * docSpan)) }
 
