@@ -102,6 +102,11 @@ object SnapshotLake extends LakeCheckpoints {
   // consecutive lost CAS publishes on THIS thread — drives the
   // escalating backoff in tryCommit, reset by any win
   private val lostStreak = ThreadLocal.withInitial[Integer](() => 0)
+  // EWMA of tryPublish wall latency (nanos) — the backoff time unit:
+  // ~0 on POSIX (unit floors at 1 ms, preserving historical local
+  // behavior), one conditional-PUT RTT on an object store. Updated
+  // racily by design; any recent sample is a good-enough unit.
+  @volatile private var publishEwmaNanos: Long = 0L
 
   /** Last head this JVM OBSERVED per root — never trusted, always
     * re-verified: versions are contiguous and only ever grow (every
@@ -443,7 +448,14 @@ object SnapshotLake extends LakeCheckpoints {
     val st = resolve(root, v)._1
     val rel = st.files
     if (rel.isEmpty)
-      throw new IllegalStateException(s"version $v of $root lists no files")
+      // an EMPTY table is a legal state — a delete-all, or an append
+      // whose rows all filtered away (zero-row files never commit, see
+      // [[indexAndCount]]): zero rows under the schema the lake last
+      // had (declared, or inherited from the nearest ancestor version
+      // that listed files)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        nullableized(schemaOf(spark, root, Some(v), mergeSchema)))
     // mergeSchema = schema-on-read evolution (the q156 contract on the
     // manifest lake): commits may add columns; older files surface them
     // as NULL, and a version pinned BEFORE the column landed never sees
@@ -492,8 +504,20 @@ object SnapshotLake extends LakeCheckpoints {
           org.apache.spark.sql.types.StructField(f.name, f.dataType,
             nullable = true)))
       case None =>
-        if (st.files.isEmpty)
-          throw new IllegalStateException(s"version $v of $root lists no files")
+        if (st.files.isEmpty) {
+          // an empty undeclared version inherits its shape from the
+          // nearest ancestor that still lists files — delete-all leaves
+          // a table with zero rows, never a table with no schema. (A
+          // declared schema would have carried in st.schemaB64 above.)
+          var pv = v - 1
+          while (pv >= 1L && versionExists(root, pv)) {
+            if (resolve(root, pv)._1.files.nonEmpty)
+              return schemaOf(spark, root, Some(pv), mergeSchema)
+            pv -= 1
+          }
+          throw new IllegalStateException(
+            s"version $v of $root lists no files and no ancestor does")
+        }
         // one representative footer per leaf dir — correct under
         // schema-on-read evolution, but O(dirs) footer opens, and table
         // construction runs per QUERY: at the 10,000-commit-dir ceiling
@@ -1050,7 +1074,23 @@ object SnapshotLake extends LakeCheckpoints {
         statsCols = index0.statsCols.map(c => mapping.getOrElse(c, c)),
         bloomCol = index0.bloomCol.map(c => mapping.getOrElse(c, c)),
         ndvCols = index0.ndvCols.map(c => mapping.getOrElse(c, c)))
-    val meta = FileStats.harvest(spark, root, rel, index.statsCols)
+    val meta0 = FileStats.harvest(spark, root, rel, index.statsCols)
+    // ZERO-ROW files never enter a commit (the Delta/Iceberg invariant):
+    // a delete/compact rewrite routinely leaves empty output partitions,
+    // and an empty file is pure liability at scale — it carries no
+    // min/max to prune on (a statless file must conservatively be
+    // SCANNED by [[fastCountWhere]] and every planned scan), so each one
+    // costs a wasted file-open per query forever. Deleted here, before
+    // the manifest link, so they were never visible to any reader.
+    // (Surfaced by the 100× hash-verified leg: q237/q243's post-delete
+    // head carried one empty rewrite partition and mis-classed it.)
+    val (rel2, zeroRow) = rel.partition(f => meta0.get(f).forall(_.rows > 0L))
+    zeroRow.foreach { f =>
+      val p = Paths.get(root, f)
+      Files.deleteIfExists(p)
+      Files.deleteIfExists(p.resolveSibling("." + p.getFileName + ".crc"))
+    }
+    val meta = meta0 -- zeroRow
     if (index.statsCols.nonEmpty)
       FileStats.writeStatsSidecar(root,
         meta.map { case (f, m) => f -> m.ranges })
@@ -1060,7 +1100,7 @@ object SnapshotLake extends LakeCheckpoints {
     FileStats.writeRowsSidecar(root, meta.map { case (f, m) => f -> m.rows })
     // byte sizes too: O(new files) stat calls HERE instead of O(live
     // files) per planned scan (a million HEADs on object storage)
-    FileStats.writeBytesSidecar(root, rel.map(f =>
+    FileStats.writeBytesSidecar(root, rel2.map(f =>
       f -> java.nio.file.Files.size(Paths.get(root, f))).toMap)
     index.bloomCol.foreach { c =>
       // sized from footer row counts (no counting scan) unless the
@@ -1071,12 +1111,12 @@ object SnapshotLake extends LakeCheckpoints {
       // Undersizing degrades fpp, never correctness.
       val expected = index.bloomExpected.getOrElse(
         math.max(1L, meta.values.foldLeft(0L)((a, m) => math.max(a, m.rows))))
-      FileStats.buildBloomSidecars(spark, root, rel, c,
+      FileStats.buildBloomSidecars(spark, root, rel2, c,
         expected, index.bloomFpp)
     }
     if (index.ndvCols.nonEmpty)
-      FileStats.buildNdvSidecars(spark, root, rel, index.ndvCols)
-    Written(rel, meta.values.map(_.rows).sum)
+      FileStats.buildNdvSidecars(spark, root, rel2, index.ndvCols)
+    Written(rel2, meta.values.map(_.rows).sum)
   }
 
   /** What to index at commit time: footer min/max for `statsCols`, a
@@ -1215,9 +1255,21 @@ object SnapshotLake extends LakeCheckpoints {
         s""""addDel":${arr(addDel)},"removeDel":${arr(removeDel)}}"""
     val tmp = manifestDir(root).resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, json)
+    val pubT0 = System.nanoTime()
     val won =
       try publisherFor(root).tryPublish(versionFile(root, version), tmp)
       finally { Files.deleteIfExists(tmp); () }
+    // EWMA of the publish attempt's own latency — the backoff's time
+    // unit. On POSIX this is ~µs and the unit floors at 1 ms (the
+    // historical constant); on an object store one conditional PUT is
+    // 10-100 ms, and a backoff tuned in wall-ms constants is then
+    // smaller than the very window it must spread losers across
+    // (CommitContention phase 4: at 50 ms RTT the 32 ms-capped backoff
+    // left 16 writers at 10.0 attempts/commit — every loser re-collided
+    // inside the winner's publish).
+    val pubD = System.nanoTime() - pubT0
+    val prevEwma = publishEwmaNanos
+    publishEwmaNanos = if (prevEwma == 0L) pubD else (prevEwma * 7 + pubD) / 8
     if (won) { headHint.put(root, version); lostStreak.set(0) }
     else {
       casLost.incrementAndGet()
@@ -1225,11 +1277,16 @@ object SnapshotLake extends LakeCheckpoints {
       // consecutive losses: racing writers interleave instead of
       // thrashing the same next slot (CommitContention r17: 16
       // unthrottled writers collapsed to 110 commits/s; with backoff +
-      // head probing the same race sustains thousands). Lock-freedom is
-      // untouched — the sleep only ever delays a KNOWN loser's retry.
+      // head probing the same race sustains thousands). The unit scales
+      // with the OBSERVED publish latency so the spread tracks the
+      // medium's serialize window; the 2 s cap bounds the worst case.
+      // Lock-freedom is untouched — the sleep only ever delays a KNOWN
+      // loser's retry.
       val n = lostStreak.get + 1
       lostStreak.set(n)
-      val cap = math.min(32L, 1L << math.min(n, 5))
+      val unitMs = math.max(1L, publishEwmaNanos / 1000000L)
+      val cap = math.min(2000L,
+        math.min(32L, 1L << math.min(n, 5)) * unitMs)
       val pause =
         java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1)
       if (pause > 0)
@@ -2285,7 +2342,12 @@ object SnapshotLake extends LakeCheckpoints {
     val numCols = pathNumericCols(st.files)
     val ranges = st.files.map(f =>
       f -> (stats.getOrElse(f, Map.empty) ++ pathRangesOf(f, numCols))).toMap
-    val candidates = st.files.filter(f => FileStats.mayMatch(ranges(f), preds))
+    // a known-ZERO-row file can contribute nothing: prunable regardless
+    // of its (necessarily absent) ranges. New commits never contain one
+    // (zero-row files are dropped at write, see [[indexAndCount]]); this
+    // guard covers lakes written before that invariant.
+    val candidates = st.files.filter(f =>
+      !rowsBy.get(f).contains(0L) && FileStats.mayMatch(ranges(f), preds))
     val (whole, partial) = candidates.partition(f =>
       wholeMatch(ranges(f), preds) && rowsBy.contains(f))
     val scanned =

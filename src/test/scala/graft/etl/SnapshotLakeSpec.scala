@@ -1145,6 +1145,42 @@ class SnapshotLakeSpec extends AnyFunSuite {
       s"mixed listing compares as string and still finds the row: $miss")
   }
 
+  test("zero-row data files never enter a commit: an all-matching rewrite " +
+      "and an empty append both land as file-free commits") {
+    val root = newRoot()
+    // NO stats index: wholeMatch can't prove the drop, so deleteMatching
+    // must REWRITE — and the rewrite's survivor set is empty, which is
+    // exactly the shape that leaves Spark's writer emitting a zero-row
+    // parquet file (the 100× q237/q243 post-delete head carried one and
+    // fastCountWhere had to class the statless file as scanned)
+    SnapshotLake.append((1L to 10L).toDF("x").coalesce(1), root)
+    val res = SnapshotLake.deleteMatching(spark, root,
+      Seq(FileStats.Range("x", Some("1"), Some("10"))))
+    assert(res.rewritten == 1 && res.dropped == 0,
+      s"the statless file must classify as a rewrite: $res")
+    assert(SnapshotLake.files(root, 2L).isEmpty,
+      "an empty survivor set commits ZERO files, not one empty parquet")
+    // the emptied table stays READABLE: zero rows under the schema
+    // inherited from the nearest ancestor version that listed files
+    val emptied = SnapshotLake.read(spark, root)
+    assert(emptied.columns.toSeq == Seq("x") && emptied.count() == 0L)
+    // an append of an empty relation: same invariant from the other side
+    val v3 = SnapshotLake.append(
+      (1L to 3L).toDF("x").filter(col("x") > 100L), root)
+    assert(SnapshotLake.files(root, v3).isEmpty,
+      "an empty append commits zero files")
+    // and no committed-or-orphan zero-row parquet survives on disk either
+    val dataDir = java.nio.file.Paths.get(root, "data")
+    val s = java.nio.file.Files.walk(dataDir)
+    val empties =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .filter(p => spark.read.parquet(p.toString).isEmpty).toVector
+      } finally s.close()
+    assert(empties.isEmpty, s"zero-row parquet left on disk: $empties")
+  }
+
   test("delete-and-recreate at the same root is never served stale state, " +
       "even with a same-size same-mtime version file") {
     val root = newRoot()
