@@ -314,6 +314,86 @@ object CommitContention {
       }
     }
 
+    // phase 5: phase 4's race through GROUP COMMIT
+    // ([[SnapshotLake.appendGrouped]] / [[graft.etl.GroupCommit]]) —
+    // the protocol-level lever phase 4's floor calls for. The head
+    // serializes LINKS at ~1/(k·RTT); coalescing many logical appends
+    // per link is the only way logical commits/s escapes that floor
+    // inside one committer process. Reported: logical commits/s (the
+    // number that was floored), links published, mean logical
+    // commits/link, attempts per LINK (CAS losses now bill to links,
+    // not logical commits).
+    println(f"CONTENTION phase 5: 16 threads x $perThread4 commits, " +
+      "group commit at the same injected RTTs")
+    for (rttMs <- Seq(0L, 10L, 50L)) {
+      val root = work.resolve(s"lake-group-rtt$rttMs").toString
+      val rttNanos = rttMs * 1000000L
+      SnapshotLake.manifestRttNanos = rttNanos
+      Files.createDirectories(Paths.get(root))
+      SnapshotLake.setPublisher(root, new SnapshotLake.CommitPublisher {
+        def tryPublish(target: java.nio.file.Path,
+                       tmp: java.nio.file.Path): Boolean = {
+          if (rttNanos > 0L)
+            java.util.concurrent.locks.LockSupport.parkNanos(rttNanos)
+          SnapshotLake.PosixLinkPublisher.tryPublish(target, tmp)
+        }
+      })
+      try {
+        val staged: IndexedSeq[IndexedSeq[Seq[String]]] =
+          (0 until 16).map { t =>
+            (0 until perThread4).map { j =>
+              val dir = f"data/g$t%02d-c$j%04d"
+              Files.createDirectories(Paths.get(root, dir))
+              (0 until filesPerCommit).map { i =>
+                val f = f"$dir/part-$i%03d.parquet"
+                Files.createFile(Paths.get(root, f))
+                f
+              }
+            }
+          }
+        val lost0 = SnapshotLake.casLost.get
+        val links0 = graft.etl.GroupCommit.links.get
+        val logical0 = graft.etl.GroupCommit.logical.get
+        val start = new CountDownLatch(1)
+        val done = new CountDownLatch(16)
+        val pool = Executors.newFixedThreadPool(16)
+        (0 until 16).foreach { t =>
+          pool.execute { () =>
+            start.await()
+            staged(t).foreach(rel => SnapshotLake.commitSyntheticGrouped(
+              root, rel, filesPerCommit.toLong))
+            done.countDown()
+          }
+        }
+        val t0g = System.nanoTime()
+        start.countDown()
+        require(done.await(1800, TimeUnit.SECONDS), "group race stalled")
+        val wall = (System.nanoTime() - t0g) / 1e9
+        pool.shutdown()
+        val commits = 16L * perThread4
+        val lost = SnapshotLake.casLost.get - lost0
+        val links = graft.etl.GroupCommit.links.get - links0
+        val logical = graft.etl.GroupCommit.logical.get - logical0
+        require(logical == commits, s"logical=$logical, expected $commits")
+        // reconcile exactly like phase 1/4: head version count now
+        // equals LINKS, but every staged file must appear exactly once
+        val head = SnapshotLake.currentVersion(root).get
+        require(head == links, s"head=$head, links=$links")
+        val resolved = SnapshotLake.files(root, head)
+        val expected = staged.flatten.flatten
+        require(resolved.size == expected.size &&
+          resolved.toSet == expected.toSet,
+          s"resolved ${resolved.size} files, expected ${expected.size}")
+        println(f"CONTENTION rtt=$rttMs%3d ms  group    $commits%5d commits  " +
+          f"$wall%7.2f s  ${commits / wall}%7.1f commits/s  " +
+          f"$links%4d links  ${commits.toDouble / links}%6.1f commits/link  " +
+          f"${1.0 + lost.toDouble / links}%5.2f attempts/link")
+      } finally {
+        SnapshotLake.manifestRttNanos = 0L
+        SnapshotLake.clearPublisher(root)
+      }
+    }
+
     org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
     spark.stop()
   }

@@ -1237,7 +1237,7 @@ object SnapshotLake extends LakeCheckpoints {
     committed
   }
 
-  private def tryCommit(root: String, version: Long, op: String, base: Long,
+  private[etl] def tryCommit(root: String, version: Long, op: String, base: Long,
                         tag: Option[String] = None,
                         addedRows: Long = -1L,
                         add: Seq[String] = Nil, remove: Seq[String] = Nil,
@@ -1325,6 +1325,31 @@ object SnapshotLake extends LakeCheckpoints {
     }
     committed
   }
+
+  /** [[append]] through the in-JVM group-commit coalescer
+    * ([[GroupCommit]]): the data write is this caller's own distributed
+    * job exactly as in [[append]] — only the (tiny) manifest link
+    * coalesces with concurrent `appendGrouped` callers on the same
+    * root, so k concurrent appends can land under ONE version whose
+    * record unions their files. Returns that shared version. Use from a
+    * committer process whose threads append the same table
+    * concurrently (parallel `foreachBatch` sinks, fan-in ETL legs) —
+    * at object-store latency the manifest head serializes links at
+    * ~1/(k·RTT), and coalescing is the only protocol-level lever
+    * (CommitContention phase 5). Untagged plain appends only: tagged /
+    * DML / schema-declaring commits need their per-record semantics
+    * and keep the solo CAS paths. */
+  def appendGrouped(df: DataFrame, root: String,
+                    index: IndexSpec = IndexSpec.none): Long = {
+    val w = writeData(df, root, index)
+    GroupCommit.commit(root, w.files, w.rows)
+  }
+
+  /** MEASUREMENT hook ([[graft.CommitContention]] phase 5):
+    * [[commitSynthetic]] through the group-commit path. */
+  private[graft] def commitSyntheticGrouped(root: String, rel: Seq[String],
+                                            rows: Long): Long =
+    GroupCommit.commit(root, rel, rows)
 
   /** Replace the whole table with `df` as a new snapshot version: new
     * data files, with EVERY previous live file (and live deletion
