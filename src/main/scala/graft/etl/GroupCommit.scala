@@ -27,14 +27,18 @@ import java.util.concurrent.locks.ReentrantLock
   * through the normal CAS loop ([[SnapshotLake.tryCommit]]: same
   * backoff, same checkpoint cadence, same CDC hook). Followers park on
   * their future; the leader completes every member with the SAME
-  * committed version. Nothing about the on-disk format changes: a
-  * group commit IS a plain append record whose `add` list happens to
-  * union k writers' files — readers, time travel, vacuum, and the
-  * oracle are all unaffected, which is why the batch is restricted to
-  * plain appends (adds are commuting inserts; the combined
-  * `addedRows` is their sum). Tagged / DML / schema-declaring commits
-  * keep their solo paths: an idempotence tag is per-record, and a
-  * rewrite's serializable fence must observe ITS OWN read set.
+  * committed version. A group commit IS a plain append record whose
+  * `add` list happens to union k writers' files — readers, time
+  * travel, vacuum, and the oracle are all unaffected; the batch is
+  * restricted to appends because adds are commuting inserts (the
+  * combined `addedRows` is their sum). TAGGED appends coalesce too
+  * ([[SnapshotLake.appendOnceGrouped]]): the combined record carries
+  * every member's idempotence tag (`tagList` — Delta's
+  * multi-`txn`-action commit), already-committed tags ride the
+  * existing version, and a same-tag duplicate inside one batch
+  * commits exactly one member's files. DML / schema-declaring commits
+  * keep their solo paths: a rewrite's serializable fence must observe
+  * ITS OWN read set.
   *
   * Scope: coalescing is per-JVM by design — cross-process writers
   * still race the CAS link, which phase 3 proved collapse-free. A
@@ -57,7 +61,8 @@ private[graft] object GroupCommit {
     * spot, and far past the coalescing any real contention produces. */
   private val MaxBatch = 256
 
-  private final class Pending(val add: Seq[String], val rows: Long) {
+  private final class Pending(val add: Seq[String], val rows: Long,
+                              val tag: Option[String]) {
     val done = new CompletableFuture[java.lang.Long]()
   }
 
@@ -70,8 +75,8 @@ private[graft] object GroupCommit {
     private val queue = new ConcurrentLinkedQueue[Pending]
     private val leader = new ReentrantLock
 
-    def commit(add: Seq[String], rows: Long): Long = {
-      val p = new Pending(add, rows)
+    def commit(add: Seq[String], rows: Long, tag: Option[String]): Long = {
+      val p = new Pending(add, rows, tag)
       queue.add(p)
       while (!p.done.isDone) {
         if (leader.tryLock()) {
@@ -107,19 +112,41 @@ private[graft] object GroupCommit {
       }
       if (batch.isEmpty) return
       try {
-        val add = batch.flatMap(_.add)
-        val rows = batch.iterator.map(_.rows).sum
-        var committed = -1L
-        while (committed < 0) {
-          val cur = SnapshotLake.currentVersion(root)
-          val v = cur.getOrElse(0L) + 1
-          if (SnapshotLake.tryCommit(root, v, "append", cur.getOrElse(0L),
-              addedRows = rows, add = add))
-            committed = v
+        var remaining = batch
+        while (remaining.nonEmpty) {
+          // RIDERS first — tagged members whose tag is already in the
+          // lake (a racing external writer won, or an earlier drain of
+          // this loop committed it): complete at the existing version,
+          // their fresh data files stay orphans for vacuum — verbatim
+          // appendOnce's lost-race contract. Probed every attempt because a
+          // lost CAS below means SOMEONE committed, possibly one of
+          // our own tags from another process.
+          val known: Map[String, Long] = remaining.flatMap(_.tag).distinct
+            .flatMap(t => SnapshotLake.findTag(root, t).map(t -> _)).toMap
+          val (riders, rest) = remaining.partition(_.tag.exists(known.contains))
+          riders.foreach(p => { p.done.complete(known(p.tag.get)); () })
+          remaining = rest
+          if (remaining.nonEmpty) {
+            // in-batch same-tag duplicates: the first occurrence
+            // commits its files, later ones piggyback on the version
+            // (same tag ⇒ same logical data, the replay contract) —
+            // their files must NOT also land or the batch double-appends
+            val seen = scala.collection.mutable.Set.empty[String]
+            val (committers, piggy) =
+              remaining.partition(_.tag.forall(seen.add))
+            val cur = SnapshotLake.currentVersion(root)
+            val v = cur.getOrElse(0L) + 1
+            if (SnapshotLake.tryCommit(root, v, "append", cur.getOrElse(0L),
+                addedRows = committers.iterator.map(_.rows).sum,
+                add = committers.flatMap(_.add),
+                tags = committers.flatMap(_.tag))) {
+              links.incrementAndGet()
+              (committers ++ piggy).foreach(p => { p.done.complete(v); () })
+              remaining = Vector.empty
+            } // lost CAS: loop — tryCommit already backed off
+          }
         }
-        links.incrementAndGet()
         logical.addAndGet(batch.size.toLong)
-        batch.foreach(_.done.complete(committed))
       } catch { case e: Throwable =>
         batch.foreach(_.done.completeExceptionally(e))
         throw e
@@ -130,7 +157,10 @@ private[graft] object GroupCommit {
   private val committers = new ConcurrentHashMap[String, Committer]
 
   /** Commit pre-written data files through the group path. Returns the
-    * committed version (shared with every coalesced co-member). */
-  private[etl] def commit(root: String, add: Seq[String], rows: Long): Long =
-    committers.computeIfAbsent(root, new Committer(_)).commit(add, rows)
+    * committed version (shared with every coalesced co-member). A
+    * `tag` makes the member exactly-once ([[SnapshotLake.appendOnceGrouped]]):
+    * an already-committed tag rides the existing version instead. */
+  private[etl] def commit(root: String, add: Seq[String], rows: Long,
+                          tag: Option[String] = None): Long =
+    committers.computeIfAbsent(root, new Committer(_)).commit(add, rows, tag)
 }

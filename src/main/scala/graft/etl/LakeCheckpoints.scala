@@ -114,7 +114,15 @@ trait LakeCheckpoints {
       add: Seq[String], remove: Seq[String],
       addDel: Seq[String], removeDel: Seq[String],
       legacyFull: Option[LakeState],
-      schemaB64: Option[String] = None)
+      schemaB64: Option[String] = None,
+      tagList: Seq[String] = Nil) {
+    /** ALL idempotence tags this commit carries: the single legacy
+      * `tag` field, or the `tagList` a multi-tag GROUP commit writes
+      * (k coalesced exactly-once appends under one link — Delta's
+      * multi-`txn`-action commit shape). `tag` stays populated with
+      * the first entry for display surfaces (history, tagOf). */
+    def tags: Seq[String] = if (tagList.nonEmpty) tagList else tag.toSeq
+  }
 
   // minimal parsers of our own writer's format (uuid-based paths and
   // quote-free tags — nothing needing escape can reach these fields)
@@ -154,11 +162,13 @@ trait LakeCheckpoints {
         Some(LakeState(arrField(json, "files").toVector,
           arrField(json, "deletes").toVector))
       else None
+    val tagList = arrField(json, "tagList")
     Record(v, strField(json, "op").getOrElse("?"), longField(json, "base"),
-      strField(json, "tag"), longField(json, "addedRows"),
+      strField(json, "tag").orElse(tagList.headOption),
+      longField(json, "addedRows"),
       arrField(json, "add"), arrField(json, "remove"),
       arrField(json, "addDel"), arrField(json, "removeDel"), legacy,
-      strField(json, "schemaB64"))
+      strField(json, "schemaB64"), tagList)
   }
 
   private[etl] def tagsField(json: String): Map[String, Long] = {
@@ -476,7 +486,7 @@ trait LakeCheckpoints {
         val (addDel, rmDel) = compose(_.addDel, _.removeDel)
         if (dupAdd) None
         else Some(WindowDelta(add, rm, addDel, rmDel,
-          win.flatMap(r => r.tag.map(_ -> r.version)),
+          win.flatMap(r => r.tags.map(_ -> r.version)),
           win.flatMap(_.schemaB64).lastOption))
       }
     } catch { case _: java.io.IOException => None }

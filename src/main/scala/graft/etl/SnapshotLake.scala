@@ -384,7 +384,7 @@ object SnapshotLake extends LakeCheckpoints {
     }
     val (s0, t0) = base.get
     val st = pending.foldLeft(s0)(applyRec)
-    val tags = t0 ++ pending.flatMap(r => r.tag.map(_ -> r.version))
+    val tags = t0 ++ pending.flatMap(r => r.tags.map(_ -> r.version))
     (st, tags)
   }
 
@@ -397,7 +397,7 @@ object SnapshotLake extends LakeCheckpoints {
     var tags = Map.empty[String, Long]
     var lv = boundary - 1
     while (lv >= 1L && Files.exists(versionFile(root, lv))) {
-      readRecord(root, lv).tag.foreach { t =>
+      readRecord(root, lv).tags.foreach { t =>
         if (!tags.contains(t)) tags += t -> lv // newest-first walk: keep first
       }
       lv -= 1
@@ -1172,7 +1172,7 @@ object SnapshotLake extends LakeCheckpoints {
     * manifests per micro-batch (O(batches²) over a CDC stream's life).
     * Tags pruned by a vacuum cutoff read as absent — the documented
     * retention-vs-replay-horizon contract. */
-  private def findTag(root: String, tag: String): Option[Long] = {
+  private[etl] def findTag(root: String, tag: String): Option[Long] = {
     val head = currentVersion(root).getOrElse(return None)
     var v = head
     while (v >= 1L) {
@@ -1194,7 +1194,7 @@ object SnapshotLake extends LakeCheckpoints {
       if (!Files.exists(versionFile(root, v)))
         return None // out of retention with no checkpoint: tag forgotten
       val r = readRecord(root, v)
-      if (r.tag.contains(tag)) return Some(v)
+      if (r.tags.contains(tag)) return Some(v)
       // legacy full-state records resolve state but carry no tag index —
       // keep walking record-by-record, the pre-log-structure cost
       v -= 1
@@ -1243,10 +1243,18 @@ object SnapshotLake extends LakeCheckpoints {
                         add: Seq[String] = Nil, remove: Seq[String] = Nil,
                         addDel: Seq[String] = Nil,
                         removeDel: Seq[String] = Nil,
-                        schemaB64: Option[String] = None): Boolean = {
+                        schemaB64: Option[String] = None,
+                        tags: Seq[String] = Nil): Boolean = {
     Files.createDirectories(manifestDir(root))
     def arr(xs: Seq[String]) = xs.map(f => s""""$f"""").mkString("[", ",", "]")
-    val tagField = tag.map(t => s""""tag":"$t",""").getOrElse("")
+    // one tag keeps the legacy field (byte-identical with every solo
+    // committer); a multi-tag GROUP commit writes `tagList` — k
+    // exactly-once appends under one link, Delta's multi-txn shape
+    val allTags = tag.toSeq ++ tags
+    val tagField =
+      if (allTags.size == 1) s""""tag":"${allTags.head}","""
+      else if (allTags.nonEmpty) s""""tagList":${arr(allTags)},"""
+      else ""
     val rowsField = if (addedRows >= 0) s""""addedRows":$addedRows,""" else ""
     val schemaField = schemaB64.map(b => s""""schemaB64":"$b",""").getOrElse("")
     val json =
@@ -1345,11 +1353,35 @@ object SnapshotLake extends LakeCheckpoints {
     GroupCommit.commit(root, w.files, w.rows)
   }
 
+  /** [[appendOnce]] through the group-commit coalescer: exactly-once
+    * per `tag` AND coalesced — k concurrent tagged appends (the
+    * canonical case: many streaming `foreachBatch` sinks sharing one
+    * table) land under ONE manifest link whose record carries every
+    * tag (`tagList` — Delta's multi-`txn`-action commit shape). Replay
+    * semantics are [[appendOnce]]'s verbatim: an existing tag rides
+    * (the replayed caller gets the committed version, its fresh data
+    * files stay unreferenced orphans for [[vacuum]]), a same-tag
+    * duplicate INSIDE one coalesced batch commits exactly one member's
+    * files, and the tag probe answers through the same checkpoint tag
+    * index ([[findTag]] — `tagList` tags are indexed identically).
+    * Same retention contract as appendOnce: vacuum must retain the
+    * writer's replay horizon. */
+  def appendOnceGrouped(df: DataFrame, root: String, tag: String,
+                        index: IndexSpec = IndexSpec.none): Long = {
+    require(tag.nonEmpty && !tag.exists(c => c == '"' || c == '\\'),
+      s"tag must be quote-free: $tag")
+    findTag(root, tag).getOrElse {
+      val w = writeData(df, root, index)
+      GroupCommit.commit(root, w.files, w.rows, Some(tag))
+    }
+  }
+
   /** MEASUREMENT hook ([[graft.CommitContention]] phase 5):
     * [[commitSynthetic]] through the group-commit path. */
   private[graft] def commitSyntheticGrouped(root: String, rel: Seq[String],
-                                            rows: Long): Long =
-    GroupCommit.commit(root, rel, rows)
+                                            rows: Long,
+                                            tag: Option[String] = None): Long =
+    GroupCommit.commit(root, rel, rows, tag)
 
   /** Replace the whole table with `df` as a new snapshot version: new
     * data files, with EVERY previous live file (and live deletion

@@ -165,6 +165,127 @@ class GroupCommitSpec extends AnyFunSuite {
     } finally SnapshotLake.clearPublisher(root)
   }
 
+  test("tagged grouped commits coalesce into one multi-tag link; every tag probes to its version; replay rides") {
+    val root = newRoot()
+    Files.createDirectories(java.nio.file.Paths.get(root))
+    SnapshotLake.setPublisher(root, slowPublisher(50))
+    try {
+      val n = 8
+      val rels = (0 until n).map(t => Seq(f"data/t$t%02d/part-000.parquet"))
+      rels.foreach { r =>
+        val p = java.nio.file.Paths.get(root, r.head)
+        Files.createDirectories(p.getParent); Files.createFile(p)
+      }
+      val start = new CountDownLatch(1)
+      val done = new CountDownLatch(n)
+      val versions = new Array[Long](n)
+      val pool = Executors.newFixedThreadPool(n)
+      (0 until n).foreach { t =>
+        pool.execute { () =>
+          start.await()
+          versions(t) = SnapshotLake.commitSyntheticGrouped(
+            root, rels(t), 1L, Some(s"epoch-$t"))
+          done.countDown()
+        }
+      }
+      start.countDown()
+      assert(done.await(60, TimeUnit.SECONDS), "tagged race stalled")
+      pool.shutdown()
+      val head = SnapshotLake.currentVersion(root).get
+      assert(head < n, s"expected coalescing, got $head links for $n tags")
+      (0 until n).foreach { t =>
+        assert(SnapshotLake.tagVersion(root, s"epoch-$t")
+          .contains(versions(t)),
+          s"tag epoch-$t must probe to its committed version")
+      }
+      // a coalesced link's record carries every member's tag
+      val multi = (1L to head).map(v => SnapshotLake.readRecord(root, v))
+        .filter(_.tags.size > 1)
+      assert(multi.nonEmpty, "at least one link must be multi-tag")
+      // replay: same tag returns the SAME version, no new link
+      val replayed = SnapshotLake.commitSyntheticGrouped(
+        root, Seq("data/replay/part-000.parquet"), 1L, Some("epoch-3"))
+      assert(replayed == versions(3) &&
+        SnapshotLake.currentVersion(root).contains(head),
+        "a replayed tag rides; the head must not advance")
+    } finally SnapshotLake.clearPublisher(root)
+  }
+
+  test("same-tag duplicates inside one batch commit exactly one member's files") {
+    val root = newRoot()
+    Files.createDirectories(java.nio.file.Paths.get(root))
+    SnapshotLake.setPublisher(root, slowPublisher(50))
+    try {
+      val n = 4
+      val rels = (0 until n).map(t => Seq(f"data/d$t%02d/part-000.parquet"))
+      rels.foreach { r =>
+        val p = java.nio.file.Paths.get(root, r.head)
+        Files.createDirectories(p.getParent); Files.createFile(p)
+      }
+      val start = new CountDownLatch(1)
+      val done = new CountDownLatch(n)
+      val versions = new Array[Long](n)
+      val pool = Executors.newFixedThreadPool(n)
+      (0 until n).foreach { t =>
+        pool.execute { () =>
+          start.await()
+          versions(t) = SnapshotLake.commitSyntheticGrouped(
+            root, rels(t), 1L, Some("same-batch"))
+          done.countDown()
+        }
+      }
+      start.countDown()
+      assert(done.await(60, TimeUnit.SECONDS), "duplicate race stalled")
+      pool.shutdown()
+      assert(versions.toSet.size == 1,
+        s"every replay of one tag gets ONE version: ${versions.toSet}")
+      val head = SnapshotLake.currentVersion(root).get
+      val files = SnapshotLake.files(root, head)
+      assert(files.size == 1 && rels.map(_.head).contains(files.head),
+        s"exactly one member's files commit, the rest are orphans: $files")
+    } finally SnapshotLake.clearPublisher(root)
+  }
+
+  test("tagList tags survive into the checkpoint tag index") {
+    val root = newRoot()
+    Files.createDirectories(java.nio.file.Paths.get(root))
+    // force one multi-tag link, then advance past CkptEvery so the
+    // probe answers from the checkpoint index, not the record walk
+    SnapshotLake.setPublisher(root, slowPublisher(50))
+    try {
+      val start = new CountDownLatch(1)
+      val done = new CountDownLatch(4)
+      val pool = Executors.newFixedThreadPool(4)
+      (0 until 4).foreach { t =>
+        val rel = Seq(f"data/ck$t%02d/part-000.parquet")
+        val p = java.nio.file.Paths.get(root, rel.head)
+        Files.createDirectories(p.getParent); Files.createFile(p)
+        pool.execute { () =>
+          start.await()
+          SnapshotLake.commitSyntheticGrouped(root, rel, 1L, Some(s"ck-$t"))
+          done.countDown()
+        }
+      }
+      start.countDown()
+      assert(done.await(60, TimeUnit.SECONDS), "ckpt fixture stalled")
+      pool.shutdown()
+    } finally SnapshotLake.clearPublisher(root)
+    val multiAt = (1L to SnapshotLake.currentVersion(root).get)
+      .find(v => SnapshotLake.readRecord(root, v).tags.size >= 2)
+    assume(multiAt.isDefined, "coalescing must have produced a multi-tag link")
+    (1 to 12).foreach { i =>
+      SnapshotLake.commitSynthetic(root, Seq(f"data/fill$i%02d.parquet"), 0L)
+    }
+    val head = SnapshotLake.currentVersion(root).get
+    assert(Files.exists(SnapshotLake.ckptFile(root, head - head % 10)),
+      "a checkpoint must cover the multi-tag link")
+    val multiTags = SnapshotLake.readRecord(root, multiAt.get).tags
+    multiTags.foreach { t =>
+      assert(SnapshotLake.tagVersion(root, t).contains(multiAt.get),
+        s"checkpoint tag index must carry tagList tag $t")
+    }
+  }
+
   test("grouped and solo appends race one lake: union exact, no loss") {
     val root = newRoot()
     val n = 4
