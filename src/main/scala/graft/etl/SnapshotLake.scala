@@ -1512,6 +1512,23 @@ object SnapshotLake extends LakeCheckpoints {
     }
   }
 
+  /** [[commitStreamedFiles]] through the group-commit coalescer: the
+    * sidecar harvest stays this caller's own distributed pass, and only
+    * the tagged manifest link coalesces — N streaming queries epoch-
+    * committing the same table land under shared multi-tag links
+    * ([[GroupCommit]]) instead of racing the head once per epoch.
+    * Replay / empty-epoch semantics identical to commitStreamedFiles. */
+  def commitStreamedFilesGrouped(spark: SparkSession, root: String,
+                                 rel: Seq[String], tag: String,
+                                 index: IndexSpec = IndexSpec.none): Long = {
+    require(tag.nonEmpty && !tag.exists(c => c == '"' || c == '\\'),
+      s"tag must be quote-free: $tag")
+    findTag(root, tag).getOrElse {
+      val w = indexAndCount(spark, root, rel, index, columnMapping(root))
+      GroupCommit.commit(root, w.files, w.rows, Some(tag))
+    }
+  }
+
   /** Compact the current snapshot: rewrite its files as one coalesced set
     * and commit a manifest carrying (rewritten files ∪ anything appended
     * since the compaction's base version). Readers of older versions are

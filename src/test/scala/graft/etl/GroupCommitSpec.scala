@@ -4,6 +4,8 @@ import java.nio.file.Files
 import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 import java.util.concurrent.atomic.AtomicInteger
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -284,6 +286,55 @@ class GroupCommitSpec extends AnyFunSuite {
       assert(SnapshotLake.tagVersion(root, t).contains(multiAt.get),
         s"checkpoint tag index must carry tagList tag $t")
     }
+  }
+
+  test("concurrent streaming epoch commits coalesce: commitStreamedFilesGrouped is exactly-once per tag") {
+    val root = newRoot()
+    // pre-write each "query"'s epoch files through its own path, the
+    // connector-sink shape (executors write, driver commits)
+    val n = 4
+    val rels = (0 until n).map { t =>
+      val sub = f"data/epoch-q$t"
+      Seq(t * 10L, t * 10L + 1).toDF("x").repartition(1)
+        .write.parquet(java.nio.file.Paths.get(root, sub).toString)
+      val s = Files.list(java.nio.file.Paths.get(root, sub))
+      try s.iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+        .map(f => s"$sub/$f").toVector
+      finally s.close()
+    }
+    SnapshotLake.setPublisher(root, slowPublisher(50))
+    try {
+      val start = new CountDownLatch(1)
+      val done = new CountDownLatch(n)
+      val versions = new Array[Long](n)
+      val pool = Executors.newFixedThreadPool(n)
+      (0 until n).foreach { t =>
+        pool.execute { () =>
+          start.await()
+          versions(t) = SnapshotLake.commitStreamedFilesGrouped(
+            spark, root, rels(t), s"q$t-b0")
+          done.countDown()
+        }
+      }
+      start.countDown()
+      assert(done.await(120, TimeUnit.SECONDS), "epoch race stalled")
+      pool.shutdown()
+      val head = SnapshotLake.currentVersion(root).get
+      assert(head < n, s"expected epoch coalescing, got $head links")
+      // exactly-once per tag, all rows present, replay rides
+      (0 until n).foreach { t =>
+        assert(SnapshotLake.tagVersion(root, s"q$t-b0").contains(versions(t)))
+      }
+      assert(SnapshotLake.read(spark, root).select("x").collect()
+        .map(_.getLong(0)).toSet ==
+        (0 until n).flatMap(t => Seq(t * 10L, t * 10L + 1)).toSet)
+      val replay = SnapshotLake.commitStreamedFilesGrouped(
+        spark, root, rels(2), "q2-b0")
+      assert(replay == versions(2) &&
+        SnapshotLake.currentVersion(root).contains(head),
+        "a replayed epoch must ride, not re-append")
+    } finally SnapshotLake.clearPublisher(root)
   }
 
   test("grouped and solo appends race one lake: union exact, no loss") {
