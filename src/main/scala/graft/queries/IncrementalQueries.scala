@@ -185,6 +185,31 @@ object IncrementalQueries {
           coalesce(col("n_v2"), lit(0L)).as("n_v2"), col("val_v2"),
           col("n_latest"), col("val_latest"))
         .orderBy("event_type")
+    },
+
+    // ── GROUP-COMMITTED lake (graft.etl.GroupCommit — round-19): the
+    //    events table lands through EIGHT CONCURRENT tagged
+    //    `appendOnceGrouped` writers (event_id mod 8, tags gc-0..gc-7),
+    //    racing one manifest head through the in-JVM coalescer, then two
+    //    of the epochs are REPLAYED (the streaming crash-recovery path) —
+    //    the fixture requires each replay to ride its original committed
+    //    version without advancing the head. The oracle recomputes the
+    //    aggregate from the raw table: a lost writer, a double-applied
+    //    replay, or a torn multi-tag record all hash-mismatch. Coalescing
+    //    mechanics (links < writers, tagList indexing, leader failure)
+    //    are GroupCommitSpec's territory; this is the data contract
+    //    under real concurrency, oracle-checked.
+    Q("q258_group_commit_exactly_once",
+      """SELECT event_type, count(*) AS n_rows,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS val_cents,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      graft.etl.SnapshotLake.read(s, groupCommittedLake(s, d))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * 100).cast("long")).as("val_cents"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
     }
   )
 
@@ -226,6 +251,50 @@ object IncrementalQueries {
       graft.etl.SnapshotLake.compact(s, root)
       graft.etl.SnapshotLake.append(
         ev.filter(pmod(col("event_id"), lit(3)) === 2), root)
+      root
+    }
+
+  /** One group-committed lake per (session, sf dir): the events table
+    * appended by 8 CONCURRENT tagged `appendOnceGrouped` writers
+    * (event_id mod 8), then epochs 2 and 5 replayed — each replay must
+    * return its original version and leave the head unmoved (the
+    * exactly-once contract a crash-recovered streaming writer relies
+    * on). Memoized; the coalescing commit protocol is the operator
+    * under test. */
+  private val groupLake = new graft.etl.Memo[(SparkSession, String), String]
+
+  private def groupCommittedLake(s: SparkSession, d: String): String =
+    groupLake((s, d)) {
+      import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+      val root = graft.etl.Scratch.tempDir("graft-group-lake").toString + "/lake"
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      def slice(i: Int) = ev.filter(pmod(col("event_id"), lit(8)) === i)
+      val versions = new Array[Long](8)
+      val start = new CountDownLatch(1)
+      val done = new CountDownLatch(8)
+      val pool = Executors.newFixedThreadPool(8)
+      (0 until 8).foreach { i =>
+        pool.execute { () =>
+          start.await()
+          versions(i) =
+            graft.etl.SnapshotLake.appendOnceGrouped(slice(i), root, s"gc-$i")
+          done.countDown()
+        }
+      }
+      start.countDown()
+      require(done.await(600, TimeUnit.SECONDS),
+        "group-commit fixture stalled")
+      pool.shutdown()
+      val head = graft.etl.SnapshotLake.currentVersion(root).get
+      for (i <- Seq(2, 5)) {
+        val replayed =
+          graft.etl.SnapshotLake.appendOnceGrouped(slice(i), root, s"gc-$i")
+        require(replayed == versions(i),
+          s"replayed tag gc-$i must ride its version: $replayed vs ${versions(i)}")
+      }
+      require(graft.etl.SnapshotLake.currentVersion(root).contains(head),
+        "replays must not advance the head")
       root
     }
 
