@@ -64,7 +64,8 @@ object Bench {
       "q119_compacted_lake_roundtrip", // appends 3 batches + compacts the lake
       "q160_jdbc_roundtrip",       // stages events into the embedded Derby db
       "q164_bpe_train_loop",       // runs the memoized BPE training pass q169 shares
-      "q193_semantic_leakage"      // builds the embedding LSH pair checkpoint q54 shares
+      "q193_semantic_leakage",     // builds the embedding LSH pair checkpoint q54 shares
+      "q258_group_commit_exactly_once" // 8-writer group-committed lake build + replays
     )
     // 3 timed runs by default (median-of-3 is the committed protocol,
     // VERDICT r9/r10): with 2 runs a single JIT-queue hiccup makes the
