@@ -265,7 +265,13 @@ final class GraftLakeStreamingWrite(root: String, rootAbs: String,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq.collect { case m: GraftLakeFilesMsg => m.files }.flatten
-    SnapshotLake.commitStreamedFiles(
+    // Epoch commits ride the GROUP coalescer: with one query per table
+    // this is byte-identical to the solo tagged CAS (a batch of one
+    // writes the legacy `tag` field), and with N queries sharing a
+    // table their epochs coalesce into multi-tag links instead of
+    // racing the head once per epoch per trigger — the object-store
+    // RTT case CommitContention phase 5 prices.
+    SnapshotLake.commitStreamedFilesGrouped(
       org.apache.spark.sql.SparkSession.active, root, files,
       s"stream-$queryId-e$epochId", index)
     ()
