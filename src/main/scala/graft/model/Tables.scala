@@ -27,13 +27,26 @@ object Tables {
   /** Schema-validated scan: the read uses parquet's own footer schema
     * (vectorized, pruned), then asserts it matches the pinned contract in
     * [[Schemas]] — drift fails fast with the exact columns, instead of the
-    * reference's silent per-hop re-inference (SURVEY §1.3). */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") Schemas.validate(name, Schemas.eventsRawWith(eventsTsType(df)), df.schema)
-    else Schemas.byName.get(name).foreach(Schemas.validate(name, _, df.schema))
-    df
-  }
+    * reference's silent per-hop re-inference (SURVEY §1.3).
+    *
+    * Memoized per (session, dir, name): `spark.read.parquet` runs a footer
+    * schema-inference job (~15-30 ms) on EVERY call, and a bench/verify
+    * pass re-loads each base table hundreds of times — the inference jobs
+    * alone were a measured ~10% of the sf0.1 suite total (ProfileQ r19:
+    * every query led with one ~25 ms job per table it touches; the
+    * SQL family's registerAll paid all ten). The base tables are immutable
+    * inputs, so reusing the resolved relation (schema + file index) is
+    * semantics-free; a NEW path (every test fixture uses a fresh temp dir)
+    * gets its own entry. At 100 TB the same memo is what keeps a
+    * many-query driver from re-listing the lake prefix per query. */
+  private val loaded = new graft.etl.Memo[(SparkSession, String, String), DataFrame]
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loaded((spark, dir, name)) {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events") Schemas.validate(name, Schemas.eventsRawWith(eventsTsType(df)), df.schema)
+      else Schemas.byName.get(name).foreach(Schemas.validate(name, _, df.schema))
+      df
+    }
 
   /** Observed at-rest `ts` encoding of an events scan, restricted to the
     * legal set — any other shape falls through to the NTZ contract so

@@ -100,14 +100,17 @@ object Graph {
       // graft.etl.Ckpt.release; the FINAL round's blocks back the
       // returned plan and are swept by the harness after consumption.
       val nodes = pairs.select("pk").distinct().localCheckpoint()
-      val nn = nodes.agg(count(lit(1)).as("n"))
+      // node count as a literal: the previous scalar relation re-broadcast
+      // one single-row plan per iteration (3 extra broadcast-build jobs);
+      // a count() here is the sanctioned O(1)-row scalar class and embeds
+      // the same integer in every iteration's plan.
+      val n = nodes.count()
       // deg re-references the edges subplan; its distinct's exchange is
       // reused (one self-join run), so only the degree-annotated relation
       // needs materializing — one 3-column edge checkpoint, not two.
       val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
       val edgesD = edges.join(broadcast(deg), "src").localCheckpoint()
-      var ranks = nodes.crossJoin(broadcast(nn))
-        .select(col("pk"), expr(s"$Mass div n").as("r"))
+      var ranks = nodes.select(col("pk"), lit(Mass / n).as("r"))
       var prev: Option[DataFrame] = None
       for (_ <- 1 to Iterations) {
         val inbound = edgesD
@@ -118,11 +121,14 @@ object Graph {
         // k's plan then contains exactly ONE edges⋈ranks join instead of
         // the whole k-deep lineage, and storage holds at most two rank
         // copies — the per-iteration cut every Pregel runner makes.
+        // `inbound` is node-sized by construction (grouped on the node
+        // key), so the left join broadcasts it — the checkpointed `nodes`
+        // leaf carries no stats, and unhinted the planner sort-merged
+        // this join with two exchanges and two sorts EVERY round.
         ranks = nodes
-          .join(inbound, Seq("pk"), "left")
-          .crossJoin(broadcast(nn))
+          .join(broadcast(inbound), Seq("pk"), "left")
           .select(col("pk"),
-            (expr(s"$Teleport div n") +
+            (lit(Teleport / n) +
               expr("(COALESCE(m, 0) * 17) div 20")).as("r"))
           .localCheckpoint()
         prev.foreach(graft.etl.Ckpt.release)

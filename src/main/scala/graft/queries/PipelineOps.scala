@@ -413,7 +413,12 @@ object PipelineOps {
         |FROM (VALUES ('production', 524288), ('undersized_stress', 1024)) v(label, bits), x, ne
         |ORDER BY v.label""".stripMargin) { (s, d) =>
       val sh = shingled(s, d)
+      // eval grams checkpointed once (a benchmark-sized distinct): the
+      // membership join, BOTH bloom builds, and the n_eval count read it —
+      // unmaterialized, each re-derived the full corpus shingle explode
+      // (ProfileQ r19: 4 redundant shingle passes inside one call).
       val evalG = sh.filter(col("doc_id") < 20).select("g").distinct()
+        .localCheckpoint()
       val corpusG = sh.filter(col("doc_id") >= 20).select("g").distinct()
       // per corpus gram: exact membership (ground truth) once, reused by
       // both sizings' probes
@@ -421,31 +426,45 @@ object PipelineOps {
         .join(broadcast(evalG.withColumn("inEval", lit(1))), Seq("g"), "left")
         .select(col("g"), col("inEval").isNotNull.as("hit"))
         .localCheckpoint() // two sizings probe it; keep the scan single
-      val base = probes
-        .agg(count(lit(1)).as("n"), sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
-        .head
-      val (nCorpus, nHits) = (base.getLong(0), base.getLong(1))
-      val nEval = evalG.count()
+      // ONE eval-side pass: both sizings' blooms are independent bounded
+      // aggregates over the same rows, so they and the gram count ride a
+      // single job (bloomAgg is add-commutative — the built filter is
+      // row-order independent). Previously 3 jobs, each a full evalG scan.
+      val sizings = Seq(("production", 1L << 19), ("undersized_stress", 1L << 10))
+      val eRow = evalG.agg(
+        BloomOps.bloomAgg(xxhash64(col("g")), DecontamEstItems, sizings(0)._2).as("bf0"),
+        BloomOps.bloomAgg(xxhash64(col("g")), DecontamEstItems, sizings(1)._2).as("bf1"),
+        count(lit(1)).as("n_eval")).head
+      val bfs = Seq(eRow.getAs[Array[Byte]]("bf0"), eRow.getAs[Array[Byte]]("bf1"))
+      val nEval = eRow.getLong(2)
+      // ONE probe-side pass: totals, true hits, and both sizings' false-
+      // positive counts as four aggregates of the checkpointed probe scan
+      // (previously 3 jobs: base + one filtered count per sizing).
+      val pRow = probes.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("hits"),
+        sum(when(!col("hit") &&
+          BloomOps.mightContain(lit(bfs(0)), xxhash64(col("g"))), 1L)
+          .otherwise(0L)).as("fp0"),
+        sum(when(!col("hit") &&
+          BloomOps.mightContain(lit(bfs(1)), xxhash64(col("g"))), 1L)
+          .otherwise(0L)).as("fp1")).head
+      val (nCorpus, nHits) = (pRow.getLong(0), pRow.getLong(1))
       val nNeg = nCorpus - nHits
-      val out = Seq(("production", 1L << 19), ("undersized_stress", 1L << 10))
-        .map { case (label, bits) =>
-          val bf = evalG
-            .agg(BloomOps.bloomAgg(xxhash64(col("g")), DecontamEstItems, bits).as("bf"))
-            .head.getAs[Array[Byte]]("bf")
-          val fp = probes
-            .filter(!col("hit") &&
-              BloomOps.mightContain(lit(bf), xxhash64(col("g"))))
-            .count()
-          val measured = fp.toDouble / nNeg
-          // k as Spark sizes it: max(1, round(m/n·ln2)) with n = estItems
-          val k = math.max(1L,
-            math.round(bits.toDouble / DecontamEstItems * math.log(2.0)))
-          val theo = math.pow(1.0 - math.exp(-k.toDouble * nEval / bits), k.toDouble)
-          val ok =
-            if (label == "production") measured <= 0.001
-            else math.abs(measured - theo) <= 0.05
-          (label, bits, nEval, nNeg, nHits, ok)
-        }
+      val out = sizings.zipWithIndex.map { case ((label, bits), i) =>
+        val fp = pRow.getLong(2 + i)
+        val measured = fp.toDouble / nNeg
+        // k as Spark sizes it: max(1, round(m/n·ln2)) with n = estItems
+        val k = math.max(1L,
+          math.round(bits.toDouble / DecontamEstItems * math.log(2.0)))
+        val theo = math.pow(1.0 - math.exp(-k.toDouble * nEval / bits), k.toDouble)
+        val ok =
+          if (label == "production") measured <= 0.001
+          else math.abs(measured - theo) <= 0.05
+        (label, bits, nEval, nNeg, nHits, ok)
+      }
+      graft.etl.Ckpt.release(probes)
+      graft.etl.Ckpt.release(evalG)
       import s.implicits._
       out.toDF("label", "num_bits", "n_eval_grams", "n_negatives",
           "n_true_hits", "fpp_ok")
@@ -761,9 +780,15 @@ object PipelineOps {
     // corpus-sized relevance scan through its whole lineage (the 100×
     // audit saw the composed plan reach ~330 file scans). Both are
     // (queries × nCand)-bounded — blocks swept by the harness (see q105).
+    // Both leaves are checkpointed ALREADY HASH-PARTITIONED on qid: every
+    // greedy step windows/aggregates per qid, and a leaf that carries the
+    // right partitioning serves all k−1 iterations without a single
+    // exchange (the unpartitioned variant shuffled cand for the window and
+    // pairs for the max-sim aggregate every round).
     val cand = Ann.topKPerKey(scored, nCand)
       .select(col("key").as("qid"), col("id").as("cid"),
         round(col("cos") * 1e6).cast("long").as("r"))
+      .repartition(col("qid"))
       .localCheckpoint()
     val withVec = (n: String) => e.select(col("id").as(n + "id"), col("vec").as(n + "v"))
     val pairs = cand.select(col("qid"), col("cid").as("ca"))
@@ -773,6 +798,7 @@ object PipelineOps {
       .join(withVec("b"), col("cb") === col("bid"))
       .select(col("qid"), col("ca"), col("cb"),
         Ann.cosMicros(col("av"), col("bv")).as("pm"))
+      .repartition(col("qid"))
       .localCheckpoint()
     val byQ = Window.partitionBy("qid")
     var sel = cand
@@ -780,13 +806,17 @@ object PipelineOps {
       .filter(col("rk") === 1).drop("rk")
       .withColumn("step", lit(1))
     for (t <- 2 to k) {
+      // sel and maxsim are (queries × k)-bounded — broadcast them
+      // explicitly: checkpointed leaves carry no size statistics, so the
+      // planner's default for these joins was sort-merge with an exchange
+      // + sort per side, per iteration.
       val maxsim = pairs
-        .join(sel.select(col("qid"), col("cid").as("cb")), Seq("qid", "cb"))
+        .join(broadcast(sel.select(col("qid"), col("cid").as("cb"))), Seq("qid", "cb"))
         .groupBy(col("qid"), col("ca").as("cid"))
         .agg(max("pm").as("maxsim"))
       val pick = cand
-        .join(sel.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
-        .join(maxsim, Seq("qid", "cid"))
+        .join(broadcast(sel.select("qid", "cid")), Seq("qid", "cid"), "left_anti")
+        .join(broadcast(maxsim), Seq("qid", "cid"))
         .withColumn("rk", row_number().over(
           byQ.orderBy((lit(7) * col("r") - lit(3) * col("maxsim")).desc, col("cid"))))
         .filter(col("rk") === 1).select("qid", "cid", "r")

@@ -180,16 +180,28 @@ object StreamingDedup {
     //      policy needs every seen doc as a potential dominator, dropped
     //      or not. Replay idempotence: dynamic INSERT OVERWRITE replaces
     //      only this batch's partition — never the accumulated corpus
-    //      state (mode scoped to these two writes).
+    //      state (mode scoped to these two writes). The sets write is the
+    //      batch's ONLY text pass: the band index derives from the
+    //      committed hashed-shingle arrays (exploding the stored array is
+    //      the same multiset ShingleHashes produced, so MinHashAgg yields
+    //      identical signatures) — the previous formulation re-shingled
+    //      the batch text a second time for the signature branch; and the
+    //      sets scan arrives bucketed by doc_id, so the signature
+    //      aggregate runs shuffle-free.
     withDynamicPartitionOverwrite(spark) {
-      Dedup.bandsOf(Dedup.minhashSignatures(batch))
+      Dedup.shingleSets(batch)
+        .select(col("doc_id"), col("shingles"), lit(batchId).as("b"))
+        .write.mode("overwrite").insertInto(setsTable(stateRoot))
+      val batchSets = spark.table(setsTable(stateRoot))
+        .filter(col("b") === batchId).drop("b")
+      Dedup.bandsOf(
+          batchSets.select(col("doc_id"), explode(col("shingles")).as("h"))
+            .groupBy("doc_id")
+            .agg(graft.functions.MinHashAgg.sig(col("h")).as("sig")))
         .select(col("doc_id"),
           xxhash64(col("band"), col("slice")).as("bkey"),
           lit(batchId).as("b"))
         .write.mode("overwrite").insertInto(bandsTable(stateRoot))
-      Dedup.shingleSets(batch)
-        .select(col("doc_id"), col("shingles"), lit(batchId).as("b"))
-        .write.mode("overwrite").insertInto(setsTable(stateRoot))
     }
 
     // ── 2. candidates: within-batch LSH self-join (a < b) plus batch ⋈
@@ -197,29 +209,29 @@ object StreamingDedup {
     //      side never shuffles and the self-join shuffles nothing.
     //      Verified with exact hashed-shingle Jaccard; sets come from
     //      this batch ∪ prior state (b ≤ batchId — a replay never sees a
-    //      successor's partition).
+    //      successor's partition). Both candidate families are ORIENTED
+    //      (dominated side first) and verified in ONE union → distinct →
+    //      Jaccard pipeline: Jaccard is symmetric, so one verify join
+    //      replaces the previous two (two set-relation scans, two
+    //      distinct exchanges → one of each), and the anti-join is
+    //      duplicate-insensitive so no final distinct is needed.
     val bB = spark.table(bandsTable(stateRoot))
       .filter(col("b") === batchId).drop("b")
     val within = bB.alias("x")
       .join(bB.alias("y"),
         col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val cross = crossCandidates(spark, stateRoot, batchId).distinct()
+      .select(col("y.doc_id").as("doc_a"), col("x.doc_id").as("doc_b"))
+    val cross = crossCandidates(spark, stateRoot, batchId)
     val allSets = spark.table(setsTable(stateRoot))
       .filter(col("b") <= batchId).drop("b")
 
-    // dominated = the later side of a verified within-batch pair, or the
-    // arriving side of a verified cross pair (the corpus doc arrived
-    // first by construction).
+    // dominated = the later side of a verified within-batch pair (doc_a
+    // after the orientation above), or the arriving side of a verified
+    // cross pair (the corpus doc arrived first by construction).
     val dominated =
-      Dedup.verifiedJaccard(within, allSets)
+      Dedup.verifiedJaccard(within.unionByName(cross).distinct(), allSets)
         .filter(col("jaccard") >= threshold)
-        .select(col("doc_b").as("doc_id"))
-        .unionByName(Dedup.verifiedJaccard(cross, allSets)
-          .filter(col("jaccard") >= threshold)
-          .select(col("doc_a").as("doc_id")))
-        .distinct()
+        .select(col("doc_a").as("doc_id"))
 
     // ── 3. survivors of this batch; the caller owns the output commit.
     batch.join(dominated, Seq("doc_id"), "left_anti")
