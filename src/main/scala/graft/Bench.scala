@@ -57,6 +57,15 @@ object Bench {
     // lake) run ONCE — their repeat would measure the warm amortized path
     // and silently drop the one-time pipeline cost from the total.
     val oneShot = Set(
+      // NOTE on builder attribution: the suite runs alphabetically, so the
+      // FIRST consumer of a session checkpoint is what actually builds it
+      // — q182 precedes q35, so the MinHash pair relation (and, from r19,
+      // the CC label relation layered on it) materializes under q182.
+      // q182 is therefore one_shot: a warm lap would absorb both builds
+      // untimed and silently drop them from the total (the exact failure
+      // this list exists to prevent). q35 keeps its slot for the ledger's
+      // cross-round continuity; it now measures the warm checkpoint read.
+      "q182_dup_cluster_histogram", // builds pair + CC label checkpoints (r19)
       "q35_near_dup_pairs",        // builds the MinHash-LSH pair checkpoint
       "q55_dash_kpis",             // opens + caches the dashboard slice
       "q60_incremental_roundtrip", // runs the two incremental batches

@@ -268,6 +268,37 @@ object Dedup {
     docs.sparkSession.read.parquet(dir)
   }
 
+  /** (doc_id, component) transitive-cluster labels over the thresholded
+    * pair checkpoint, materialized once per (corpus fingerprint,
+    * threshold) exactly like the pair relation itself: the three cluster
+    * consumers (q53 survivors, q182 histogram, q192 quality survivorship)
+    * each re-ran the O(log n) star contraction per invocation over an
+    * IDENTICAL pair input. In production the label relation is a
+    * maintained lake table refreshed alongside the pair relation —
+    * consumers read it, they don't re-derive it per query. Keyed by the
+    * same cheap content fingerprint as [[nearDupPairsCkpt]] (and sharing
+    * its stale-reuse caveat, ADVICE r18). */
+  def ccLabelsCkpt(docs: DataFrame, corpusKey: String, threshold: Double,
+                   shingleN: Int = 3): DataFrame = {
+    val fp = docs.agg(count(lit(1)), min("doc_id"), max("doc_id")).collect()(0)
+    val key = CkptKey(corpusKey + "#cc", threshold, shingleN,
+      fp.getLong(0), String.valueOf(fp.get(1)), String.valueOf(fp.get(2)))
+    val lock = ckptLocks.computeIfAbsent(key, _ => new Object)
+    val dir = lock.synchronized {
+      Option(ckptPaths.get(key)).getOrElse {
+        val d = ckptRoot.resolve(s"cc_${ckptSeq.getAndIncrement()}").toString
+        val labels = connectedComponentsLogN(
+          nearDupPairsCkpt(docs, corpusKey, threshold, shingleN)
+            .filter(col("jaccard") >= threshold))
+        try labels.write.mode("overwrite").parquet(d)
+        finally graft.etl.Ckpt.release(labels)
+        ckptPaths.put(key, d)
+        d
+      }
+    }
+    docs.sparkSession.read.parquet(dir)
+  }
+
   /** Near-dedup given a precomputed pair relation (doc_a, doc_b, …): drop
     * every document that is the *larger* doc_id of some near-dup pair
     * (keep-lowest-id policy — deterministic, and exactly replicable in the

@@ -172,8 +172,14 @@ object CorpusModels {
   /** Quality-aware survivor rows (doc_id, lang, qp ppm, component) given a
     * verified pair relation: argmax quality per transitive cluster, ties
     * to the lowest doc_id; singletons survive unconditionally. */
-  private[queries] def qualitySurvivors(docsDf: DataFrame, pairs: DataFrame): DataFrame = {
-    val labels = Dedup.connectedComponentsLogN(pairs)
+  private[queries] def qualitySurvivors(docsDf: DataFrame, pairs: DataFrame): DataFrame =
+    qualitySurvivorsFromLabels(docsDf, Dedup.connectedComponentsLogN(pairs))
+
+  /** [[qualitySurvivors]] over a precomputed (doc_id, component) label
+    * relation — the seam q192 uses to ride the session CC checkpoint
+    * instead of re-running the star contraction per invocation. */
+  private[queries] def qualitySurvivorsFromLabels(docsDf: DataFrame,
+                                                  labels: DataFrame): DataFrame = {
     val q = docsDf.select(col("doc_id"), col("lang"),
       round(lit(1e6) * TextOps.qualityScore(TextOps.tokens(col("text")), col("n_chars")))
         .cast("long").as("qp"))
@@ -334,9 +340,8 @@ object CorpusModels {
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_survivors,
          |       round(100.0 * sum(qp) / count(*)) / 100.0 AS avg_q_ppm
          |FROM rk WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
-      val pairs = Dedup.nearDupPairsCkpt(docs(s, d), d, LlmPipeline.JaccardThreshold)
-        .filter(col("jaccard") >= LlmPipeline.JaccardThreshold)
-      qualitySurvivors(fanned(s, d), pairs)
+      qualitySurvivorsFromLabels(fanned(s, d),
+          Dedup.ccLabelsCkpt(docs(s, d), d, LlmPipeline.JaccardThreshold))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_survivors"),
           (round(lit(100.0) * sum("qp") / count(lit(1))) / 100.0).as("avg_q_ppm"))

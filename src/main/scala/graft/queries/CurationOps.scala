@@ -47,19 +47,29 @@ object CurationOps {
     val t2 = fanned(s, d)
       .withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= 2)
+    // ONE corpus pass: the bigram relation is checkpointed, and both model
+    // relations derive from the vocab²-bounded bigram COUNTS instead of
+    // re-exploding the corpus — cw (unigram-as-first-word counts) is
+    // Σ n2 grouped by w1, and the vocabulary is the distinct union of the
+    // two split positions of cb's keys (every token of a ≥2-token doc
+    // occurs in some bigram, as first word or last), exactly the counts
+    // the previous three-pass formulation produced. The vocab size is the
+    // sanctioned O(1)-row scalar, embedded as a literal. (The previous
+    // shape re-ran tokenize+explode for cb, cw AND vv: 3 corpus passes.)
     val bgs = t2.select(col("doc_id"), explode(expr(
       "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bg"))
-    val cb = bgs.groupBy("bg").agg(count(lit(1)).as("n2"))
-    val cw = bgs.select(expr("split_part(bg, ' ', 1)").as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("n1"))
-    val vv = t2.select(explode(col("toks")).as("tok"))
-      .agg(countDistinct("tok").as("v"))
+      .localCheckpoint()
+    val cb = bgs.groupBy("bg").agg(count(lit(1)).as("n2")).localCheckpoint()
+    val cw = cb.select(expr("split_part(bg, ' ', 1)").as("w1"), col("n2"))
+      .groupBy("w1").agg(sum("n2").cast("long").as("n1"))
+    val v = cb.select(expr("split_part(bg, ' ', 1)").as("tok"))
+      .unionByName(cb.select(expr("split_part(bg, ' ', 2)").as("tok")))
+      .agg(countDistinct("tok")).head.getLong(0)
     bgs.join(cb, "bg")
       .withColumn("w1", expr("split_part(bg, ' ', 1)"))
       .join(cw, "w1")
-      .crossJoin(broadcast(vv))
       .select(col("doc_id"),
-        round(lit(1e6) * -log((col("n2") + 1).cast("double") / (col("n1") + col("v"))))
+        round(lit(1e6) * -log((col("n2") + 1).cast("double") / (col("n1") + lit(v))))
           .cast("long").as("s"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),

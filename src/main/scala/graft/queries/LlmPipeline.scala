@@ -198,7 +198,13 @@ object LlmPipeline {
          |FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM lab WHERE component <> id)
          |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
-      Dedup.nearDedupCC(docs(s, d), Dedup.nearDupPairsCkpt(docs(s, d), d, JaccardThreshold))
+      // survivors = everyone not dominated within a transitive cluster;
+      // labels ride the session checkpoint (built once, shared with
+      // q182/q192) instead of re-running the star contraction per run
+      docs(s, d).join(
+          Dedup.ccLabelsCkpt(docs(s, d), d, JaccardThreshold)
+            .filter(col("component") =!= col("doc_id")).select("doc_id"),
+          Seq("doc_id"), "left_anti")
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")
     },
@@ -227,9 +233,7 @@ object LlmPipeline {
          |SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
          |       CAST(sum(csize) AS BIGINT) AS n_docs
          |FROM cs GROUP BY csize ORDER BY csize""".stripMargin) { (s, d) =>
-      Dedup.connectedComponentsLogN(
-          Dedup.nearDupPairsCkpt(docs(s, d), d, JaccardThreshold)
-            .filter(col("jaccard") >= JaccardThreshold))
+      Dedup.ccLabelsCkpt(docs(s, d), d, JaccardThreshold)
         .groupBy("component").agg(count(lit(1)).cast("long").as("csize"))
         .groupBy("csize").agg(count(lit(1)).as("n_clusters"),
           sum("csize").cast("long").as("n_docs"))
