@@ -151,22 +151,32 @@ object CorpusModels {
     * text) relation; target distribution = lang == `targetLang`. */
   private[queries] def dsirImportance(docsDf: DataFrame, targetLang: String): DataFrame = {
     val toks = TextOps.tokens(col("text"))
-    val gr = docsDf
+    // ONE corpus tokenize+hash pass: the raw gram relation fed BOTH the
+    // bucket model and the per-doc score join, so the corpus's dominant
+    // map work (tokenize → bigram → md5) ran twice — at the 100× audit
+    // q191 was a 64 s named linear driver, roughly half of it the second
+    // pass. Fold to per-(doc, lang, bucket) counts first (a doc×bucket-
+    // bounded relation), checkpoint THAT, and derive the bucket totals
+    // and the weighted score (Σ n·wd ≡ the per-gram Σ wd — exact longs)
+    // from it.
+    val gd = docsDf
       .filter(size(toks) >= 2)
       .select(col("doc_id"), col("lang"), explode(grams(toks, 2)).as("g"))
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("g")), 1, 4), 16, 10).cast("long") % DsirBuckets).as("b"))
-    val r = gr.groupBy("b").agg(
-      count(lit(1)).as("rc"),
-      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("tc"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val r = gd.groupBy("b").agg(
+      sum("n").cast("long").as("rc"),
+      sum(when(col("lang") === targetLang, col("n")).otherwise(0L)).cast("long").as("tc"))
     val sc = r.agg(sum("rc").as("nr"), sum("tc").as("nt"))
     val w = r.crossJoin(broadcast(sc))
       .select(col("b"),
         (microLn((col("tc") + 1.0) / (col("nt") + DsirBuckets))
           - microLn((col("rc") + 1.0) / (col("nr") + DsirBuckets))).as("wd"))
-    gr.join(broadcast(w), "b")
+    gd.join(broadcast(w), "b")
       .groupBy("doc_id", "lang")
-      .agg((sum("wd").cast("double") / 1e6).as("importance"))
+      .agg((sum(col("n") * col("wd")).cast("double") / 1e6).as("importance"))
   }
 
   /** Quality-aware survivor rows (doc_id, lang, qp ppm, component) given a

@@ -502,7 +502,13 @@ object CurationOps {
               |          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))"""
               .stripMargin))).as("gram"))
       // grams are distinct per doc, so count(*) per gram IS the document
-      // frequency — no countDistinct shuffle needed
+      // frequency — no countDistinct shuffle needed. NOTE (r19): a
+      // fold-to-(lang, gram)-counts + checkpoint variant (the q191 idiom)
+      // was measured 8.0 → 13.3 s at 100× and REJECTED — `g` feeds both
+      // the aggregate and the join through the SAME hash(gram) exchange,
+      // which Spark already reuses (one corpus pass), while 4-grams are
+      // nearly all distinct so materializing their counts costs more than
+      // the reuse saves.
       val dfreq = g.groupBy("gram").agg(count(lit(1)).as("d"))
       g.join(dfreq, "gram")
         .select(col("lang"), when(col("d") >= 2, 1).otherwise(0).as("rep"))
